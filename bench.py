@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes end-to-end via the `noop` sink — the full plan runs
+(scan → shuffle → agg), nothing collects to the driver, so the timing
+reflects engine throughput rather than toPandas serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etfconstituentextractor_spark.plans.registry import QUERIES, load_catalog
+from etfconstituentextractor_spark.session import get_session
+
+#: Headline set: one per operator family; extended as phases land.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q08_math_funcs",
+    "q10_json_funcs",
+    "q16_keeplast_dedup",
+    "q20_join_star_revenue",
+    "q21_join_broadcast_dim",
+    "q24_join_semi_anti",
+    "q30_agg_rollup",
+    "q40_window_topk_per_group",
+    "q42_window_trailing_range",
+    "q60_dedup_exact",
+    "q62_dedup_minhash_lsh",
+    "q70_similarity_topk_cosine",
+    "q80_text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    load_catalog()
+    names = [n for n in HEADLINE if n in QUERIES]
+
+    spark = get_session(app_name="etfce-bench")
+    # Warm the JVM + parquet footer caches with a trivial action so the
+    # first measured query doesn't pay one-time session costs.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

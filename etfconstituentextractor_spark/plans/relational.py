@@ -1,0 +1,480 @@
+"""Core relational queries: scan/filter/project/string/date/math/JSON/
+set-ops/sink round-trip (SURVEY.md §2A R3-R6, R14-R16, R19-R21 and the
+core rows of §2B).
+
+Every query here is a pure DataFrame program — Catalyst handles filter
+pushdown, column pruning and constant folding; nothing collects to the
+driver. Scale notes are on each query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from etfconstituentextractor_spark.functions.parity import dec, dec_rate, dsum, davg
+from etfconstituentextractor_spark.functions.boundary import parse_money
+from etfconstituentextractor_spark.plans.registry import query
+from etfconstituentextractor_spark.sources.tables import load
+
+
+# ---------------------------------------------------------------------------
+# q01 — flagship: TPC-H-Q1-shaped pricing summary.
+# scan → pushed filter → hash agg (partial+final, map-side combine) → sort.
+# At 100 TB: single shuffle on the 6-value group key; decimal aggs keep
+# partial/final merge exact. Filter + 7-column projection reach the
+# parquet scan (PushedFilters/ReadSchema).
+# ---------------------------------------------------------------------------
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(14,4))), 2) AS DOUBLE)      AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,4))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,4))
+                          * CAST(1 - l_discount AS DECIMAL(8,6))), 2) AS DOUBLE) AS sum_disc_price,
+           -- inner CAST widens the first product: DuckDB keeps decimal
+           -- multiply in 18 digits unless the operand forces more
+           CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,4))
+                               * CAST(1 - l_discount AS DECIMAL(8,6)) AS DECIMAL(28,10))
+                          * CAST(1 + l_tax AS DECIMAL(8,6))), 2) AS DOUBLE)      AS sum_charge,
+           CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(14,4))) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS avg_qty,
+           CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4))) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS avg_price,
+           CAST(ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(8,6))) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    one_minus_disc = (F.lit(1) - F.col("l_discount")).cast("decimal(8,6)")
+    one_plus_tax = (F.lit(1) + F.col("l_tax")).cast("decimal(8,6)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(dec("l_quantity"), "sum_qty"),
+            dsum(dec("l_extendedprice"), "sum_base_price"),
+            dsum(dec("l_extendedprice") * one_minus_disc, "sum_disc_price"),
+            dsum(dec("l_extendedprice") * one_minus_disc * one_plus_tax, "sum_charge"),
+            davg(dec("l_quantity"), "avg_qty"),
+            davg(dec("l_extendedprice"), "avg_price"),
+            davg(dec_rate("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q02 — projection / rename / computed columns (reference R3: build the
+# filing-index frame from 4 of ~14 fields with display names,
+# ETFQuarterlyHoldingsExtractor.py:46-51). Catalyst column pruning makes
+# the "manual" pruning automatic: ReadSchema shows only 4 columns read.
+# ---------------------------------------------------------------------------
+@query(
+    "q02_projection_rename",
+    oracle="""
+    SELECT p_partkey AS part_key,
+           p_name AS part_name,
+           UPPER(p_brand) AS brand_uc,
+           CAST(ROUND(CAST(p_retailprice AS DECIMAL(14,4)) * CAST(1.1 AS DECIMAL(3,2)), 2) AS DOUBLE) AS marked_up
+    FROM part
+    """,
+)
+def q02_projection_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("part_key"),
+        F.col("p_name").alias("part_name"),
+        F.upper("p_brand").alias("brand_uc"),
+        F.round(dec("p_retailprice") * F.lit(1.1).cast("decimal(3,2)"), 2)
+        .cast("double")
+        .alias("marked_up"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q03 — equality filter (reference R4: df[df["Form Type"] == "NPORT-P"],
+# :52). Pushed to the parquet scan as PushedFilters=[EqualTo(...)].
+# ---------------------------------------------------------------------------
+@query(
+    "q03_filter_equality",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q03_filter_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q04 — range / IN / null-ness filters (§2B "Filters — range/date/IN/
+# null"; the reference's README promises a 5-year window it never
+# implements — this is the explicit version).
+# ---------------------------------------------------------------------------
+@query(
+    "q04_filter_range_in_null",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1994-01-01 00:00:00' AND TIMESTAMP '1995-12-31 23:59:59'
+      AND l_returnflag IN ('A', 'R')
+      AND l_quantity IS NOT NULL
+      AND l_discount > 0.02
+    """,
+)
+def q04_filter_range_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_shipdate").between(
+            F.lit("1994-01-01 00:00:00").cast("timestamp_ntz"),
+            F.lit("1995-12-31 23:59:59").cast("timestamp_ntz"),
+        )
+        & F.col("l_returnflag").isin("A", "R")
+        & F.col("l_quantity").isNotNull()
+        & (F.col("l_discount") > 0.02)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+
+
+# ---------------------------------------------------------------------------
+# q05 — string-pattern filters: contains / LIKE / RLIKE (reference R9's
+# substring anchors, :68/:87/:100, and the CIK validation regex, :163).
+# ---------------------------------------------------------------------------
+@query(
+    "q05_filter_string_pattern",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type
+    FROM part
+    WHERE p_type LIKE '%BRASS%'
+       OR contains(p_name, 'green')
+       OR regexp_matches(p_brand, '^Brand#[0-2][0-9]$')
+    """,
+)
+def q05_filter_string_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_type").like("%BRASS%")
+        | F.col("p_name").contains("green")
+        | F.col("p_brand").rlike(r"^Brand#[0-2][0-9]$")
+    ).select("p_partkey", "p_name", "p_brand", "p_type")
+
+
+# ---------------------------------------------------------------------------
+# q06 — scalar string functions (reference R5 dash-strip :58, R6 concat
+# :58/:141, R14 trim, R21 validation :163).
+# ---------------------------------------------------------------------------
+@query(
+    "q06_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           replace(c_name, '#', '-')                         AS name_dashed,
+           concat('cust:', CAST(c_custkey AS VARCHAR))       AS name_tagged,
+           trim(upper(c_mktsegment))                         AS seg_uc,
+           lower(substring(c_name, 1, 8))                    AS name_prefix,
+           length(c_name)                                    AS name_len,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0')         AS cik_style,
+           (regexp_matches(lpad(CAST(c_custkey AS VARCHAR), 10, '0'), '^[0-9]{10}$')) AS cik_valid
+    FROM customer
+    """,
+)
+def q06_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    cik = F.lpad(F.col("c_custkey").cast("string"), 10, "0")
+    return c.select(
+        "c_custkey",
+        F.regexp_replace("c_name", "#", "-").alias("name_dashed"),
+        F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")).alias("name_tagged"),
+        F.trim(F.upper("c_mktsegment")).alias("seg_uc"),
+        F.lower(F.substring("c_name", 1, 8)).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        cik.alias("cik_style"),
+        cik.rlike(r"^[0-9]{10}$").alias("cik_valid"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q07 — date/time functions (§2B: the reference keeps dates as raw
+# strings, :48/:76; the engine types them at the boundary, §1.2).
+# ---------------------------------------------------------------------------
+@query(
+    "q07_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)                    AS order_year,
+           CAST(quarter(o_orderdate) AS INT)                 AS order_quarter,
+           CAST(month(o_orderdate) AS INT)                   AS order_month,
+           date_trunc('month', o_orderdate)                  AS month_start,
+           datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start,
+           strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date
+    FROM orders
+    """,
+)
+def q07_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("timestamp_ntz").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+        # date outputs are emitted as ISO strings: Spark DateType and
+        # DuckDB DATE materialize differently in pandas, which would
+        # destabilize the driver's value hash
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q08 — math / numeric functions (§2B: the reference never parses its
+# numeric strings; these are the typed ops that parsing unlocks).
+# ceil/floor are cast to BIGINT on both sides (DuckDB returns DOUBLE).
+# ---------------------------------------------------------------------------
+@query(
+    "q08_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(CAST(l_quantity AS DECIMAL(14,4)) * CAST(l_extendedprice AS DECIMAL(14,4)), 2) AS DOUBLE) AS gross,
+           abs(l_discount - 0.05)                  AS disc_dev,
+           CAST(ceil(l_quantity) AS BIGINT)        AS qty_ceil,
+           CAST(floor(l_quantity) AS BIGINT)       AS qty_floor,
+           l_linenumber % 3                        AS line_mod,
+           CAST(ROUND(sqrt(l_extendedprice), 6) AS DOUBLE) AS price_sqrt
+    FROM lineitem
+    """,
+)
+def q08_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(dec("l_quantity") * dec("l_extendedprice"), 2).cast("double").alias("gross"),
+        F.abs(F.col("l_discount") - F.lit(0.05)).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        (F.col("l_linenumber") % 3).alias("line_mod"),
+        F.round(F.sqrt("l_extendedprice"), 6).cast("double").alias("price_sqrt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q09 — conditional / null functions (reference R15: every extraction is
+# `is not None`-guarded, :95-127; R16: drop-all-null records, :129-130).
+# ---------------------------------------------------------------------------
+@query(
+    "q09_conditional_null",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debit'
+                WHEN c_acctbal < 5000 THEN 'standard'
+                ELSE 'premium' END                       AS bal_band,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           CASE WHEN c_acctbal IS NULL THEN 0.0 ELSE c_acctbal END AS bal_filled
+    FROM customer
+    WHERE coalesce(c_name, c_mktsegment) IS NOT NULL
+    """,
+)
+def q09_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.filter(F.coalesce("c_name", "c_mktsegment").isNotNull()).select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debit")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+        .alias("bal_band"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.when(F.col("c_acctbal").isNull(), F.lit(0.0))
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal_filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10 — JSON functions on a string column (reference R2: nested dict
+# access `data.get("filings",{}).get("recent",{})`, :45 — here as
+# get_json_object over events.props, §2B "Scalar fns — JSON").
+# ---------------------------------------------------------------------------
+@query(
+    "q10_json_funcs",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(14,4))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q10_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.filter(k.isNotNull())
+        .groupBy((k % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(dec("value"), "sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11 — boundary parsing of formatted money strings (reference §1.2:
+# SEC HTML cells are "1,234,567.00"-style strings, :117/:122; no
+# astype anywhere). Inline VALUES table so both engines parse the same
+# literals; try_-variants keep null-tolerance under ANSI mode.
+# ---------------------------------------------------------------------------
+_MONEY_LITERALS = [
+    ("1,234,567.89",),
+    ("12.50",),
+    ("0.0042",),
+    ("987,654,321.000001",),
+    ("  44,100  ",),
+    ("not-a-number",),
+    (None,),
+]
+
+
+@query(
+    "q11_parse_money_strings",
+    oracle="""
+    SELECT s AS raw,
+           CAST(TRY_CAST(replace(trim(s), ',', '') AS DECIMAL(38,6)) AS DOUBLE) AS amount
+    FROM (VALUES ('1,234,567.89'), ('12.50'), ('0.0042'),
+                 ('987,654,321.000001'), ('  44,100  '),
+                 ('not-a-number'), (NULL)) t(s)
+    """,
+)
+def q11_parse_money_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame(_MONEY_LITERALS, "s string")
+    # decimal is the internal representation; outputs emit double (both
+    # engines' pandas bridges downcast decimals to float64 anyway)
+    return df.select(F.col("s").alias("raw"), parse_money("s").cast("double").alias("amount"))
+
+
+# ---------------------------------------------------------------------------
+# q12-q14 — set operations (§2B; the reference's dict-of-frames
+# accumulator :28 is morally a union).
+# ---------------------------------------------------------------------------
+@query(
+    "q12_set_union",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q12_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@query(
+    "q13_set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q13_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "q14_set_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q14_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    # subtract == SQL EXCEPT (distinct); exceptAll would keep
+    # multiplicity differences, which is not what EXCEPT means
+    return c.subtract(s)
+
+
+# ---------------------------------------------------------------------------
+# q15 — partitioned CSV sink + read-back (reference R20: one CSV per
+# reporting date, :136-143). The engine writes
+# `partitionBy(key).csv(...)` — at scale this is the same plan shape as
+# the reference's per-date files, but parallel and atomic-per-task.
+# Values round-trip exactly by writing decimals as text.
+# ---------------------------------------------------------------------------
+@query(
+    "q15_csv_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,4))), 2) AS DOUBLE) AS sum_total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q15_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        dec("o_totalprice").alias("o_totalprice"),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), f"etfce_csv_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    (
+        o.repartition("o_orderstatus")
+        .write.mode("overwrite")
+        .option("header", True)
+        .partitionBy("o_orderstatus")
+        .csv(out)
+    )
+    back = spark.read.option("header", True).schema(
+        "o_orderkey bigint, o_totalprice decimal(14,4), o_orderstatus string"
+    ).csv(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "sum_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — keep-last dedup (reference R19: dict-key overwrite :158 means a
+# later amended filing replaces the earlier one for the same reporting
+# date). Window rank on the partition key, latest wins; single shuffle
+# on the key, streams at scale.
+# ---------------------------------------------------------------------------
+@query(
+    "q16_keeplast_dedup",
+    oracle="""
+    SELECT user_id, event_id, event_type, ts
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def q16_keeplast_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "ts")
+    )

@@ -1,0 +1,87 @@
+"""SparkSession factory and session-conf hygiene.
+
+The reference executes eagerly on one thread with no configuration
+surface at all (``ETFQuarterlyHoldingsExtractor.py:161-167`` just
+constructs the scraper and runs it). Here the session is the engine's
+single configuration point; everything downstream is a lazy plan.
+
+Two entry styles are supported:
+
+- ``get_session()`` — build our own session (tests, bench).
+- ``prep(spark)``   — defensively pin the *runtime-mutable* confs we
+  depend on (UTC timezone, Arrow, nanos-as-long parquet reads) on a
+  session someone else built (the verify driver constructs its own).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-mutable SQL confs every query depends on. Timezone pinned to
+#: UTC so timestamp<->string/ntz conversions agree with the DuckDB
+#: oracle (SURVEY.md §5.2); nanosAsLong because the test corpus'
+#: ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+#: reader otherwise rejects ([PARQUET_TYPE_ILLEGAL]).
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def prep(spark: SparkSession) -> SparkSession:
+    """Pin runtime-mutable confs on an externally-built session.
+
+    Idempotent; safe to call at the top of every query callable.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf not recognized / locked down — proceed; readers that
+            # need it will raise a clear error of their own.
+            pass
+    return spark
+
+
+def get_session(
+    app_name: str = "etfce-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build the engine's SparkSession.
+
+    Defaults are sized for the local[N] test/bench harness but express
+    cluster-ready posture: AQE on (runtime re-plan, skew-join split,
+    partition coalescing), Arrow on (vectorized Python boundary),
+    shuffle partitions ~ cores rather than the 200 default.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 4)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    # getOrCreate may have returned a pre-existing session with other
+    # static confs; runtime confs still apply.
+    return prep(spark)
