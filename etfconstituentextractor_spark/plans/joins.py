@@ -1,1 +1,353 @@
-"""Placeholder — queries land in a later phase of round 1."""
+"""Join family (SURVEY.md §2B "Joins" — all absent from the reference,
+whose only fan-out is a sequential driver-side loop,
+ETFQuarterlyHoldingsExtractor.py:153-158).
+
+Scale posture per query:
+- dimension tables (region/nation/supplier/part at TPC-H ratios) are
+  broadcast — no shuffle of the fact side;
+- fact-fact joins (lineitem ⋈ orders) shuffle on the join key and are
+  exactly the joins AQE re-plans at runtime (skew split, SMJ↔SHJ);
+- non-equi joins avoid the naive BroadcastNestedLoopJoin blowup by
+  pre-joining on a coarse equi-bucket wherever the predicate allows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etfconstituentextractor_spark.functions.parity import dec, dsum
+from etfconstituentextractor_spark.operators.asof import asof_join
+from etfconstituentextractor_spark.plans.registry import query
+from etfconstituentextractor_spark.sources.tables import load
+
+
+# ---------------------------------------------------------------------------
+# q20 — the star-schema revenue rollup (TPC-H-Q5-shaped): fact table
+# joined through 4 dimensions to region, revenue per nation.
+# lineitem⋈orders shuffles; customer/nation/region broadcast (AQE picks
+# this automatically at these sizes; broadcast() pins the intent).
+# ---------------------------------------------------------------------------
+@query(
+    "q20_join_star_revenue",
+    oracle="""
+    SELECT n_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,4))
+                          * CAST(1 - l_discount AS DECIMAL(8,6))), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+      AND o_orderdate >= TIMESTAMP '1993-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q20_join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1993-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    revenue = dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(8,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 — broadcast hash join against a small dimension, explicitly
+# hinted (§2B "broadcast hash"). At 100 TB the fact side never moves:
+# part (even at sf100 ~20M rows / ~1 GB) ships to executors once.
+# ---------------------------------------------------------------------------
+@query(
+    "q21_join_broadcast_dim",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_lines,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(14,4))), 2) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 25
+    GROUP BY p_brand
+    """,
+)
+def q21_join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_lines"), dsum(dec("l_quantity"), "sum_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22 — shuffle (sort-merge) fact-fact join, no broadcast possible at
+# scale: both sides hash-partition on the key; AQE coalesces the
+# post-shuffle partitions.
+# ---------------------------------------------------------------------------
+@query(
+    "q22_join_shuffle_factfact",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,4))), 2) AS DOUBLE) AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate
+    GROUP BY o_orderpriority
+    """,
+)
+def q22_join_shuffle_factfact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(dec("l_extendedprice"), "sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q23 — outer joins: left (customers keep their zero-order rows) and a
+# full-outer reconciliation of two keyed aggregates.
+# ---------------------------------------------------------------------------
+@query(
+    "q23_join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+           CAST(ROUND(SUM(CAST(coalesce(o_totalprice, 0) AS DECIMAL(14,4))), 2) AS DOUBLE) AS sum_total
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def q23_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum(dec(F.coalesce("o_totalprice", F.lit(0))), "sum_total"),
+        )
+    )
+
+
+@query(
+    "q23b_join_full_outer",
+    oracle="""
+    WITH cust AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+         supp AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT coalesce(cust.nationkey, supp.nationkey) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust,
+           coalesce(n_supp, 0) AS n_supp
+    FROM cust FULL OUTER JOIN supp ON cust.nationkey = supp.nationkey
+    """,
+)
+def q23b_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cust.join(supp, "nationkey", "full").select(
+        "nationkey",
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q24 — semi + anti join (EXISTS / NOT EXISTS). Spark never
+# materializes the right side's columns: the build side is just a key
+# set, so at scale the probe streams.
+# ---------------------------------------------------------------------------
+@query(
+    "q24_join_semi_anti",
+    oracle="""
+    SELECT has_order, COUNT(*) AS n_customers,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,4))), 2) AS DOUBLE) AS sum_bal
+    FROM (
+      SELECT c.*, EXISTS(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AS has_order
+      FROM customer c
+    )
+    GROUP BY has_order
+    """,
+)
+def q24_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    with_o = c.join(o, c.c_custkey == o.o_custkey, "left_semi").withColumn(
+        "has_order", F.lit(True)
+    )
+    without_o = c.join(o, c.c_custkey == o.o_custkey, "left_anti").withColumn(
+        "has_order", F.lit(False)
+    )
+    return (
+        with_o.unionByName(without_o)
+        .groupBy("has_order")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(dec("c_acctbal"), "sum_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q25 — cross join (small × small only; a guarded operator at scale).
+# ---------------------------------------------------------------------------
+@query(
+    "q25_join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    WHERE r.r_regionkey <> n.n_regionkey
+    """,
+)
+def q25_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return (
+        r.crossJoin(n)
+        .filter(F.col("r_regionkey") != F.col("n_regionkey"))
+        .select("r_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q26 — theta/range join: classify each lineitem into a price band by a
+# non-equi predicate. The bands table is tiny → broadcast nested loop is
+# the right plan here; for large×large range joins see q28's bucketed
+# interval join.
+# ---------------------------------------------------------------------------
+_BANDS = [
+    ("low", 0.0, 20000.0),
+    ("mid", 20000.0, 60000.0),
+    ("high", 60000.0, 1e18),
+]
+
+
+@query(
+    "q26_join_range_band",
+    oracle="""
+    SELECT band, COUNT(*) AS n_lines,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,4))), 2) AS DOUBLE) AS sum_price
+    FROM lineitem
+    JOIN (VALUES ('low', 0.0, 20000.0), ('mid', 20000.0, 60000.0), ('high', 60000.0, 1e18))
+         b(band, lo, hi)
+      ON l_extendedprice >= lo AND l_extendedprice < hi
+    GROUP BY band
+    """,
+)
+def q26_join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    return (
+        li.join(
+            F.broadcast(bands),
+            (F.col("l_extendedprice") >= F.col("lo")) & (F.col("l_extendedprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(dec("l_extendedprice"), "sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q27 — as-of join: for every purchase event, the most recent prior (or
+# simultaneous) click by the same user. Implemented distributedly in
+# operators/asof.py (union + last() over an ordered window — one shuffle
+# on the key, no per-group pandas); oracle is DuckDB's native ASOF JOIN.
+# ---------------------------------------------------------------------------
+@query(
+    "q27_join_asof",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id AS user_id,
+           p.ts AS purchase_ts,
+           c.ts AS last_click_ts,
+           c.event_id AS last_click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q27_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        right_payload={"last_click_ts": "click_ts", "last_click_id": "click_id"},
+        tolerance=None,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q28 — interval-overlap join: user activity intervals (per event_type)
+# that overlap between two types for the same user. Implemented as an
+# equi-join on user + overlap predicate; at scale the same composition
+# works bucketed by coarse time range (operators/intervals.py).
+# ---------------------------------------------------------------------------
+@query(
+    "q28_join_interval_overlap",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id, event_type, min(ts) AS t_start, max(ts) AS t_end
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT a.user_id AS user_id, a.event_type AS type_a, b.event_type AS type_b
+    FROM spans a JOIN spans b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+     AND a.t_start <= b.t_end AND b.t_start <= a.t_end
+    """,
+)
+def q28_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("t_start"), F.max("ts").alias("t_end")
+    )
+    a = spans.alias("a")
+    b = spans.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type"))
+            & (F.col("a.t_start") <= F.col("b.t_end"))
+            & (F.col("b.t_start") <= F.col("a.t_end")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+    )
