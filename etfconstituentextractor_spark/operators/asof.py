@@ -83,10 +83,15 @@ def asof_join(
         )
         if ts_out is None:
             raise ValueError("tolerance requires right_ts to be part of right_payload")
-        too_old = F.col("__t").cast("timestamp") - F.col(ts_out).cast("timestamp") > tolerance
+        # materialize the flag first — nulling the carried timestamp
+        # in-place would corrupt the condition for the later columns
+        result = result.withColumn(
+            "__too_old",
+            F.col("__t").cast("timestamp") - F.col(ts_out).cast("timestamp") > tolerance,
+        )
         for out in right_payload:
             result = result.withColumn(
-                out, F.when(too_old, F.lit(None)).otherwise(F.col(out))
+                out, F.when(F.col("__too_old"), F.lit(None)).otherwise(F.col(out))
             )
 
     return result.select(

@@ -1,1 +1,255 @@
-"""Placeholder — queries land in a later phase of round 1."""
+"""Aggregation family (SURVEY.md §2B "Aggregations" — all absent from
+the reference, whose only accumulation is a dict-key overwrite,
+ETFQuarterlyHoldingsExtractor.py:28/:158).
+
+Spark's HashAggregate does partial (map-side) + final aggregation
+automatically — at 100 TB each groupBy here shuffles only the partial
+per-key states, not rows. Decimal casts keep the partial/final merge
+exact (functions/parity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etfconstituentextractor_spark.functions.parity import dec, dsum
+from etfconstituentextractor_spark.plans.registry import query
+from etfconstituentextractor_spark.sources.tables import load
+
+
+# ---------------------------------------------------------------------------
+# q30 — ROLLUP over the region→nation hierarchy with grouping flags.
+# grouping(a)*2 + grouping(b) is spelled identically in both engines
+# (portable, unlike grouping_id()'s engine-specific forms).
+# ---------------------------------------------------------------------------
+@query(
+    "q30_agg_rollup",
+    oracle="""
+    SELECT r_name, n_name,
+           grouping(r_name)*2 + grouping(n_name) AS gid,
+           COUNT(*) AS n_customers,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,4))), 2) AS DOUBLE) AS sum_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q30_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            (F.grouping("r_name") * 2 + F.grouping("n_name")).alias("gid"),
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(dec("c_acctbal"), "sum_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q31 — CUBE over two independent dimensions.
+# ---------------------------------------------------------------------------
+@query(
+    "q31_agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag)*2 + grouping(l_linestatus) AS gid,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(14,4))), 2) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q31_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        dsum(dec("l_quantity"), "sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q32 — GROUPING SETS (SQL form; the set list is explicit rather than
+# the rollup/cube closure).
+# ---------------------------------------------------------------------------
+@query(
+    "q32_agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag)*2 + grouping(l_linestatus) AS gid,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q32_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag)*2 + grouping(l_linestatus) AS gid,
+               COUNT(*) AS n
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q33 — distinct aggregation: COUNT(DISTINCT), exact. Spark expands
+# count-distinct into a two-phase aggregate (expand + partial) — at
+# scale this is the plan to watch for skew; AQE handles the re-shuffle.
+# ---------------------------------------------------------------------------
+@query(
+    "q33_agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q33_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q34 — collect_set / collect_list: emitted as a sorted joined string —
+# set/list order is nondeterministic in a distributed engine, so the
+# deterministic projection IS the operator's contract.
+# ---------------------------------------------------------------------------
+@query(
+    "q34_agg_collect_set",
+    oracle="""
+    SELECT n_name,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+           COUNT(DISTINCT c_mktsegment) AS n_segments
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q34_agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias("segments"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q35 — min_by/max_by (argmin/argmax; the reference's "first match
+# wins" semantic R9 made deterministic with a composite ordering key).
+# ---------------------------------------------------------------------------
+@query(
+    "q35_agg_min_max_by",
+    oracle="""
+    -- DuckDB arg_min/arg_max reject composite (struct) ordering keys,
+    -- so the oracle spells the same deterministic argmin via windows
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn_a,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_d
+      FROM orders
+    )
+    SELECT o_custkey,
+           MAX(CASE WHEN rn_a = 1 THEN o_orderkey END) AS first_order,
+           MAX(CASE WHEN rn_d = 1 THEN o_orderkey END) AS last_order,
+           COUNT(*) AS n_orders
+    FROM ranked
+    GROUP BY o_custkey
+    """,
+)
+def q35_agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    key = F.struct("o_orderdate", "o_orderkey")
+    return o.groupBy("o_custkey").agg(
+        F.min_by("o_orderkey", key).alias("first_order"),
+        F.max_by("o_orderkey", key).alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q36 — approximate count distinct (HyperLogLog++). No SQL oracle:
+# the sketch estimate is engine-specific → rows-only check, plus the
+# pytest unit test asserts the estimate is within rsd of exact.
+# ---------------------------------------------------------------------------
+@query("q36_agg_approx_count_distinct")
+def q36_agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q37 — pivot (wide conditional aggregation). Spark's pivot with an
+# explicit value list compiles to the same conditional-agg plan the
+# oracle spells out — no second pass to discover values (important at
+# scale: implicit pivot triggers a distinct scan).
+# ---------------------------------------------------------------------------
+@query(
+    "q37_agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(14,4)) END), 2) AS DOUBLE) AS qty_O,
+           CAST(ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(14,4)) END), 2) AS DOUBLE) AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q37_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum(dec("l_quantity")), 2).cast("double"))
+    )
+    return pivoted.select(
+        "l_returnflag",
+        F.col("O").alias("qty_O"),
+        F.col("F").alias("qty_F"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q38 — global sort + limit (top-k): compiles to TakeOrderedAndProject,
+# which at scale takes k per partition then merges k·P rows on the
+# driver — never a full global sort. Composite key makes it total.
+# ---------------------------------------------------------------------------
+@query(
+    "q38_sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q38_sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .limit(10)
+    )

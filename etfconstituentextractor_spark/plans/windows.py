@@ -1,1 +1,210 @@
-"""Placeholder — queries land in a later phase of round 1."""
+"""Window functions (SURVEY.md §2B "Window" — absent from the
+reference; its keep-last dict overwrite :158 is the motivating case,
+implemented as q16).
+
+Scale posture: every window here partitions by a key (single shuffle,
+state bounded per key). The one global window (q42) runs over
+pre-aggregated daily rows — thousands of rows regardless of input
+scale — never over the raw fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from etfconstituentextractor_spark.functions.parity import dec
+from etfconstituentextractor_spark.plans.registry import query
+from etfconstituentextractor_spark.sources.tables import load
+
+
+# ---------------------------------------------------------------------------
+# q40 — per-group top-k: rank window + filter (Catalyst has no native
+# per-group top-k pushdown; this is the canonical composition and AQE
+# handles the single shuffle on the partition key).
+# ---------------------------------------------------------------------------
+@query(
+    "q40_window_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def q40_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q41 — analytic lag/lead: order-over-order price delta per customer.
+# ---------------------------------------------------------------------------
+@query(
+    "q41_window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           lag(o_totalprice)  OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           CAST(ROUND(CAST(o_totalprice AS DECIMAL(14,4))
+                - CAST(coalesce(lag(o_totalprice) OVER w, o_totalprice) AS DECIMAL(14,4)), 2) AS DOUBLE) AS delta_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q41_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        prev.alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.round(dec("o_totalprice") - dec(F.coalesce(prev, F.col("o_totalprice"))), 2)
+        .cast("double")
+        .alias("delta_prev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q42 — RANGE frame: 7-day trailing revenue over the daily series.
+# Two-level plan: exact decimal daily rollup (distributed), then the
+# range window over day numbers. Both engines get an integer day axis
+# so the frame is engine-neutral.
+# ---------------------------------------------------------------------------
+@query(
+    "q42_window_trailing_range",
+    oracle="""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day_num,
+             SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS day_rev
+      FROM orders GROUP BY 1
+    )
+    SELECT day_num,
+           CAST(ROUND(day_rev, 2) AS DOUBLE) AS day_rev,
+           CAST(ROUND(SUM(day_rev) OVER (ORDER BY day_num
+                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS trailing_7d
+    FROM daily
+    """,
+)
+def q42_window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")).alias(
+            "day_num"
+        )
+    ).agg(F.sum(dec("o_totalprice")).alias("day_rev"))
+    w = W.orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        "day_num",
+        F.round("day_rev", 2).cast("double").alias("day_rev"),
+        F.round(F.sum("day_rev").over(w), 2).cast("double").alias("trailing_7d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q43 — ranking family: rank/dense_rank over a tie-ful ordering (exact
+# tie semantics), ntile/row_number over a total ordering (deterministic
+# assignment requires one).
+# ---------------------------------------------------------------------------
+@query(
+    "q43_window_ranking",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           rank()       OVER wt AS bal_rank,
+           dense_rank() OVER wt AS bal_dense_rank,
+           ntile(4)     OVER wo AS bal_quartile,
+           row_number() OVER wo AS bal_rownum
+    FROM customer
+    WINDOW wt AS (PARTITION BY c_nationkey ORDER BY round(c_acctbal / 1000) DESC),
+           wo AS (PARTITION BY c_nationkey ORDER BY round(c_acctbal / 1000) DESC, c_custkey)
+    """,
+)
+def q43_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    coarse = F.round(F.col("c_acctbal") / 1000)
+    wt = W.partitionBy("c_nationkey").orderBy(coarse.desc())
+    wo = W.partitionBy("c_nationkey").orderBy(coarse.desc(), F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(wt).alias("bal_rank"),
+        F.dense_rank().over(wt).alias("bal_dense_rank"),
+        F.ntile(4).over(wo).alias("bal_quartile"),
+        F.row_number().over(wo).alias("bal_rownum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q44 — running aggregates over a ROWS frame (per-user event value
+# accumulation). Decimal accumulation: window aggregation internals
+# differ between engines (DuckDB uses segment trees — different
+# summation order), so exactness requires the decimal cast.
+# ---------------------------------------------------------------------------
+@query(
+    "q44_window_running_sum",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(14,4))) OVER w, 2) AS DOUBLE) AS running_value,
+           COUNT(*) OVER w AS running_n,
+           CAST(ROUND(min(value) OVER w, 4) AS DOUBLE) AS running_min
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q44_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum(dec("value")).over(w), 2).cast("double").alias("running_value"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+        F.round(F.min("value").over(w), 4).cast("double").alias("running_min"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q45 — first_value / last_value with explicit frames (the reference's
+# "first match wins" break at :77, window-formalized).
+# ---------------------------------------------------------------------------
+@query(
+    "q45_window_first_last",
+    oracle="""
+    SELECT user_id, event_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type)  OVER w AS latest_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q45_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("latest_type"),
+    )
