@@ -1,0 +1,148 @@
+"""Text-analysis expression builders (SURVEY.md §2B "LLM-pipeline").
+
+All Spark-side expressions are built-in higher-order functions
+(transform/filter/aggregate) — JVM-side, codegen'd, no Python
+boundary. Each builder has a ``sql_*`` twin producing the equivalent
+DuckDB SQL fragment so queries and oracles stay in lockstep.
+
+Portability notes (probed against DuckDB 1.x):
+- md5() produces identical lowercase hex in both engines — it is the
+  engine's portable deterministic hash (for minhash/simhash/ids).
+- hex→int: Spark ``conv(s,16,10)``; DuckDB ``('0x'||s)::BIGINT``.
+- DuckDB ``list_slice(l, i, j)`` is inclusive of j; Spark
+  ``slice(l, i, n)`` takes a length — shingle builders account for it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword lists for the n-gram/stopword language
+#: heuristic (deterministic; linguistic accuracy is not the contract)
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "is", "of", "and"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "les", "et", "une", "dans"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def tokens(text_col: str = "text") -> Column:
+    """Whitespace tokenization (corpus is single-space separated)."""
+    return F.split(F.col(text_col), " ")
+
+
+def sql_tokens(expr: str = "text") -> str:
+    return f"string_split({expr}, ' ')"
+
+
+def spark_shingles(tokens_expr: str, n: int = 3) -> str:
+    """Spark SQL string for word n-gram shingles; <n tokens → empty
+    array. The size guard matters: Spark's sequence(1, 0) yields a
+    DESCENDING [1, 0], not an empty array."""
+    return (
+        f"CASE WHEN size({tokens_expr}) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size({tokens_expr}) - {n - 1}), "
+        f"i -> array_join(slice({tokens_expr}, i, {n}), ' ')) END"
+    )
+
+
+def shingles(tokens_expr: str, n: int = 3) -> Column:
+    return F.expr(spark_shingles(tokens_expr, n))
+
+
+def sql_shingles(tokens_expr: str, n: int = 3) -> str:
+    return (
+        f"CASE WHEN len({tokens_expr}) < {n} THEN [] "
+        f"ELSE list_transform(range(1, len({tokens_expr}) - {n - 2}), "
+        f"i -> array_to_string(list_slice({tokens_expr}, i, i + {n - 1}), ' ')) END"
+    )
+
+
+def _sql_quote_list(words: tuple[str, ...]) -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+
+
+def stopword_hits(tokens_expr: str, words: tuple[str, ...]) -> Column:
+    """Count (with multiplicity) of tokens in the wordlist — explicit
+    filter+size rather than array_intersect, whose dedup semantics
+    differ between engines."""
+    arr = ", ".join(f"'{w}'" for w in words)
+    return F.expr(f"size(filter({tokens_expr}, t -> t IN ({arr})))")
+
+
+def sql_stopword_hits(tokens_expr: str, words: tuple[str, ...]) -> str:
+    return (
+        f"len(list_filter({tokens_expr}, t -> t IN ({_sql_quote_list(words)})))"
+    )
+
+
+def minhash(shingles_expr: str, salt: str = "") -> Column:
+    """Min of md5 over (salted) shingles — one LSH band signature.
+    Empty shingle set → NULL (array_min of empty)."""
+    h = f"md5(concat('{salt}', s))" if salt else "md5(s)"
+    return F.expr(f"array_min(transform({shingles_expr}, s -> {h}))")
+
+
+def sql_minhash(shingles_expr: str, salt: str = "") -> str:
+    h = f"md5(concat('{salt}', s))" if salt else "md5(s)"
+    return f"list_min(list_transform({shingles_expr}, s -> {h}))"
+
+
+#: hex chars whose high nibble bit is set — the portable "random bit"
+#: extracted from an md5 hex digit
+_HI = "'8','9','a','b','c','d','e','f'"
+
+
+def simhash_bits(tokens_expr: str, n_bits: int = 16) -> Column:
+    """SimHash over token md5s: bit i of the fingerprint is the sign of
+    sum over tokens of ±1 according to hex digit i of md5(token).
+    Returns the fingerprint as an n_bits-char bitstring."""
+    return F.expr(
+        f"array_join(transform(sequence(1, {n_bits}), i -> "
+        f"CASE WHEN aggregate(transform({tokens_expr}, t -> md5(t)), 0, "
+        f"(acc, h) -> acc + (CASE WHEN substring(h, i, 1) IN ({_HI}) THEN 1 ELSE -1 END)) >= 0 "
+        f"THEN '1' ELSE '0' END), '')"
+    )
+
+
+def sql_simhash_bits(tokens_expr: str, n_bits: int = 16) -> str:
+    return (
+        f"array_to_string(list_transform(range(1, {n_bits + 1}), i -> "
+        f"CASE WHEN list_sum(list_transform(list_transform({tokens_expr}, t -> md5(t)), "
+        f"h -> CASE WHEN substr(h, i, 1) IN ({_HI}) THEN 1 ELSE -1 END)) >= 0 "
+        f"THEN '1' ELSE '0' END), '')"
+    )
+
+
+def jaccard(a_expr: str, b_expr: str) -> Column:
+    """Jaccard similarity of two string arrays on DISTINCT elements,
+    spelled with explicit filter/contains (engine-neutral dedup)."""
+    return F.expr(
+        f"round("
+        f"size(filter(array_distinct({a_expr}), x -> array_contains({b_expr}, x))) / "
+        f"CAST(size(array_distinct({a_expr})) + size(array_distinct({b_expr})) "
+        f" - size(filter(array_distinct({a_expr}), x -> array_contains({b_expr}, x))) AS DOUBLE)"
+        f", 6)"
+    )
+
+
+def sql_jaccard(a_expr: str, b_expr: str) -> str:
+    inter = f"len(list_filter(list_distinct({a_expr}), x -> list_contains({b_expr}, x)))"
+    return (
+        f"round({inter} / CAST(len(list_distinct({a_expr})) + len(list_distinct({b_expr})) "
+        f"- {inter} AS DOUBLE), 6)"
+    )
+
+
+def hex_to_long(hex_expr: str) -> Column:
+    """First-class portable hex→int (≤15 hex chars)."""
+    return F.expr(f"CAST(conv({hex_expr}, 16, 10) AS BIGINT)")
+
+
+def sql_hex_to_long(hex_expr: str) -> str:
+    return f"CAST('0x' || {hex_expr} AS BIGINT)"

@@ -1,1 +1,262 @@
-"""Placeholder — queries land in a later phase of round 1."""
+"""Deduplication family over `documents` (SURVEY.md §2B
+"LLM-pipeline — exact/near-dup"; the reference's only dedup is the
+keep-last dict overwrite, ETFQuarterlyHoldingsExtractor.py:158 → q16).
+
+Scale design:
+- exact dedup groups on a *content hash*, never the full text — the
+  shuffle carries 32-byte keys, not documents;
+- MinHash LSH turns all-pairs (quadratic) into per-bucket candidate
+  generation: hash each doc to B band signatures, self-join on
+  (band, signature), verify candidates with exact Jaccard. Work is
+  linear in docs + pairs-that-collide;
+- SimHash collapses near-identical token multisets to one signature →
+  dedup is a plain groupBy;
+- embedding near-dup uses the label as a blocking key (analogous to an
+  IVF/cluster assignment at scale) so the pairwise cosine runs within
+  blocks only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from etfconstituentextractor_spark.operators.text import (
+    jaccard,
+    minhash,
+    spark_shingles,
+    sql_jaccard,
+    sql_minhash,
+    sql_shingles,
+    sql_tokens,
+)
+from etfconstituentextractor_spark.plans.registry import query
+from etfconstituentextractor_spark.sources.tables import load
+
+_N_BANDS = 6
+
+
+# ---------------------------------------------------------------------------
+# q60 — exact dedup via content hash: group on md5(text), keep the
+# smallest doc_id as representative.
+# ---------------------------------------------------------------------------
+@query(
+    "q60_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q60_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q61 — keep-first dedup on a coarser key (40-char prefix hash): the
+# corpus plants near-dup families sharing prefixes; the survivors are
+# the min-doc_id row of each family (window dedup, reference R19 shape
+# with keep-FIRST instead of keep-last).
+# ---------------------------------------------------------------------------
+@query(
+    "q61_dedup_keep_first_prefix",
+    oracle="""
+    SELECT doc_id, lang, source, md5(substr(text, 1, 40)) AS prefix_hash
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY md5(substr(text, 1, 40)) ORDER BY doc_id) = 1
+    """,
+)
+def q61_dedup_keep_first_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy("prefix_hash").orderBy("doc_id")
+    return (
+        d.withColumn("prefix_hash", F.md5(F.substring("text", 1, 40)))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "prefix_hash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q62 — MinHash + LSH near-dup: B salted single-row bands; candidate
+# pairs share any band signature; exact 3-shingle Jaccard verifies.
+# ---------------------------------------------------------------------------
+def _sql_bands() -> str:
+    """Oracle CTE: one row per (doc, band) with the salted minhash."""
+    parts = []
+    for b in range(_N_BANDS):
+        parts.append(
+            f"SELECT doc_id, {b} AS band, "
+            f"{sql_minhash('shingles', salt=f'{b}|')} AS sig FROM shingled"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "q62_dedup_minhash_lsh",
+    oracle=f"""
+    WITH shingled AS (
+      SELECT doc_id, {sql_shingles(sql_tokens())} AS shingles
+      FROM documents
+      WHERE len({sql_tokens()}) >= 3
+    ),
+    bands AS ({_sql_bands()}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           {sql_jaccard('sa.shingles', 'sb.shingles')} AS jaccard_sim
+    FROM cand
+    JOIN shingled sa ON sa.doc_id = doc_a
+    JOIN shingled sb ON sb.doc_id = doc_b
+    WHERE {sql_jaccard('sa.shingles', 'sb.shingles')} >= 0.5
+    """,
+)
+def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    shingled = d.select(
+        "doc_id", F.expr(spark_shingles("split(text, ' ')")).alias("shingles")
+    ).filter(F.expr("size(split(text, ' '))") >= 3)
+
+    bands = shingled.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(0, {_N_BANDS - 1})")).alias("band"),
+        F.col("shingles"),
+    ).select(
+        "doc_id",
+        "band",
+        F.expr(
+            "array_min(transform(shingles, s -> md5(concat(cast(band AS STRING), '|', s))))"
+        ).alias("sig"),
+    )
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    sim = jaccard("sh_a", "sh_b")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard_sim", sim)
+        .filter(F.col("jaccard_sim") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q63 — n-gram Jaccard near-dup with attribute blocking (source +
+# length bucket), no hashing: the exact-similarity reference point for
+# q62's LSH approximation.
+# ---------------------------------------------------------------------------
+@query(
+    "q63_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source, n_chars // 100 AS len_bucket,
+             {sql_shingles(sql_tokens())} AS shingles
+      FROM documents
+      WHERE len({sql_tokens()}) >= 3
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {sql_jaccard('a.shingles', 'b.shingles')} AS jaccard_sim
+    FROM s a JOIN s b
+      ON a.source = b.source AND a.len_bucket = b.len_bucket
+     AND a.doc_id < b.doc_id
+    WHERE {sql_jaccard('a.shingles', 'b.shingles')} >= 0.3
+    """,
+)
+def q63_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        "source",
+        (F.col("n_chars") / 100).cast("bigint").alias("len_bucket"),
+        F.expr(spark_shingles("split(text, ' ')")).alias("shingles"),
+    ).filter(F.expr("size(split(text, ' '))") >= 3)
+    a = s.alias("a")
+    b = s.alias("b")
+    sim = jaccard("a.shingles", "b.shingles")
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn("jaccard_sim", sim)
+        .filter(F.col("jaccard_sim") >= 0.3)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "jaccard_sim",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q64 — embedding-cosine near-dup pairs, blocked by label (the cluster
+# id stands in for an IVF assignment at scale). Scores rounded before
+# thresholding so both engines make identical keep/drop decisions.
+# ---------------------------------------------------------------------------
+@query(
+    "q64_dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, label, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM e
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+                 / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+                / (a.nrm * b.nrm), 6) >= 0.35
+    """,
+)
+def q64_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    n = e.withColumn(
+        "nrm", F.sqrt(F.expr("aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x)"))
+    )
+    a = n.alias("a")
+    b = n.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    )
+    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= 0.35)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), "cos_sim")
+    )

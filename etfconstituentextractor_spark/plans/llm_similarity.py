@@ -1,1 +1,171 @@
-"""Placeholder — queries land in a later phase of round 1."""
+"""Similarity search over `embeddings` (SURVEY.md §2B "LLM-pipeline —
+similarity search").
+
+Two paths, as a 100 TB design requires:
+- q70: exact brute-force cosine top-k — the small-query-set baseline.
+  The query vectors broadcast (they are the tiny side); candidates
+  never shuffle; the per-query rank window runs on the scored rows.
+- q71: LSH-bucketed ANN — random-hyperplane signatures shrink the
+  candidate set to same-bucket vectors before exact rerank. The
+  hyperplane signs derive from md5 (portable, deterministic, seedless)
+  so the *same* construction is expressible in the DuckDB oracle; a
+  production variant would precompute the plane matrix once and
+  broadcast it instead of recomputing hashes per row.
+
+Scores are rounded (6 dp) *before* ranking/thresholding in both
+engines so keep/drop and rank decisions are identical despite
+engine-level float summation differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from etfconstituentextractor_spark.plans.registry import query
+from etfconstituentextractor_spark.sources.tables import load
+
+_HI = "'8','9','a','b','c','d','e','f'"
+_N_QUERIES = 10
+_TOP_K = 5
+_N_PLANES = 8
+
+
+def _vec(df: DataFrame) -> DataFrame:
+    return df.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).withColumn(
+        "nrm", F.sqrt(F.expr("aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x)"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q70 — brute-force cosine top-k for a fixed query set (vec_id < 10).
+# ---------------------------------------------------------------------------
+@query(
+    "q70_similarity_topk_cosine",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+             ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+                   / (q.nrm * c.nrm), 6) AS cos_sim
+      FROM (SELECT * FROM e WHERE vec_id < {_N_QUERIES}) q
+      JOIN (SELECT * FROM e WHERE vec_id >= {_N_QUERIES}) c ON true
+    )
+    SELECT query_id, candidate_id, cos_sim, rn
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, candidate_id) AS rn
+      FROM scored
+    )
+    WHERE rn <= {_TOP_K}
+    """,
+)
+def q70_similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vec(load(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = e.filter(F.col("vec_id") >= _N_QUERIES).select(
+        F.col("vec_id").alias("candidate_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    dot = F.expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "candidate_id",
+        F.round(dot / (F.col("qn") * F.col("cn")), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("candidate_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "candidate_id", "cos_sim", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q71 — LSH-bucketed ANN: sign-of-projection onto md5-derived ±1
+# hyperplanes → 8-bit bucket; exact cosine rerank within the bucket.
+# ---------------------------------------------------------------------------
+def _spark_bucket(v: str) -> str:
+    return (
+        f"array_join(transform(sequence(0, {_N_PLANES - 1}), i -> "
+        f"CASE WHEN round(aggregate(sequence(1, 64), 0D, (acc, j) -> "
+        f"acc + element_at({v}, j) * (CASE WHEN substring(md5(concat(CAST(i AS STRING), '_', "
+        f"CAST(j AS STRING))), 1, 1) IN ({_HI}) THEN 1.0D ELSE -1.0D END)), 9) >= 0 "
+        f"THEN '1' ELSE '0' END), '')"
+    )
+
+
+def _sql_bucket(v: str) -> str:
+    return (
+        f"array_to_string(list_transform(range(0, {_N_PLANES}), i -> "
+        f"CASE WHEN round(list_sum(list_transform(range(1, 65), j -> "
+        f"{v}[j] * (CASE WHEN substr(md5(concat(CAST(i AS VARCHAR), '_', "
+        f"CAST(j AS VARCHAR))), 1, 1) IN ({_HI}) THEN 1.0 ELSE -1.0 END))), 9) >= 0 "
+        f"THEN '1' ELSE '0' END), '')"
+    )
+
+
+@query(
+    "q71_similarity_lsh_ann",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    h AS (SELECT vec_id, v, nrm, {_sql_bucket('v')} AS bucket FROM e),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS candidate_id, q.bucket AS bucket,
+             ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+                   / (q.nrm * c.nrm), 6) AS cos_sim
+      FROM (SELECT * FROM h WHERE vec_id < {_N_QUERIES}) q
+      JOIN (SELECT * FROM h WHERE vec_id >= {_N_QUERIES}) c ON q.bucket = c.bucket
+    )
+    SELECT query_id, candidate_id, bucket, cos_sim, rn
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, candidate_id) AS rn
+      FROM scored
+    )
+    WHERE rn <= {_TOP_K}
+    """,
+)
+def q71_similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vec(load(spark, sf_dir, "embeddings")).withColumn(
+        "bucket", F.expr(_spark_bucket("v"))
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "bucket",
+    )
+    c = e.filter(F.col("vec_id") >= _N_QUERIES).select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    dot = F.expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    scored = q.join(c, F.col("bucket") == F.col("c_bucket")).select(
+        "query_id",
+        "candidate_id",
+        "bucket",
+        F.round(dot / (F.col("qn") * F.col("cn")), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("candidate_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "candidate_id", "bucket", "cos_sim", "rn")
+    )
