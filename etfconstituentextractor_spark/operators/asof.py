@@ -29,6 +29,7 @@ def asof_join(
     right_ts: str,
     right_payload: dict[str, str],
     tolerance: Column | None = None,
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
     ``right_ts <= left_ts`` within the same ``on`` key (backward
@@ -38,9 +39,26 @@ def asof_join(
     right_payload maps output column name -> right column name.
     tolerance: optional max ``left_ts - right_ts`` as a Column
     (e.g. ``F.expr("INTERVAL 1 HOUR")``); older matches are nulled.
+    right_tiebreak: right column that breaks ties among right rows
+    sharing (key, right_ts) — the row with the LARGEST value wins.
+    Defaults to the first right_payload source column, so the carried
+    payload is deterministic even on duplicate-timestamp inputs.
     """
     on_cols = [on] if isinstance(on, str) else list(on)
     left_rest = [c for c in left.columns if c not in on_cols]
+
+    if right_tiebreak is None:
+        right_tiebreak = next(iter(right_payload.values()))
+
+    # Reserved / output names must not collide with left columns:
+    # withColumn on a duplicate name would silently overwrite the left
+    # side with carried right payload instead of erroring.
+    reserved = {"__t", "__side", "__tb"} | {f"__p_{o}" for o in right_payload}
+    collisions = (set(right_payload) | reserved) & set(left.columns)
+    if collisions:
+        raise ValueError(
+            f"asof_join: output/reserved names collide with left columns: {sorted(collisions)}"
+        )
 
     lt = dict(zip(left.columns, left.schema.fields))
     rt = dict(zip(right.columns, right.schema.fields))
@@ -51,6 +69,7 @@ def asof_join(
         *on_cols,
         F.col(left_ts).alias("__t"),
         F.lit(0).alias("__side"),
+        F.lit(None).cast(rt[right_tiebreak].dataType).alias("__tb"),
         *[F.lit(None).cast(rt[rc].dataType).alias(tmp) for (out, rc), tmp in zip(right_payload.items(), payload_tmp.values())],
         *left_rest,
     )
@@ -58,17 +77,19 @@ def asof_join(
         *on_cols,
         F.col(right_ts).alias("__t"),
         F.lit(1).alias("__side"),
+        F.col(right_tiebreak).alias("__tb"),
         *[F.col(rc).alias(payload_tmp[out]) for out, rc in right_payload.items()],
         *[F.lit(None).cast(lt[c].dataType).alias(c) for c in left_rest],
     )
 
     unioned = l_side.unionByName(r_side)
     # At equal timestamps the right row must sort first so the left row
-    # sees it (>= semantics); __side desc does that. right ts breaks
-    # further ties deterministically via the payload carry order.
+    # sees it (>= semantics); __side desc does that. Among right rows
+    # sharing (key, ts), __tb asc puts the largest tiebreak value last
+    # in the frame, so last() carries it — deterministic on duplicates.
     w = (
         W.partitionBy(*on_cols)
-        .orderBy(F.col("__t").asc(), F.col("__side").desc())
+        .orderBy(F.col("__t").asc(), F.col("__side").desc(), F.col("__tb").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     for out in right_payload:

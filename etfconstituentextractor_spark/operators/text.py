@@ -67,12 +67,20 @@ def _sql_quote_list(words: tuple[str, ...]) -> str:
     return ", ".join("'" + w.replace("'", "''") + "'" for w in words)
 
 
+def _spark_quote_list(words: tuple[str, ...]) -> str:
+    # Spark SQL string literals escape with backslash (not doubled
+    # quotes) — escape both so wordlists with apostrophes (fr "d'")
+    # stay valid and agree with the DuckDB twin.
+    return ", ".join(
+        "'" + w.replace("\\", "\\\\").replace("'", "\\'") + "'" for w in words
+    )
+
+
 def stopword_hits(tokens_expr: str, words: tuple[str, ...]) -> Column:
     """Count (with multiplicity) of tokens in the wordlist — explicit
     filter+size rather than array_intersect, whose dedup semantics
     differ between engines."""
-    arr = ", ".join(f"'{w}'" for w in words)
-    return F.expr(f"size(filter({tokens_expr}, t -> t IN ({arr})))")
+    return F.expr(f"size(filter({tokens_expr}, t -> t IN ({_spark_quote_list(words)})))")
 
 
 def sql_stopword_hits(tokens_expr: str, words: tuple[str, ...]) -> str:
@@ -111,10 +119,13 @@ def simhash_bits(tokens_expr: str, n_bits: int = 16) -> Column:
 
 
 def sql_simhash_bits(tokens_expr: str, n_bits: int = 16) -> str:
+    # coalesce(..., 0): DuckDB list_sum([]) is NULL while Spark's
+    # aggregate(..., 0, ...) yields 0 — both engines must agree that an
+    # empty token array fingerprints as all-'1' (sum 0 >= 0).
     return (
         f"array_to_string(list_transform(range(1, {n_bits + 1}), i -> "
-        f"CASE WHEN list_sum(list_transform(list_transform({tokens_expr}, t -> md5(t)), "
-        f"h -> CASE WHEN substr(h, i, 1) IN ({_HI}) THEN 1 ELSE -1 END)) >= 0 "
+        f"CASE WHEN coalesce(list_sum(list_transform(list_transform({tokens_expr}, t -> md5(t)), "
+        f"h -> CASE WHEN substr(h, i, 1) IN ({_HI}) THEN 1 ELSE -1 END)), 0) >= 0 "
         f"THEN '1' ELSE '0' END), '')"
     )
 

@@ -6,9 +6,10 @@ Scale design:
 - exact dedup groups on a *content hash*, never the full text — the
   shuffle carries 32-byte keys, not documents;
 - MinHash LSH turns all-pairs (quadratic) into per-bucket candidate
-  generation: hash each doc to B band signatures, self-join on
-  (band, signature), verify candidates with exact Jaccard. Work is
-  linear in docs + pairs-that-collide;
+  generation: hash each doc to b band signatures (each the concat of
+  r=2 salted minhashes — r>=2 so one globally common shingle can't
+  form hub buckets), self-join on (band, signature), verify candidates
+  with exact Jaccard. Work is linear in docs + pairs-that-collide;
 - SimHash collapses near-identical token multisets to one signature →
   dedup is a plain groupBy;
 - embedding near-dup uses the label as a blocking key (analogous to an
@@ -85,18 +86,47 @@ def q61_dedup_keep_first_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q62 — MinHash + LSH near-dup: B salted single-row bands; candidate
-# pairs share any band signature; exact 3-shingle Jaccard verifies.
+# q62 — MinHash + LSH near-dup: b=6 bands × r=2 concatenated minhashes
+# per band signature; candidate pairs share any full band signature;
+# exact 3-shingle Jaccard verifies.
+#
+# r >= 2 is the scale-safety fix: with r=1 any two docs sharing ONE
+# globally common shingle collide, so common 3-grams create hub
+# buckets and the per-bucket self-join goes quadratic. With r=2 a
+# collision needs both minima to agree (~s^r for similarity s), which
+# kills hub buckets while keeping 1-(1-s^r)^b recall high for true
+# near-dups.
+#
+# The 12 required minhashes come one-permutation-hashing style: only
+# 3 salted md5s per shingle, each split into four 8-hex segments —
+# 12 independent-ish projections at a quarter of the hash cost (the
+# dominant cost of the whole query). Both engines build the identical
+# construction.
 # ---------------------------------------------------------------------------
+_ROWS_PER_BAND = 2
+_N_MINS = _N_BANDS * _ROWS_PER_BAND  # 12
+_N_SALTS = (_N_MINS + 3) // 4  # 4 segments per md5
+
+
 def _sql_bands() -> str:
-    """Oracle CTE: one row per (doc, band) with the salted minhash."""
-    parts = []
-    for b in range(_N_BANDS):
-        parts.append(
-            f"SELECT doc_id, {b} AS band, "
-            f"{sql_minhash('shingles', salt=f'{b}|')} AS sig FROM shingled"
-        )
-    return " UNION ALL ".join(parts)
+    """Oracle CTEs (hashed → mins → bands), one row per (doc, band)."""
+    h_cols = ", ".join(
+        f"list_transform(shingles, s -> md5('{i}|' || s)) AS h{i}"
+        for i in range(_N_SALTS)
+    )
+    mins = ", ".join(
+        f"list_min(list_transform(h{k // 4}, x -> substr(x, {1 + 8 * (k % 4)}, 8)))"
+        for k in range(_N_MINS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, mins[{2 * b + 1}] || '#' || mins[{2 * b + 2}] AS sig FROM mins_t"
+        for b in range(_N_BANDS)
+    )
+    return (
+        f"hashed AS (SELECT doc_id, {h_cols} FROM shingled), "
+        f"mins_t AS (SELECT doc_id, [{mins}] AS mins FROM hashed), "
+        f"bands AS ({band_rows})"
+    )
 
 
 @query(
@@ -107,7 +137,7 @@ def _sql_bands() -> str:
       FROM documents
       WHERE len({sql_tokens()}) >= 3
     ),
-    bands AS ({_sql_bands()}),
+    {_sql_bands()},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
@@ -123,20 +153,44 @@ def _sql_bands() -> str:
 )
 def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    shingled = d.select(
-        "doc_id", F.expr(spark_shingles("split(text, ' ')")).alias("shingles")
-    ).filter(F.expr("size(split(text, ' '))") >= 3)
+    # persist: shingled feeds the band build AND both sides of the
+    # verification join — without it the md5-shingle work runs ~4×.
+    shingled = (
+        d.select("doc_id", F.expr(spark_shingles("split(text, ' ')")).alias("shingles"))
+        .filter(F.expr("size(split(text, ' '))") >= 3)
+        .persist()
+    )
 
-    bands = shingled.select(
+    hashed = shingled.select(
         "doc_id",
-        F.explode(F.expr(f"sequence(0, {_N_BANDS - 1})")).alias("band"),
-        F.col("shingles"),
-    ).select(
+        *[
+            F.expr(f"transform(shingles, s -> md5(concat('{i}|', s)))").alias(f"h{i}")
+            for i in range(_N_SALTS)
+        ],
+    )
+    mins = hashed.select(
         "doc_id",
-        "band",
-        F.expr(
-            "array_min(transform(shingles, s -> md5(concat(cast(band AS STRING), '|', s))))"
-        ).alias("sig"),
+        F.array(
+            *[
+                F.expr(
+                    f"array_min(transform(h{k // 4}, x -> substring(x, {1 + 8 * (k % 4)}, 8)))"
+                )
+                for k in range(_N_MINS)
+            ]
+        ).alias("mins"),
+    )
+    bands = (
+        mins.select(
+            "doc_id", F.explode(F.expr(f"sequence(0, {_N_BANDS - 1})")).alias("band"), "mins"
+        )
+        .select(
+            "doc_id",
+            "band",
+            F.expr("concat(element_at(mins, band * 2 + 1), '#', element_at(mins, band * 2 + 2))").alias(
+                "sig"
+            ),
+        )
+        .persist()
     )
 
     a = bands.alias("a")

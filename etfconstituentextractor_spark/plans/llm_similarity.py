@@ -94,14 +94,33 @@ def q70_similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q71 — LSH-bucketed ANN: sign-of-projection onto md5-derived ±1
 # hyperplanes → 8-bit bucket; exact cosine rerank within the bucket.
+#
+# The plane matrix is PRECOMPUTED once on the driver (hashlib.md5 —
+# byte-identical to both engines' md5()) and embedded as a literal
+# 8×64 ±1 array: zero hash calls per row instead of the 512
+# md5-per-(row,plane,dim) the oracle spells out. Same signs, same
+# buckets — the oracle keeps the md5 form as the independent spec.
 # ---------------------------------------------------------------------------
+def _plane_matrix() -> list[list[float]]:
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"{i}_{j}".encode()).hexdigest()[0] in "89abcdef" else -1.0
+            for j in range(1, 65)
+        ]
+        for i in range(_N_PLANES)
+    ]
+
+
 def _spark_bucket(v: str) -> str:
+    planes = ", ".join(
+        "array(" + ", ".join(f"{s}D" for s in row) + ")" for row in _plane_matrix()
+    )
     return (
-        f"array_join(transform(sequence(0, {_N_PLANES - 1}), i -> "
-        f"CASE WHEN round(aggregate(sequence(1, 64), 0D, (acc, j) -> "
-        f"acc + element_at({v}, j) * (CASE WHEN substring(md5(concat(CAST(i AS STRING), '_', "
-        f"CAST(j AS STRING))), 1, 1) IN ({_HI}) THEN 1.0D ELSE -1.0D END)), 9) >= 0 "
-        f"THEN '1' ELSE '0' END), '')"
+        f"array_join(transform(array({planes}), p -> "
+        f"CASE WHEN round(aggregate(zip_with({v}, p, (x, y) -> x * y), 0D, "
+        f"(acc, x) -> acc + x), 9) >= 0 THEN '1' ELSE '0' END), '')"
     )
 
 
