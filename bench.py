@@ -29,15 +29,19 @@ HEADLINE = [
     "q10_json_funcs",
     "q16_keeplast_dedup",
     "q20_join_star_revenue",
-    "q21_join_broadcast_dim",
+    "q22_join_shuffle_factfact",
     "q24_join_semi_anti",
-    "q30_agg_rollup",
+    "q27_join_asof",
+    "q30_agg_rollup_cube_gsets",
     "q40_window_topk_per_group",
     "q42_window_trailing_range",
-    "q60_dedup_exact",
+    "q60_dedup_exact_family",
     "q62_dedup_minhash_lsh",
+    "q63_dedup_ngram_jaccard",
+    "q64_dedup_embedding_cosine",
     "q70_similarity_topk_cosine",
-    "q80_text_quality_score",
+    "q71_similarity_lsh_ann",
+    "q80_text_stats",
 ]
 
 

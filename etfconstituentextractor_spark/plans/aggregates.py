@@ -19,87 +19,93 @@ from etfconstituentextractor_spark.sources.tables import load
 
 
 # ---------------------------------------------------------------------------
-# q30 — ROLLUP over the region→nation hierarchy with grouping flags.
-# grouping(a)*2 + grouping(b) is spelled identically in both engines
-# (portable, unlike grouping_id()'s engine-specific forms).
+# q30 — multi-dimensional aggregation shapes, tagged union of all
+# three: ROLLUP over the region→nation hierarchy, CUBE over two
+# independent lineitem dimensions, and explicit GROUPING SETS (SQL
+# form). grouping(a)*2 + grouping(b) is spelled identically in both
+# engines (portable, unlike grouping_id()'s engine-specific forms).
+# Each shape is one Expand+HashAggregate — the union evaluates them
+# independently; nothing shuffles twice.
 # ---------------------------------------------------------------------------
 @query(
-    "q30_agg_rollup",
+    "q30_agg_rollup_cube_gsets",
     oracle="""
-    SELECT r_name, n_name,
+    SELECT 'rollup' AS shape, r_name AS key1, n_name AS key2,
            grouping(r_name)*2 + grouping(n_name) AS gid,
-           COUNT(*) AS n_customers,
-           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,4))), 2) AS DOUBLE) AS sum_bal
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,4))), 2) AS DOUBLE) AS sum_val
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY ROLLUP (r_name, n_name)
+    UNION ALL
+    SELECT 'cube', l_returnflag, l_linestatus,
+           grouping(l_returnflag)*2 + grouping(l_linestatus),
+           COUNT(*),
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(14,4))), 2) AS DOUBLE)
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'gsets', l_returnflag, l_linestatus,
+           grouping(l_returnflag)*2 + grouping(l_linestatus),
+           COUNT(*),
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(14,4))), 2) AS DOUBLE)
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     """,
 )
-def q30_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q30_agg_rollup_cube_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
-    return (
+    li = load(spark, sf_dir, "lineitem")
+
+    rollup = (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .rollup("r_name", "n_name")
         .agg(
             (F.grouping("r_name") * 2 + F.grouping("n_name")).alias("gid"),
-            F.count(F.lit(1)).alias("n_customers"),
-            dsum(dec("c_acctbal"), "sum_bal"),
+            F.count(F.lit(1)).alias("n"),
+            dsum(dec("c_acctbal"), "sum_val"),
+        )
+        .select(
+            F.lit("rollup").alias("shape"),
+            F.col("r_name").alias("key1"),
+            F.col("n_name").alias("key2"),
+            "gid",
+            "n",
+            "sum_val",
         )
     )
-
-
-# ---------------------------------------------------------------------------
-# q31 — CUBE over two independent dimensions.
-# ---------------------------------------------------------------------------
-@query(
-    "q31_agg_cube",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           grouping(l_returnflag)*2 + grouping(l_linestatus) AS gid,
-           COUNT(*) AS n,
-           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(14,4))), 2) AS DOUBLE) AS sum_qty
-    FROM lineitem
-    GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-)
-def q31_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).alias("gid"),
-        F.count(F.lit(1)).alias("n"),
-        dsum(dec("l_quantity"), "sum_qty"),
+    cube = (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            dsum(dec("l_quantity"), "sum_val"),
+        )
+        .select(
+            F.lit("cube").alias("shape"),
+            F.col("l_returnflag").alias("key1"),
+            F.col("l_linestatus").alias("key2"),
+            "gid",
+            "n",
+            "sum_val",
+        )
     )
-
-
-# ---------------------------------------------------------------------------
-# q32 — GROUPING SETS (SQL form; the set list is explicit rather than
-# the rollup/cube closure).
-# ---------------------------------------------------------------------------
-@query(
-    "q32_agg_grouping_sets",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           grouping(l_returnflag)*2 + grouping(l_linestatus) AS gid,
-           COUNT(*) AS n
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-    """,
-)
-def q32_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
-    return spark.sql(
+    li.createOrReplaceTempView("gs_lineitem")
+    gsets = spark.sql(
         """
-        SELECT l_returnflag, l_linestatus,
+        SELECT 'gsets' AS shape, l_returnflag AS key1, l_linestatus AS key2,
                grouping(l_returnflag)*2 + grouping(l_linestatus) AS gid,
-               COUNT(*) AS n
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(14,4))), 2) AS DOUBLE) AS sum_val
         FROM gs_lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
+    return rollup.unionByName(cube).unionByName(gsets)
 
 
 # ---------------------------------------------------------------------------

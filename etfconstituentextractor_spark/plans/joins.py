@@ -65,32 +65,6 @@ def q20_join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q21 — broadcast hash join against a small dimension, explicitly
-# hinted (§2B "broadcast hash"). At 100 TB the fact side never moves:
-# part (even at sf100 ~20M rows / ~1 GB) ships to executors once.
-# ---------------------------------------------------------------------------
-@query(
-    "q21_join_broadcast_dim",
-    oracle="""
-    SELECT p_brand,
-           COUNT(*) AS n_lines,
-           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(14,4))), 2) AS DOUBLE) AS sum_qty
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE p_size <= 25
-    GROUP BY p_brand
-    """,
-)
-def q21_join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
-    p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .groupBy("p_brand")
-        .agg(F.count(F.lit(1)).alias("n_lines"), dsum(dec("l_quantity"), "sum_qty"))
-    )
-
-
-# ---------------------------------------------------------------------------
 # q22 — shuffle (sort-merge) fact-fact join, no broadcast possible at
 # scale: both sides hash-partition on the key; AQE coalesces the
 # post-shuffle partitions.
@@ -121,47 +95,44 @@ def q22_join_shuffle_factfact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q23 — outer joins: left (customers keep their zero-order rows) and a
-# full-outer reconciliation of two keyed aggregates.
+# q23 — the outer-join family in one plan: a RIGHT outer join (orders
+# RIGHT JOIN customer — every customer survives, including zero-order
+# ones), aggregated per nation, then FULL OUTER reconciled against the
+# supplier-side aggregate (nations may have customers, suppliers, or
+# either alone). LEFT is the mirror of the RIGHT spelling; all three
+# null-extension semantics are exercised and visible in the output.
 # ---------------------------------------------------------------------------
 @query(
-    "q23_join_left_outer",
+    "q23_join_outer_family",
     oracle="""
-    SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
-           CAST(ROUND(SUM(CAST(coalesce(o_totalprice, 0) AS DECIMAL(14,4))), 2) AS DOUBLE) AS sum_total
-    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-    GROUP BY c_custkey, c_name
-    """,
-)
-def q23_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey", "c_name")
-        .agg(
-            F.count("o_orderkey").alias("n_orders"),
-            dsum(dec(F.coalesce("o_totalprice", F.lit(0))), "sum_total"),
-        )
-    )
-
-
-@query(
-    "q23b_join_full_outer",
-    oracle="""
-    WITH cust AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1),
-         supp AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+    WITH cust AS (
+      SELECT c_nationkey AS nationkey,
+             COUNT(DISTINCT c_custkey) AS n_cust,
+             COUNT(o_orderkey) AS n_orders,
+             CAST(ROUND(SUM(CAST(coalesce(o_totalprice, 0) AS DECIMAL(14,4))), 2) AS DOUBLE) AS sum_total
+      FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1
+    ),
+    supp AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
     SELECT coalesce(cust.nationkey, supp.nationkey) AS nationkey,
            coalesce(n_cust, 0) AS n_cust,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(sum_total, 0.0) AS sum_total,
            coalesce(n_supp, 0) AS n_supp
     FROM cust FULL OUTER JOIN supp ON cust.nationkey = supp.nationkey
     """,
 )
-def q23b_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q23_join_outer_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
     cust = (
-        load(spark, sf_dir, "customer")
+        o.join(c, o.o_custkey == c.c_custkey, "right")
         .groupBy(F.col("c_nationkey").alias("nationkey"))
-        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .agg(
+            F.countDistinct("c_custkey").alias("n_cust"),
+            F.count("o_orderkey").alias("n_orders"),
+            dsum(dec(F.coalesce("o_totalprice", F.lit(0))), "sum_total"),
+        )
     )
     supp = (
         load(spark, sf_dir, "supplier")
@@ -171,6 +142,8 @@ def q23b_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.join(supp, "nationkey", "full").select(
         "nationkey",
         F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("sum_total", F.lit(0.0)).alias("sum_total"),
         F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
     )
 

@@ -39,49 +39,45 @@ _N_BANDS = 6
 
 
 # ---------------------------------------------------------------------------
-# q60 — exact dedup via content hash: group on md5(text), keep the
-# smallest doc_id as representative.
+# q60 — exact-dedup family: per-document content hash (full-text md5)
+# with copy counts + keep-first survivor flag, and the coarser 40-char
+# prefix-hash keep-first (the corpus plants near-dup families sharing
+# prefixes). Keep-first = min doc_id over the hash partition —
+# the reference's R19 keep-last dict overwrite, made deterministic.
+# Scale: both windows shuffle 32-byte hash keys, never the text.
 # ---------------------------------------------------------------------------
 @query(
-    "q60_dedup_exact",
+    "q60_dedup_exact_family",
     oracle="""
-    SELECT md5(text) AS content_hash,
-           MIN(doc_id) AS keep_doc_id,
-           COUNT(*) AS n_copies
+    SELECT doc_id, lang, source,
+           md5(text) AS content_hash,
+           md5(substr(text, 1, 40)) AS prefix_hash,
+           COUNT(*) OVER (PARTITION BY md5(text)) AS n_exact_copies,
+           (doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))) AS is_exact_keeper,
+           (doc_id = MIN(doc_id) OVER (PARTITION BY md5(substr(text, 1, 40)))) AS is_prefix_keeper
     FROM documents
-    GROUP BY md5(text)
     """,
 )
-def q60_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q60_dedup_exact_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return (
-        d.groupBy(F.md5("text").alias("content_hash"))
-        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    hashed = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5("text").alias("content_hash"),
+        F.md5(F.substring("text", 1, 40)).alias("prefix_hash"),
     )
-
-
-# ---------------------------------------------------------------------------
-# q61 — keep-first dedup on a coarser key (40-char prefix hash): the
-# corpus plants near-dup families sharing prefixes; the survivors are
-# the min-doc_id row of each family (window dedup, reference R19 shape
-# with keep-FIRST instead of keep-last).
-# ---------------------------------------------------------------------------
-@query(
-    "q61_dedup_keep_first_prefix",
-    oracle="""
-    SELECT doc_id, lang, source, md5(substr(text, 1, 40)) AS prefix_hash
-    FROM documents
-    QUALIFY row_number() OVER (PARTITION BY md5(substr(text, 1, 40)) ORDER BY doc_id) = 1
-    """,
-)
-def q61_dedup_keep_first_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    w = W.partitionBy("prefix_hash").orderBy("doc_id")
-    return (
-        d.withColumn("prefix_hash", F.md5(F.substring("text", 1, 40)))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "lang", "source", "prefix_hash")
+    w_exact = W.partitionBy("content_hash")
+    w_prefix = W.partitionBy("prefix_hash")
+    return hashed.select(
+        "doc_id",
+        "lang",
+        "source",
+        "content_hash",
+        "prefix_hash",
+        F.count(F.lit(1)).over(w_exact).alias("n_exact_copies"),
+        (F.col("doc_id") == F.min("doc_id").over(w_exact)).alias("is_exact_keeper"),
+        (F.col("doc_id") == F.min("doc_id").over(w_prefix)).alias("is_prefix_keeper"),
     )
 
 

@@ -71,101 +71,70 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q02 — projection / rename / computed columns (reference R3: build the
-# filing-index frame from 4 of ~14 fields with display names,
-# ETFQuarterlyHoldingsExtractor.py:46-51). Catalyst column pruning makes
-# the "manual" pruning automatic: ReadSchema shows only 4 columns read.
+# q02 — projection / rename / computed columns + equality filter
+# (reference R3: build the filing-index frame from 4 of ~14 fields with
+# display names, ETFQuarterlyHoldingsExtractor.py:46-51; R4:
+# df[df["Form Type"] == "NPORT-P"], :52). Catalyst makes both manual
+# optimizations automatic: ReadSchema shows only the 4 referenced
+# columns, PushedFilters=[EqualTo(o_orderstatus,'F')] reaches the scan.
 # ---------------------------------------------------------------------------
 @query(
-    "q02_projection_rename",
+    "q02_project_filter",
     oracle="""
-    SELECT p_partkey AS part_key,
-           p_name AS part_name,
-           UPPER(p_brand) AS brand_uc,
-           CAST(ROUND(CAST(p_retailprice AS DECIMAL(14,4)) * CAST(1.1 AS DECIMAL(3,2)), 2) AS DOUBLE) AS marked_up
-    FROM part
-    """,
-)
-def q02_projection_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("part_key"),
-        F.col("p_name").alias("part_name"),
-        F.upper("p_brand").alias("brand_uc"),
-        F.round(dec("p_retailprice") * F.lit(1.1).cast("decimal(3,2)"), 2)
-        .cast("double")
-        .alias("marked_up"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# q03 — equality filter (reference R4: df[df["Form Type"] == "NPORT-P"],
-# :52). Pushed to the parquet scan as PushedFilters=[EqualTo(...)].
-# ---------------------------------------------------------------------------
-@query(
-    "q03_filter_equality",
-    oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice
+    SELECT o_orderkey AS order_key,
+           o_custkey AS cust_key,
+           UPPER(o_orderpriority) AS priority_uc,
+           CAST(ROUND(CAST(o_totalprice AS DECIMAL(14,4)) * CAST(1.1 AS DECIMAL(3,2)), 2) AS DOUBLE) AS marked_up
     FROM orders WHERE o_orderstatus = 'F'
     """,
 )
-def q03_filter_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q02_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .select(
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_custkey").alias("cust_key"),
+            F.upper("o_orderpriority").alias("priority_uc"),
+            F.round(dec("o_totalprice") * F.lit(1.1).cast("decimal(3,2)"), 2)
+            .cast("double")
+            .alias("marked_up"),
+        )
     )
 
 
 # ---------------------------------------------------------------------------
-# q04 — range / IN / null-ness filters (§2B "Filters — range/date/IN/
-# null"; the reference's README promises a 5-year window it never
-# implements — this is the explicit version).
+# q04 — the full filter family: range / IN / null-ness (§2B — the
+# reference's README promises a 5-year window it never implements) and
+# string patterns contains / LIKE / RLIKE (reference R9's substring
+# anchors :68/:87/:100, CIK validation regex :163). All conjuncts and
+# the LIKE/contains disjunction push to the parquet scan.
 # ---------------------------------------------------------------------------
 @query(
-    "q04_filter_range_in_null",
+    "q04_filter_family",
     oracle="""
-    SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
-    FROM lineitem
-    WHERE l_shipdate BETWEEN TIMESTAMP '1994-01-01 00:00:00' AND TIMESTAMP '1995-12-31 23:59:59'
-      AND l_returnflag IN ('A', 'R')
-      AND l_quantity IS NOT NULL
-      AND l_discount > 0.02
-    """,
-)
-def q04_filter_range_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
-    return li.filter(
-        F.col("l_shipdate").between(
-            F.lit("1994-01-01 00:00:00").cast("timestamp_ntz"),
-            F.lit("1995-12-31 23:59:59").cast("timestamp_ntz"),
-        )
-        & F.col("l_returnflag").isin("A", "R")
-        & F.col("l_quantity").isNotNull()
-        & (F.col("l_discount") > 0.02)
-    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
-
-
-# ---------------------------------------------------------------------------
-# q05 — string-pattern filters: contains / LIKE / RLIKE (reference R9's
-# substring anchors, :68/:87/:100, and the CIK validation regex, :163).
-# ---------------------------------------------------------------------------
-@query(
-    "q05_filter_string_pattern",
-    oracle="""
-    SELECT p_partkey, p_name, p_brand, p_type
+    SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
     FROM part
-    WHERE p_type LIKE '%BRASS%'
-       OR contains(p_name, 'green')
-       OR regexp_matches(p_brand, '^Brand#[0-2][0-9]$')
+    WHERE p_size BETWEEN 10 AND 40
+      AND p_brand IN ('Brand#11', 'Brand#12', 'Brand#21', 'Brand#22', 'Brand#31')
+      AND p_retailprice IS NOT NULL
+      AND (p_type LIKE '%BRASS%'
+           OR contains(p_name, 'green')
+           OR regexp_matches(p_type, '^STANDARD.*'))
     """,
 )
-def q05_filter_string_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q04_filter_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
     return p.filter(
-        F.col("p_type").like("%BRASS%")
-        | F.col("p_name").contains("green")
-        | F.col("p_brand").rlike(r"^Brand#[0-2][0-9]$")
-    ).select("p_partkey", "p_name", "p_brand", "p_type")
+        F.col("p_size").between(10, 40)
+        & F.col("p_brand").isin("Brand#11", "Brand#12", "Brand#21", "Brand#22", "Brand#31")
+        & F.col("p_retailprice").isNotNull()
+        & (
+            F.col("p_type").like("%BRASS%")
+            | F.col("p_name").contains("green")
+            | F.col("p_type").rlike(r"^STANDARD.*")
+        )
+    ).select("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
 
 
 # ---------------------------------------------------------------------------
@@ -365,70 +334,63 @@ def q11_parse_money_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q12-q14 — set operations (§2B; the reference's dict-of-frames
-# accumulator :28 is morally a union).
+# q12 — set operations, tagged union of all three (§2B; the reference's
+# dict-of-frames accumulator :28 is morally a union). subtract == SQL
+# EXCEPT (distinct); exceptAll would keep multiplicity differences.
 # ---------------------------------------------------------------------------
 @query(
-    "q12_set_union",
+    "q12_set_ops",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    UNION
-    SELECT s_nationkey FROM supplier
+    SELECT 'union' AS set_op, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'intersect', nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'except', nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT SELECT s_nationkey FROM supplier)
     """,
 )
-def q12_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.union(s).distinct()
-
-
-@query(
-    "q13_set_intersect",
-    oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    INTERSECT
-    SELECT s_nationkey FROM supplier
-    """,
-)
-def q13_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.intersect(s)
-
-
-@query(
-    "q14_set_except",
-    oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    EXCEPT
-    SELECT s_nationkey FROM supplier
-    """,
-)
-def q14_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    # subtract == SQL EXCEPT (distinct); exceptAll would keep
-    # multiplicity differences, which is not what EXCEPT means
-    return c.subtract(s)
+    tagged = [
+        c.union(s).distinct().select(F.lit("union").alias("set_op"), "nationkey"),
+        c.intersect(s).select(F.lit("intersect").alias("set_op"), "nationkey"),
+        c.subtract(s).select(F.lit("except").alias("set_op"), "nationkey"),
+    ]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    return out
 
 
 # ---------------------------------------------------------------------------
-# q15 — partitioned CSV sink + read-back (reference R20: one CSV per
-# reporting date, :136-143). The engine writes
-# `partitionBy(key).csv(...)` — at scale this is the same plan shape as
-# the reference's per-date files, but parallel and atomic-per-task.
-# Values round-trip exactly by writing decimals as text.
+# q15 — partitioned sink round-trips, CSV and Parquet (reference R20:
+# one CSV per reporting date, :136-143; §2B "Sinks"). The engine writes
+# `partitionBy(key)` — the same per-key layout as the reference's
+# per-date files, but parallel, atomic-per-task, and partition-pruned
+# on read-back. CSV round-trips values exactly by writing decimals as
+# text; Parquet round-trips the typed schema natively.
 # ---------------------------------------------------------------------------
 @query(
-    "q15_csv_roundtrip",
+    "q15_sink_roundtrip",
     oracle="""
-    SELECT o_orderstatus,
-           COUNT(*) AS n_orders,
-           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,4))), 2) AS DOUBLE) AS sum_total
-    FROM orders GROUP BY o_orderstatus
+    SELECT sink, o_orderstatus, n_orders, sum_total FROM (
+      SELECT 'csv' AS sink, o_orderstatus, COUNT(*) AS n_orders,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,4))), 2) AS DOUBLE) AS sum_total
+      FROM orders GROUP BY o_orderstatus
+      UNION ALL
+      SELECT 'parquet', o_orderstatus, COUNT(*),
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,4))), 2) AS DOUBLE)
+      FROM orders GROUP BY o_orderstatus
+    )
     """,
 )
-def q15_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q15_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
@@ -437,23 +399,32 @@ def q15_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         dec("o_totalprice").alias("o_totalprice"),
     )
-    out = os.path.join(
-        tempfile.gettempdir(), f"etfce_csv_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    csv_out = os.path.join(tempfile.gettempdir(), f"etfce_csv_roundtrip_{tag}")
+    pq_out = os.path.join(tempfile.gettempdir(), f"etfce_pq_roundtrip_{tag}")
     (
         o.repartition("o_orderstatus")
         .write.mode("overwrite")
         .option("header", True)
         .partitionBy("o_orderstatus")
-        .csv(out)
+        .csv(csv_out)
     )
-    back = spark.read.option("header", True).schema(
+    (
+        o.repartition("o_orderstatus")
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(pq_out)
+    )
+    csv_back = spark.read.option("header", True).schema(
         "o_orderkey bigint, o_totalprice decimal(14,4), o_orderstatus string"
-    ).csv(out)
-    return back.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        dsum("o_totalprice", "sum_total"),
-    )
+    ).csv(csv_out)
+    pq_back = spark.read.parquet(pq_out)
+    def summarize(df: DataFrame, sink: str) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(dec("o_totalprice"), "sum_total"),
+        ).select(F.lit(sink).alias("sink"), "o_orderstatus", "n_orders", "sum_total")
+    return summarize(csv_back, "csv").unionByName(summarize(pq_back, "parquet"))
 
 
 # ---------------------------------------------------------------------------

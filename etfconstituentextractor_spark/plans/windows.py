@@ -147,24 +147,29 @@ def q43_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q44 — running aggregates over a ROWS frame (per-user event value
-# accumulation). Decimal accumulation: window aggregation internals
-# differ between engines (DuckDB uses segment trees — different
-# summation order), so exactness requires the decimal cast.
+# q44 — ROWS-frame window family on one frame spec: running sum/count/
+# min plus first_value/last_value (the reference's "first match wins"
+# break at :77, window-formalized as first over the frame). Decimal
+# accumulation: window aggregation internals differ between engines
+# (DuckDB uses segment trees — different summation order), so
+# exactness requires the decimal cast. One shuffle on user_id serves
+# every function (same frame → single WindowExec).
 # ---------------------------------------------------------------------------
 @query(
-    "q44_window_running_sum",
+    "q44_window_frames",
     oracle="""
     SELECT user_id, event_id,
            CAST(ROUND(SUM(CAST(value AS DECIMAL(14,4))) OVER w, 2) AS DOUBLE) AS running_value,
            COUNT(*) OVER w AS running_n,
-           CAST(ROUND(min(value) OVER w, 4) AS DOUBLE) AS running_min
+           CAST(ROUND(min(value) OVER w, 4) AS DOUBLE) AS running_min,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type)  OVER w AS latest_type
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
 )
-def q44_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q44_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
@@ -177,34 +182,6 @@ def q44_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(dec("value")).over(w), 2).cast("double").alias("running_value"),
         F.count(F.lit(1)).over(w).alias("running_n"),
         F.round(F.min("value").over(w), 4).cast("double").alias("running_min"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# q45 — first_value / last_value with explicit frames (the reference's
-# "first match wins" break at :77, window-formalized).
-# ---------------------------------------------------------------------------
-@query(
-    "q45_window_first_last",
-    oracle="""
-    SELECT user_id, event_id,
-           first_value(event_type) OVER w AS first_type,
-           last_value(event_type)  OVER w AS latest_type
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    """,
-)
-def q45_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return ev.select(
-        "user_id",
-        "event_id",
         F.first("event_type").over(w).alias("first_type"),
         F.last("event_type").over(w).alias("latest_type"),
     )
