@@ -1,1 +1,197 @@
-"""Placeholder — queries land in a later phase of round 1."""
+"""The document pipeline (SURVEY.md §2A R7-R17/R22-R23, Phase 4): the
+reference's entire ``run()`` — per-filing HTML parse, anchored field
+extraction, error-column skip-on-failure, keep-last dedup, partitioned
+sink (`/root/reference/ETFQuarterlyHoldingsExtractor.py:54-132,
+145-159`) — re-expressed as lazy distributed plans.
+
+Fixture strategy: filings are RENDERED deterministically from the
+corpus tables as a column expression (JVM-side), then parsed BACK by
+the executor-side DOM walk in ``operators/documents.py``. Because the
+HTML derives from `customer`/`nation`, the DuckDB oracle can state the
+expected extraction directly against those tables — a full
+hash-matched correctness check on a genuinely HTML-parsing UDTF (the
+driver's strongest check, not rows-only). The parser is generic DOM
+navigation; it never sees the generator.
+
+Numeric transport mirrors the reference exactly: cells carry
+``format_number`` strings ("1,234,567.89"); the boundary parse
+(functions/boundary.py) types them back. Sources are chosen so
+format→parse is lossless (c_acctbal is exactly 2dp; share/pct sources
+are integers scaled by powers of ten).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from etfconstituentextractor_spark.functions.boundary import parse_money
+from etfconstituentextractor_spark.functions.parity import dec, dsum
+from etfconstituentextractor_spark.operators.documents import (
+    filing_html,
+    holding_fragment,
+    parse_filings,
+)
+from etfconstituentextractor_spark.plans.registry import query
+from etfconstituentextractor_spark.sources.tables import load
+
+#: nations whose filings render without a reporting-date section —
+#: the malformed-document fixture (reference :80-82 silently skips
+#: these; the engine emits an error row instead).
+_BAD_NATION_PRED = "n_nationkey % 7 = 3"
+
+
+def _filings(spark: SparkSession, sf_dir: str, seqs: int = 1) -> DataFrame:
+    """Filing index with rendered HTML: one filing per (nation,
+    filing_seq). seq 0 is the original filing; seq k amends it with
+    holding values shifted by +k (same reporting date — the keep-last
+    scenario of reference R19). Rendering is pure column algebra: the
+    per-holding fragments build per customer row, then one groupBy
+    assembles each document (sorted by custkey → byte-deterministic)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    rows = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("filing_seq", F.explode(F.array(*[F.lit(i) for i in range(seqs)])))
+    )
+    frag = holding_fragment(
+        issuer=F.col("c_name"),
+        shares=F.format_number(F.col("c_custkey") % 100000, 0),
+        value=F.format_number(F.col("c_acctbal") + F.col("filing_seq"), 2),
+        pct=F.format_number((F.col("c_custkey") % 9999) / F.lit(10000.0), 4),
+    )
+    per_filing = (
+        rows.select(
+            "n_nationkey",
+            "filing_seq",
+            F.struct(F.col("c_custkey").alias("k"), frag.alias("frag")).alias("h"),
+        )
+        .groupBy("n_nationkey", "filing_seq")
+        .agg(
+            F.expr("array_join(transform(array_sort(collect_list(h)), x -> x.frag), '')").alias(
+                "body"
+            )
+        )
+    )
+    rdate = F.date_format(
+        F.date_add(F.lit("2024-03-31").cast("date"), F.col("n_nationkey")), "yyyy-MM-dd"
+    )
+    html = F.when(
+        F.expr(_BAD_NATION_PRED), filing_html(None, F.col("body"))
+    ).otherwise(filing_html(rdate, F.col("body")))
+    # filing_seq 2 carries a different form type — q52's index filter
+    # must drop it before any per-document work (reference R4, :52).
+    return per_filing.select(
+        (F.col("n_nationkey").cast("bigint") * 10 + F.col("filing_seq")).alias("filing_id"),
+        "filing_seq",
+        F.when(F.col("filing_seq") == 2, "OTHER").otherwise(F.lit("NPORT-P")).alias("form_type"),
+        html.alias("html"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q50 — document → rows extraction with error column: render one
+# filing per nation, parse on executors, boundary-cast the extracted
+# strings. Failed filings surface as exactly one error row (R22 as
+# data, not prints). Oracle states the expected extraction directly
+# from customer/nation — hash-matched.
+# ---------------------------------------------------------------------------
+@query(
+    "q50_doc_extract_holdings",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) * 10 AS filing_id,
+           strftime(DATE '2024-03-31' + n_nationkey, '%Y-%m-%d') AS reporting_date,
+           c_name AS issuer,
+           CAST(c_custkey % 100000 AS DOUBLE) AS shares,
+           CAST(CAST(c_acctbal AS DECIMAL(14,4)) AS DOUBLE) AS value_usd,
+           CAST(c_custkey % 9999 AS DOUBLE) / 10000 AS pct,
+           CAST(NULL AS VARCHAR) AS error
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_nationkey % 7 <> 3
+    UNION ALL
+    SELECT CAST(n_nationkey AS BIGINT) * 10, NULL, NULL, NULL, NULL, NULL,
+           'missing_reporting_date'
+    FROM nation
+    WHERE n_nationkey % 7 = 3
+      AND EXISTS (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey)
+    """,
+)
+def q50_doc_extract_holdings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    filings = _filings(spark, sf_dir, seqs=1)
+    parsed = parse_filings(filings)
+    return parsed.select(
+        "filing_id",
+        "reporting_date",
+        "issuer",
+        parse_money("shares_str").cast("double").alias("shares"),
+        parse_money("value_str").cast("double").alias("value_usd"),
+        parse_money("pct_str").cast("double").alias("pct"),
+        "error",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q52 — the reference's run() end-to-end as ONE lazy program: filing
+# index → form-type filter → distributed parse → error filter →
+# keep-last dedup per reporting date (amended filing wins, R19) →
+# partitioned CSV sink (R20) → typed read-back → summary. The sink
+# read-back is what the driver hashes, so the whole chain — including
+# file layout and CSV round-trip — is under the oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "q52_doc_pipeline_e2e",
+    oracle="""
+    SELECT strftime(DATE '2024-03-31' + n_nationkey, '%Y-%m-%d') AS reporting_date,
+           COUNT(*) AS n_holdings,
+           CAST(ROUND(SUM(CAST(c_acctbal + 1 AS DECIMAL(14,4))), 2) AS DOUBLE) AS sum_value
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_nationkey % 7 <> 3
+    GROUP BY 1
+    """,
+)
+def q52_doc_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    # index: original (seq 0) + amendment (seq 1) + a non-NPORT filing
+    # (seq 2, form OTHER) per nation; seqs 0/1 share a reporting date —
+    # keep-last must keep the amendment's values.
+    filings = _filings(spark, sf_dir, seqs=3)
+    # R4 index filter BEFORE the opaque UDTF boundary: the non-NPORT
+    # third of the index never reaches the expensive per-document work.
+    filings = filings.filter(F.col("form_type") == "NPORT-P")
+
+    parsed = parse_filings(filings)
+    good = parsed.filter(F.col("error").isNull())
+
+    # keep-last dedup: the highest filing_seq per reporting date wins
+    # (reference R19: dict-key overwrite at :158).
+    w = W.partitionBy("reporting_date")
+    latest = good.withColumn("max_seq", F.max("filing_seq").over(w)).filter(
+        F.col("filing_seq") == F.col("max_seq")
+    )
+
+    typed = latest.select(
+        "reporting_date",
+        "issuer",
+        parse_money("value_str").alias("value_usd"),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"etfce_doc_sink_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    (
+        typed.repartition("reporting_date")
+        .write.mode("overwrite")
+        .option("header", True)
+        .partitionBy("reporting_date")
+        .csv(out)
+    )
+    back = spark.read.option("header", True).schema(
+        "issuer string, value_usd decimal(38,6), reporting_date string"
+    ).csv(out)
+    return back.groupBy("reporting_date").agg(
+        F.count(F.lit(1)).alias("n_holdings"),
+        dsum(dec("value_usd"), "sum_value"),
+    )

@@ -56,3 +56,43 @@ def test_approx_count_distinct_bound(spark, sf_dir):
     rows = QUERIES["q36_agg_approx_count_distinct"](spark, sf_dir).collect()
     for r in rows:
         assert abs(r.approx_parts - r.exact_parts) <= max(3.0, 0.1 * r.exact_parts), r
+
+
+def test_parse_filing_document_paths():
+    from etfconstituentextractor_spark.operators.documents import parse_filing_document
+
+    good = (
+        "<html><body><h4>FORM NPORT-P</h4>"
+        "<table><tr><td>Reporting date</td><td> 2024-06-30 </td></tr></table>"
+        "<h1>Portfolio investment</h1><table>"
+        "<tr><td>Name of Issuer</td><td>Acme Corp</td></tr>"
+        "<tr><td>Number of Shares</td><td>1,234</td></tr>"
+        "<tr><td>Value (USD)</td><td>9,876.50</td></tr>"
+        "<tr><td>Pct of Net Assets</td><td>0.0150</td></tr></table>"
+        "<h1>Portfolio investment</h1><table>"
+        "<tr><td>Name of Issuer</td><td>Beta LLC</td></tr></table>"
+        "<h1>Portfolio investment</h1><table></table>"
+        "</body></html>"
+    )
+    date, rows, err = parse_filing_document(good)
+    assert err is None and date == "2024-06-30"
+    # 3 sections: full, partial (null-tolerant fields), all-empty (dropped)
+    assert len(rows) == 2
+    assert rows[0]["issuer"] == "Acme Corp" and rows[0]["shares_str"] == "1,234"
+    assert rows[1]["issuer"] == "Beta LLC" and rows[1]["value_str"] is None
+
+    no_date = "<html><body><h4>FORM NPORT-P</h4><h1>Portfolio investment</h1></body></html>"
+    date, rows, err = parse_filing_document(no_date)
+    assert err == "missing_reporting_date" and rows == []
+
+
+def test_asof_join_name_collision_rejected(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, _ts("2024-01-01T10:00:00"), 5.0)],
+                                 "k bigint, lts timestamp_ntz, v double")
+    right = spark.createDataFrame([(1, _ts("2024-01-01T09:00:00"), 7.0)],
+                                  "k bigint, rts timestamp_ntz, v double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                  right_payload={"v": "v"})
