@@ -1,1 +1,237 @@
-"""Placeholder — queries land in a later phase of round 1."""
+"""Structured Streaming queries over the `events` replay (SURVEY.md
+§2B "Streaming", Phase 6 — entirely absent from the reference, which
+is a one-shot batch scraper).
+
+Every query here runs a REAL incremental stream (file-source
+micro-batches via streaming/replay.py, state store, watermark
+advancement) and terminates with Trigger.AvailableNow, so its result
+is a deterministic function of the input and the batch-equivalent SQL
+over the same parquet is a hash-matched DuckDB oracle — the strongest
+check the driver offers, applied to streaming state semantics:
+
+- q55 tumbling + sliding event-time windows (complete mode);
+- q56 session windows, 6h gap (complete mode);
+- q57 watermark + late-data drop: append mode emits only
+  watermark-finalized windows, and planted late rows (copies of the
+  earliest events arriving in the final micro-batch) must be DROPPED —
+  the oracle contains only on-time rows, so any leak hash-mismatches;
+- q58 dropDuplicatesWithinWatermark over a doubled stream — exactly
+  the planted duplicates must disappear.
+
+Timestamps are emitted as formatted strings (engine-neutral hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etfconstituentextractor_spark.functions.parity import dec, dsum
+from etfconstituentextractor_spark.plans.registry import query
+from etfconstituentextractor_spark.sources.tables import load
+from etfconstituentextractor_spark.streaming.replay import (
+    read_stream,
+    run_to_memory,
+    run_to_parquet,
+    stage_chunks,
+)
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+_SQL_FMT = "%Y-%m-%d %H:%M:%S"
+_FMT_US = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_SQL_FMT_US = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def _win_agg(sdf: DataFrame, win, shape: str) -> DataFrame:
+    return (
+        sdf.groupBy(win.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(dec("value"), "sum_value"))
+        .select(
+            F.lit(shape).alias("shape"),
+            F.date_format("w.start", _FMT).alias("window_start"),
+            F.date_format("w.end", _FMT).alias("window_end"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q55 — tumbling + sliding event-time windows. Two streaming
+# aggregations (Spark allows one stateful agg per stream), one result.
+# Oracle: tumbling day windows are epoch-aligned calendar days; each
+# row belongs to two 2-day sliding windows (starts at its day and the
+# day before).
+# ---------------------------------------------------------------------------
+@query(
+    "q55_stream_tumbling_sliding",
+    oracle=f"""
+    SELECT 'tumbling' AS shape,
+           strftime(date_trunc('day', ts), '{_SQL_FMT}') AS window_start,
+           strftime(date_trunc('day', ts) + INTERVAL 1 DAY, '{_SQL_FMT}') AS window_end,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(14,4))), 2) AS DOUBLE) AS sum_value
+    FROM events GROUP BY date_trunc('day', ts)
+    UNION ALL
+    SELECT 'sliding',
+           strftime(ws, '{_SQL_FMT}'),
+           strftime(ws + INTERVAL 2 DAY, '{_SQL_FMT}'),
+           COUNT(*),
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(14,4))), 2) AS DOUBLE)
+    FROM (
+      SELECT unnest([date_trunc('day', ts), date_trunc('day', ts) - INTERVAL 1 DAY]) AS ws,
+             value
+      FROM events
+    )
+    GROUP BY ws
+    """,
+)
+def q55_stream_tumbling_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = stage_chunks(spark, sf_dir, tag="q55")
+    tumb = _win_agg(read_stream(spark, chunks), F.window("ts", "1 day"), "tumbling")
+    tumb_out = run_to_memory(tumb, "etfce_q55_tumbling", "complete", sf_dir)
+    slide = _win_agg(
+        read_stream(spark, chunks), F.window("ts", "2 days", "1 day"), "sliding"
+    )
+    slide_out = run_to_memory(slide, "etfce_q55_sliding", "complete", sf_dir)
+    return tumb_out.unionByName(slide_out)
+
+
+# ---------------------------------------------------------------------------
+# q56 — session windows (6h inactivity gap) per user. Session end =
+# last event + gap (Spark semantics); a gap of exactly 6h starts a NEW
+# session (window end is exclusive) — the oracle's islands-and-gaps
+# construction uses >= to match.
+# ---------------------------------------------------------------------------
+@query(
+    "q56_stream_session",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 6 HOUR
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{_SQL_FMT_US}') AS session_start,
+           strftime(MAX(ts) + INTERVAL 6 HOUR, '{_SQL_FMT_US}') AS session_end,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(14,4))), 2) AS DOUBLE) AS sum_value
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+)
+def q56_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = stage_chunks(spark, sf_dir, tag="q56")
+    sess = (
+        read_stream(spark, chunks)
+        .groupBy("user_id", F.session_window("ts", "6 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(dec("value"), "sum_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", _FMT_US).alias("session_start"),
+            F.date_format("w.end", _FMT_US).alias("session_end"),
+            "n",
+            "sum_value",
+        )
+    )
+    return run_to_memory(sess, "etfce_q56_session", "complete", sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# q57 — watermark + late-data drop, append mode. Copies of the 5
+# earliest events (fresh negative ids) arrive in the LAST micro-batch,
+# by which point the watermark (max seen ts − 2h, advanced over ~3
+# earlier batches spanning weeks) is far past their day-window's end —
+# the state store has finalized that window and MUST drop them.
+# Append mode emits exactly the finalized windows: end <= final
+# watermark. The oracle counts only the on-time rows and only the
+# finalized windows; a late-row leak or an unfinalized emission both
+# hash-mismatch.
+# ---------------------------------------------------------------------------
+@query(
+    "q57_stream_watermark_late",
+    oracle=f"""
+    SELECT strftime(date_trunc('day', ts), '{_SQL_FMT}') AS window_start,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(14,4))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE date_trunc('day', ts) + INTERVAL 1 DAY
+          <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+    GROUP BY date_trunc('day', ts)
+    """,
+)
+def q57_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    late = (
+        ev.orderBy("event_id")
+        .limit(5)
+        .select(
+            (-F.col("event_id") - 1).alias("event_id"),
+            "ts",
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+    )
+    chunks = stage_chunks(spark, sf_dir, tag="q57", extra_last_chunk=late)
+    # watermark tracking requires TimestampType; with the session tz
+    # pinned UTC the NTZ->timestamp cast is an identity on the micros.
+    agg = (
+        read_stream(spark, chunks)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(dec("value"), "sum_value"))
+        .select(
+            F.date_format("w.start", _FMT).alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+    return run_to_parquet(agg, "q57", sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# q58 — stateful streaming dedup: the stream carries every event
+# TWICE (identical rows, adjacent in event time); dedup state keyed on
+# event_id within a 1-day watermark removes exactly the copies. The
+# deduped stream appends to a parquet file sink (nothing collects);
+# the oracle is the plain batch aggregate over the ORIGINAL events.
+# ---------------------------------------------------------------------------
+@query(
+    "q58_stream_dedup_watermark",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(14,4))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q58_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    doubled = ev.unionByName(ev)
+    chunks = stage_chunks(spark, sf_dir, tag="q58", source=doubled)
+    deduped = (
+        read_stream(spark, chunks)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    sunk = run_to_parquet(deduped, "q58", sf_dir)
+    return sunk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum(dec("value"), "sum_value"),
+    )

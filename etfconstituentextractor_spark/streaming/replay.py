@@ -1,0 +1,142 @@
+"""Micro-batch replay harness for the `events` table (SURVEY.md §2B
+"Streaming — source/sink for tests", Phase 6).
+
+The corpus `events` table is a bounded snapshot of an unbounded
+stream; this harness replays it through a REAL Structured Streaming
+file source so the streaming operators run the genuine incremental
+path (state store, watermark advancement, append finalization), not a
+batch shortcut:
+
+- the table is split into N chunk files in event-time order (ts is
+  monotone in event_id), each chunk's mtime strictly increasing, so
+  the file source + ``maxFilesPerTrigger=1`` processes them as N
+  ordered micro-batches — watermarks advance between batches exactly
+  as they would on a live stream;
+- ``Trigger.AvailableNow`` terminates after the backlog drains, which
+  makes the run a finite, deterministic function of the input — the
+  batch-equivalent SQL over the same parquet is therefore a valid
+  DuckDB oracle (hash-matched, not rows-only);
+- chunk/checkpoint/sink dirs are wiped per call: every invocation is
+  a fresh stream, never a checkpoint resume.
+
+At production scale the same query text runs unchanged against a real
+unbounded source (kafka/files); only this fixture staging is
+test-local.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from etfconstituentextractor_spark.sources.tables import load
+
+#: schema of the staged chunk files (ts already normalized to
+#: timestamp_ntz by the typed loader).
+EVENTS_DDL = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def _clean(path: str) -> None:
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def work_dir(sf_dir: str, tag: str) -> str:
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"etfce_stream_{tag}_{sf}")
+
+
+def stage_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str,
+    n_chunks: int = 4,
+    source: DataFrame | None = None,
+    extra_last_chunk: DataFrame | None = None,
+) -> str:
+    """Write `events` (or ``source``) as ``n_chunks`` single parquet
+    files in event-time order with increasing mtimes; returns the
+    directory to stream from.
+
+    ``extra_last_chunk`` rows are appended to the FINAL chunk — the
+    late-arrival fixture: by the time they arrive, the watermark has
+    advanced past their event time.
+    """
+    base = work_dir(sf_dir, tag)
+    _clean(base)
+    os.makedirs(base, exist_ok=True)
+    ev = source if source is not None else load(spark, sf_dir, "events")
+    ev = ev.select(*[f.split(" ")[0] for f in EVENTS_DDL.split(", ")])
+    chunked = ev.withColumn(
+        "__chunk", F.ntile(n_chunks).over(W.orderBy("ts", "event_id")) - 1
+    )
+    t0 = time.time() - 3600
+    for i in range(n_chunks):
+        part = chunked.filter(F.col("__chunk") == i).drop("__chunk")
+        if i == n_chunks - 1 and extra_last_chunk is not None:
+            part = part.unionByName(extra_last_chunk)
+        tmp = os.path.join(base, f"_stage_{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src_file = next(
+            f for f in os.listdir(tmp) if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dst = os.path.join(base, f"chunk_{i:03d}.parquet")
+        shutil.move(os.path.join(tmp, src_file), dst)
+        _clean(tmp)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+    return base
+
+
+def read_stream(spark: SparkSession, chunk_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+    )
+
+
+def run_to_memory(sdf: DataFrame, name: str, mode: str, sf_dir: str) -> DataFrame:
+    """Drain the stream into an in-memory table (bounded aggregate
+    results only) and return it as a batch DataFrame."""
+    ckpt = work_dir(sf_dir, f"ckpt_{name}")
+    _clean(ckpt)
+    spark = sdf.sparkSession
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def run_to_parquet(sdf: DataFrame, tag: str, sf_dir: str) -> DataFrame:
+    """Drain the stream into a parquet file sink (append mode — the
+    scale-correct sink: nothing collects to the driver) and return the
+    sink's contents."""
+    out = work_dir(sf_dir, f"sink_{tag}")
+    ckpt = work_dir(sf_dir, f"ckpt_{tag}")
+    _clean(out)
+    _clean(ckpt)
+    spark = sdf.sparkSession
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
