@@ -51,6 +51,7 @@ def load_catalog() -> None:
         "llm_text",
         "llm_dedup",
         "llm_similarity",
+        "udf_surface",
         "multimodal",
         "streaming_queries",
         "document_pipeline",
