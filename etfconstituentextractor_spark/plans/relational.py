@@ -449,3 +449,47 @@ def q16_keeplast_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "event_type", "ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# q17 — map functions (§2B "Scalar fns — map"): events.props parsed as
+# a typed map via from_json, then map_keys / map_values / element_at /
+# map aggregation, plus a constructed map (create_map) exploded to
+# key/value rows. DuckDB has no first-class map over JSON, so the
+# oracle spells the same semantics via json functions + a two-branch
+# union for the explode.
+# ---------------------------------------------------------------------------
+@query(
+    "q17_map_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           len(json_keys(props)) AS n_prop_keys,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_vals_sum,
+           'type' AS key, event_type AS val
+    FROM events
+    UNION ALL
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT),
+           len(json_keys(props)),
+           CAST(json_extract_string(props, '$.k') AS BIGINT),
+           'uid', CAST(user_id AS VARCHAR)
+    FROM events
+    """,
+)
+def q17_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    mapped = ev.select(
+        "event_id",
+        F.from_json("props", "map<string,bigint>").alias("pm"),
+        F.create_map(
+            F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
+        ).alias("am"),
+    )
+    return mapped.select(
+        "event_id",
+        F.element_at("pm", F.lit("k")).alias("k_val"),
+        F.size(F.map_keys("pm")).alias("n_prop_keys"),
+        F.expr("aggregate(map_values(pm), 0L, (acc, x) -> acc + x)").alias("prop_vals_sum"),
+        F.explode("am").alias("key", "val"),
+    )

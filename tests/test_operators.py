@@ -96,3 +96,38 @@ def test_asof_join_name_collision_rejected(spark):
     with pytest.raises(ValueError, match="collide"):
         asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
                   right_payload={"v": "v"})
+
+
+def test_binaryfile_source_decode(spark, tmp_path):
+    """§2B multimodal: the binaryFile source feeding the decode stage
+    (out-of-corpus files, so unit-tested rather than oracle-checked)."""
+    from etfconstituentextractor_spark.plans.multimodal import decode_blobs
+
+    import hashlib
+
+    payloads = {0: b"hello world", 1: b"spark \xe4\xb8\xad\xe6\x96\x87"}
+    for i, payload in payloads.items():
+        blob = b"IMG0" + f"{len(payload):08X}".encode() + payload
+        (tmp_path / f"b{i}.bin").write_bytes(blob)
+    (tmp_path / "b2.bin").write_bytes(b"JUNKJUNKJUNK")
+
+    files = spark.read.format("binaryFile").load(str(tmp_path))
+    blobs = files.select(
+        F.regexp_extract(F.col("path"), r"b(\d+)\.bin", 1).cast("bigint").alias("doc_id"),
+        F.col("content").alias("blob"),
+    )
+    rows = {r.doc_id: r for r in decode_blobs(blobs).collect()}
+    assert rows[0].error is None and rows[0].payload_len == 11
+    assert rows[0].payload_md5 == hashlib.md5(payloads[0]).hexdigest()
+    assert rows[1].payload_len == len(payloads[1])
+    assert rows[2].error == "bad_magic" and rows[2].payload_md5 is None
+
+
+def test_decode_stub_refuses_real_decode():
+    import pytest
+
+    from etfconstituentextractor_spark.plans.multimodal import _decode_meta
+
+    assert _decode_meta(b"abc") == (3 % 640 + 1, 3 % 480 + 1)
+    with pytest.raises(NotImplementedError):
+        _decode_meta(b"abc", real_decode=True)
