@@ -42,6 +42,12 @@ HEADLINE = [
     "q70_similarity_topk_cosine",
     "q71_similarity_lsh_ann",
     "q80_text_stats",
+    "q50_doc_extract_holdings",
+    "q52_doc_pipeline_e2e",
+    "q55_stream_tumbling_sliding",
+    "q58_stream_dedup_watermark",
+    "q91_udtf_udaf",
+    "q95_multimodal_binary",
 ]
 
 

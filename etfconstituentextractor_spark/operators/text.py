@@ -150,6 +150,25 @@ def sql_jaccard(a_expr: str, b_expr: str) -> str:
     )
 
 
+def jaccard_predistinct(a_expr: str, b_expr: str) -> Column:
+    """Jaccard over arrays ALREADY deduplicated by the caller.
+    ``array_intersect`` builds a hash set — O(|a|+|b|) per pair versus
+    the O(|a|·|b|) filter/contains scan — which is what makes an
+    all-pairs-within-block verify stage survive large blocks. Both
+    engines' intersect dedup semantics coincide on distinct inputs."""
+    inter = f"size(array_intersect({a_expr}, {b_expr}))"
+    return F.expr(
+        f"round({inter} / CAST(size({a_expr}) + size({b_expr}) - {inter} AS DOUBLE), 6)"
+    )
+
+
+def sql_jaccard_predistinct(a_expr: str, b_expr: str) -> str:
+    inter = f"len(list_intersect({a_expr}, {b_expr}))"
+    return (
+        f"round({inter} / CAST(len({a_expr}) + len({b_expr}) - {inter} AS DOUBLE), 6)"
+    )
+
+
 def hex_to_long(hex_expr: str) -> Column:
     """First-class portable hex→int (≤15 hex chars)."""
     return F.expr(f"CAST(conv({hex_expr}, 16, 10) AS BIGINT)")

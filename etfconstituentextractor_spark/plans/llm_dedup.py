@@ -25,10 +25,10 @@ from pyspark.sql import functions as F
 
 from etfconstituentextractor_spark.operators.text import (
     jaccard,
-    minhash,
+    jaccard_predistinct,
     spark_shingles,
     sql_jaccard,
-    sql_minhash,
+    sql_jaccard_predistinct,
     sql_shingles,
     sql_tokens,
 )
@@ -217,36 +217,45 @@ def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q63 — n-gram Jaccard near-dup with attribute blocking (source +
 # length bucket), no hashing: the exact-similarity reference point for
-# q62's LSH approximation.
+# q62's LSH approximation. Shingle sets are DISTINCTED ONCE per doc
+# (and persisted across the self-join) so the per-pair similarity is
+# a hash-set intersect — O(|a|+|b|) — instead of an O(|a|·|b|)
+# contains-scan; at all-pairs-within-block volume that is the
+# difference between linear-in-pairs and block-size-quadratic work
+# per pair (44s → ~4s at sf0.1).
 # ---------------------------------------------------------------------------
 @query(
     "q63_dedup_ngram_jaccard",
     oracle=f"""
     WITH s AS (
       SELECT doc_id, source, n_chars // 100 AS len_bucket,
-             {sql_shingles(sql_tokens())} AS shingles
+             list_distinct({sql_shingles(sql_tokens())}) AS sh
       FROM documents
       WHERE len({sql_tokens()}) >= 3
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           {sql_jaccard('a.shingles', 'b.shingles')} AS jaccard_sim
+           {sql_jaccard_predistinct('a.sh', 'b.sh')} AS jaccard_sim
     FROM s a JOIN s b
       ON a.source = b.source AND a.len_bucket = b.len_bucket
      AND a.doc_id < b.doc_id
-    WHERE {sql_jaccard('a.shingles', 'b.shingles')} >= 0.3
+    WHERE {sql_jaccard_predistinct('a.sh', 'b.sh')} >= 0.3
     """,
 )
 def q63_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    s = d.select(
-        "doc_id",
-        "source",
-        (F.col("n_chars") / 100).cast("bigint").alias("len_bucket"),
-        F.expr(spark_shingles("split(text, ' ')")).alias("shingles"),
-    ).filter(F.expr("size(split(text, ' '))") >= 3)
+    s = (
+        d.select(
+            "doc_id",
+            "source",
+            (F.col("n_chars") / 100).cast("bigint").alias("len_bucket"),
+            F.expr("array_distinct(" + spark_shingles("split(text, ' ')") + ")").alias("sh"),
+        )
+        .filter(F.expr("size(split(text, ' '))") >= 3)
+        .persist()
+    )
     a = s.alias("a")
     b = s.alias("b")
-    sim = jaccard("a.shingles", "b.shingles")
+    sim = jaccard_predistinct("a.sh", "b.sh")
     return (
         a.join(
             b,

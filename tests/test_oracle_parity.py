@@ -38,3 +38,11 @@ def test_entry_smoke(spark):
 def test_every_query_has_docstringed_registration():
     assert len(QUERIES) >= len(ORACLES)
     assert set(ORACLES) <= set(QUERIES)
+
+
+def test_query_count_within_driver_check_budget():
+    """The verify driver compares at most 50 registered queries (round 1
+    registered 53 and exactly the last 3 in insertion order got no
+    CORRECTNESS rows). Staying at <=50 keeps every operator under the
+    driver's hash check; consolidate families before adding the 51st."""
+    assert len(QUERIES) <= 50, sorted(QUERIES)
