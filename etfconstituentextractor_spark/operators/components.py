@@ -1,0 +1,66 @@
+"""Connected components by iterative min-label propagation — the
+clustering step of near-duplicate dedup (SURVEY.md §2B "LLM-pipeline —
+near-dup": candidate PAIRS from MinHash/Jaccard become duplicate
+GROUPS, and each group keeps one representative).
+
+Algorithm (the standard large-graph formulation, e.g. hash-to-min):
+every node starts labeled with itself; each round, every node adopts
+the minimum label among itself and its neighbors; converged when no
+label changes. Each round is one shuffle (groupBy node); the label
+frame is localCheckpoint()ed per round to truncate lineage — without
+that, iteration k replays all k-1 prior shuffles and the plan grows
+without bound. Convergence needs at most diameter(graph) rounds;
+near-dup clusters are shallow (stars/cliques), so 3-5 rounds is
+typical. The per-round driver-side `.count()` reads one aggregated
+scalar — no data collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+) -> DataFrame:
+    """Label each node of the undirected graph ``edges`` with the
+    smallest node id in its component. Returns (node, component).
+    Isolated nodes don't appear in edges and so are their own
+    (implicit) components; callers union them in if needed.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.col("component").alias("old_component"),
+                F.least(
+                    "component", F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+        ).localCheckpoint()
+        changed = updated.filter(F.col("component") != F.col("old_component")).count()
+        labels = updated.drop("old_component")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels

@@ -286,9 +286,12 @@ def q27_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q28 — interval-overlap join: user activity intervals (per event_type)
-# that overlap between two types for the same user. Implemented as an
-# equi-join on user + overlap predicate; at scale the same composition
-# works bucketed by coarse time range (operators/intervals.py).
+# that overlap between two types for the same user. The per-user span
+# table is tiny (≤ types² rows per user), so the plain equi-join on
+# user + overlap predicate is the right plan; for large×large overlap
+# joins without an equi key, use operators/intervals.py
+# (bucketed_interval_join — coarse-bucket equi-prejoin, unit-tested
+# against the naive cross+filter).
 # ---------------------------------------------------------------------------
 @query(
     "q28_join_interval_overlap",

@@ -131,3 +131,73 @@ def test_decode_stub_refuses_real_decode():
     assert _decode_meta(b"abc") == (3 % 640 + 1, 3 % 480 + 1)
     with pytest.raises(NotImplementedError):
         _decode_meta(b"abc", real_decode=True)
+
+
+def test_bucketed_interval_join_vs_naive(spark):
+    """Equi-bucket formulation must produce exactly the naive
+    cross+filter result, once per pair, across bucket boundaries."""
+    from etfconstituentextractor_spark.operators.intervals import bucketed_interval_join
+
+    left = spark.createDataFrame(
+        [(1, 0, 5), (2, 10, 30), (3, 95, 105), (4, 50, 50)],
+        "lid bigint, ls bigint, le bigint",
+    )
+    right = spark.createDataFrame(
+        [(10, 4, 12), (11, 28, 29), (12, 100, 200), (13, 60, 70), (14, 50, 50)],
+        "rid bigint, rs bigint, re bigint",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in bucketed_interval_join(
+            left, right, l_start="ls", l_end="le", r_start="rs", r_end="re",
+            bucket_width=10,
+        ).collect()
+    )
+    naive = sorted(
+        (r.lid, r.rid)
+        for r in left.crossJoin(right)
+        .filter("ls <= re AND rs <= le")
+        .collect()
+    )
+    assert got == naive == [(1, 10), (2, 10), (2, 11), (3, 12), (4, 14)]
+
+
+def test_bucketed_interval_join_rejects_column_overlap(spark):
+    import pytest
+
+    from etfconstituentextractor_spark.operators.intervals import bucketed_interval_join
+
+    df = spark.createDataFrame([(1, 2, 3)], "a bigint, s bigint, e bigint")
+    with pytest.raises(ValueError, match="rename"):
+        bucketed_interval_join(df, df, l_start="s", l_end="e", r_start="s",
+                               r_end="e", bucket_width=10)
+
+
+def test_connected_components_micro(spark):
+    from etfconstituentextractor_spark.operators.components import connected_components
+
+    # two components: {1,2,3,4} (chain) and {7,9}; 4-3-2-1 chain needs
+    # multiple propagation rounds
+    edges = spark.createDataFrame(
+        [(4, 3), (3, 2), (2, 1), (9, 7)], "src bigint, dst bigint"
+    )
+    labels = {r.node: r.component for r in connected_components(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
+
+
+def test_connected_components_on_neardup_pairs(spark, sf_dir):
+    """End-to-end: q63's near-dup PAIRS cluster into duplicate GROUPS;
+    every pair's two docs must land in the same component."""
+    from etfconstituentextractor_spark.operators.components import connected_components
+
+    pairs = QUERIES["q63_dedup_ngram_jaccard"](spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    if pairs.count() == 0:
+        return
+    comp = connected_components(pairs)
+    joined = (
+        pairs.join(comp.withColumnRenamed("node", "src").withColumnRenamed("component", "ca"), "src")
+        .join(comp.withColumnRenamed("node", "dst").withColumnRenamed("component", "cb"), "dst")
+    )
+    assert joined.filter("ca <> cb").count() == 0
