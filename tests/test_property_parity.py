@@ -1,0 +1,94 @@
+"""Property-based Spark-vs-DuckDB checks (SURVEY.md §5.2: "same random
+predicate → same hash" style corners that fixed fixtures miss).
+
+Each hypothesis example runs a real Spark job, so example counts stay
+small; the value is the corner coverage (empty sides, ties, unmatched
+keys, garbage strings), not volume.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etfconstituentextractor_spark.functions.boundary import parse_money
+from etfconstituentextractor_spark.operators.asof import asof_join
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_KEY = st.integers(0, 3)
+_TS = st.integers(0, 50)
+
+
+@settings(**_SETTINGS)
+@given(
+    left=st.lists(st.tuples(_KEY, _TS), max_size=12),
+    right=st.lists(st.tuples(_KEY, _TS), max_size=12, unique=True),
+)
+def test_asof_join_matches_duckdb_asof(spark, left, right):
+    """Backward as-of semantics (>=, unmatched→null) must match DuckDB's
+    native ASOF LEFT JOIN on arbitrary key/timestamp layouts. Right
+    (key, ts) pairs are unique — on exact duplicates DuckDB's pick is
+    unspecified while ours is the deterministic tiebreak."""
+    ldf = spark.createDataFrame(left, "k bigint, lts bigint") if left else \
+        spark.createDataFrame([], "k bigint, lts bigint")
+    rrows = [(k, t, k * 1000 + t) for k, t in right]
+    rdf = spark.createDataFrame(rrows, "k bigint, rts bigint, v bigint") if rrows else \
+        spark.createDataFrame([], "k bigint, rts bigint, v bigint")
+
+    got = sorted(
+        (r.k, r.lts, r.v)
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+            right_payload={"v": "v"},
+        ).collect()
+    )
+
+    con = duckdb.connect()
+    lp = pd.DataFrame(left, columns=["k", "lts"]).astype("int64")
+    rp = pd.DataFrame(rrows, columns=["k", "rts", "v"]).astype("int64")
+    con.register("l", lp)
+    con.register("r", rp)
+    want = sorted(
+        (int(k), int(t), None if pd.isna(v) else int(v))
+        for k, t, v in con.execute(
+            "SELECT l.k, l.lts, r.v FROM l ASOF LEFT JOIN r "
+            "ON l.k = r.k AND l.lts >= r.rts"
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    strings=st.lists(
+        st.text(alphabet="0123456789.,- X", max_size=14), min_size=1, max_size=25
+    )
+)
+def test_parse_money_matches_duckdb(spark, strings):
+    """Null-tolerant money parsing agrees with the oracle's spelling on
+    arbitrary digit/comma/garbage strings (q11's boundary contract,
+    fuzzed)."""
+    sdf = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = [
+        None if r.v is None else float(r.v)
+        for r in sdf.select(parse_money("s").cast("double").alias("v")).collect()
+    ]
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"s": strings}))
+    want = [
+        None if v is None else float(v)
+        for (v,) in con.execute(
+            "SELECT CAST(TRY_CAST(replace(trim(s), ',', '') AS DECIMAL(38,6)) AS DOUBLE) FROM t"
+        ).fetchall()
+    ]
+    con.close()
+    assert got == want
