@@ -43,8 +43,8 @@ from pyspark.sql import functions as F
 #: Catalyst.
 PARSE_SCHEMA = (
     "filing_id bigint, filing_seq int, reporting_date string, "
-    "issuer string, shares_str string, value_str string, pct_str string, "
-    "error string"
+    "issuer string, cusip string, shares_str string, value_str string, "
+    "pct_str string, error string"
 )
 
 
@@ -56,13 +56,23 @@ def _row(label: str, value: Column) -> Column:
 
 
 def holding_fragment(
-    issuer: Column, shares: Column, value: Column, pct: Column
+    issuer: Column, shares: Column, value: Column, pct: Column,
+    cusip: Column | None = None,
 ) -> Column:
     """One investment section (mirrors the per-investment h1+table shape
-    the reference walks, ETFQuarterlyHoldingsExtractor.py:87-130)."""
+    the reference walks, ETFQuarterlyHoldingsExtractor.py:87-130).
+
+    ``cusip`` is optional per holding: the reference's README promises
+    CUSIP but its extraction is commented out (:105-107) — the engine
+    carries it as a nullable column (SURVEY.md §2A R12), and fixtures
+    render it only for some holdings to exercise the null path."""
+    cusip_row = (
+        [F.coalesce(_row("CUSIP", cusip), F.lit(""))] if cusip is not None else []
+    )
     return F.concat(
         F.lit("<h1>Portfolio investment</h1><table>"),
         _row("Name of Issuer", issuer),
+        *cusip_row,
         _row("Number of Shares", shares),
         _row("Value (USD)", value),
         _row("Pct of Net Assets", pct),
@@ -170,6 +180,7 @@ def _cell_after_label(table: _Node, label: str) -> str | None:
 
 _HOLDING_FIELDS = (
     ("issuer", "Name of Issuer"),
+    ("cusip", "CUSIP"),
     ("shares_str", "Number of Shares"),
     ("value_str", "Value (USD)"),
     ("pct_str", "Pct of Net Assets"),
@@ -223,6 +234,7 @@ _OUT_COLS = [
     "filing_seq",
     "reporting_date",
     "issuer",
+    "cusip",
     "shares_str",
     "value_str",
     "pct_str",
@@ -253,7 +265,7 @@ def parse_filings(filings: DataFrame, html_col: str = "html") -> DataFrame:
             ):
                 date, rows, err = parse_filing_document(html)
                 if err is not None:
-                    out.append((fid, seq, None, None, None, None, None, err))
+                    out.append((fid, seq, None, None, None, None, None, None, err))
                     continue
                 for r in rows:
                     out.append(
@@ -262,6 +274,7 @@ def parse_filings(filings: DataFrame, html_col: str = "html") -> DataFrame:
                             seq,
                             date,
                             r["issuer"],
+                            r["cusip"],
                             r["shares_str"],
                             r["value_str"],
                             r["pct_str"],

@@ -55,11 +55,18 @@ def _filings(spark: SparkSession, sf_dir: str, seqs: int = 1) -> DataFrame:
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .withColumn("filing_seq", F.explode(F.array(*[F.lit(i) for i in range(seqs)])))
     )
+    # CUSIP only on every third holding — the nullable-column path
+    # (reference R12: README-promised, code commented out :105-107).
+    cusip = F.when(
+        F.col("c_custkey") % 3 == 0,
+        F.concat(F.lit("CUS"), F.lpad((F.col("c_custkey") % 1000000).cast("string"), 6, "0")),
+    )
     frag = holding_fragment(
         issuer=F.col("c_name"),
         shares=F.format_number(F.col("c_custkey") % 100000, 0),
         value=F.format_number(F.col("c_acctbal") + F.col("filing_seq"), 2),
         pct=F.format_number((F.col("c_custkey") % 9999) / F.lit(10000.0), 4),
+        cusip=cusip,
     )
     per_filing = (
         rows.select(
@@ -103,6 +110,8 @@ def _filings(spark: SparkSession, sf_dir: str, seqs: int = 1) -> DataFrame:
     SELECT CAST(n_nationkey AS BIGINT) * 10 AS filing_id,
            strftime(DATE '2024-03-31' + n_nationkey, '%Y-%m-%d') AS reporting_date,
            c_name AS issuer,
+           CASE WHEN c_custkey % 3 = 0
+                THEN 'CUS' || lpad(CAST(c_custkey % 1000000 AS VARCHAR), 6, '0') END AS cusip,
            CAST(c_custkey % 100000 AS DOUBLE) AS shares,
            CAST(CAST(c_acctbal AS DECIMAL(14,4)) AS DOUBLE) AS value_usd,
            CAST(c_custkey % 9999 AS DOUBLE) / 10000 AS pct,
@@ -110,7 +119,7 @@ def _filings(spark: SparkSession, sf_dir: str, seqs: int = 1) -> DataFrame:
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     WHERE n_nationkey % 7 <> 3
     UNION ALL
-    SELECT CAST(n_nationkey AS BIGINT) * 10, NULL, NULL, NULL, NULL, NULL,
+    SELECT CAST(n_nationkey AS BIGINT) * 10, NULL, NULL, NULL, NULL, NULL, NULL,
            'missing_reporting_date'
     FROM nation
     WHERE n_nationkey % 7 = 3
@@ -124,6 +133,7 @@ def q50_doc_extract_holdings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "filing_id",
         "reporting_date",
         "issuer",
+        "cusip",
         parse_money("shares_str").cast("double").alias("shares"),
         parse_money("value_str").cast("double").alias("value_usd"),
         parse_money("pct_str").cast("double").alias("pct"),

@@ -201,3 +201,17 @@ def test_connected_components_on_neardup_pairs(spark, sf_dir):
         .join(comp.withColumnRenamed("node", "dst").withColumnRenamed("component", "cb"), "dst")
     )
     assert joined.filter("ca <> cb").count() == 0
+
+
+def test_json_file_source_scan(spark, sf_dir, tmp_path):
+    """§2B 'Scans — JSON': spark.read.json with an explicit schema over
+    JSON-lines written from events.props (no inference job)."""
+    from etfconstituentextractor_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events").limit(200)
+    out = str(tmp_path / "props_jsonl")
+    ev.select("event_id", "props").write.mode("overwrite").json(out)
+    back = spark.read.schema("event_id bigint, props string").json(out)
+    assert back.count() == 200
+    k = back.selectExpr("get_json_object(props, '$.k') AS k").filter("k IS NOT NULL")
+    assert k.count() == 200
