@@ -20,7 +20,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from etfconstituentextractor_spark.plans.registry import QUERIES, load_catalog
+from etfconstituentextractor_spark.schemas import TABLES
 from etfconstituentextractor_spark.session import get_session
+from etfconstituentextractor_spark.sources.tables import load
 
 #: Headline set: one per operator family; extended as phases land.
 HEADLINE = [
@@ -58,9 +60,12 @@ def main() -> None:
     names = [n for n in HEADLINE if n in QUERIES]
 
     spark = get_session(app_name="etfce-bench")
-    # Warm the JVM + parquet footer caches with a trivial action so the
-    # first measured query doesn't pay one-time session costs.
+    # Warm the JVM codegen paths and each table's parquet footer with a
+    # trivial action so the first measured query doesn't pay one-time
+    # session costs (file listing, footer decode, reader class JIT).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for t in TABLES:
+        load(spark, sf_dir, t).limit(1).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -157,9 +157,12 @@ def _find_all(tb: _TreeBuilder, tag: str, contains: str | None = None) -> list[_
 
 def _find_next(tb: _TreeBuilder, after: _Node, tag: str) -> _Node | None:
     """First node of ``tag`` strictly after ``after`` in document order
-    (the reference's soup.find_next)."""
-    for n in tb.flat:
-        if n.order > after.order and n.tag == tag:
+    (the reference's soup.find_next). ``flat[i].order == i+1``, so the
+    scan starts directly after the anchor — O(distance), not O(doc):
+    with hundreds of holding sections per filing a from-the-top scan
+    would make the parse quadratic in document size."""
+    for n in tb.flat[after.order :]:
+        if n.tag == tag:
             return n
     return None
 
@@ -252,10 +255,15 @@ def parse_filings(filings: DataFrame, html_col: str = "html") -> DataFrame:
 
     Implementation: ``mapInPandas`` — Arrow batches in, pandas out,
     pure per-document work with no cross-document state, so the stage
-    is embarrassingly parallel and AQE-sizeable. The reference's
-    sequential driver loop (:153-158) becomes as many concurrent tasks
-    as the index has partitions.
+    is embarrassingly parallel. The index is explicitly repartitioned
+    by filing_id to the cluster's parallelism first: upstream plans
+    tend to end in FEW large partitions (an aggregate assembling
+    documents coalesces under AQE by bytes), which would serialize the
+    expensive Python stage onto one task — the distributed-systems
+    version of the reference's sequential loop (:153-158). The pinned
+    partition count is deliberately exempt from AQE coalescing.
     """
+    n_tasks = filings.sparkSession.sparkContext.defaultParallelism
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -283,6 +291,8 @@ def parse_filings(filings: DataFrame, html_col: str = "html") -> DataFrame:
                     )
             yield pd.DataFrame(out, columns=_OUT_COLS)
 
-    return filings.select("filing_id", "filing_seq", html_col).mapInPandas(
-        gen, schema=PARSE_SCHEMA
+    return (
+        filings.select("filing_id", "filing_seq", html_col)
+        .repartition(n_tasks, "filing_id")
+        .mapInPandas(gen, schema=PARSE_SCHEMA)
     )

@@ -42,13 +42,25 @@ def sql_tokens(expr: str = "text") -> str:
 
 def spark_shingles(tokens_expr: str, n: int = 3) -> str:
     """Spark SQL string for word n-gram shingles; <n tokens → empty
-    array. The size guard matters: Spark's sequence(1, 0) yields a
-    DESCENDING [1, 0], not an empty array."""
-    return (
-        f"CASE WHEN size({tokens_expr}) < {n} THEN array() "
-        f"ELSE transform(sequence(1, size({tokens_expr}) - {n - 1}), "
-        f"i -> array_join(slice({tokens_expr}, i, {n}), ' ')) END"
-    )
+    array.
+
+    Spelled as a zip_with chain over n shifted slices rather than
+    ``transform(sequence(...), i -> slice(tokens, i, n))``: free
+    subexpressions inside a higher-order-function lambda re-evaluate
+    PER ELEMENT, so the transform spelling re-runs the whole
+    tokens_expr (typically a split) once per shingle — O(len²) per
+    document (measured 3x slower end-to-end at sf0.1). zip_with's
+    inputs are top-level expressions, evaluated once. The size guard
+    matters: a short doc must yield [], and slice lengths must stay
+    positive."""
+    m = f"size({tokens_expr}) - {n - 1}"  # number of shingles
+    acc = f"slice({tokens_expr}, 1, {m})"
+    for k in range(2, n + 1):
+        acc = (
+            f"zip_with({acc}, slice({tokens_expr}, {k}, {m}), "
+            f"(a, b) -> concat(a, ' ', b))"
+        )
+    return f"CASE WHEN size({tokens_expr}) < {n} THEN array() ELSE {acc} END"
 
 
 def shingles(tokens_expr: str, n: int = 3) -> Column:
@@ -108,13 +120,23 @@ _HI = "'8','9','a','b','c','d','e','f'"
 
 def simhash_bits(tokens_expr: str, n_bits: int = 16) -> Column:
     """SimHash over token md5s: bit i of the fingerprint is the sign of
-    sum over tokens of ±1 according to hex digit i of md5(token).
-    Returns the fingerprint as an n_bits-char bitstring."""
+    the sum over tokens of ±1 according to hex digit i of md5(token).
+    Returns the fingerprint as an n_bits-char bitstring.
+
+    Spelled as ONE aggregate pass carrying all n_bits counters in an
+    array accumulator: the md5 transform is the aggregate's input,
+    evaluated once per row. The naive per-bit spelling (n_bits
+    separate aggregates, as the DuckDB twin keeps for clarity — same
+    values) re-evaluates the md5 array n_bits times because
+    higher-order lambdas re-run their whole subtree per element, and
+    an intermediate column doesn't help: CollapseProject inlines
+    single-reference projections regardless of cost."""
     return F.expr(
-        f"array_join(transform(sequence(1, {n_bits}), i -> "
-        f"CASE WHEN aggregate(transform({tokens_expr}, t -> md5(t)), 0, "
-        f"(acc, h) -> acc + (CASE WHEN substring(h, i, 1) IN ({_HI}) THEN 1 ELSE -1 END)) >= 0 "
-        f"THEN '1' ELSE '0' END), '')"
+        f"aggregate(transform({tokens_expr}, t -> md5(t)), "
+        f"array_repeat(0, {n_bits}), "
+        f"(acc, h) -> zip_with(acc, sequence(1, {n_bits}), (a, i) -> "
+        f"a + (CASE WHEN substring(h, i, 1) IN ({_HI}) THEN 1 ELSE -1 END)), "
+        f"acc -> array_join(transform(acc, c -> CASE WHEN c >= 0 THEN '1' ELSE '0' END), ''))"
     )
 
 

@@ -87,7 +87,11 @@ def _win_agg(sdf: DataFrame, win, shape: str) -> DataFrame:
     """,
 )
 def q55_stream_tumbling_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    chunks = stage_chunks(spark, sf_dir, tag="q55")
+    # complete-mode window aggs are batch-boundary-independent, so two
+    # chunks prove the incremental path at half the fixed per-batch
+    # cost; the watermark tests (q57/q58) keep finer chunking because
+    # their semantics depend on watermark advancement between batches.
+    chunks = stage_chunks(spark, sf_dir, tag="q55", n_chunks=2)
     tumb = _win_agg(read_stream(spark, chunks), F.window("ts", "1 day"), "tumbling")
     tumb_out = run_to_memory(tumb, "etfce_q55_tumbling", "complete", sf_dir)
     slide = _win_agg(
@@ -130,7 +134,7 @@ def q55_stream_tumbling_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q56_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    chunks = stage_chunks(spark, sf_dir, tag="q56")
+    chunks = stage_chunks(spark, sf_dir, tag="q56", n_chunks=2)
     sess = (
         read_stream(spark, chunks)
         .groupBy("user_id", F.session_window("ts", "6 hours").alias("w"))
