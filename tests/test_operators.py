@@ -215,3 +215,72 @@ def test_json_file_source_scan(spark, sf_dir, tmp_path):
     assert back.count() == 200
     k = back.selectExpr("get_json_object(props, '$.k') AS k").filter("k IS NOT NULL")
     assert k.count() == 200
+
+
+def _ivf_frames(spark, sf_dir):
+    from etfconstituentextractor_spark.sources.tables import load
+
+    e = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    centroids = e.filter("id % 37 = 0").select(
+        F.col("id").alias("cell"), F.col("v").alias("cv")
+    )
+    queries = e.filter("id < 5").select(F.col("id").alias("qid"), F.col("v").alias("qv"))
+    corpus = e.filter("id >= 5")
+    return corpus, queries, centroids
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    """nprobe = K degrades IVF to exact brute force — the correctness
+    anchor for the pruned variant."""
+    from etfconstituentextractor_spark.operators.ann import ivf_index, ivf_topk
+
+    corpus, queries, centroids = _ivf_frames(spark, sf_dir)
+    n_cells = centroids.count()
+    indexed = ivf_index(corpus, centroids)
+    assert indexed.count() == corpus.count()  # every vector lands in a cell
+
+    got = sorted(
+        (r.qid, r.rn, r.id)
+        for r in ivf_topk(indexed, queries, centroids, k=5, nprobe=n_cells).collect()
+    )
+
+    from pyspark.sql import Window as W
+
+    dot = "aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    nrm = "sqrt(aggregate(zip_with({0}, {0}, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"
+    scored = corpus.crossJoin(queries).select(
+        "qid",
+        "id",
+        F.round(F.expr(dot) / (F.expr(nrm.format("v")) * F.expr(nrm.format("qv"))), 6).alias(
+            "cos_sim"
+        ),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("id"))
+    want = sorted(
+        (r.qid, r.rn, r.id)
+        for r in scored.withColumn("rn", F.row_number().over(w)).filter("rn <= 5").collect()
+    )
+    assert got == want
+
+
+def test_ivf_pruned_probe_recall(spark, sf_dir):
+    """nprobe=3 of ~14 cells must still recover most true neighbors —
+    and scan far fewer candidates than brute force."""
+    from etfconstituentextractor_spark.operators.ann import ivf_index, ivf_topk
+
+    corpus, queries, centroids = _ivf_frames(spark, sf_dir)
+    n_cells = centroids.count()
+    indexed = ivf_index(corpus, centroids)
+    exact = {
+        (r.qid, r.id)
+        for r in ivf_topk(indexed, queries, centroids, k=5, nprobe=n_cells).collect()
+    }
+    pruned = {
+        (r.qid, r.id)
+        for r in ivf_topk(indexed, queries, centroids, k=5, nprobe=3).collect()
+    }
+    recall = len(exact & pruned) / len(exact)
+    assert recall >= 0.5, recall
