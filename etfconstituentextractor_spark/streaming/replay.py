@@ -103,21 +103,49 @@ def read_stream(spark: SparkSession, chunk_dir: str) -> DataFrame:
     )
 
 
+#: state-store partition count for replay runs. A stateful streaming
+#: op creates shuffle.partitions state partitions PER BATCH; at replay
+#: volume (1e5-ish rows over a handful of micro-batches) the per-
+#: partition fixed cost dominates — 8 vs 32 partitions is ~2x wall
+#: time. A production deployment sizes this to sustained throughput
+#: instead (the count is frozen into the checkpoint at first start).
+REPLAY_SHUFFLE_PARTITIONS = 8
+
+
+class _replay_shuffle:
+    """Temporarily pin shuffle.partitions for a stream start (the
+    query captures the value at planning time), then restore."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions", str(REPLAY_SHUFFLE_PARTITIONS)
+        )
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        return False
+
+
 def run_to_memory(sdf: DataFrame, name: str, mode: str, sf_dir: str) -> DataFrame:
     """Drain the stream into an in-memory table (bounded aggregate
     results only) and return it as a batch DataFrame."""
     ckpt = work_dir(sf_dir, f"ckpt_{name}")
     _clean(ckpt)
     spark = sdf.sparkSession
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _replay_shuffle(spark):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -130,13 +158,14 @@ def run_to_parquet(sdf: DataFrame, tag: str, sf_dir: str) -> DataFrame:
     _clean(out)
     _clean(ckpt)
     spark = sdf.sparkSession
-    q = (
-        sdf.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _replay_shuffle(spark):
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out)
