@@ -191,6 +191,47 @@ def sql_jaccard_predistinct(a_expr: str, b_expr: str) -> str:
     )
 
 
+#: BPE-ish pre-tokenization pattern: letter runs, digit runs, single
+#: other-glyphs (CJK chars split per glyph). Character classes only —
+#: identical semantics under Java regex (Spark) and RE2 (DuckDB).
+SUBTOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def subtoken_count(text_expr: str = "text") -> Column:
+    """Count of BPE-style subtokens (the token-count feature a real
+    pipeline computes with a learned tokenizer; the regex is the
+    deterministic stand-in both engines evaluate identically)."""
+    return F.expr(f"size(regexp_extract_all({text_expr}, '{SUBTOKEN_PATTERN}', 0))")
+
+
+def sql_subtoken_count(text_expr: str = "text") -> str:
+    return f"len(regexp_extract_all({text_expr}, '{SUBTOKEN_PATTERN}'))"
+
+
+_FP_MOD = 1_000_000_007
+
+
+def rolling_fingerprint(tokens_expr: str) -> Column:
+    """Rabin-Karp-style rolling hash over the token stream: left fold
+    of acc*31 + hex64(md5(token)) mod 1e9+7. One aggregate pass; the
+    per-token md5 inside the lambda is per-element WORK (not a
+    re-evaluated free subexpression — see spark_shingles note)."""
+    return F.expr(
+        f"aggregate({tokens_expr}, 0L, (acc, t) -> "
+        f"(acc * 31 + CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)) % {_FP_MOD})"
+    )
+
+
+def sql_rolling_fingerprint(tokens_expr: str) -> str:
+    # DuckDB list_reduce has no init value — prepending 0 makes the
+    # first fold step (0*31 + h1) % M, identical to Spark's aggregate.
+    return (
+        f"list_reduce(list_prepend(0, list_transform({tokens_expr}, "
+        f"x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)), "
+        f"(acc, h) -> (acc * 31 + h) % {_FP_MOD})"
+    )
+
+
 def hex_to_long(hex_expr: str) -> Column:
     """First-class portable hex→int (≤15 hex chars)."""
     return F.expr(f"CAST(conv({hex_expr}, 16, 10) AS BIGINT)")

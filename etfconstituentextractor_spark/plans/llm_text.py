@@ -20,15 +20,19 @@ from etfconstituentextractor_spark.operators.text import (
     STOPWORDS,
     hex_to_long,
     minhash,
+    rolling_fingerprint,
     simhash_bits,
     spark_shingles,
     sql_hex_to_long,
     sql_minhash,
+    sql_rolling_fingerprint,
     sql_shingles,
     sql_simhash_bits,
     sql_stopword_hits,
+    sql_subtoken_count,
     sql_tokens,
     stopword_hits,
+    subtoken_count,
     tokens,
 )
 from etfconstituentextractor_spark.plans.registry import query
@@ -71,12 +75,14 @@ def _sql_lang_guess() -> str:
              {sql_stopword_hits(sql_tokens(), STOPWORDS)} AS stop_hits,
              length(text) - length(regexp_replace(text, '[.,;!?]', '', 'g')) AS punct_hits,
              {', '.join(f"{sql_stopword_hits(sql_tokens(), LANG_STOPWORDS[lg])} AS h_{lg}" for lg in _LANGS)},
+             {sql_subtoken_count()} AS n_subtokens,
              md5(text) AS doc_md5,
              {sql_minhash(sql_shingles(sql_tokens()))} AS minhash_sig,
+             {sql_rolling_fingerprint(sql_tokens())} AS rolling_fp,
              {sql_simhash_bits(sql_tokens())} AS simhash16
       FROM documents
     )
-    SELECT doc_id, lang, source, n_tokens,
+    SELECT doc_id, lang, source, n_tokens, n_subtokens,
            CAST(ROUND((n_chars_m - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE), 4) AS DOUBLE) AS avg_token_len,
            CAST(ROUND(stop_hits / CAST(n_tokens AS DOUBLE), 4) AS DOUBLE) AS stop_ratio,
            CAST(ROUND(punct_hits / CAST(n_chars_m AS DOUBLE), 4) AS DOUBLE) AS punct_ratio,
@@ -88,6 +94,7 @@ def _sql_lang_guess() -> str:
            doc_md5,
            {sql_hex_to_long("substr(doc_md5, 1, 8)")} AS fp_int,
            minhash_sig,
+           rolling_fp,
            simhash16,
            COUNT(*) OVER (PARTITION BY simhash16) AS simhash_bucket
     FROM feats
@@ -112,8 +119,10 @@ def q80_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stop_hits.alias("stop_hits"),
         punct_hits.alias("punct_hits"),
         *[hits[lg].alias(f"h_{lg}") for lg in _LANGS],
+        subtoken_count().alias("n_subtokens"),
         F.md5("text").alias("doc_md5"),
         minhash(spark_shingles(tok_expr)).alias("minhash_sig"),
+        rolling_fingerprint(tok_expr).alias("rolling_fp"),
         simhash_bits(tok_expr).alias("simhash16"),
     )
 
@@ -134,6 +143,7 @@ def q80_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         "n_tokens",
+        "n_subtokens",
         F.round(
             (F.col("n_chars_m") - (F.col("n_tokens") - 1)) / F.col("n_tokens").cast("double"), 4
         )
@@ -152,6 +162,7 @@ def q80_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_md5",
         hex_to_long("substring(doc_md5, 1, 8)").alias("fp_int"),
         "minhash_sig",
+        "rolling_fp",
         "simhash16",
         F.count(F.lit(1)).over(W.partitionBy("simhash16")).alias("simhash_bucket"),
     )
