@@ -1,0 +1,106 @@
+"""Custom stateful operator (applyInPandasWithState sessionization)
+validated against independent batch sessionization.
+
+The custom operator runs append-mode: sessions CLOSED BY DATA (a later
+event of the same user exceeded the gap) emit deterministically; each
+user's final session emits only if an event-time timeout fires before
+the replay ends. The assertions therefore pin:
+
+1. every emitted session matches the batch islands-and-gaps result
+   EXACTLY (start, end, count, sum) — no invented or corrupted state;
+2. every data-closed session IS emitted (cross-batch state carry and
+   gap logic work);
+3. no session emits twice.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from etfconstituentextractor_spark.sources.tables import load
+from etfconstituentextractor_spark.streaming.replay import (
+    read_stream,
+    run_to_parquet,
+    stage_chunks,
+)
+from etfconstituentextractor_spark.streaming.stateful import sessionize
+
+_GAP_MIN = 360  # 6 hours, matching q56
+
+
+def _batch_sessions(sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    try:
+        return con.execute(
+            f"""
+            WITH ev AS (
+              SELECT user_id, ts::TIMESTAMP AS ts, value
+              FROM read_parquet('{sf_dir}/events.parquet')
+            ),
+            marked AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN ts - lag(ts) OVER w >= INTERVAL {_GAP_MIN} MINUTE
+                          OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+              FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sess AS (
+              SELECT user_id, ts, value,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked
+            )
+            SELECT user_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL {_GAP_MIN} MINUTE AS session_end,
+                   COUNT(*) AS n,
+                   ROUND(SUM(value), 6) AS sum_value,
+                   (sid = MAX(sid) OVER (PARTITION BY user_id)) AS is_last
+            FROM sess
+            GROUP BY user_id, sid
+            """
+        ).fetchdf()
+    finally:
+        con.close()
+
+
+def test_custom_sessionize_matches_batch(spark, sf_dir):
+    # events.parquet stores TIMESTAMP(NANOS); DuckDB truncates to
+    # micros exactly like the typed loader, so both sides see the
+    # same microsecond timestamps.
+    chunks = stage_chunks(spark, sf_dir, tag="stateful_test")
+    from pyspark.sql import functions as F
+
+    src = (
+        read_stream(spark, chunks)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .select("user_id", "ts", "value")
+    )
+    got = run_to_parquet(sessionize(src, _GAP_MIN), "stateful_test", sf_dir).toPandas()
+
+    want = _batch_sessions(sf_dir)
+    key = ["user_id", "session_start"]
+    got_k = {
+        (r.user_id, r.session_start): (r.session_end, r.n, round(r.sum_value, 6))
+        for r in got.itertuples()
+    }
+    want_k = {
+        (r.user_id, r.session_start): (r.session_end, r.n, round(r.sum_value, 6), r.is_last)
+        for r in want.itertuples()
+    }
+
+    # (3) no duplicate emissions
+    assert len(got_k) == len(got), "duplicate session emissions"
+    # (1) exact-value agreement for everything emitted
+    for k, (end, n, sv) in got_k.items():
+        assert k in want_k, f"emitted session {k} not in batch result"
+        w_end, w_n, w_sv, _ = want_k[k]
+        assert (end, n, sv) == (w_end, w_n, w_sv), (k, (end, n, sv), (w_end, w_n, w_sv))
+    # (2) every data-closed (non-final) session must have been emitted
+    missing = [
+        k for k, (_, _, _, is_last) in want_k.items() if not is_last and k not in got_k
+    ]
+    assert not missing, f"data-closed sessions not emitted: {missing[:5]}"
+    # sanity: the operator emitted a meaningful share of all sessions
+    assert len(got_k) >= 0.5 * len(want_k), (len(got_k), len(want_k))
