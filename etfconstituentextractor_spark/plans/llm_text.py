@@ -169,14 +169,18 @@ def q80_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q81 — corpus token frequencies (tokenize → explode → count). The
-# explode fans each document into its tokens; partial aggregation
-# collapses them map-side before the single shuffle on token.
+# q81 — corpus token statistics (tokenize → explode → count → IDF).
+# The explode fans each document into its tokens; partial aggregation
+# collapses them map-side before the single shuffle on token. IDF =
+# ln(total_docs / doc_freq) joins the corpus size in as a broadcast
+# scalar frame (never a driver-side collect), rounded before hashing
+# because ln's last ulp is engine-specific.
 # ---------------------------------------------------------------------------
 @query(
     "q81_text_token_counts",
     oracle="""
-    SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+    SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(ROUND(ln((SELECT COUNT(*) FROM documents) / CAST(COUNT(DISTINCT doc_id) AS DOUBLE)), 6) AS DOUBLE) AS idf
     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
     GROUP BY token
     HAVING COUNT(*) >= 5
@@ -184,9 +188,18 @@ def q80_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q81_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return (
+    total = d.agg(F.count(F.lit(1)).alias("n_total"))
+    counts = (
         d.select("doc_id", F.explode(tokens()).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_docs"))
         .filter(F.col("n") >= 5)
+    )
+    return counts.crossJoin(F.broadcast(total)).select(
+        "token",
+        "n",
+        "n_docs",
+        F.round(F.log(F.col("n_total") / F.col("n_docs").cast("double")), 6)
+        .cast("double")
+        .alias("idf"),
     )

@@ -82,9 +82,13 @@ def test_hot_paths_have_no_python_eval(spark, sf_dir, name):
 
 def test_q50_prunes_before_udtf_boundary(spark, sf_dir):
     """The UDTF stage is opaque to Catalyst — the plan must show the
-    explicit 3-column projection feeding MapInPandas, not a wide row."""
+    explicit projection AND the pinned repartition feeding
+    MapInPandas: an aggregate-built document index coalesces to ~1
+    partition, which would serialize the Python parse onto one task."""
     plan = _plan(spark, sf_dir, "q50_doc_extract_holdings")
     assert "MapInPandas" in plan
+    i = plan.find("MapInPandas")
+    assert "hashpartitioning(filing_id" in plan[i:], plan[i : i + 800]
 
 
 def test_q71_bucket_expr_contains_no_md5(spark, sf_dir):
