@@ -64,10 +64,20 @@ def get_session(
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 4)
 
+    import tempfile
+
+    warehouse = os.path.join(tempfile.gettempdir(), "etfce_spark_warehouse")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # catalog tables (bucketed-join tests) live under /tmp, and the
+        # derby metastore follows the warehouse instead of polluting cwd
+        .config("spark.sql.warehouse.dir", warehouse)
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Dderby.system.home={warehouse}",
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -96,3 +96,58 @@ def test_q71_bucket_expr_contains_no_md5(spark, sf_dir):
     must not recompute md5 per (row, plane, dim)."""
     plan = _plan(spark, sf_dir, "q71_similarity_lsh_ann")
     assert "md5" not in plan.lower()
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Bucketing is the co-located-join tool at 100 TB: both sides
+    bucketed by the join key -> sort-merge join with NO Exchange on
+    either side (the shuffle happened once, at write time)."""
+    from etfconstituentextractor_spark.plans.registry import QUERIES  # noqa: F401
+    from etfconstituentextractor_spark.sources.tables import load
+    from pyspark.sql import functions as F
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    spark.sql("DROP TABLE IF EXISTS b_li")
+    spark.sql("DROP TABLE IF EXISTS b_o")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable("b_li")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("b_o")
+
+    # disable broadcast so the co-located SMJ is the observable plan
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_li").join(
+            spark.table("b_o"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan[:1500]
+    # and the result is right
+    assert j.count() == li.count()
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salting spreads a hot key over factor sub-partitions without
+    changing the join's result."""
+    from etfconstituentextractor_spark.operators.skew import salted_join
+    from etfconstituentextractor_spark.sources.tables import load
+    from pyspark.sql import functions as F
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plain = (
+        li.join(o, "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
+    )
+    salted = (
+        salted_join(li, o, ["l_orderkey"], salt_from=F.col("l_linenumber"), factor=4)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
