@@ -11,6 +11,8 @@ a scale bottleneck — exactly the failure mode plan tests exist for.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from etfconstituentextractor_spark.plans.registry import QUERIES, load_catalog
@@ -110,6 +112,13 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     spark.sql("DROP TABLE IF EXISTS b_li")
     spark.sql("DROP TABLE IF EXISTS b_o")
+    # a fresh derby metastore may not know tables whose warehouse dirs
+    # survived a previous test process — clear the locations too
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_li", "b_o"):
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
     li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable("b_li")
     o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("b_o")
 
