@@ -284,3 +284,32 @@ def test_ivf_pruned_probe_recall(spark, sf_dir):
     }
     recall = len(exact & pruned) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_xml_path_extraction(spark, sf_dir):
+    """§2B 'Scans — HTML/XML docs', XML leg: for well-formed XML the
+    engine uses built-in from_xml / xpath (JVM-side) instead of the
+    Python DOM UDTF. Filings rendered as XML from customer rows parse
+    back typed."""
+    from etfconstituentextractor_spark.sources.tables import load
+
+    c = load(spark, sf_dir, "customer").limit(50)
+    xml = c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("<holding><issuer>"), F.col("c_name"),
+            F.lit("</issuer><bal>"), F.col("c_acctbal").cast("string"),
+            F.lit("</bal></holding>"),
+        ).alias("doc"),
+    )
+    parsed = xml.select(
+        "c_custkey",
+        F.from_xml("doc", "issuer string, bal double").alias("h"),
+        F.expr("xpath_string(doc, '/holding/issuer')").alias("issuer_xp"),
+    ).select("c_custkey", "h.issuer", "h.bal", "issuer_xp")
+    rows = {r.c_custkey: r for r in parsed.collect()}
+    orig = {r.c_custkey: r for r in c.collect()}
+    assert len(rows) == 50
+    for k, r in rows.items():
+        assert r.issuer == orig[k].c_name == r.issuer_xp
+        assert abs(r.bal - orig[k].c_acctbal) < 1e-9
