@@ -28,6 +28,11 @@ def connected_components(
     smallest node id in its component. Returns (node, component).
     Isolated nodes don't appear in edges and so are their own
     (implicit) components; callers union them in if needed.
+
+    Raises RuntimeError if labels are still changing after ``max_iter``
+    rounds — partially-propagated labels are silently WRONG, so the
+    caller must raise max_iter (graph diameter bounds the rounds
+    needed) rather than consume a truncated result.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -42,6 +47,7 @@ def connected_components(
         .localCheckpoint()
     )
 
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -63,4 +69,9 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            f"rounds ({changed} labels still changing); raise max_iter"
+        )
     return labels

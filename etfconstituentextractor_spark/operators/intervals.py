@@ -55,7 +55,13 @@ def bucketed_interval_join(
         raise ValueError("bucket_width must be positive")
 
     def floordiv(c: str) -> Column:
-        return F.floor(F.col(c) / w).cast("bigint")
+        # exact integer floor-division: `floor(col / w)` goes through a
+        # double, which near 2^53/w can round up across an integer
+        # boundary and misassign the bucket (epoch-micros inputs are in
+        # that range). SQL DIV truncates toward zero, so shift negative
+        # values down by (w-1) first to get floor semantics.
+        v = f"CAST(`{c}` AS BIGINT)"
+        return F.expr(f"IF({v} >= 0, {v} DIV {w}, ({v} - {w - 1}) DIV {w})")
 
     lb = left.withColumn("__lb", floordiv(l_start)).withColumn(
         "__bucket", F.explode(F.sequence(floordiv(l_start), floordiv(l_end)))

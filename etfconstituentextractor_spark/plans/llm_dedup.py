@@ -149,12 +149,15 @@ def _sql_bands() -> str:
 )
 def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    # persist: shingled feeds the band build AND both sides of the
-    # verification join — without it the md5-shingle work runs ~4×.
+    # shingled feeds the band build AND both sides of the verification
+    # join — without materialization the md5-shingle work runs ~4×.
+    # localCheckpoint (not persist): blocks are released by the
+    # ContextCleaner once the frame is garbage-collected, so a 50-query
+    # harness run doesn't accumulate pinned cache entries.
     shingled = (
         d.select("doc_id", F.expr(spark_shingles("split(text, ' ')")).alias("shingles"))
         .filter(F.expr("size(split(text, ' '))") >= 3)
-        .persist()
+        .localCheckpoint()
     )
 
     hashed = shingled.select(
@@ -186,7 +189,7 @@ def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sig"
             ),
         )
-        .persist()
+        .localCheckpoint()
     )
 
     a = bands.alias("a")
@@ -218,7 +221,7 @@ def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q63 — n-gram Jaccard near-dup with attribute blocking (source +
 # length bucket), no hashing: the exact-similarity reference point for
 # q62's LSH approximation. Shingle sets are DISTINCTED ONCE per doc
-# (and persisted across the self-join) so the per-pair similarity is
+# (and materialized once across the self-join) so the per-pair similarity is
 # a hash-set intersect — O(|a|+|b|) — instead of an O(|a|·|b|)
 # contains-scan; at all-pairs-within-block volume that is the
 # difference between linear-in-pairs and block-size-quadratic work
@@ -251,7 +254,7 @@ def q63_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("array_distinct(" + spark_shingles("split(text, ' ')") + ")").alias("sh"),
         )
         .filter(F.expr("size(split(text, ' '))") >= 3)
-        .persist()
+        .localCheckpoint()
     )
     a = s.alias("a")
     b = s.alias("b")

@@ -18,8 +18,13 @@ State machine per user key:
 - closed sessions are emitted immediately; the still-open session
   stays in state across batches;
 - on event-time timeout (watermark passed last_ts + gap) the open
-  session is flushed. Replay ends with a final flush of all state, so
-  the operator's output is a deterministic function of the input.
+  session is flushed. Under AvailableNow replay the final watermark is
+  max(ts) - delay, so an open session whose timeout (last_ts + gap)
+  lies BEYOND that watermark is never emitted — it remains in state
+  when the replay ends (test_stateful_streaming.py pins this
+  contract). Callers needing every session flushed must stage a
+  sentinel event far enough in the future to push the watermark past
+  all timeouts.
 """
 
 from __future__ import annotations

@@ -160,3 +160,67 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_null_salt_and_left_join(spark):
+    """A NULL salt_from value must not drop the row (it coalesces to
+    salt 0), and left joins preserve unmatched probe rows exactly once."""
+    import pytest
+    from etfconstituentextractor_spark.operators.skew import salted_join
+    from pyspark.sql import functions as F
+
+    probe = spark.createDataFrame(
+        [(1, None), (1, 7), (2, 3), (3, 1)], "k int, salt_src int"
+    )
+    build = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+
+    inner = salted_join(probe, build, ["k"], salt_from=F.col("salt_src"), factor=4)
+    assert sorted(((r.k, r.salt_src, r.v) for r in inner.collect()), key=str) == sorted(
+        [(1, None, "a"), (1, 7, "a"), (2, 3, "b")], key=str
+    )
+    left = salted_join(probe, build, ["k"], salt_from=F.col("salt_src"), factor=4, how="left")
+    assert sorted(((r.k, r.v) for r in left.collect()), key=str) == sorted(
+        [(1, "a"), (1, "a"), (2, "b"), (3, None)], key=str
+    )
+    # build-replicating join types are rejected, not silently wrong
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="probe-preserving"):
+            salted_join(probe, build, ["k"], salt_from=F.col("salt_src"), factor=4, how=how)
+
+
+def test_connected_components_raises_on_truncation(spark):
+    """A path graph of diameter > max_iter must raise, not return
+    partially-propagated (wrong) labels."""
+    import pytest
+    from etfconstituentextractor_spark.operators.components import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(8)], "src int, dst int")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    labels = {r.node: r.component for r in connected_components(chain, max_iter=10).collect()}
+    assert set(labels.values()) == {0}
+
+
+def test_bucketed_interval_join_exact_at_large_magnitude(spark):
+    """Bucket assignment uses exact integer floor-division: near 2^53
+    double division would round across a bucket boundary and miss the
+    pair."""
+    from etfconstituentextractor_spark.operators.intervals import bucketed_interval_join
+
+    # 2^53 + 1 is not representable as a double; double floor-div by 10
+    # would place both endpoints in the same bucket as 2^53 and can
+    # mis-bucket. The overlap below must be found regardless.
+    base = 2**53
+    left = spark.createDataFrame([(1, base + 1, base + 5)], "lid long, ls long, le long")
+    right = spark.createDataFrame([(2, base + 3, base + 9)], "rid long, rs long, re long")
+    got = bucketed_interval_join(
+        left, right, l_start="ls", l_end="le", r_start="rs", r_end="re", bucket_width=10
+    ).collect()
+    assert [(r.lid, r.rid) for r in got] == [(1, 2)]
+    # negative bounds keep floor (not truncate-toward-zero) semantics
+    nleft = spark.createDataFrame([(1, -15, -11)], "lid long, ls long, le long")
+    nright = spark.createDataFrame([(2, -12, -2)], "rid long, rs long, re long")
+    got2 = bucketed_interval_join(
+        nleft, nright, l_start="ls", l_end="le", r_start="rs", r_end="re", bucket_width=10
+    ).collect()
+    assert [(r.lid, r.rid) for r in got2] == [(1, 2)]
