@@ -35,7 +35,7 @@ HEADLINE = [
     "q24_join_semi_anti",
     "q27_join_asof",
     "q30_agg_rollup_cube_gsets",
-    "q40_window_topk_per_group",
+    "q40_topk_family",
     "q42_window_trailing_range",
     "q60_dedup_exact_family",
     "q62_dedup_minhash_lsh",

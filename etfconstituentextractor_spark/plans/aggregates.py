@@ -109,46 +109,29 @@ def q30_agg_rollup_cube_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q33 — distinct aggregation: COUNT(DISTINCT), exact. Spark expands
-# count-distinct into a two-phase aggregate (expand + partial) — at
-# scale this is the plan to watch for skew; AQE handles the re-shuffle.
+# q34 — collect_set / collect_list + exact multi-column
+# COUNT(DISTINCT) in one aggregate (consolidated from the former
+# q33/q34 pair — round-3 registry budget). The set/list output is
+# emitted as a sorted joined string: collection order is
+# nondeterministic in a distributed engine, so the deterministic
+# projection IS the operator's contract. Two distinct columns force
+# Spark's Expand-based multi-distinct plan (partial + re-shuffle per
+# distinct branch) — at scale this is the plan to watch for skew; AQE
+# handles the re-shuffle.
 # ---------------------------------------------------------------------------
 @query(
-    "q33_agg_count_distinct",
-    oracle="""
-    SELECT l_returnflag,
-           COUNT(DISTINCT l_suppkey) AS n_supp,
-           COUNT(DISTINCT l_partkey) AS n_part,
-           COUNT(*) AS n
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-)
-def q33_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct("l_partkey").alias("n_part"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# q34 — collect_set / collect_list: emitted as a sorted joined string —
-# set/list order is nondeterministic in a distributed engine, so the
-# deterministic projection IS the operator's contract.
-# ---------------------------------------------------------------------------
-@query(
-    "q34_agg_collect_set",
+    "q34_agg_collect_distinct",
     oracle="""
     SELECT n_name,
            string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
-           COUNT(DISTINCT c_mktsegment) AS n_segments
+           COUNT(DISTINCT c_mktsegment) AS n_segments,
+           COUNT(DISTINCT c_custkey) AS n_cust,
+           COUNT(*) AS n
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
     """,
 )
-def q34_agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q34_agg_collect_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     return (
@@ -157,6 +140,8 @@ def q34_agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias("segments"),
             F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.countDistinct("c_custkey").alias("n_cust"),
+            F.count(F.lit(1)).alias("n"),
         )
     )
 
@@ -238,24 +223,7 @@ def q37_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# q38 — global sort + limit (top-k): compiles to TakeOrderedAndProject,
-# which at scale takes k per partition then merges k·P rows on the
-# driver — never a full global sort. Composite key makes it total.
-# ---------------------------------------------------------------------------
-@query(
-    "q38_sort_limit_topk",
-    oracle="""
-    SELECT o_orderkey, o_totalprice, o_orderpriority
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey ASC
-    LIMIT 10
-    """,
-)
-def q38_sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders")
-    return (
-        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-        .select("o_orderkey", "o_totalprice", "o_orderpriority")
-        .limit(10)
-    )
+# Global sort+limit top-k (the former q38) now lives as the 'global'
+# leg of windows.py::q40_topk_family — round-3 registry consolidation.
+# Its TakeOrderedAndProject plan shape is still pinned by
+# tests/test_plans.py (global_topk helper).

@@ -185,31 +185,15 @@ def q24_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q25 — cross join (small × small only; a guarded operator at scale).
-# ---------------------------------------------------------------------------
-@query(
-    "q25_join_cross",
-    oracle="""
-    SELECT r.r_name, n.n_name
-    FROM region r CROSS JOIN nation n
-    WHERE r.r_regionkey <> n.n_regionkey
-    """,
-)
-def q25_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
-    r = load(spark, sf_dir, "region")
-    n = load(spark, sf_dir, "nation")
-    return (
-        r.crossJoin(n)
-        .filter(F.col("r_regionkey") != F.col("n_regionkey"))
-        .select("r_name", "n_name")
-    )
-
-
-# ---------------------------------------------------------------------------
-# q26 — theta/range join: classify each lineitem into a price band by a
-# non-equi predicate. The bands table is tiny → broadcast nested loop is
-# the right plan here; for large×large range joins see q28's bucketed
-# interval join.
+# q26 — non-equi join family in one tagged plan (consolidated from the
+# former q25/q26 pair — round-3 registry budget):
+# - 'band' leg: theta/range join classifying each lineitem into a
+#   price band. The bands table is tiny → broadcast nested loop is the
+#   right plan; for large×large range joins see q28's bucketed
+#   interval join.
+# - 'cross' leg: explicit crossJoin (small × small only; a guarded
+#   operator at scale), emitted row-per-pair so the oracle verifies
+#   the exact pair set.
 # ---------------------------------------------------------------------------
 _BANDS = [
     ("low", 0.0, 20000.0),
@@ -219,21 +203,26 @@ _BANDS = [
 
 
 @query(
-    "q26_join_range_band",
+    "q26_join_nonequi_family",
     oracle="""
-    SELECT band, COUNT(*) AS n_lines,
+    SELECT 'band' AS leg, band AS k, COUNT(*) AS n_lines,
            CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,4))), 2) AS DOUBLE) AS sum_price
     FROM lineitem
     JOIN (VALUES ('low', 0.0, 20000.0), ('mid', 20000.0, 60000.0), ('high', 60000.0, 1e18))
          b(band, lo, hi)
       ON l_extendedprice >= lo AND l_extendedprice < hi
     GROUP BY band
+    UNION ALL
+    SELECT 'cross', r.r_name || '/' || n.n_name,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM region r CROSS JOIN nation n
+    WHERE r.r_regionkey <> n.n_regionkey
     """,
 )
-def q26_join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q26_join_nonequi_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
-    return (
+    band_leg = (
         li.join(
             F.broadcast(bands),
             (F.col("l_extendedprice") >= F.col("lo")) & (F.col("l_extendedprice") < F.col("hi")),
@@ -243,7 +232,21 @@ def q26_join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
             dsum(dec("l_extendedprice"), "sum_price"),
         )
+        .select(F.lit("band").alias("leg"), F.col("band").alias("k"), "n_lines", "sum_price")
     )
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    cross_leg = (
+        r.crossJoin(n)
+        .filter(F.col("r_regionkey") != F.col("n_regionkey"))
+        .select(
+            F.lit("cross").alias("leg"),
+            F.concat("r_name", F.lit("/"), "n_name").alias("k"),
+            F.lit(None).cast("bigint").alias("n_lines"),
+            F.lit(None).cast("double").alias("sum_price"),
+        )
+    )
+    return band_leg.unionByName(cross_leg)
 
 
 # ---------------------------------------------------------------------------

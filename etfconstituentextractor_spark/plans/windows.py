@@ -20,14 +20,33 @@ from etfconstituentextractor_spark.sources.tables import load
 
 
 # ---------------------------------------------------------------------------
-# q40 — per-group top-k: rank window + filter (Catalyst has no native
-# per-group top-k pushdown; this is the canonical composition and AQE
-# handles the single shuffle on the partition key).
+# q40 — top-k family, both shapes in one tagged plan (consolidated
+# from the former q38/q40 pair — round-3 registry budget):
+# - 'group': per-group top-k = rank window + filter (Catalyst has no
+#   native per-group top-k pushdown; this is the canonical composition
+#   and AQE handles the single shuffle on the partition key);
+# - 'global': orderBy().limit(k) compiles to TakeOrderedAndProject —
+#   k per partition then a k·P driver merge, never a full global sort
+#   (plan pinned in tests/test_plans.py via global_topk). The tiny
+#   rank window after the limit runs over exactly k rows.
 # ---------------------------------------------------------------------------
+def global_topk(o: DataFrame, k: int = 10) -> DataFrame:
+    """Global top-k over orders by (price desc, key asc) — the
+    TakeOrderedAndProject shape; rn assigned after the limit so the
+    global window sees only k rows."""
+    topk = (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .limit(k)
+    )
+    w = W.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return topk.withColumn("rn", F.row_number().over(w))
+
+
 @query(
-    "q40_window_topk_per_group",
+    "q40_topk_family",
     oracle="""
-    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    SELECT 'group' AS scope, o_custkey, o_orderkey, o_totalprice, rn
     FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
              row_number() OVER (PARTITION BY o_custkey
@@ -35,16 +54,28 @@ from etfconstituentextractor_spark.sources.tables import load
       FROM orders
     )
     WHERE rn <= 3
+    UNION ALL
+    SELECT 'global', o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    )
+    WHERE rn <= 10
     """,
 )
-def q40_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q40_topk_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-    return (
+    grouped = (
         o.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .select(F.lit("group").alias("scope"), "o_custkey", "o_orderkey", "o_totalprice", "rn")
     )
+    global_ = global_topk(o, 10).select(
+        F.lit("global").alias("scope"), "o_custkey", "o_orderkey", "o_totalprice", "rn"
+    )
+    return grouped.unionByName(global_)
 
 
 # ---------------------------------------------------------------------------

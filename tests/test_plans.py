@@ -49,15 +49,28 @@ def test_q20_dimensions_broadcast(spark, sf_dir):
     assert "SortMergeJoin" in plan or plan.count("BroadcastHashJoin") >= 4
 
 
-def test_q38_global_topk_is_take_ordered(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "q38_sort_limit_topk")
+def test_global_topk_is_take_ordered(spark, sf_dir):
+    """The 'global' leg of q40_topk_family (the former q38) must be
+    TakeOrderedAndProject; a global Sort before the limit would be the
+    scale bug this test exists to catch. Asserted on the isolated leg —
+    inside the union the 'group' leg's window legitimately sorts."""
+    from etfconstituentextractor_spark.plans.windows import global_topk
+    from etfconstituentextractor_spark.sources.tables import load
+
+    plan = (
+        global_topk(load(spark, sf_dir, "orders"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "TakeOrderedAndProject" in plan
-    # a global Sort would be the scale bug this test exists to catch
-    assert "Sort [" not in plan.replace("TakeOrderedAndProject", "")
+    # the only Sort allowed is the k-row window's sort AFTER the limit
+    i = plan.find("TakeOrderedAndProject")
+    assert "Sort [" not in plan[i:]
 
 
 def test_q26_band_join_broadcasts_small_side(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "q26_join_range_band")
+    plan = _plan(spark, sf_dir, "q26_join_nonequi_family")
     assert "BroadcastNestedLoopJoin" in plan
 
 
