@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from etfconstituentextractor_spark.operators.components import connected_components
 from etfconstituentextractor_spark.operators.text import (
     jaccard,
     jaccard_predistinct,
@@ -125,10 +126,9 @@ def _sql_bands() -> str:
     )
 
 
-@query(
-    "q62_dedup_minhash_lsh",
-    oracle=f"""
-    WITH shingled AS (
+#: the q62 pair construction as reusable oracle CTEs + final select —
+#: q65's clustering oracle builds on the identical pair set.
+_SQL_PAIR_CTES = f"""shingled AS (
       SELECT doc_id, {sql_shingles(sql_tokens())} AS shingles
       FROM documents
       WHERE len({sql_tokens()}) >= 3
@@ -138,16 +138,19 @@ def _sql_bands() -> str:
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
        AND a.doc_id < b.doc_id
-    )
-    SELECT doc_a, doc_b,
+    )"""
+
+_SQL_PAIR_SELECT = f"""SELECT doc_a, doc_b,
            {sql_jaccard('sa.shingles', 'sb.shingles')} AS jaccard_sim
     FROM cand
     JOIN shingled sa ON sa.doc_id = doc_a
     JOIN shingled sb ON sb.doc_id = doc_b
-    WHERE {sql_jaccard('sa.shingles', 'sb.shingles')} >= 0.5
-    """,
-)
-def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    WHERE {sql_jaccard('sa.shingles', 'sb.shingles')} >= 0.5"""
+
+
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs (doc_a < doc_b, exact Jaccard >= 0.5)
+    from banded MinHash LSH — q62's result, shared with q65."""
     d = load(spark, sf_dir, "documents")
     # shingled feeds the band build AND both sides of the verification
     # join — without materialization the md5-shingle work runs ~4×.
@@ -214,6 +217,67 @@ def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard_sim", sim)
         .filter(F.col("jaccard_sim") >= 0.5)
         .select("doc_a", "doc_b", "jaccard_sim")
+    )
+
+
+@query(
+    "q62_dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SQL_PAIR_CTES}
+    {_SQL_PAIR_SELECT}
+    """,
+)
+def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_candidate_pairs(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# q65 — dedup GROUPS: the clustering stage a real pipeline needs after
+# pair generation. q62's verified candidate pairs become an undirected
+# graph; operators/components.py labels every doc with the smallest
+# doc_id in its connected component (iterative min-label propagation —
+# one shuffle per round, lineage truncated per round, only a scalar
+# convergence count reaches the driver). Output per clustered doc: its
+# component (= the group's keep-first representative), the group size,
+# and the survivor flag — exactly the keep/drop decision an LLM-corpus
+# dedup emits at 100 TB.
+#
+# Oracle: DuckDB WITH RECURSIVE transitive closure over the identical
+# pair set (reach = all nodes reachable via symmetric edges; component
+# = MIN(reached)) — an independent spelling of the same fixpoint.
+# ---------------------------------------------------------------------------
+@query(
+    "q65_dedup_groups",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_PAIR_CTES},
+    pairs AS ({_SQL_PAIR_SELECT}),
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT sym.b, reach.r FROM reach JOIN sym ON reach.node = sym.a
+    )
+    SELECT node AS doc_id,
+           MIN(r) AS component,
+           COUNT(*) OVER (PARTITION BY MIN(r)) AS group_size,
+           (node = MIN(r)) AS is_representative
+    FROM reach
+    GROUP BY node
+    """,
+)
+def q65_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = lsh_candidate_pairs(spark, sf_dir)
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    w = W.partitionBy("component")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        (F.col("node") == F.col("component")).alias("is_representative"),
     )
 
 
