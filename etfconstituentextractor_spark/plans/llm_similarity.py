@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from etfconstituentextractor_spark.operators.ann import ivf_index, ivf_topk
 from etfconstituentextractor_spark.plans.registry import query
 from etfconstituentextractor_spark.sources.tables import load
 
@@ -187,4 +188,89 @@ def q71_similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TOP_K)
         .select("query_id", "candidate_id", "bucket", "cos_sim", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q72 — IVF ANN (operators/ann.py registered end-to-end): the
+# index/search split q71's single-shot LSH doesn't demonstrate.
+# **index** — every candidate vector is assigned to its nearest of 8
+# centroids (a deterministic corpus subset, vec_id 10..17; broadcast,
+# argmax-cos via max_by, candidate vectors never shuffle).
+# **search** — each query probes only its nprobe=2 nearest cells, then
+# exact-cosine reranks within the probed cells (~N/4 candidates
+# instead of N). Assignment scores round at 9dp, final scores at 6dp
+# — both engines make identical cell and rank decisions; ties break
+# on the lowest cell / candidate id.
+#
+# The oracle spells the same construction relationally: argmax-cos
+# assignment and probe ranking as row_number windows over the
+# candidate×centroid / query×centroid cross products.
+# ---------------------------------------------------------------------------
+_N_CELLS = 8
+_NPROBE = 2
+_SQL_CENT_LO = _N_QUERIES
+_SQL_CENT_HI = _N_QUERIES + _N_CELLS
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return f"list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+
+
+@query(
+    "q72_similarity_ivf_ann",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM e
+             WHERE vec_id >= {_SQL_CENT_LO} AND vec_id < {_SQL_CENT_HI}),
+    assigned AS (
+      SELECT id, v, nrm, cell FROM (
+        SELECT c.vec_id AS id, c.v, c.nrm, ct.cell,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY ROUND({_sql_dot('c.v', 'ct.cv')} / (c.nrm * ct.cn), 9) DESC,
+                          ct.cell ASC) AS rnc
+        FROM (SELECT * FROM e WHERE vec_id >= {_N_QUERIES}) c CROSS JOIN cent ct
+      ) WHERE rnc = 1
+    ),
+    probes AS (
+      SELECT qid, qv, qn, cell FROM (
+        SELECT q.vec_id AS qid, q.v AS qv, q.nrm AS qn, ct.cell,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY ROUND({_sql_dot('q.v', 'ct.cv')} / (q.nrm * ct.cn), 9) DESC,
+                          ct.cell ASC) AS rnc
+        FROM (SELECT * FROM e WHERE vec_id < {_N_QUERIES}) q CROSS JOIN cent ct
+      ) WHERE rnc <= {_NPROBE}
+    )
+    SELECT query_id, candidate_id, cos_sim, rn FROM (
+      SELECT p.qid AS query_id, a.id AS candidate_id,
+             ROUND({_sql_dot('a.v', 'p.qv')} / (a.nrm * p.qn), 6) AS cos_sim,
+             row_number() OVER (PARTITION BY p.qid
+               ORDER BY ROUND({_sql_dot('a.v', 'p.qv')} / (a.nrm * p.qn), 6) DESC,
+                        a.id ASC) AS rn
+      FROM assigned a JOIN probes p ON a.cell = p.cell
+    ) WHERE rn <= {_TOP_K}
+    """,
+)
+def q72_similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vec(load(spark, sf_dir, "embeddings"))
+    cent = e.filter(
+        (F.col("vec_id") >= _SQL_CENT_LO) & (F.col("vec_id") < _SQL_CENT_HI)
+    ).select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
+    vectors = e.filter(F.col("vec_id") >= _N_QUERIES).select(
+        F.col("vec_id").alias("id"), "v"
+    )
+    queries = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    indexed = ivf_index(vectors, cent)
+    topk = ivf_topk(indexed, queries, cent, k=_TOP_K, nprobe=_NPROBE)
+    return topk.select(
+        F.col("qid").alias("query_id"),
+        F.col("id").alias("candidate_id"),
+        "cos_sim",
+        "rn",
     )
