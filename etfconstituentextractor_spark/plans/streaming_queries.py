@@ -91,7 +91,10 @@ def q55_stream_tumbling_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chunks prove the incremental path at half the fixed per-batch
     # cost; the watermark tests (q57/q58) keep finer chunking because
     # their semantics depend on watermark advancement between batches.
-    chunks = stage_chunks(spark, sf_dir, tag="q55", n_chunks=2)
+    # The plain 2-chunk layout is SHARED with q56 (reuse=True): the
+    # corpus is read-only and staging deterministic, so the second
+    # query's staging is a marker-file check.
+    chunks = stage_chunks(spark, sf_dir, tag="plain2", n_chunks=2, reuse=True)
     tumb = _win_agg(read_stream(spark, chunks), F.window("ts", "1 day"), "tumbling")
     tumb_out = run_to_memory(tumb, "etfce_q55_tumbling", "complete", sf_dir)
     slide = _win_agg(
@@ -134,7 +137,7 @@ def q55_stream_tumbling_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q56_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    chunks = stage_chunks(spark, sf_dir, tag="q56", n_chunks=2)
+    chunks = stage_chunks(spark, sf_dir, tag="plain2", n_chunks=2, reuse=True)
     sess = (
         read_stream(spark, chunks)
         .groupBy("user_id", F.session_window("ts", "6 hours").alias("w"))
