@@ -242,3 +242,83 @@ def q58_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         dsum(dec("value"), "sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q59 — CUSTOM stateful operator (applyInPandasWithState gap
+# sessionization, streaming/stateful.py) under full-flush replay: a
+# far-future sentinel event planted in the final micro-batch pushes
+# the final watermark past every open session's timeout
+# (last + gap), so event-time timers flush ALL state and the replay's
+# output is the complete, deterministic session set — which makes the
+# plain batch islands-and-gaps SQL a full hash oracle (the stateful.py
+# docstring's sentinel contract, exercised end-to-end). The sentinel
+# user's own session (the only one past the final watermark) is
+# filtered out.
+#
+# Session sums: events.value carries 2-decimal values, so session
+# sums are multiples of 0.01 with ~1e-12 float error — ROUND(.., 2)
+# recovers the exact decimal in both engines regardless of summation
+# order, with no half-even/half-up midpoint exposure.
+# ---------------------------------------------------------------------------
+_Q59_GAP_MIN = 240  # 4 hours — distinct from q56's built-in 6h path
+_Q59_SENTINEL_UID = -999
+
+
+@query(
+    "q59_stream_custom_sessionize",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL {_Q59_GAP_MIN} MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{_SQL_FMT_US}') AS session_start,
+           strftime(MAX(ts) + INTERVAL {_Q59_GAP_MIN} MINUTE, '{_SQL_FMT_US}') AS session_end,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+)
+def q59_stream_custom_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import timedelta
+
+    from etfconstituentextractor_spark.streaming.stateful import sessionize
+
+    ev = load(spark, sf_dir, "events")
+    # Sentinel ts must satisfy: sentinel - watermark_delay >= max(ts) +
+    # gap, so every real session's timer fires before replay ends.
+    # The driver-side max() read is fixture staging, not operator code.
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel_ts = max_ts + timedelta(minutes=_Q59_GAP_MIN + 60 + 60)
+    sentinel = spark.createDataFrame(
+        [(-999_000, sentinel_ts, _Q59_SENTINEL_UID, "sentinel", 0.0, "{}")],
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    chunks = stage_chunks(spark, sf_dir, tag="q59", extra_last_chunk=sentinel)
+    src = (
+        read_stream(spark, chunks)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .select("user_id", "ts", "value")
+    )
+    sunk = run_to_parquet(sessionize(src, _Q59_GAP_MIN), "q59", sf_dir)
+    return sunk.filter(F.col("user_id") != _Q59_SENTINEL_UID).select(
+        "user_id",
+        F.date_format("session_start", _FMT_US).alias("session_start"),
+        F.date_format("session_end", _FMT_US).alias("session_end"),
+        "n",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
