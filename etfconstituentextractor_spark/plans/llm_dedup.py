@@ -290,28 +290,38 @@ def q65_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contains-scan; at all-pairs-within-block volume that is the
 # difference between linear-in-pairs and block-size-quadratic work
 # per pair (44s → ~4s at sf0.1).
+#
+# Scale guard: the blocking key is low-cardinality, so at corpus scale
+# a single (source, len_bucket) block could hold millions of docs and
+# the within-block all-pairs join would go quadratic. Blocks larger
+# than ``max_block`` are therefore EXCLUDED from the self-join, with
+# the skipped blocks returned as an accounting frame (block key +
+# size + skipped pair count) rather than silently dropped — q62's
+# banded LSH is the at-scale path for whatever this exact reference
+# point skips. The cap never triggers at test/bench scale (largest
+# observed block << 2000), so results are unchanged there; the
+# adversarial unit test exercises the triggered path.
 # ---------------------------------------------------------------------------
-@query(
-    "q63_dedup_ngram_jaccard",
-    oracle=f"""
-    WITH s AS (
-      SELECT doc_id, source, n_chars // 100 AS len_bucket,
-             list_distinct({sql_shingles(sql_tokens())}) AS sh
-      FROM documents
-      WHERE len({sql_tokens()}) >= 3
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           {sql_jaccard_predistinct('a.sh', 'b.sh')} AS jaccard_sim
-    FROM s a JOIN s b
-      ON a.source = b.source AND a.len_bucket = b.len_bucket
-     AND a.doc_id < b.doc_id
-    WHERE {sql_jaccard_predistinct('a.sh', 'b.sh')} >= 0.3
-    """,
-)
-def q63_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+_Q63_MAX_BLOCK = 2000
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    max_block: int = _Q63_MAX_BLOCK,
+    threshold: float = 0.3,
+) -> tuple[DataFrame, DataFrame]:
+    """(pairs, skipped_blocks) for blocked exact n-gram Jaccard.
+
+    pairs: (doc_a, doc_b, jaccard_sim >= threshold) for all pairs
+    within (source, len_bucket) blocks of size <= max_block.
+    skipped_blocks: (source, len_bucket, block_n, skipped_pairs) — the
+    work the cap refused; at scale this is the frame a pipeline logs
+    and routes to the LSH path. The block-size aggregate shuffles only
+    key+count partials; the kept-keys frame (block-key cardinality,
+    tiny) broadcasts into a semi-join, so the guard adds no data-sized
+    shuffle."""
     s = (
-        d.select(
+        docs.select(
             "doc_id",
             "source",
             (F.col("n_chars") / 100).cast("bigint").alias("len_bucket"),
@@ -320,10 +330,22 @@ def q63_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr("size(split(text, ' '))") >= 3)
         .localCheckpoint()
     )
-    a = s.alias("a")
-    b = s.alias("b")
+    sizes = s.groupBy("source", "len_bucket").agg(F.count(F.lit(1)).alias("block_n"))
+    skipped = sizes.filter(F.col("block_n") > max_block).select(
+        "source",
+        "len_bucket",
+        "block_n",
+        (F.col("block_n") * (F.col("block_n") - 1) / 2).cast("bigint").alias("skipped_pairs"),
+    )
+    kept = s.join(
+        F.broadcast(sizes.filter(F.col("block_n") <= max_block).select("source", "len_bucket")),
+        ["source", "len_bucket"],
+        "left_semi",
+    )
+    a = kept.alias("a")
+    b = kept.alias("b")
     sim = jaccard_predistinct("a.sh", "b.sh")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.source") == F.col("b.source"))
@@ -331,13 +353,41 @@ def q63_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .withColumn("jaccard_sim", sim)
-        .filter(F.col("jaccard_sim") >= 0.3)
+        .filter(F.col("jaccard_sim") >= threshold)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             "jaccard_sim",
         )
     )
+    return pairs, skipped
+
+
+@query(
+    "q63_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source, n_chars // 100 AS len_bucket,
+             list_distinct({sql_shingles(sql_tokens())}) AS sh
+      FROM documents
+      WHERE len({sql_tokens()}) >= 3
+    ),
+    kept_keys AS (
+      SELECT source, len_bucket FROM s
+      GROUP BY source, len_bucket HAVING COUNT(*) <= {_Q63_MAX_BLOCK}
+    ),
+    kept AS (SELECT s.* FROM s JOIN kept_keys USING (source, len_bucket))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {sql_jaccard_predistinct('a.sh', 'b.sh')} AS jaccard_sim
+    FROM kept a JOIN kept b
+      ON a.source = b.source AND a.len_bucket = b.len_bucket
+     AND a.doc_id < b.doc_id
+    WHERE {sql_jaccard_predistinct('a.sh', 'b.sh')} >= 0.3
+    """,
+)
+def q63_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs, _skipped = ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
+    return pairs
 
 
 # ---------------------------------------------------------------------------

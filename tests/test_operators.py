@@ -313,3 +313,31 @@ def test_xml_path_extraction(spark, sf_dir):
     for k, r in rows.items():
         assert r.issuer == orig[k].c_name == r.issuer_xp
         assert abs(r.bal - orig[k].c_acctbal) < 1e-9
+
+
+def test_ngram_jaccard_block_cap(spark):
+    """q63's scale guard: a block larger than max_block is excluded
+    from the all-pairs self-join and surfaces in the accounting frame
+    (size + refused pair count); small blocks are unaffected."""
+    from etfconstituentextractor_spark.plans.llm_dedup import ngram_jaccard_pairs
+
+    text = "alpha beta gamma delta epsilon"
+    rows = [(i, "big", 50, text) for i in range(8)]  # one oversized block
+    rows += [(100, "small", 50, text), (101, "small", 50, text + " zeta")]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, source string, n_chars bigint, text string"
+    )
+    pairs, skipped = ngram_jaccard_pairs(docs, max_block=5, threshold=0.3)
+
+    got_pairs = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert got_pairs == {(100, 101)}, got_pairs  # nothing from the big block
+
+    sk = skipped.collect()
+    assert len(sk) == 1
+    assert (sk[0].source, sk[0].len_bucket) == ("big", 0)
+    assert sk[0].block_n == 8
+    assert sk[0].skipped_pairs == 8 * 7 // 2
+
+    # default cap: nothing skipped on the corpus-shaped small fixture
+    _, skipped_default = ngram_jaccard_pairs(docs)
+    assert skipped_default.count() == 0
