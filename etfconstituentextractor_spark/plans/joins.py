@@ -254,6 +254,12 @@ def q26_join_nonequi_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 # simultaneous) click by the same user. Implemented distributedly in
 # operators/asof.py (union + last() over an ordered window — one shuffle
 # on the key, no per-group pandas); oracle is DuckDB's native ASOF JOIN.
+# Both operator branches run under the oracle: the unbounded backward
+# as-of AND the tolerance branch (matches older than 1 hour nulled),
+# reconciled on the unique purchase key. The oracle spells tolerance as
+# a gap CASE over the native ASOF result — for a backward as-of the
+# only candidate inside the tolerance window is the overall last match,
+# so the two formulations provably coincide.
 # ---------------------------------------------------------------------------
 @query(
     "q27_join_asof",
@@ -262,7 +268,9 @@ def q26_join_nonequi_family(spark: SparkSession, sf_dir: str) -> DataFrame:
            p.user_id AS user_id,
            p.ts AS purchase_ts,
            c.ts AS last_click_ts,
-           c.event_id AS last_click_id
+           c.event_id AS last_click_id,
+           CASE WHEN p.ts - c.ts <= INTERVAL 1 HOUR THEN c.ts END AS click_ts_1h,
+           CASE WHEN p.ts - c.ts <= INTERVAL 1 HOUR THEN c.event_id END AS click_id_1h
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       ON p.user_id = c.user_id AND p.ts >= c.ts
@@ -276,7 +284,7 @@ def q27_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
     )
-    return asof_join(
+    base = asof_join(
         purchases,
         clicks,
         on="user_id",
@@ -285,6 +293,16 @@ def q27_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_payload={"last_click_ts": "click_ts", "last_click_id": "click_id"},
         tolerance=None,
     )
+    tol = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        right_payload={"click_ts_1h": "click_ts", "click_id_1h": "click_id"},
+        tolerance=F.expr("INTERVAL 1 HOUR"),
+    ).select("purchase_id", "click_ts_1h", "click_id_1h")
+    return base.join(tol, "purchase_id")
 
 
 # ---------------------------------------------------------------------------
