@@ -12,6 +12,7 @@ reflects engine throughput rather than toPandas serialization.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -41,13 +42,16 @@ HEADLINE = [
     "q62_dedup_minhash_lsh",
     "q63_dedup_ngram_jaccard",
     "q64_dedup_embedding_cosine",
+    "q65_dedup_groups",
     "q70_similarity_topk_cosine",
     "q71_similarity_lsh_ann",
+    "q72_similarity_ivf_ann",
     "q80_text_stats",
     "q50_doc_extract_holdings",
     "q52_doc_pipeline_e2e",
     "q55_stream_tumbling_sliding",
     "q58_stream_dedup_watermark",
+    "q59_stream_custom_sessionize",
     "q91_udtf_udaf",
     "q95_multimodal_binary",
 ]
@@ -74,6 +78,15 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        # Inter-query hygiene, outside the timed region: drop the
+        # query's references, then force a JVM GC so the
+        # ContextCleaner releases localCheckpoint blocks — otherwise
+        # checkpoint storage accumulates across the suite and later
+        # queries pay its memory pressure (measured: untouched queries
+        # swung 3x run-to-run without this).
+        del df
+        gc.collect()
+        spark._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(

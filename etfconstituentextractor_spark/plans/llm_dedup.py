@@ -34,7 +34,7 @@ from etfconstituentextractor_spark.operators.text import (
     sql_tokens,
 )
 from etfconstituentextractor_spark.plans.registry import query
-from etfconstituentextractor_spark.sources.tables import load
+from etfconstituentextractor_spark.sources.tables import fanout, load
 
 _N_BANDS = 6
 
@@ -157,8 +157,12 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint (not persist): blocks are released by the
     # ContextCleaner once the frame is garbage-collected, so a 50-query
     # harness run doesn't accumulate pinned cache entries.
+    # fanout: the documents scan is one split at small SF — without it
+    # the whole md5-shingle stage (the query's dominant cost) runs on
+    # one core and the checkpoint serializes everything downstream.
     shingled = (
-        d.select("doc_id", F.expr(spark_shingles("split(text, ' ')")).alias("shingles"))
+        fanout(d.select("doc_id", "text"))
+        .select("doc_id", F.expr(spark_shingles("split(text, ' ')")).alias("shingles"))
         .filter(F.expr("size(split(text, ' '))") >= 3)
         .localCheckpoint()
     )
@@ -320,27 +324,40 @@ def ngram_jaccard_pairs(
     key+count partials; the kept-keys frame (block-key cardinality,
     tiny) broadcasts into a semi-join, so the guard adds no data-sized
     shuffle."""
-    s = (
-        docs.select(
-            "doc_id",
-            "source",
-            (F.col("n_chars") / 100).cast("bigint").alias("len_bucket"),
-            F.expr("array_distinct(" + spark_shingles("split(text, ' ')") + ")").alias("sh"),
-        )
-        .filter(F.expr("size(split(text, ' '))") >= 3)
-        .localCheckpoint()
-    )
-    sizes = s.groupBy("source", "len_bucket").agg(F.count(F.lit(1)).alias("block_n"))
+    # Block sizes come from the NARROW key frame, before any shingle
+    # work: oversized blocks are excluded up front, so their documents
+    # are never shingled or checkpointed at all (at corpus scale the
+    # skipped blocks are exactly the huge ones).
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        (F.col("n_chars") / 100).cast("bigint").alias("len_bucket"),
+        "text",
+    ).filter(F.expr("size(split(text, ' '))") >= 3)
+    sizes = keyed.groupBy("source", "len_bucket").agg(F.count(F.lit(1)).alias("block_n"))
     skipped = sizes.filter(F.col("block_n") > max_block).select(
         "source",
         "len_bucket",
         "block_n",
         (F.col("block_n") * (F.col("block_n") - 1) / 2).cast("bigint").alias("skipped_pairs"),
     )
-    kept = s.join(
-        F.broadcast(sizes.filter(F.col("block_n") <= max_block).select("source", "len_bucket")),
-        ["source", "len_bucket"],
-        "left_semi",
+    kept = (
+        fanout(
+            keyed.join(
+                F.broadcast(
+                    sizes.filter(F.col("block_n") <= max_block).select("source", "len_bucket")
+                ),
+                ["source", "len_bucket"],
+                "left_semi",
+            )
+        )
+        .select(
+            "doc_id",
+            "source",
+            "len_bucket",
+            F.expr("array_distinct(" + spark_shingles("split(text, ' ')") + ")").alias("sh"),
+        )
+        .localCheckpoint()
     )
     a = kept.alias("a")
     b = kept.alias("b")

@@ -36,7 +36,7 @@ from etfconstituentextractor_spark.operators.text import (
     tokens,
 )
 from etfconstituentextractor_spark.plans.registry import query
-from etfconstituentextractor_spark.sources.tables import load
+from etfconstituentextractor_spark.sources.tables import fanout, load
 
 _LANGS = ("en", "es", "de", "fr", "zh")
 
@@ -101,7 +101,9 @@ def _sql_lang_guess() -> str:
     """,
 )
 def q80_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    # fanout: single-split scan at small SF would run the whole
+    # hash/HOF feature stage on one core (sources/tables.py:fanout)
+    d = fanout(load(spark, sf_dir, "documents"))
     tok_expr = "split(text, ' ')"
     toks = tokens()
     n_tokens = F.size(toks)
@@ -190,7 +192,8 @@ def q81_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     total = d.agg(F.count(F.lit(1)).alias("n_total"))
     counts = (
-        d.select("doc_id", F.explode(tokens()).alias("token"))
+        fanout(d)
+        .select("doc_id", F.explode(tokens()).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_docs"))
         .filter(F.col("n") >= 5)

@@ -307,7 +307,14 @@ def q59_stream_custom_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id bigint, ts timestamp_ntz, user_id bigint, "
         "event_type string, value double, props string",
     )
-    chunks = stage_chunks(spark, sf_dir, tag="q59", extra_last_chunk=sentinel)
+    # Events interleave across users, so EVERY micro-batch re-enters
+    # the Python state function for nearly every user key — per-group
+    # pandas/Arrow overhead × users × batches dominates wall time
+    # (measured: raising state partitions 8→32 made it SLOWER; fewer
+    # batches is the lever). Two data batches + the timer-flush batch
+    # still exercise cross-batch state carry, event-time timeouts, and
+    # the sentinel flush.
+    chunks = stage_chunks(spark, sf_dir, tag="q59", n_chunks=2, extra_last_chunk=sentinel)
     src = (
         read_stream(spark, chunks)
         .withColumn("ts", F.col("ts").cast("timestamp"))

@@ -41,6 +41,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fanout(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Pin COMPUTE parallelism ahead of expensive per-row work (heavy
+    HOF chains, hashing, shingling).
+
+    A small single-file parquet scan is one input split — one task —
+    so everything between the scan and the first shuffle runs on ONE
+    core no matter how wide the cluster is (the same failure mode as
+    the UDTF boundary, documents.py:parse_filings). Repartition only
+    when the plan has FEWER partitions than the cluster's parallelism:
+    at real scale the scan already has thousands of splits and this is
+    a no-op, so we never *reduce* parallelism or add a shuffle where
+    one isn't needed. Accessing ``df.rdd`` here only builds the RDD
+    lineage to read its partition count — no job runs."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n, key)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every corpus table (lazy; no I/O until an action runs)."""
     return {name: load(spark, sf_dir, name) for name in schemas.TABLES}

@@ -145,16 +145,22 @@ REPLAY_SHUFFLE_PARTITIONS = 8
 
 class _replay_shuffle:
     """Temporarily pin shuffle.partitions for a stream start (the
-    query captures the value at planning time), then restore."""
+    query captures the value at planning time), then restore.
 
-    def __init__(self, spark):
+    ``n`` overrides the replay default: JVM-side stateful ops want FEW
+    partitions (per-partition state-store fixed cost dominates at
+    replay volume), but a PYTHON-side stateful op
+    (applyInPandasWithState) is throughput-bound on Python workers —
+    its wall time scales with partition count up to the core count, so
+    those callers pass a higher n."""
+
+    def __init__(self, spark, n: int | None = None):
         self.spark = spark
+        self.n = n or REPLAY_SHUFFLE_PARTITIONS
 
     def __enter__(self):
         self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
-        self.spark.conf.set(
-            "spark.sql.shuffle.partitions", str(REPLAY_SHUFFLE_PARTITIONS)
-        )
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
 
     def __exit__(self, *exc):
         self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
@@ -180,7 +186,9 @@ def run_to_memory(sdf: DataFrame, name: str, mode: str, sf_dir: str) -> DataFram
     return spark.table(name)
 
 
-def run_to_parquet(sdf: DataFrame, tag: str, sf_dir: str) -> DataFrame:
+def run_to_parquet(
+    sdf: DataFrame, tag: str, sf_dir: str, shuffle_partitions: int | None = None
+) -> DataFrame:
     """Drain the stream into a parquet file sink (append mode — the
     scale-correct sink: nothing collects to the driver) and return the
     sink's contents."""
@@ -189,7 +197,7 @@ def run_to_parquet(sdf: DataFrame, tag: str, sf_dir: str) -> DataFrame:
     _clean(out)
     _clean(ckpt)
     spark = sdf.sparkSession
-    with _replay_shuffle(spark):
+    with _replay_shuffle(spark, shuffle_partitions):
         q = (
             sdf.writeStream.format("parquet")
             .option("path", out)
