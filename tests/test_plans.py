@@ -237,3 +237,30 @@ def test_bucketed_interval_join_exact_at_large_magnitude(spark):
         nleft, nright, l_start="ls", l_end="le", r_start="rs", r_end="re", bucket_width=10
     ).collect()
     assert [(r.lid, r.rid) for r in got2] == [(1, 2)]
+
+
+def test_q72_ivf_broadcasts_centroids_and_queries(spark, sf_dir):
+    """IVF scale posture: centroid and probe frames broadcast; the big
+    vector side joins them without shuffling its vectors; no Python in
+    the plan."""
+    plan = _plan(spark, sf_dir, "q72_similarity_ivf_ann")
+    assert plan.count("BroadcastExchange") >= 3  # centroids x2 + probe cells
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_fanout_pins_compute_parallelism(spark, sf_dir):
+    """fanout (sources/tables.py) widens a narrow plan to cluster
+    parallelism — the single-split documents scan would otherwise run
+    every pre-shuffle HOF/hash stage (q62/q63/q80/q81 shingling,
+    fingerprints) on ONE task — and leaves already-wide plans alone
+    (at real scale scans have many splits; fanout must never add a
+    shuffle there or reduce parallelism)."""
+    from etfconstituentextractor_spark.sources.tables import fanout, load
+
+    n = spark.sparkContext.defaultParallelism
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    assert d.rdd.getNumPartitions() < n  # precondition: narrow scan
+    wide = fanout(d)
+    assert wide.rdd.getNumPartitions() == n
+    assert fanout(wide) is wide  # no-op on an already-wide plan
