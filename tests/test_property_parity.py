@@ -124,3 +124,43 @@ def test_bucketed_interval_join_matches_naive(spark, left, right, width):
         for r in ldf.crossJoin(rdf).filter("ls <= re AND rs <= le").collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# connected_components (q65's engine) vs an independent union-find.
+# ---------------------------------------------------------------------------
+def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(**_SETTINGS)
+@given(edges=st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=1, max_size=25))
+def test_connected_components_vs_union_find(spark, edges):
+    """Min-label propagation must agree with a classic union-find on
+    arbitrary graphs — self-loops, parallel edges, chains (the
+    diameter-stress case for the iteration bound), and isolated
+    cliques."""
+    from etfconstituentextractor_spark.operators.components import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r.node: r.component
+        for r in connected_components(df, max_iter=40).collect()
+    }
+    want = _union_find_components(edges)
+    assert got == want
