@@ -151,7 +151,12 @@ _SQL_PAIR_SELECT = f"""SELECT doc_a, doc_b,
 def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified near-dup pairs (doc_a < doc_b, exact Jaccard >= 0.5)
     from banded MinHash LSH — q62's result, shared with q65."""
-    d = load(spark, sf_dir, "documents")
+    return lsh_pairs(load(spark, sf_dir, "documents"))
+
+
+def lsh_pairs(d: DataFrame) -> DataFrame:
+    """The banded-LSH pair construction over any (doc_id, text) frame
+    (also composed by pipeline/curation.py)."""
     # shingled feeds the band build AND both sides of the verification
     # join — without materialization the md5-shingle work runs ~4×.
     # localCheckpoint (not persist): blocks are released by the
