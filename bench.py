@@ -47,6 +47,8 @@ HEADLINE = [
     "q71_similarity_lsh_ann",
     "q72_similarity_ivf_ann",
     "q80_text_stats",
+    "q82_text_contamination",
+    "q83_sample_stratified_mix",
     "q50_doc_extract_holdings",
     "q52_doc_pipeline_e2e",
     "q55_stream_tumbling_sliding",

@@ -1,0 +1,89 @@
+"""Corpus-mixing sampling queries over `documents`
+(operators/sampling.py; SURVEY.md §2B "LLM-pipeline" tier).
+
+Both legs select rows as a pure function of md5(doc_id) — the only
+sampling that is reproducible across reruns and engines, which is
+what makes a mixture auditable (and oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etfconstituentextractor_spark.operators.sampling import (
+    BUCKETS,
+    hash_rate_sample,
+    stratified_quota_sample,
+)
+from etfconstituentextractor_spark.plans.registry import query
+from etfconstituentextractor_spark.sources.tables import load
+
+#: per-language mixture weights (keep-rate per stratum) — the
+#: data-mixing step of a pretraining pipeline: oversample the scarce
+#: languages, downsample the dominant one.
+MIX_RATES = {"en": 0.35, "es": 0.8, "de": 0.6, "fr": 1.0, "zh": 0.15}
+
+#: exact per-language quota for the fixed-size sample leg
+QUOTA_K = 25
+
+
+def _sql_rate_case() -> str:
+    return (
+        "CASE lang "
+        + " ".join(
+            f"WHEN '{lg}' THEN {int(round(rate * BUCKETS))}"
+            for lg, rate in sorted(MIX_RATES.items())
+        )
+        + " ELSE 0 END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q83 — stratified mixture sampling, both shapes in one tagged plan:
+# - 'rate' leg: deterministic Bernoulli(rate[lang]) via hash bucket —
+#   a pure codegen filter, zero shuffle: the at-scale path;
+# - 'quota' leg: exactly min(k, |stratum|) rows per language, the k
+#   smallest hash buckets — one shuffle on the (low-cardinality)
+#   stratum key; at extreme scale a hash-threshold pre-filter would
+#   shrink the window's input without changing its output
+#   (operators/sampling.py docstring).
+# The `bucket` column is part of the contract so the selection is
+# auditable row-by-row; both engines derive it identically
+# (md5 hex prefix → bigint → mod).
+# ---------------------------------------------------------------------------
+@query(
+    "q83_sample_stratified_mix",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang, source,
+             CAST('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), ':mix')), 1, 8) AS BIGINT)
+               % {BUCKETS} AS bucket
+      FROM documents
+    )
+    SELECT 'rate' AS leg, doc_id, lang, source, bucket, CAST(NULL AS INTEGER) AS rn
+    FROM h
+    WHERE bucket < {_sql_rate_case()}
+    UNION ALL
+    SELECT 'quota' AS leg, doc_id, lang, source, bucket, rn FROM (
+      SELECT doc_id, lang, source, bucket,
+             CAST(row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS INTEGER) AS rn
+      FROM h
+    )
+    WHERE rn <= {QUOTA_K}
+    """,
+)
+def q83_sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    rate_leg = hash_rate_sample(d, MIX_RATES, strat_col="lang", key_col="doc_id").select(
+        F.lit("rate").alias("leg"),
+        "doc_id",
+        "lang",
+        "source",
+        "bucket",
+        F.lit(None).cast("int").alias("rn"),
+    )
+    quota_leg = stratified_quota_sample(
+        d, strat_col="lang", key_col="doc_id", k=QUOTA_K
+    ).select(F.lit("quota").alias("leg"), "doc_id", "lang", "source", "bucket", "rn")
+    return rate_leg.unionByName(quota_leg)

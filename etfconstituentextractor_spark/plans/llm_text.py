@@ -35,6 +35,7 @@ from etfconstituentextractor_spark.operators.text import (
     subtoken_count,
     tokens,
 )
+from etfconstituentextractor_spark.operators.contamination import ngram_contamination
 from etfconstituentextractor_spark.plans.registry import query
 from etfconstituentextractor_spark.sources.tables import fanout, load
 
@@ -205,4 +206,54 @@ def q81_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(F.col("n_total") / F.col("n_docs").cast("double")), 6)
         .cast("double")
         .alias("idf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q82 — benchmark-contamination detection (operators/contamination.py):
+# docs with doc_id % 43 == 0 stand in for the benchmark/eval set; every
+# remaining document is scored by how many of its distinct word
+# 4-grams collide with any eval 4-gram. The planted near-duplicate
+# fixtures in `documents` make the signal real: true near-dups of eval
+# docs land at n_matched 36/90 ('contaminated'), incidental single
+# collisions at 1-2 ('suspect'), the rest 'clean'. Plan: eval n-grams
+# distinct + BROADCAST (benchmarks are MBs, the corpus is TBs); the
+# corpus side is one scan probed map-side; the only shuffle carries
+# (doc_id, n_ngrams, flag) — never text.
+# ---------------------------------------------------------------------------
+@query(
+    "q82_text_contamination",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, {sql_shingles("string_split(text, ' ')", 4)} AS grams
+      FROM documents
+    ),
+    ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 43 = 0),
+    tr AS (SELECT doc_id, list_distinct(grams) AS grams FROM g WHERE doc_id % 43 <> 0),
+    ex AS (
+      SELECT doc_id, CAST(len(grams) AS INT) AS n_ngrams,
+             unnest(CASE WHEN len(grams) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE grams END) AS gram
+      FROM tr
+    ),
+    hits AS (
+      SELECT ex.doc_id, any_value(ex.n_ngrams) AS n_ngrams,
+             COUNT(ev.gram) AS n_matched
+      FROM ex LEFT JOIN ev USING (gram)
+      GROUP BY ex.doc_id
+    )
+    SELECT doc_id, n_ngrams, n_matched,
+           CAST(CASE WHEN n_ngrams > 0
+                THEN ROUND(n_matched / CAST(n_ngrams AS DOUBLE), 4)
+                ELSE 0.0 END AS DOUBLE) AS hit_ratio,
+           CASE WHEN n_matched >= 8 THEN 'contaminated'
+                WHEN n_matched >= 1 THEN 'suspect'
+                ELSE 'clean' END AS verdict
+    FROM hits
+    """,
+)
+def q82_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fanout(load(spark, sf_dir, "documents"))
+    is_eval = (F.col("doc_id") % 43) == 0
+    return ngram_contamination(
+        d.filter(~is_eval), d.filter(is_eval), n=4, contaminated_at=8
     )

@@ -49,6 +49,7 @@ def load_catalog() -> None:
         "aggregates",
         "windows",
         "llm_text",
+        "llm_sampling",
         "llm_dedup",
         "llm_similarity",
         "udf_surface",

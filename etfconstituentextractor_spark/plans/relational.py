@@ -138,11 +138,16 @@ def q04_filter_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q06 — scalar string functions (reference R5 dash-strip :58, R6 concat
-# :58/:141, R14 trim, R21 validation :163).
+# q06 — scalar string + conditional/null functions, one pass over
+# customer (consolidated from the former q06/q09 pair — round-3
+# registry budget; same table, same grain, so the merge is a wider
+# select, not a union). String leg: reference R5 dash-strip :58, R6
+# concat :58/:141, R14 trim, R21 validation :163. Conditional leg:
+# R15 `is not None` extraction guards :95-127, R16 drop-all-null
+# records :129-130.
 # ---------------------------------------------------------------------------
 @query(
-    "q06_string_funcs",
+    "q06_string_conditional",
     oracle="""
     SELECT c_custkey,
            replace(c_name, '#', '-')                         AS name_dashed,
@@ -151,14 +156,20 @@ def q04_filter_family(spark: SparkSession, sf_dir: str) -> DataFrame:
            lower(substring(c_name, 1, 8))                    AS name_prefix,
            length(c_name)                                    AS name_len,
            lpad(CAST(c_custkey AS VARCHAR), 10, '0')         AS cik_style,
-           (regexp_matches(lpad(CAST(c_custkey AS VARCHAR), 10, '0'), '^[0-9]{10}$')) AS cik_valid
+           (regexp_matches(lpad(CAST(c_custkey AS VARCHAR), 10, '0'), '^[0-9]{10}$')) AS cik_valid,
+           CASE WHEN c_acctbal < 0 THEN 'debit'
+                WHEN c_acctbal < 5000 THEN 'standard'
+                ELSE 'premium' END                           AS bal_band,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           CASE WHEN c_acctbal IS NULL THEN 0.0 ELSE c_acctbal END AS bal_filled
     FROM customer
+    WHERE coalesce(c_name, c_mktsegment) IS NOT NULL
     """,
 )
-def q06_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q06_string_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     cik = F.lpad(F.col("c_custkey").cast("string"), 10, "0")
-    return c.select(
+    return c.filter(F.coalesce("c_name", "c_mktsegment").isNotNull()).select(
         "c_custkey",
         F.regexp_replace("c_name", "#", "-").alias("name_dashed"),
         F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")).alias("name_tagged"),
@@ -167,6 +178,16 @@ def q06_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("c_name").alias("name_len"),
         cik.alias("cik_style"),
         cik.rlike(r"^[0-9]{10}$").alias("cik_valid"),
+        F.when(F.col("c_acctbal") < 0, "debit")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+        .alias("bal_band"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.when(F.col("c_acctbal").isNull(), F.lit(0.0))
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal_filled"),
     )
 
 
@@ -236,40 +257,6 @@ def q08_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("l_quantity").alias("qty_floor"),
         (F.col("l_linenumber") % 3).alias("line_mod"),
         F.round(F.sqrt("l_extendedprice"), 6).cast("double").alias("price_sqrt"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# q09 — conditional / null functions (reference R15: every extraction is
-# `is not None`-guarded, :95-127; R16: drop-all-null records, :129-130).
-# ---------------------------------------------------------------------------
-@query(
-    "q09_conditional_null",
-    oracle="""
-    SELECT c_custkey,
-           CASE WHEN c_acctbal < 0 THEN 'debit'
-                WHEN c_acctbal < 5000 THEN 'standard'
-                ELSE 'premium' END                       AS bal_band,
-           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
-           CASE WHEN c_acctbal IS NULL THEN 0.0 ELSE c_acctbal END AS bal_filled
-    FROM customer
-    WHERE coalesce(c_name, c_mktsegment) IS NOT NULL
-    """,
-)
-def q09_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load(spark, sf_dir, "customer")
-    return c.filter(F.coalesce("c_name", "c_mktsegment").isNotNull()).select(
-        "c_custkey",
-        F.when(F.col("c_acctbal") < 0, "debit")
-        .when(F.col("c_acctbal") < 5000, "standard")
-        .otherwise("premium")
-        .alias("bal_band"),
-        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
-            "seg_or_other"
-        ),
-        F.when(F.col("c_acctbal").isNull(), F.lit(0.0))
-        .otherwise(F.col("c_acctbal"))
-        .alias("bal_filled"),
     )
 
 

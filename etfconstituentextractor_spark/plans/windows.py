@@ -79,36 +79,6 @@ def q40_topk_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q41 — analytic lag/lead: order-over-order price delta per customer.
-# ---------------------------------------------------------------------------
-@query(
-    "q41_window_lag_lead",
-    oracle="""
-    SELECT o_custkey, o_orderkey,
-           lag(o_totalprice)  OVER w AS prev_price,
-           lead(o_totalprice) OVER w AS next_price,
-           CAST(ROUND(CAST(o_totalprice AS DECIMAL(14,4))
-                - CAST(coalesce(lag(o_totalprice) OVER w, o_totalprice) AS DECIMAL(14,4)), 2) AS DOUBLE) AS delta_prev
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-    """,
-)
-def q41_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    prev = F.lag("o_totalprice").over(w)
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        prev.alias("prev_price"),
-        F.lead("o_totalprice").over(w).alias("next_price"),
-        F.round(dec("o_totalprice") - dec(F.coalesce(prev, F.col("o_totalprice"))), 2)
-        .cast("double")
-        .alias("delta_prev"),
-    )
-
-
-# ---------------------------------------------------------------------------
 # q42 — RANGE frame: 7-day trailing revenue over the daily series.
 # Two-level plan: exact decimal daily rollup (distributed), then the
 # range window over day numbers. Both engines get an integer day axis
@@ -180,11 +150,15 @@ def q43_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q44 — ROWS-frame window family on one frame spec: running sum/count/
 # min plus first_value/last_value (the reference's "first match wins"
-# break at :77, window-formalized as first over the frame). Decimal
-# accumulation: window aggregation internals differ between engines
-# (DuckDB uses segment trees — different summation order), so
-# exactness requires the decimal cast. One shuffle on user_id serves
-# every function (same frame → single WindowExec).
+# break at :77, window-formalized as first over the frame), PLUS the
+# analytic lag/lead leg (consolidated from the former q41 — round-3
+# registry budget): prev/next value and the delta against the previous
+# event. Decimal accumulation: window aggregation internals differ
+# between engines (DuckDB uses segment trees — different summation
+# order), so exactness requires the decimal cast. Both window specs
+# share the (user_id | ts, event_id) partition+sort, so Catalyst plans
+# ONE Exchange and one sort; lag/lead land in a sibling Window node on
+# the same sorted partitions — no extra shuffle.
 # ---------------------------------------------------------------------------
 @query(
     "q44_window_frames",
@@ -194,10 +168,15 @@ def q43_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) OVER w AS running_n,
            CAST(ROUND(min(value) OVER w, 4) AS DOUBLE) AS running_min,
            first_value(event_type) OVER w AS first_type,
-           last_value(event_type)  OVER w AS latest_type
+           last_value(event_type)  OVER w AS latest_type,
+           lag(value)  OVER wp AS prev_value,
+           lead(value) OVER wp AS next_value,
+           CAST(ROUND(CAST(value AS DECIMAL(14,4))
+                - CAST(coalesce(lag(value) OVER wp, value) AS DECIMAL(14,4)), 2) AS DOUBLE) AS delta_prev
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wp AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
 )
 def q44_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,6 +186,8 @@ def q44_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    wp = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(wp)
     return ev.select(
         "user_id",
         "event_id",
@@ -215,4 +196,9 @@ def q44_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value").over(w), 4).cast("double").alias("running_min"),
         F.first("event_type").over(w).alias("first_type"),
         F.last("event_type").over(w).alias("latest_type"),
+        prev.alias("prev_value"),
+        F.lead("value").over(wp).alias("next_value"),
+        F.round(dec("value") - dec(F.coalesce(prev, F.col("value"))), 2)
+        .cast("double")
+        .alias("delta_prev"),
     )

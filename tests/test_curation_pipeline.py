@@ -72,3 +72,46 @@ def test_curate_planted_fixture(spark):
         5: "quality",
         6: "kept",
     }
+
+
+def test_curate_contamination_and_mixture_gates(spark):
+    """Full-pipeline fixture with the optional gates on:
+    - 6 and 8 are verbatim copies of a benchmark doc -> both
+      'contaminated' (precedence beats exact_dup: neither may survive
+      as the pair's representative);
+    - 7 is clean and unique but its stratum's mix rate is 0.0 ->
+      'downsampled';
+    - the q60/q62 verdicts from the base fixture are unchanged."""
+    base = "the quick brown fox jumps over a lazy dog and the dog is of sound mind " * 3
+    near = base.replace("sound", "curious", 1)
+    bench = "every engine needs a second corpus and this is it with the usual words " * 3
+    rows = [
+        (1, base, "y"),
+        (2, base, "y"),
+        (3, near, "y"),
+        (4, "too short", "y"),
+        (5, "lorem ipsum dolor sit amet " * 10, "y"),
+        (6, bench, "y"),
+        (7, "a third corpus of the usual words that is not like the others at all " * 3, "x"),
+        (8, bench, "y"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    eval_docs = spark.createDataFrame([(100, bench)], "doc_id bigint, text string")
+    audited = curate(
+        docs,
+        eval_docs=eval_docs,
+        contaminated_at=3,
+        mix_rates={"y": 1.0, "x": 0.0},
+        strat_col="lang",
+    )
+    verdicts = {r.doc_id: r.verdict for r in audited.collect()}
+    assert verdicts == {
+        1: "kept",
+        2: "exact_dup",
+        3: "near_dup",
+        4: "quality",
+        5: "quality",
+        6: "contaminated",
+        7: "downsampled",
+        8: "contaminated",
+    }

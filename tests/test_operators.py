@@ -341,3 +341,77 @@ def test_ngram_jaccard_block_cap(spark):
     # default cap: nothing skipped on the corpus-shaped small fixture
     _, skipped_default = ngram_jaccard_pairs(docs)
     assert skipped_default.count() == 0
+
+
+def test_ngram_contamination_micro(spark):
+    """Planted fixture with exact expected verdicts: a verbatim copy of
+    an eval doc ('contaminated' at threshold 2), a one-gram collision
+    ('suspect'), a disjoint doc ('clean'), and a sub-n-token doc
+    (n_ngrams=0 — must still appear, ratio 0.0)."""
+    from etfconstituentextractor_spark.operators.contamination import ngram_contamination
+
+    eval_docs = spark.createDataFrame(
+        [(100, "a b c d e f")], "doc_id bigint, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),      # identical: 3/3 grams match
+            (2, "a b c d x y z"),    # shares exactly 'a b c d': 1/4
+            (3, "q w e r t"),        # disjoint: 0/2
+            (4, "q w e"),            # < 4 tokens: no grams at all
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in ngram_contamination(
+            train, eval_docs, n=4, contaminated_at=2
+        ).collect()
+    }
+    assert len(out) == 4
+    assert (out[1].n_ngrams, out[1].n_matched, out[1].verdict) == (3, 3, "contaminated")
+    assert abs(out[1].hit_ratio - 1.0) < 1e-9
+    assert (out[2].n_ngrams, out[2].n_matched, out[2].verdict) == (4, 1, "suspect")
+    assert (out[3].n_ngrams, out[3].n_matched, out[3].verdict) == (2, 0, "clean")
+    assert (out[4].n_ngrams, out[4].n_matched, out[4].verdict) == (0, 0, "clean")
+    assert out[4].hit_ratio == 0.0
+
+
+def test_hash_sampling_deterministic_and_exact(spark, sf_dir):
+    """Sampling is a pure function of the key: identical output across
+    runs; quota leg yields exactly min(k, |stratum|) rows; rate 1.0
+    keeps everything, rate 0.0 nothing; and a lower rate selects a
+    subset of a higher rate's rows (nested thresholds — the property
+    that makes mixture re-weighting reproducible)."""
+    from etfconstituentextractor_spark.operators.sampling import (
+        hash_rate_sample,
+        stratified_quota_sample,
+    )
+    from etfconstituentextractor_spark.sources.tables import load
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    sizes = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+
+    q = stratified_quota_sample(d, strat_col="lang", key_col="doc_id", k=7)
+    per = {r.lang: r.n for r in q.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per == {lg: min(7, n) for lg, n in sizes.items()}
+    assert {tuple(sorted(r.doc_id for r in q.collect()))} == {
+        tuple(sorted(r.doc_id for r in q.collect()))
+    }  # stable across actions
+
+    langs = sorted(sizes)
+    all_r = hash_rate_sample(d, {lg: 1.0 for lg in langs}, strat_col="lang", key_col="doc_id")
+    none_r = hash_rate_sample(d, {lg: 0.0 for lg in langs}, strat_col="lang", key_col="doc_id")
+    assert all_r.count() == d.count()
+    assert none_r.count() == 0
+
+    lo = hash_rate_sample(d, {lg: 0.2 for lg in langs}, strat_col="lang", key_col="doc_id")
+    hi = hash_rate_sample(d, {lg: 0.6 for lg in langs}, strat_col="lang", key_col="doc_id")
+    lo_ids = {r.doc_id for r in lo.collect()}
+    hi_ids = {r.doc_id for r in hi.collect()}
+    assert lo_ids <= hi_ids
+    # buckets are in range and the kept fraction is in a loose
+    # Chernoff-ish band around the rate
+    assert all(0 <= r.bucket < 10_000 for r in hi.collect())
+    n = d.count()
+    assert 0.4 * n < len(hi_ids) < 0.8 * n

@@ -84,6 +84,7 @@ def test_q26_band_join_broadcasts_small_side(spark, sf_dir):
         "q60_dedup_exact_family",
         "q62_dedup_minhash_lsh",
         "q80_text_stats",
+        "q83_sample_stratified_mix",
     ],
 )
 def test_hot_paths_have_no_python_eval(spark, sf_dir, name):
@@ -264,3 +265,63 @@ def test_fanout_pins_compute_parallelism(spark, sf_dir):
     wide = fanout(d)
     assert wide.rdd.getNumPartitions() == n
     assert fanout(wide) is wide  # no-op on an already-wide plan
+
+
+def test_q82_eval_ngrams_broadcast(spark, sf_dir):
+    """The benchmark side of contamination detection must broadcast —
+    shuffling the corpus's exploded n-grams to meet the (tiny) eval set
+    would be the 100 TB bug. Also: Python-free plan."""
+    plan = _plan(spark, sf_dir, "q82_text_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "BuildRight" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    # single-shuffle corpus path: the fanout repartition on doc_id
+    # below the join doubles as the final aggregation's partitioning,
+    # so NOTHING between the plan root and the join may re-shuffle
+    # (the region above the join is Project + partial/final
+    # HashAggregate only)
+    i = plan.find("BroadcastHashJoin")
+    assert "Exchange" not in plan[:i], plan[:i]
+
+
+def test_rate_sample_leg_is_pure_filter(spark, sf_dir):
+    """The Bernoulli mixture leg is the at-scale sampling path: its
+    whole plan must be scan -> filter/project with no Exchange, no
+    window, no Python."""
+    from etfconstituentextractor_spark.operators.sampling import hash_rate_sample
+    from etfconstituentextractor_spark.plans.llm_sampling import MIX_RATES
+    from etfconstituentextractor_spark.sources.tables import load
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    plan = (
+        hash_rate_sample(d, MIX_RATES, strat_col="lang", key_col="doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for marker in ("Exchange", "Window", "BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, marker
+
+
+def test_quota_sample_prunes_before_shuffle(spark, sf_dir):
+    """The quota leg's scale guarantee: Catalyst's rank-limit pushdown
+    must plan a PARTIAL WindowGroupLimit below the Exchange (each map
+    task keeps its local k smallest buckets per stratum), so the
+    shuffle moves k·tasks rows per stratum, never the stratum."""
+    from etfconstituentextractor_spark.operators.sampling import stratified_quota_sample
+    from etfconstituentextractor_spark.sources.tables import load
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    plan = (
+        stratified_quota_sample(d, strat_col="lang", key_col="doc_id", k=25)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    i_partial = plan.find("WindowGroupLimit")
+    assert i_partial != -1 and "Partial" in plan[plan.rfind("WindowGroupLimit") :], plan
+    # Partial limit is BELOW (printed after) the Exchange; Final above
+    i_exchange = plan.find("Exchange")
+    assert i_exchange != -1
+    assert plan.rfind("WindowGroupLimit") > i_exchange, plan
