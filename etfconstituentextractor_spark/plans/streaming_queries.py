@@ -155,10 +155,11 @@ def q56_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q57 — watermark + late-data drop, append mode. Copies of the 5
-# earliest events (fresh negative ids) arrive in the LAST micro-batch,
-# by which point the watermark (max seen ts − 2h, advanced over ~3
-# earlier batches spanning weeks) is far past their day-window's end —
-# the state store has finalized that window and MUST drop them.
+# earliest events (fresh negative ids) arrive in a final late-only
+# micro-batch, by which point the watermark (max seen ts − 2h,
+# advanced over the 4 data batches spanning weeks) is far past their
+# day-window's end — the state store has finalized that window and
+# MUST drop them.
 # Append mode emits exactly the finalized windows: end <= final
 # watermark. The oracle counts only the on-time rows and only the
 # finalized windows; a late-row leak or an unfinalized emission both
@@ -229,7 +230,9 @@ def q57_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q58_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     doubled = ev.unionByName(ev)
-    chunks = stage_chunks(spark, sf_dir, tag="q58", source=doubled)
+    # the doubled layout is a deterministic function of the corpus, so
+    # reuse shares it across bench/verify runs like the plain layouts
+    chunks = stage_chunks(spark, sf_dir, tag="q58_doubled", source=doubled, reuse=True)
     deduped = (
         read_stream(spark, chunks)
         .withColumn("ts", F.col("ts").cast("timestamp"))
@@ -311,9 +314,10 @@ def q59_stream_custom_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the Python state function for nearly every user key — per-group
     # pandas/Arrow overhead × users × batches dominates wall time
     # (measured: raising state partitions 8→32 made it SLOWER; fewer
-    # batches is the lever). Two data batches + the timer-flush batch
-    # still exercise cross-batch state carry, event-time timeouts, and
-    # the sentinel flush.
+    # batches is the lever). Two data batches + the sentinel batch +
+    # the timer-flush batch still exercise cross-batch state carry,
+    # event-time timeouts, and the sentinel flush; the data chunks are
+    # hardlinks into the shared plain2 staging (replay.py).
     chunks = stage_chunks(spark, sf_dir, tag="q59", n_chunks=2, extra_last_chunk=sentinel)
     src = (
         read_stream(spark, chunks)

@@ -164,3 +164,102 @@ def test_connected_components_vs_union_find(spark, edges):
     }
     want = _union_find_components(edges)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# sampling (q83's engine) vs an independent hashlib computation.
+# ---------------------------------------------------------------------------
+def _py_bucket(key: int, salt: str = "mix") -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{key}:{salt}".encode()).hexdigest()[:8], 16) % 10_000
+
+
+@settings(**_SETTINGS)
+@given(
+    keys=st.lists(st.integers(0, 10**9), min_size=1, max_size=20, unique=True),
+    rate_pm=st.integers(0, 10_000),
+    k=st.integers(1, 5),
+)
+def test_sampling_matches_independent_md5(spark, keys, rate_pm, k):
+    """The md5 bucket must equal an independent hashlib computation
+    (not just be self-consistent), the rate leg must keep exactly the
+    rows under the threshold, and the quota leg must pick exactly the
+    k smallest buckets per stratum (key tiebreak)."""
+    from etfconstituentextractor_spark.operators.sampling import (
+        hash_rate_sample,
+        stratified_quota_sample,
+    )
+
+    rows = [(kk, "s0" if kk % 2 == 0 else "s1") for kk in keys]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    rate = rate_pm / 10_000
+
+    got_rate = {
+        (r.doc_id, r.bucket)
+        for r in hash_rate_sample(
+            df, {"s0": rate, "s1": rate}, strat_col="lang", key_col="doc_id"
+        ).collect()
+    }
+    want_rate = {(kk, _py_bucket(kk)) for kk in keys if _py_bucket(kk) < rate_pm}
+    assert got_rate == want_rate
+
+    got_quota = {
+        (r.lang, r.doc_id, r.rn)
+        for r in stratified_quota_sample(
+            df, strat_col="lang", key_col="doc_id", k=k
+        ).collect()
+    }
+    want_quota = set()
+    for stratum in ("s0", "s1"):
+        members = sorted(
+            (kk for kk, s in rows if s == stratum),
+            key=lambda kk: (_py_bucket(kk), kk),
+        )
+        want_quota |= {(stratum, kk, i + 1) for i, kk in enumerate(members[:k])}
+    assert got_quota == want_quota
+
+
+# ---------------------------------------------------------------------------
+# contamination (q82's engine) vs a pure-Python n-gram overlap.
+# ---------------------------------------------------------------------------
+@settings(**_SETTINGS)
+@given(
+    train=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    eval_=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=12),
+        min_size=1,
+        max_size=3,
+    ),
+    n=st.sampled_from([2, 3, 4]),
+)
+def test_ngram_contamination_vs_python(spark, train, eval_, n):
+    """Per-doc (n_ngrams, n_matched) must equal a brute-force Python
+    n-gram set computation on arbitrary tiny-vocab corpora — including
+    sub-n-token docs (empty gram sets on either side)."""
+    from etfconstituentextractor_spark.operators.contamination import (
+        ngram_contamination,
+    )
+
+    def grams(toks: list[str]) -> set[str]:
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    tdf = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(train)], "doc_id bigint, text string"
+    )
+    edf = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(eval_)], "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: (r.n_ngrams, r.n_matched)
+        for r in ngram_contamination(tdf, edf, n=n).collect()
+    }
+    eval_grams = set().union(*(grams(t) for t in eval_)) if eval_ else set()
+    want = {
+        i: (len(grams(t)), len(grams(t) & eval_grams)) for i, t in enumerate(train)
+    }
+    assert got == want
