@@ -148,15 +148,27 @@ def q34_agg_collect_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q35 — min_by/max_by (argmin/argmax; the reference's "first match
-# wins" semantic R9 made deterministic with a composite ordering key).
+# wins" semantic R9 made deterministic with a composite ordering key)
+# plus exact interpolated percentiles (median / p90 per group). The
+# percentiles run on integer cents so the q-position interpolation is
+# ulp-exact across engines — see the oracle comment. At scale, exact
+# percentile is a sort-based aggregate per group (bounded here by
+# orders-per-customer); the sketch alternative for corpus-wide
+# quantiles is the q36 HLL family's territory (approx_percentile),
+# engine-specific and therefore rows-only.
 # ---------------------------------------------------------------------------
 @query(
     "q35_agg_min_max_by",
     oracle="""
     -- DuckDB arg_min/arg_max reject composite (struct) ordering keys,
-    -- so the oracle spells the same deterministic argmin via windows
+    -- so the oracle spells the same deterministic argmin via windows.
+    -- Percentiles run on integer CENTS: with integral inputs, linear
+    -- interpolation at q=0.5/0.9 yields multiples of 0.1, so a
+    -- 3-decimal round is ulp-safe in both engines (a double price
+    -- would put interpolation midpoints on rounding boundaries).
     WITH ranked AS (
       SELECT o_custkey, o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
              row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn_a,
              row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_d
       FROM orders
@@ -164,7 +176,9 @@ def q34_agg_collect_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey,
            MAX(CASE WHEN rn_a = 1 THEN o_orderkey END) AS first_order,
            MAX(CASE WHEN rn_d = 1 THEN o_orderkey END) AS last_order,
-           COUNT(*) AS n_orders
+           COUNT(*) AS n_orders,
+           CAST(ROUND(quantile_cont(cents, 0.5), 3) AS DOUBLE) AS median_cents,
+           CAST(ROUND(quantile_cont(cents, 0.9), 3) AS DOUBLE) AS p90_cents
     FROM ranked
     GROUP BY o_custkey
     """,
@@ -172,10 +186,13 @@ def q34_agg_collect_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q35_agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     key = F.struct("o_orderdate", "o_orderkey")
-    return o.groupBy("o_custkey").agg(
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return o.withColumn("cents", cents).groupBy("o_custkey").agg(
         F.min_by("o_orderkey", key).alias("first_order"),
         F.max_by("o_orderkey", key).alias("last_order"),
         F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.percentile("cents", F.lit(0.5)), 3).cast("double").alias("median_cents"),
+        F.round(F.percentile("cents", F.lit(0.9)), 3).cast("double").alias("p90_cents"),
     )
 
 
