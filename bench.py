@@ -56,6 +56,7 @@ HEADLINE = [
     "q59_stream_custom_sessionize",
     "q91_udtf_udaf",
     "q95_multimodal_binary",
+    "q99_curation_pipeline_e2e",
 ]
 
 

@@ -126,11 +126,14 @@ def _sql_bands() -> str:
     )
 
 
-#: the q62 pair construction as reusable oracle CTEs + final select —
-#: q65's clustering oracle builds on the identical pair set.
-_SQL_PAIR_CTES = f"""shingled AS (
+def sql_pair_ctes(rel: str = "documents") -> str:
+    """The q62 pair construction as reusable oracle CTEs — q65's
+    clustering oracle builds on the identical pair set, and the
+    curation-pipeline oracle (q99) applies it to the survivor subset
+    by passing its own relation name."""
+    return f"""shingled AS (
       SELECT doc_id, {sql_shingles(sql_tokens())} AS shingles
-      FROM documents
+      FROM {rel}
       WHERE len({sql_tokens()}) >= 3
     ),
     {_sql_bands()},
@@ -139,6 +142,9 @@ _SQL_PAIR_CTES = f"""shingled AS (
       FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
        AND a.doc_id < b.doc_id
     )"""
+
+
+_SQL_PAIR_CTES = sql_pair_ctes()
 
 _SQL_PAIR_SELECT = f"""SELECT doc_a, doc_b,
            {sql_jaccard('sa.shingles', 'sb.shingles')} AS jaccard_sim

@@ -56,5 +56,6 @@ def load_catalog() -> None:
         "multimodal",
         "streaming_queries",
         "document_pipeline",
+        "pipeline_query",
     ):
         importlib.import_module(f"etfconstituentextractor_spark.plans.{mod}")

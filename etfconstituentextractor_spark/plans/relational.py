@@ -138,16 +138,21 @@ def q04_filter_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q06 — scalar string + conditional/null functions, one pass over
-# customer (consolidated from the former q06/q09 pair — round-3
+# q06 — the customer-grain scalar + ranking family, one pass over
+# customer (consolidated from the former q06/q09/q43 trio — round-3
 # registry budget; same table, same grain, so the merge is a wider
-# select, not a union). String leg: reference R5 dash-strip :58, R6
-# concat :58/:141, R14 trim, R21 validation :163. Conditional leg:
-# R15 `is not None` extraction guards :95-127, R16 drop-all-null
-# records :129-130.
+# select + one window shuffle, not a union). String leg: reference R5
+# dash-strip :58, R6 concat :58/:141, R14 trim, R21 validation :163.
+# Conditional leg: R15 `is not None` extraction guards :95-127, R16
+# drop-all-null records :129-130. Ranking leg (was q43):
+# rank/dense_rank over a tie-ful ordering (exact tie semantics),
+# ntile/row_number over a total ordering (deterministic assignment
+# requires one); both windows share the c_nationkey partitioning →
+# ONE Exchange serves all four ranking functions, and the scalar
+# columns ride through it untouched.
 # ---------------------------------------------------------------------------
 @query(
-    "q06_string_conditional",
+    "q06_scalar_ranking_family",
     oracle="""
     SELECT c_custkey,
            replace(c_name, '#', '-')                         AS name_dashed,
@@ -161,14 +166,23 @@ def q04_filter_family(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN c_acctbal < 5000 THEN 'standard'
                 ELSE 'premium' END                           AS bal_band,
            coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
-           CASE WHEN c_acctbal IS NULL THEN 0.0 ELSE c_acctbal END AS bal_filled
+           CASE WHEN c_acctbal IS NULL THEN 0.0 ELSE c_acctbal END AS bal_filled,
+           rank()       OVER wt AS bal_rank,
+           dense_rank() OVER wt AS bal_dense_rank,
+           ntile(4)     OVER wo AS bal_quartile,
+           row_number() OVER wo AS bal_rownum
     FROM customer
     WHERE coalesce(c_name, c_mktsegment) IS NOT NULL
+    WINDOW wt AS (PARTITION BY c_nationkey ORDER BY round(c_acctbal / 1000) DESC),
+           wo AS (PARTITION BY c_nationkey ORDER BY round(c_acctbal / 1000) DESC, c_custkey)
     """,
 )
-def q06_string_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q06_scalar_ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     cik = F.lpad(F.col("c_custkey").cast("string"), 10, "0")
+    coarse = F.round(F.col("c_acctbal") / 1000)
+    wt = W.partitionBy("c_nationkey").orderBy(coarse.desc())
+    wo = W.partitionBy("c_nationkey").orderBy(coarse.desc(), F.col("c_custkey"))
     return c.filter(F.coalesce("c_name", "c_mktsegment").isNotNull()).select(
         "c_custkey",
         F.regexp_replace("c_name", "#", "-").alias("name_dashed"),
@@ -188,6 +202,10 @@ def q06_string_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("c_acctbal").isNull(), F.lit(0.0))
         .otherwise(F.col("c_acctbal"))
         .alias("bal_filled"),
+        F.rank().over(wt).alias("bal_rank"),
+        F.dense_rank().over(wt).alias("bal_dense_rank"),
+        F.ntile(4).over(wo).alias("bal_quartile"),
+        F.row_number().over(wo).alias("bal_rownum"),
     )
 
 

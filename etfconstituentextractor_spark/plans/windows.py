@@ -115,39 +115,6 @@ def q42_window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q43 — ranking family: rank/dense_rank over a tie-ful ordering (exact
-# tie semantics), ntile/row_number over a total ordering (deterministic
-# assignment requires one).
-# ---------------------------------------------------------------------------
-@query(
-    "q43_window_ranking",
-    oracle="""
-    SELECT c_custkey, c_nationkey,
-           rank()       OVER wt AS bal_rank,
-           dense_rank() OVER wt AS bal_dense_rank,
-           ntile(4)     OVER wo AS bal_quartile,
-           row_number() OVER wo AS bal_rownum
-    FROM customer
-    WINDOW wt AS (PARTITION BY c_nationkey ORDER BY round(c_acctbal / 1000) DESC),
-           wo AS (PARTITION BY c_nationkey ORDER BY round(c_acctbal / 1000) DESC, c_custkey)
-    """,
-)
-def q43_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load(spark, sf_dir, "customer")
-    coarse = F.round(F.col("c_acctbal") / 1000)
-    wt = W.partitionBy("c_nationkey").orderBy(coarse.desc())
-    wo = W.partitionBy("c_nationkey").orderBy(coarse.desc(), F.col("c_custkey"))
-    return c.select(
-        "c_custkey",
-        "c_nationkey",
-        F.rank().over(wt).alias("bal_rank"),
-        F.dense_rank().over(wt).alias("bal_dense_rank"),
-        F.ntile(4).over(wo).alias("bal_quartile"),
-        F.row_number().over(wo).alias("bal_rownum"),
-    )
-
-
-# ---------------------------------------------------------------------------
 # q44 — ROWS-frame window family on one frame spec: running sum/count/
 # min plus first_value/last_value (the reference's "first match wins"
 # break at :77, window-formalized as first over the frame), PLUS the
