@@ -34,8 +34,13 @@ load_catalog()
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return QUERIES["q01_pricing_summary"](spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The flagship is the end-to-end corpus-curation pipeline — the
+    engine's `run()` analogue: every stage family (text features,
+    dedup, clustering, sampling) in one audited plan.
+    """
+    return QUERIES["q99_curation_pipeline_e2e"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -325,3 +325,13 @@ def test_quota_sample_prunes_before_shuffle(spark, sf_dir):
     i_exchange = plan.find("Exchange")
     assert i_exchange != -1
     assert plan.rfind("WindowGroupLimit") > i_exchange, plan
+
+
+def test_q99_pipeline_is_python_free(spark, sf_dir):
+    """The whole curation pipeline — all five gates — must plan as
+    built-ins only: no Python evaluation anywhere. (Building this plan
+    triggers the lsh_pairs localCheckpoint, so it also smoke-runs the
+    pair stage.)"""
+    plan = _plan(spark, sf_dir, "q99_curation_pipeline_e2e")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert marker not in plan, marker

@@ -263,3 +263,47 @@ def test_ngram_contamination_vs_python(spark, train, eval_, n):
         i: (len(grams(t)), len(grams(t) & eval_grams)) for i, t in enumerate(train)
     }
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    left=st.lists(st.tuples(_KEY, _TS), max_size=12),
+    right=st.lists(st.tuples(_KEY, _TS), max_size=12, unique=True),
+    tol=st.integers(0, 12),
+)
+def test_asof_join_tolerance_matches_duckdb(spark, left, right, tol):
+    """The tolerance branch (q27's second leg): a backward as-of match
+    older than `tol` seconds must null out, exactly like DuckDB ASOF
+    plus a gap filter — fuzzed over arbitrary layouts including
+    tolerance=0 (only simultaneous rows survive)."""
+    from pyspark.sql import functions as F
+
+    ldf = spark.createDataFrame(left, "k bigint, lts bigint") if left else \
+        spark.createDataFrame([], "k bigint, lts bigint")
+    rrows = [(k, t, k * 1000 + t) for k, t in right]
+    rdf = spark.createDataFrame(rrows, "k bigint, rts bigint, v bigint") if rrows else \
+        spark.createDataFrame([], "k bigint, rts bigint, v bigint")
+
+    got = sorted(
+        (r.k, r.lts, r.v)
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+            right_payload={"rts": "rts", "v": "v"},
+            tolerance=F.expr(f"INTERVAL {tol} SECONDS"),
+        ).collect()
+    )
+
+    con = duckdb.connect()
+    lp = pd.DataFrame(left, columns=["k", "lts"]).astype("int64")
+    rp = pd.DataFrame(rrows, columns=["k", "rts", "v"]).astype("int64")
+    con.register("l", lp)
+    con.register("r", rp)
+    want = sorted(
+        (int(k), int(t), None if pd.isna(v) else int(v))
+        for k, t, v in con.execute(
+            f"SELECT l.k, l.lts, CASE WHEN l.lts - r.rts <= {tol} THEN r.v END "
+            "FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.lts >= r.rts"
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
