@@ -100,3 +100,47 @@ def stratified_quota_sample(
         .withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= k)
     )
+
+
+def hash_oversample(
+    df: DataFrame,
+    rates: Mapping[str, float],
+    *,
+    strat_col: str,
+    key_col: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic WITH-replacement mixture for rates that may
+    exceed 1: a stratum at rate 2.3 emits every row twice, and the
+    deterministic 30% of rows whose bucket < 0.3·BUCKETS a third time
+    (`copy_id` 1..n distinguishes the copies).
+
+    This is how scarce-domain oversampling actually ships in a
+    training mixture — epochs-per-source as a per-row duplication
+    factor, reproducible across runs because the extra-copy draw is
+    the same md5 bucket as the subsampling path. Plan shape: bucket +
+    copy-count are codegen scalars; `explode(sequence(...))` is the
+    only row-expanding op, no shuffle at all.
+    """
+    floor_expr = None
+    frac_expr = None
+    for stratum, rate in sorted(rates.items()):
+        whole, frac = int(rate), int(round((rate - int(rate)) * BUCKETS))
+        cond = F.col(strat_col) == stratum
+        floor_expr = (
+            F.when(cond, whole) if floor_expr is None else floor_expr.when(cond, whole)
+        )
+        frac_expr = (
+            F.when(cond, frac) if frac_expr is None else frac_expr.when(cond, frac)
+        )
+    floor_col = floor_expr.otherwise(F.lit(0)) if floor_expr is not None else F.lit(0)
+    frac_col = frac_expr.otherwise(F.lit(0)) if frac_expr is not None else F.lit(0)
+
+    n_copies = floor_col + (F.col("bucket") < frac_col).cast("int")
+    return (
+        df.withColumn("bucket", hash_bucket(key_col, salt))
+        .withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") >= 1)
+        .withColumn("copy_id", F.explode(F.sequence(F.lit(1), F.col("n_copies"))))
+        .drop("n_copies")
+    )

@@ -112,9 +112,11 @@ def curate(
 
     survivors_in = flagged.filter(eligible & F.col("is_exact_keeper"))
     pairs = lsh_pairs(survivors_in.select("doc_id", "text"))
-    labels = connected_components(pairs, src="doc_a", dst="doc_b").select(
-        F.col("node").alias("doc_id"), "component"
-    )
+    # near-dup pair graphs are tiny relative to the corpus: pin few
+    # shuffle partitions for the propagation loop (components.py)
+    labels = connected_components(
+        pairs, src="doc_a", dst="doc_b", shuffle_partitions=8
+    ).select(F.col("node").alias("doc_id"), "component")
 
     if mix_rates is not None:
         sampled = hash_bucket("doc_id") < rate_threshold(mix_rates, strat_col)

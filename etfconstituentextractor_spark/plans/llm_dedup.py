@@ -286,7 +286,9 @@ def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q65_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lsh_candidate_pairs(spark, sf_dir)
-    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    # near-dup pair graphs are tiny relative to the corpus: pin few
+    # shuffle partitions for the propagation loop (components.py)
+    labels = connected_components(pairs, src="doc_a", dst="doc_b", shuffle_partitions=8)
     w = W.partitionBy("component")
     return labels.select(
         F.col("node").alias("doc_id"),

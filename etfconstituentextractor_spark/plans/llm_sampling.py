@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from etfconstituentextractor_spark.operators.sampling import (
     BUCKETS,
+    hash_oversample,
     hash_rate_sample,
     stratified_quota_sample,
 )
@@ -27,6 +28,11 @@ MIX_RATES = {"en": 0.35, "es": 0.8, "de": 0.6, "fr": 1.0, "zh": 0.15}
 #: exact per-language quota for the fixed-size sample leg
 QUOTA_K = 25
 
+#: epochs-per-language duplication factors for the with-replacement
+#: leg — scarce languages repeat (zh 2-3x, fr 1-2x), the dominant one
+#: subsamples (en 40%) through the SAME bucket mechanism
+OVER_RATES = {"en": 0.4, "es": 1.0, "de": 1.0, "fr": 1.5, "zh": 2.3}
+
 
 def _sql_rate_case() -> str:
     return (
@@ -39,15 +45,35 @@ def _sql_rate_case() -> str:
     )
 
 
+def _sql_copies() -> str:
+    """n_copies = floor(rate) + (bucket < frac(rate)·BUCKETS)."""
+    floor_case = (
+        "CASE lang "
+        + " ".join(f"WHEN '{lg}' THEN {int(r)}" for lg, r in sorted(OVER_RATES.items()))
+        + " ELSE 0 END"
+    )
+    frac_case = (
+        "CASE lang "
+        + " ".join(
+            f"WHEN '{lg}' THEN {int(round((r - int(r)) * BUCKETS))}"
+            for lg, r in sorted(OVER_RATES.items())
+        )
+        + " ELSE 0 END"
+    )
+    return f"{floor_case} + CASE WHEN bucket < {frac_case} THEN 1 ELSE 0 END"
+
+
 # ---------------------------------------------------------------------------
-# q83 — stratified mixture sampling, both shapes in one tagged plan:
+# q83 — stratified mixture sampling, three shapes in one tagged plan:
 # - 'rate' leg: deterministic Bernoulli(rate[lang]) via hash bucket —
 #   a pure codegen filter, zero shuffle: the at-scale path;
 # - 'quota' leg: exactly min(k, |stratum|) rows per language, the k
 #   smallest hash buckets — one shuffle on the (low-cardinality)
-#   stratum key; at extreme scale a hash-threshold pre-filter would
-#   shrink the window's input without changing its output
-#   (operators/sampling.py docstring).
+#   stratum key; Catalyst's WindowGroupLimit pre-prunes map-side
+#   (operators/sampling.py docstring);
+# - 'oversample' leg: WITH-replacement duplication factors (epochs
+#   per language: zh repeats 2-3x, en subsamples to 40%) — codegen
+#   copy count + explode(sequence), zero shuffle; rn carries copy_id.
 # The `bucket` column is part of the contract so the selection is
 # auditable row-by-row; both engines derive it identically
 # (md5 hex prefix → bigint → mod).
@@ -71,6 +97,11 @@ def _sql_rate_case() -> str:
       FROM h
     )
     WHERE rn <= {QUOTA_K}
+    UNION ALL
+    SELECT 'oversample' AS leg, doc_id, lang, source, bucket,
+           CAST(unnest(range(1, n_copies + 1)) AS INTEGER) AS rn
+    FROM (SELECT h.*, {_sql_copies()} AS n_copies FROM h)
+    WHERE n_copies >= 1
     """,
 )
 def q83_sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,4 +117,12 @@ def q83_sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     quota_leg = stratified_quota_sample(
         d, strat_col="lang", key_col="doc_id", k=QUOTA_K
     ).select(F.lit("quota").alias("leg"), "doc_id", "lang", "source", "bucket", "rn")
-    return rate_leg.unionByName(quota_leg)
+    over_leg = hash_oversample(d, OVER_RATES, strat_col="lang", key_col="doc_id").select(
+        F.lit("oversample").alias("leg"),
+        "doc_id",
+        "lang",
+        "source",
+        "bucket",
+        F.col("copy_id").cast("int").alias("rn"),
+    )
+    return rate_leg.unionByName(quota_leg).unionByName(over_leg)

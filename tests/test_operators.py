@@ -415,3 +415,32 @@ def test_hash_sampling_deterministic_and_exact(spark, sf_dir):
     assert all(0 <= r.bucket < 10_000 for r in hi.collect())
     n = d.count()
     assert 0.4 * n < len(hi_ids) < 0.8 * n
+
+
+def test_hash_oversample_exact_copies(spark, sf_dir):
+    """With-replacement mixture: every row appears exactly
+    floor(rate) + (bucket < frac·10000) times, with copy_id 1..n —
+    checked against an independent hashlib bucket computation."""
+    import hashlib
+
+    from etfconstituentextractor_spark.operators.sampling import hash_oversample
+    from etfconstituentextractor_spark.sources.tables import load
+
+    rates = {"en": 0.4, "zh": 2.3}
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang").filter(
+        F.col("lang").isin(*rates)
+    )
+
+    def bucket(k):
+        return int(hashlib.md5(f"{k}:mix".encode()).hexdigest()[:8], 16) % 10_000
+
+    got = {}
+    for r in hash_oversample(d, rates, strat_col="lang", key_col="doc_id").collect():
+        got.setdefault(r.doc_id, []).append(r.copy_id)
+    want = {}
+    for row in d.collect():
+        rate = rates[row.lang]
+        n = int(rate) + (1 if bucket(row.doc_id) < round((rate - int(rate)) * 10_000) else 0)
+        if n >= 1:
+            want[row.doc_id] = list(range(1, n + 1))
+    assert {k: sorted(v) for k, v in got.items()} == want
