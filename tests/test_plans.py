@@ -335,3 +335,42 @@ def test_q99_pipeline_is_python_free(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q99_curation_pipeline_e2e")
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
         assert marker not in plan, marker
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The session's AQE-skew claim (session.py: skewJoin.enabled),
+    proven live: a join where one key holds 75% of the rows must
+    re-plan at runtime with the hot partition SPLIT —
+    SortMergeJoin(skew=true) over an 'AQEShuffleRead ... skewed' —
+    instead of one straggler task. This is the no-code-change
+    alternative to operators/skew.py's explicit salting; thresholds
+    are lowered only to make test-sized data cross the skew bar."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(200_000).select(
+            F.when(F.col("id") < 150_000, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(1_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").select(F.sum("v").alias("s"))
+        assert j.collect()[0].s == 11_249_925_000  # exact: sum over matched keys
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:1200]
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
