@@ -115,3 +115,32 @@ def test_curate_contamination_and_mixture_gates(spark):
         7: "downsampled",
         8: "contaminated",
     }
+
+
+def test_write_survivors_partitioned_layout(spark, sf_dir, tmp_path):
+    """The save stage writes one directory per stratum containing
+    exactly the kept documents, readable back with partition pruning
+    (the R22 one-file-per-date semantic, distributed)."""
+    import os
+
+    from etfconstituentextractor_spark.pipeline.curation import write_survivors
+    from etfconstituentextractor_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    audited = curate(docs)
+    out = str(tmp_path / "survivors")
+    write_survivors(audited, docs, out, partition_by="lang")
+
+    dirs = {d for d in os.listdir(out) if d.startswith("lang=")}
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    assert dirs == {f"lang={lg}" for lg in langs}
+
+    back = spark.read.parquet(out)
+    kept_ids = {
+        r.doc_id for r in audited.filter(F.col("verdict") == "kept").collect()
+    }
+    assert {r.doc_id for r in back.collect()} == kept_ids
+    # partition pruning: a one-language read must scan one directory
+    one = back.filter(F.col("lang") == sorted(langs)[0])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan
