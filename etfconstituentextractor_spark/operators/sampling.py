@@ -44,6 +44,14 @@ def hash_bucket(key_col: str, salt: str = "mix") -> Column:
     First 8 hex chars → bigint → mod: portable (the DuckDB twin is
     ``('0x' || substr(md5(...), 1, 8))::BIGINT % 10000``) and uniform
     enough for sampling (md5 avalanche).
+
+    A NULL key yields a NULL bucket, and every consumer here treats
+    that as "never selected": the rate/oversample filters are
+    null-rejecting comparisons, and the quota ordering is
+    nulls-LAST (Spark's asc default is nulls-first, which would
+    silently hand null-keyed rows rank 1). A keyless row has no
+    deterministic draw, so excluding it is the only defensible
+    semantic; key-grain dedup/validation belongs upstream.
     """
     h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt)))
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % BUCKETS
@@ -94,7 +102,9 @@ def stratified_quota_sample(
     uniform without-replacement sample. Appends ``bucket`` and the
     1-based ``rn`` rank within the stratum.
     """
-    w = W.partitionBy(strat_col).orderBy(F.col("bucket").asc(), F.col(key_col).asc())
+    w = W.partitionBy(strat_col).orderBy(
+        F.col("bucket").asc_nulls_last(), F.col(key_col).asc_nulls_last()
+    )
     return (
         df.withColumn("bucket", hash_bucket(key_col, salt))
         .withColumn("rn", F.row_number().over(w).cast("int"))

@@ -444,3 +444,29 @@ def test_hash_oversample_exact_copies(spark, sf_dir):
         if n >= 1:
             want[row.doc_id] = list(range(1, n + 1))
     assert {k: sorted(v) for k, v in got.items()} == want
+
+
+def test_sampling_null_keys_never_selected(spark):
+    """Null sample keys have no deterministic draw: the rate and
+    oversample legs must drop them (null-rejecting comparisons) and
+    the quota leg must rank them LAST, never letting a null-keyed row
+    shadow a real one at rank 1."""
+    from etfconstituentextractor_spark.operators.sampling import (
+        hash_oversample,
+        hash_rate_sample,
+        stratified_quota_sample,
+    )
+
+    rows = [(None, "x"), (1, "x"), (2, "x"), (None, "x")]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+
+    assert (
+        hash_rate_sample(df, {"x": 1.0}, strat_col="lang", key_col="doc_id").count()
+        == 2
+    )
+    assert (
+        hash_oversample(df, {"x": 2.0}, strat_col="lang", key_col="doc_id").count()
+        == 4
+    )
+    q = stratified_quota_sample(df, strat_col="lang", key_col="doc_id", k=2)
+    assert sorted(r.doc_id for r in q.collect()) == [1, 2]
