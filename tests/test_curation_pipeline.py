@@ -144,3 +144,166 @@ def test_write_survivors_partitioned_layout(spark, sf_dir, tmp_path):
     one = back.filter(F.col("lang") == sorted(langs)[0])
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(lang" in plan
+
+
+# ---------------------------------------------------------------------------
+# Full-pipeline fuzz: curate() vs a pure-Python reimplementation of
+# every stage (hashlib md5 end to end — banded LSH included), a second
+# oracle fully independent of both Spark and DuckDB.
+# ---------------------------------------------------------------------------
+def _py_curate(train, eval_texts, min_tokens, min_stop_ratio, cont_at, rate):
+    import hashlib
+
+    from etfconstituentextractor_spark.operators.text import STOPWORDS
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+
+    def toks(t):
+        return t.split(" ")
+
+    def grams(t, n):
+        tk = toks(t)
+        return {" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)}
+
+    feats = {}
+    for doc_id, text in train:
+        tk = toks(text)
+        stop_hits = sum(1 for w in tk if w in STOPWORDS)
+        quality = len(tk) >= min_tokens and stop_hits / len(tk) >= min_stop_ratio
+        feats[doc_id] = dict(text=text, quality=quality, chash=md5(text))
+
+    ev_grams = set().union(*(grams(t, 4) for t in eval_texts)) if eval_texts else set()
+    for doc_id, f in feats.items():
+        f["contaminated"] = (
+            f["quality"] and len(grams(f["text"], 4) & ev_grams) >= cont_at
+        )
+        f["eligible"] = f["quality"] and not f["contaminated"]
+
+    by_hash = {}
+    for doc_id, f in feats.items():
+        if f["eligible"]:
+            by_hash.setdefault(f["chash"], []).append(doc_id)
+    for doc_id, f in feats.items():
+        f["keeper"] = (not f["eligible"]) or doc_id == min(by_hash[f["chash"]])
+
+    # banded LSH on survivors, mirroring lsh_pairs exactly
+    surv = {i: f["text"] for i, f in feats.items() if f["eligible"] and f["keeper"]}
+    sigs = {}
+    for doc_id, text in surv.items():
+        tk = toks(text)
+        if len(tk) < 3:
+            continue
+        sh = [" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)]
+        mins = []
+        for k in range(12):
+            hs = [md5(f"{k // 4}|{s}") for s in sh]
+            mins.append(min(h[8 * (k % 4) : 8 * (k % 4) + 8] for h in hs))
+        sigs[doc_id] = [f"{b}|{mins[2 * b]}#{mins[2 * b + 1]}" for b in range(6)]
+    pairs = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if set(sigs[a]) & set(sigs[b]):
+                ga = {" ".join(toks(surv[a])[i : i + 3]) for i in range(len(toks(surv[a])) - 2)}
+                gb = {" ".join(toks(surv[b])[i : i + 3]) for i in range(len(toks(surv[b])) - 2)}
+                if ga and gb and len(ga & gb) / len(ga | gb) >= 0.5:
+                    pairs.add((a, b))
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {n: find(n) for n in parent}
+
+    out = {}
+    for doc_id, f in feats.items():
+        bucket = int(hashlib.md5(f"{doc_id}:mix".encode()).hexdigest()[:8], 16) % 10_000
+        sampled = bucket < int(round(rate * 10_000))
+        c = comp.get(doc_id)
+        if not f["quality"]:
+            v = "quality"
+        elif f["contaminated"]:
+            v = "contaminated"
+        elif not f["keeper"]:
+            v = "exact_dup"
+        elif c is not None and c != doc_id:
+            v = "near_dup"
+        elif not sampled:
+            v = "downsampled"
+        else:
+            v = "kept"
+        out[doc_id] = v
+    return out
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_WORDS = ["the", "and", "fox", "dog", "run", "big"]
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.data(),
+    n_docs=st.integers(2, 7),
+    rate=st.sampled_from([0.0, 0.35, 1.0]),
+)
+def test_curate_matches_python_reference(spark, data, n_docs, rate):
+    """Every gate of curate() — quality, contamination, exact dedup,
+    banded-LSH near-dup grouping, mixture sampling — must agree with a
+    from-scratch Python implementation (hashlib md5 throughout) on
+    random corpora with planted copies and near-copies."""
+    docs = []
+    for i in range(n_docs):
+        words = data.draw(
+            st.lists(st.sampled_from(_WORDS), min_size=0, max_size=22), label=f"doc{i}"
+        )
+        docs.append((i, " ".join(words)))
+    # planted copies / one-token mutations of earlier docs
+    n_copies = data.draw(st.integers(0, 3), label="n_copies")
+    for j in range(n_copies):
+        src = data.draw(st.integers(0, n_docs - 1), label=f"src{j}")
+        text = docs[src][1]
+        if data.draw(st.booleans(), label=f"mutate{j}") and text:
+            words = text.split(" ")
+            pos = data.draw(st.integers(0, len(words) - 1), label=f"pos{j}")
+            words[pos] = data.draw(st.sampled_from(_WORDS), label=f"w{j}")
+            text = " ".join(words)
+        docs.append((100 + j, text))
+    eval_texts = [t for i, t in docs if i % 3 == 0 and t]
+
+    sdf = spark.createDataFrame(docs, "doc_id bigint, text string")
+    edf = (
+        spark.createDataFrame(
+            [(1000 + i, t) for i, t in enumerate(eval_texts)], "doc_id bigint, text string"
+        )
+        if eval_texts
+        else spark.createDataFrame([], "doc_id bigint, text string")
+    )
+    got = {
+        r.doc_id: r.verdict
+        for r in curate(
+            sdf.withColumn("lang", F.lit("x")),
+            min_tokens=5,
+            min_stop_ratio=0.02,
+            eval_docs=edf,
+            contaminated_at=3,
+            mix_rates={"x": rate},
+            strat_col="lang",
+        ).collect()
+    }
+    want = _py_curate(docs, eval_texts, 5, 0.02, 3, rate)
+    assert got == want
