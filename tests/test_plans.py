@@ -374,3 +374,47 @@ def test_aqe_splits_skewed_join(spark):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_sorted_layout_enables_rowgroup_skipping(spark, sf_dir, tmp_path):
+    """The layout lever at 100 TB: clustering a table on its hot
+    filter key lets parquet row-group min/max stats prune the scan.
+    Same filter, same matches — the sorted copy's scan must OUTPUT a
+    small fraction of the file while the unsorted copy reads it all
+    (executed-plan scan metrics, not just the PushedFilters line).
+
+    Caveat pinned while building this: Spark does NOT push
+    TIMESTAMP_NTZ comparisons to parquet (a bigint/date/timestamp
+    cluster key skips; an ntz one silently scans everything), so
+    choose skippable types for cluster keys.
+    """
+    from pyspark.sql import functions as F
+
+    from etfconstituentextractor_spark.sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem")
+    sorted_p = str(tmp_path / "sorted")
+    unsorted_p = str(tmp_path / "unsorted")
+    # tiny row groups so even test-SF files hold many skippable groups
+    (li.repartition(1).sortWithinPartitions("l_partkey")
+       .write.option("parquet.block.size", 16 * 1024).parquet(sorted_p))
+    (li.repartition(1)
+       .write.option("parquet.block.size", 16 * 1024).parquet(unsorted_p))
+
+    # a narrow in-range band: 25th-30th percentile of the key, so the
+    # test holds at any SF (a fixed range fell outside sf0.001's keys)
+    lo, hi = (int(x) for x in li.approxQuantile("l_partkey", [0.25, 0.30], 0.001))
+
+    def scan_output(path):
+        df = spark.read.parquet(path).filter(F.col("l_partkey").between(lo, hi))
+        matches = df.count()
+        df.collect()
+        leaf = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+        return leaf.metrics().apply("numOutputRows").value(), matches
+
+    total = li.count()
+    s_out, s_match = scan_output(sorted_p)
+    u_out, u_match = scan_output(unsorted_p)
+    assert s_match == u_match  # identical results either way
+    assert u_out == total  # unsorted: stats are useless, full read
+    assert s_out < total / 2, (s_out, total)  # sorted: most groups skipped
