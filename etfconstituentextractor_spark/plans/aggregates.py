@@ -197,9 +197,13 @@ def q35_agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q36 — approximate count distinct (HyperLogLog++). No SQL oracle:
-# the sketch estimate is engine-specific → rows-only check, plus the
-# pytest unit test asserts the estimate is within rsd of exact.
+# q36 — the approximate-sketch family: HyperLogLog++ count-distinct
+# and quantile-sketch percentiles, each next to its exact twin. No SQL
+# oracle: sketch estimates are engine-specific → rows-only check, plus
+# pytest unit tests assert each estimate is within its documented
+# error bound of the exact value. At 100 TB these are the one-pass
+# mergeable-sketch alternatives to the exact (sort/Expand-based)
+# aggregates: fixed memory per group, partial-merge friendly.
 # ---------------------------------------------------------------------------
 @query("q36_agg_approx_count_distinct")
 def q36_agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,6 +211,12 @@ def q36_agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10_000)).alias(
+            "approx_median_price"
+        ),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias(
+            "exact_median_price"
+        ),
     )
 
 

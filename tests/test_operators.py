@@ -56,6 +56,12 @@ def test_approx_count_distinct_bound(spark, sf_dir):
     rows = QUERIES["q36_agg_approx_count_distinct"](spark, sf_dir).collect()
     for r in rows:
         assert abs(r.approx_parts - r.exact_parts) <= max(3.0, 0.1 * r.exact_parts), r
+        # quantile sketch at accuracy 10000: rank error <= 1/10000, so
+        # the estimate must land within a loose relative band of exact
+        assert (
+            abs(r.approx_median_price - r.exact_median_price)
+            <= 0.02 * r.exact_median_price
+        ), r
 
 
 def test_parse_filing_document_paths():

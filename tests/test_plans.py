@@ -418,3 +418,48 @@ def test_sorted_layout_enables_rowgroup_skipping(spark, sf_dir, tmp_path):
     assert s_match == u_match  # identical results either way
     assert u_out == total  # unsorted: stats are useless, full read
     assert s_out < total / 2, (s_out, total)  # sorted: most groups skipped
+
+
+def test_runtime_bloom_filter_reduces_probe_side(spark, sf_dir):
+    """Runtime row-level bloom filtering — the shuffle-reduction lever
+    when the dimension is too big (or disabled) to broadcast: a
+    selective filter on the build side must inject a
+    bloom_filter_might_contain predicate onto the fact side's scan, so
+    non-matching fact rows drop BEFORE the join shuffle. Thresholds
+    lowered only so test-sized tables qualify; result equality against
+    the bloom-disabled plan is asserted too (a bloom false-positive
+    only wastes work, never changes rows)."""
+    from pyspark.sql import functions as F
+
+    from etfconstituentextractor_spark.sources.tables import load
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+
+    def run():
+        li = load(spark, sf_dir, "lineitem")
+        o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            F.round(F.sum("l_quantity"), 2).alias("s")
+        )
+        return j
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = run()
+        with_bloom = j.collect()[0].s
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower(), plan[:1500]
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        without = run().collect()[0].s
+        assert with_bloom == without
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
