@@ -104,3 +104,71 @@ def test_custom_sessionize_matches_batch(spark, sf_dir):
     assert not missing, f"data-closed sessions not emitted: {missing[:5]}"
     # sanity: the operator emitted a meaningful share of all sessions
     assert len(got_k) >= 0.5 * len(want_k), (len(got_k), len(want_k))
+
+
+def test_foreach_batch_upsert_sink(spark, sf_dir, tmp_path):
+    """The foreachBatch escape hatch — the sink pattern for targets
+    with no native streaming writer (JDBC, key-value stores, MERGE
+    INTO tables): each micro-batch upserts 'latest event per user'
+    into a keyed parquet table. After AvailableNow replay the table
+    must equal the batch keep-last query — proving per-batch upserts
+    compose to the right final state across batch boundaries."""
+    import os
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from etfconstituentextractor_spark.sources.tables import load
+    from etfconstituentextractor_spark.streaming.replay import (
+        read_stream,
+        stage_chunks,
+        work_dir,
+    )
+
+    target = str(tmp_path / "latest_per_user")
+
+    def upsert(batch_df, batch_id):
+        w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        incoming = (
+            batch_df.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+        )
+        if os.path.exists(target):
+            current = batch_df.sparkSession.read.parquet(target)
+            merged = (
+                current.unionByName(incoming)
+                .withColumn("rn", F.row_number().over(w))
+                .filter("rn = 1")
+                .drop("rn")
+            )
+        else:
+            merged = incoming
+        # rewrite-the-table upsert: fine for a keyed summary table;
+        # localCheckpoint first because the plan reads the same path
+        # it overwrites
+        merged.localCheckpoint().write.mode("overwrite").parquet(target)
+
+    chunks = stage_chunks(spark, sf_dir, tag="plain4", n_chunks=4, reuse=True)
+    ckpt = work_dir(sf_dir, "ckpt_upsert_test")
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        read_stream(spark, chunks)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        r.user_id: (r.event_id, r.event_type)
+        for r in spark.read.parquet(target).collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    want = {
+        r.user_id: (r.event_id, r.event_type)
+        for r in ev.withColumn("rn", F.row_number().over(w)).filter("rn = 1").collect()
+    }
+    assert got == want
