@@ -476,3 +476,51 @@ def test_sampling_null_keys_never_selected(spark):
     )
     q = stratified_quota_sample(df, strat_col="lang", key_col="doc_id", k=2)
     assert sorted(r.doc_id for r in q.collect()) == [1, 2]
+
+
+def test_unpivot_roundtrips_pivot(spark, sf_dir):
+    """melt/unpivot (the reshape inverse of q37's pivot): unpivoting
+    the pivoted frame must reproduce the plain long-form aggregate
+    exactly — wide<->long is lossless for a complete value list."""
+    from etfconstituentextractor_spark.sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    long_again = wide.unpivot(
+        ids=["l_returnflag"],
+        values=["O", "F"],
+        variableColumnName="l_linestatus",
+        valueColumnName="qty",
+    ).filter(F.col("qty").isNotNull())
+    got = {(r.l_returnflag, r.l_linestatus): r.qty for r in long_again.collect()}
+    want = {
+        (r.l_returnflag, r.l_linestatus): r.qty
+        for r in li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution on a growing dataset directory: old files lack
+    a column newer files carry. mergeSchema=true must union the
+    schemas (nulls for the old files); the default read keeps working
+    on whichever footer it samples."""
+    old = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, name string")
+    new = spark.createDataFrame(
+        [(3, "c", 1.5), (4, "d", 2.5)], "id bigint, name string, score double"
+    )
+    path = str(tmp_path / "evolving")
+    old.write.parquet(path + "/batch=0")
+    new.write.parquet(path + "/batch=1")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "name", "score", "batch"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[3].score == 1.5
+    assert merged.count() == 4
