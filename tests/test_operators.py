@@ -524,3 +524,116 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     rows = {r.id: r for r in merged.collect()}
     assert rows[1].score is None and rows[3].score == 1.5
     assert merged.count() == 4
+
+
+def test_pack_sequences_matches_python(spark, sf_dir):
+    """Sequence packing must equal a sequential Python fill in the
+    same deterministic (md5 bucket, key) order: bin = floor(start
+    offset / budget), oversized docs own their bins, totals preserved."""
+    import hashlib
+
+    from etfconstituentextractor_spark.operators.packing import (
+        bin_summary,
+        pack_sequences,
+    )
+    from etfconstituentextractor_spark.sources.tables import load
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.expr("size(split(text, ' '))").alias("n_tokens")
+    )
+    budget = 256
+    packed = pack_sequences(d, budget, strat_col="lang")
+    got = {r.doc_id: (r.pack_order, r.start_offset, r.bin_id) for r in packed.collect()}
+
+    def bucket(k):
+        return int(hashlib.md5(f"{k}:pack".encode()).hexdigest()[:8], 16) % 10_000
+
+    rows = d.collect()
+    want = {}
+    for lang in {r.lang for r in rows}:
+        members = sorted(
+            (r for r in rows if r.lang == lang), key=lambda r: (bucket(r.doc_id), r.doc_id)
+        )
+        off = 0
+        for i, r in enumerate(members):
+            want[r.doc_id] = (i + 1, off, off // budget)
+            off += r.n_tokens
+    assert got == want
+
+    # summary: token totals preserved; interior bins start on budget
+    # multiples is NOT required (bins cut by document boundaries), but
+    # every bin's start_offset must be inside [bin_id*budget, +budget)
+    for r in bin_summary(packed, strat_col="lang").collect():
+        assert r.bin_id * budget <= r.bin_start < (r.bin_id + 1) * budget
+    assert packed.agg(F.sum("n_tokens")).first()[0] == d.agg(F.sum("n_tokens")).first()[0]
+
+
+def test_pack_sequences_oversized_doc_owns_bins(spark):
+    from etfconstituentextractor_spark.operators.packing import pack_sequences
+
+    d = spark.createDataFrame(
+        [(1, 10), (2, 500), (3, 10), (4, 10)], "doc_id bigint, n_tokens bigint"
+    )
+    packed = {r.doc_id: r for r in pack_sequences(d, 100).collect()}
+    # the 500-token doc spans 5 budgets; whoever starts after it must
+    # land in a strictly later bin
+    big = packed[2]
+    after = [r for r in packed.values() if r.start_offset > big.start_offset]
+    for r in after:
+        assert r.bin_id > big.bin_id
+
+
+def test_snapshot_diff_micro(spark):
+    """CDC diff: inserted/deleted/updated classified per key, unchanged
+    rows omitted, null payloads distinguished from sentinel lookalikes."""
+    from etfconstituentextractor_spark.operators.snapshot_diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, None, 4.0)],
+        "id bigint, name string, score double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 2.0), (3, "CHANGED", 3.0), (4, None, 4.0), (5, "e", 5.0)],
+        "id bigint, name string, score double",
+    )
+    got = {r.id: r.change for r in snapshot_diff(old, new, keys=["id"]).collect()}
+    assert got == {1: "deleted", 3: "updated", 5: "inserted"}
+
+    # restricting compare_cols hides changes outside them
+    got2 = {
+        r.id: r.change
+        for r in snapshot_diff(old, new, keys=["id"], compare_cols=["score"]).collect()
+    }
+    assert got2 == {1: "deleted", 5: "inserted"}
+
+
+def test_snapshot_diff_on_corpus_refresh(spark, sf_dir):
+    """A simulated corpus refresh over documents: drop some ids, edit
+    some texts, add new ids — the diff must be exactly the planted
+    delta and nothing else (unchanged majority omitted)."""
+    from pyspark.sql import Row
+
+    from etfconstituentextractor_spark.operators.snapshot_diff import snapshot_diff
+    from etfconstituentextractor_spark.sources.tables import load
+
+    old = load(spark, sf_dir, "documents").select("doc_id", "text")
+    edited = old.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 97 == 0, F.concat(F.col("text"), F.lit(" edited"))).otherwise(
+            F.col("text")
+        ),
+    ).filter(F.col("doc_id") % 89 != 0)
+    added = spark.createDataFrame([Row(doc_id=10**9, text="brand new doc")])
+    new = edited.unionByName(added)
+
+    diff = snapshot_diff(old, new, keys=["doc_id"]).collect()
+    by_change = {}
+    for r in diff:
+        by_change.setdefault(r.change, set()).add(r.doc_id)
+
+    ids = {r.doc_id for r in old.collect()}
+    assert by_change.get("deleted", set()) == {i for i in ids if i % 89 == 0}
+    assert by_change.get("updated", set()) == {
+        i for i in ids if i % 97 == 0 and i % 89 != 0
+    }
+    assert by_change.get("inserted", set()) == {10**9}
