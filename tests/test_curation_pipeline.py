@@ -307,3 +307,34 @@ def test_curate_matches_python_reference(spark, data, n_docs, rate):
     }
     want = _py_curate(docs, eval_texts, 5, 0.02, 3, rate)
     assert got == want
+
+
+def test_corpus_to_training_shards_chain(spark, sf_dir, tmp_path):
+    """The full corpus-to-training-data story in one chain: curate ->
+    write_survivors (partitioned parquet) -> pack_sequences over the
+    saved survivors. Every kept document lands in exactly one bin of
+    its language shard; bins respect the token budget up to one
+    boundary document; nothing dropped or duplicated."""
+    from etfconstituentextractor_spark.operators.packing import bin_summary, pack_sequences
+    from etfconstituentextractor_spark.pipeline.curation import write_survivors
+    from etfconstituentextractor_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    audited = curate(docs)
+    out = str(tmp_path / "survivors")
+    write_survivors(audited, docs, out, partition_by="lang")
+
+    surv = spark.read.parquet(out).select(
+        "doc_id", "lang", F.expr("size(split(text, ' '))").alias("n_tokens")
+    )
+    budget = 512
+    packed = pack_sequences(surv, budget, strat_col="lang")
+
+    assert packed.count() == surv.count()  # every survivor packed once
+    assert packed.select("doc_id").distinct().count() == surv.count()
+
+    max_doc = surv.agg(F.max("n_tokens")).first()[0]
+    for r in bin_summary(packed, strat_col="lang").collect():
+        # a bin holds at most budget + one boundary document's tokens
+        assert r.n_tokens <= budget + max_doc
+        assert r.bin_id >= 0
