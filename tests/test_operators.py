@@ -637,3 +637,31 @@ def test_snapshot_diff_on_corpus_refresh(spark, sf_dir):
         i for i in ids if i % 97 == 0 and i % 89 != 0
     }
     assert by_change.get("inserted", set()) == {10**9}
+
+
+def test_parse_filing_document_never_raises_on_garbage():
+    """Robustness fuzz for the document parser (the engine's R15
+    error-column contract): arbitrary tag soup must come back as a
+    (date, rows, err) triple, never an exception."""
+    import random
+    import string
+
+    from etfconstituentextractor_spark.operators.documents import parse_filing_document
+
+    rng = random.Random(42)
+    frags = [
+        "<table>", "</table>", "<tr>", "</tr>", "<td>", "</td>", "<h1>", "</h1>",
+        "<h4>FORM NPORT-P</h4>", "Portfolio investment", "Reporting date",
+        "Name of Issuer", "<", ">", "&amp;", "<!--", "--!>", "<x y=",
+    ]
+    for _ in range(200):
+        n = rng.randint(0, 12)
+        doc = "".join(
+            rng.choice(frags)
+            if rng.random() < 0.7
+            else "".join(rng.choices(string.printable, k=rng.randint(0, 8)))
+            for _ in range(n)
+        )
+        date, rows, err = parse_filing_document(doc)
+        assert isinstance(rows, list)
+        assert err is None or isinstance(err, str)
