@@ -31,7 +31,9 @@ def snapshot_diff(
     """Rows that changed between ``old`` and ``new``: one row per key
     with ``change`` in {'inserted', 'deleted', 'updated'}; unchanged
     keys are omitted. ``compare_cols`` defaults to every shared
-    non-key column.
+    non-key column. ``keys`` must identify rows uniquely on each side
+    (the usual keyed-dataset contract) — duplicate keys would fan out
+    through the full-outer join like any SQL join would.
 
     The content hash md5-concats the compared columns with null
     sentinels and a field separator, so (``'a'``, null) never
