@@ -142,8 +142,14 @@ def stage_chunks(
         _write_chunk(extra_last_chunk, base, n_chunks, time.time())
         return base
 
-    _clean(base)
-    os.makedirs(base, exist_ok=True)
+    # Reusable layouts are built in a scratch dir and atomically
+    # renamed into place: a killed run leaves only scratch (no marker,
+    # never half-read), and if a concurrent process won the rename we
+    # adopt its directory — marker-valid layouts are bit-identical by
+    # construction.
+    build = f"{base}.build-{os.getpid()}" if reuse else base
+    _clean(build)
+    os.makedirs(build, exist_ok=True)
     ev = source if source is not None else load(spark, sf_dir, "events")
     ev = ev.select(*[f.split(" ")[0] for f in EVENTS_DDL.split(", ")])
     lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
@@ -153,10 +159,21 @@ def stage_chunks(
         cond = F.col("event_id") >= int(lo) + i * width
         if i < n_chunks - 1:
             cond = cond & (F.col("event_id") < int(lo) + (i + 1) * width)
-        _write_chunk(ev.filter(cond), base, i, t0 + i * 10)
-    if reuse:
-        with open(marker, "w") as fh:
-            fh.write(sig)
+        _write_chunk(ev.filter(cond), build, i, t0 + i * 10)
+    if not reuse:
+        return base
+    with open(os.path.join(build, "_STAGED_OK"), "w") as fh:
+        fh.write(sig)
+    try:
+        _clean(base)
+        os.rename(build, base)
+    except OSError:
+        # lost the race: keep the winner's layout if its marker is
+        # valid, else fall back to our scratch build
+        if os.path.isfile(marker) and open(marker).read() == sig:
+            _clean(build)
+        else:
+            return build
     return base
 
 
