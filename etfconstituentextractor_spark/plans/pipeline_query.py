@@ -18,7 +18,12 @@ handoffs between stages), which no single-stage query checks.
 Scale posture is inherited from the composed operators: every shuffle
 carries hashes/keys/band signatures, the benchmark n-grams broadcast,
 clustering iterates on the (tiny) pair set with lineage truncation,
-and the mixture gate is a pure codegen filter.
+and the mixture gate is a pure codegen filter. The plan scans the
+documents table three times (feature pass, contamination train side,
+eval side) — deliberate: parquet scans are linear, column-pruned and
+embarrassingly parallel, while the alternative (materializing the
+corpus between stages) pins 100 TB of text to disk/memory; re-scan
+beats checkpoint for wide-text tables.
 """
 
 from __future__ import annotations

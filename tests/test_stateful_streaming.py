@@ -172,3 +172,69 @@ def test_foreach_batch_upsert_sink(spark, sf_dir, tmp_path):
         for r in ev.withColumn("rn", F.row_number().over(w)).filter("rn = 1").collect()
     }
     assert got == want
+
+
+def test_stream_stream_interval_join_batch_equivalent(spark, sf_dir):
+    """Stream-stream inner join with watermarks — the last streaming
+    operator family not exercised by q55-q59: clicks join purchases by
+    the same user within [click_ts, click_ts + 6h]. Both sides carry
+    watermarks (required: they bound the join state Spark must hold),
+    and under AvailableNow replay of a bounded input the INNER join is
+    complete, so the batch join with the same predicate is an exact
+    oracle."""
+    from pyspark.sql import functions as F
+
+    from etfconstituentextractor_spark.sources.tables import load
+    from etfconstituentextractor_spark.streaming.replay import (
+        read_stream,
+        run_to_parquet,
+        stage_chunks,
+    )
+
+    chunks = stage_chunks(spark, sf_dir, tag="plain4", n_chunks=4, reuse=True)
+
+    def side(kind, alias_ts, alias_uid, alias_id):
+        return (
+            read_stream(spark, chunks)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .filter(F.col("event_type") == kind)
+            .withWatermark("ts", "1 hour")
+            .select(
+                F.col("user_id").alias(alias_uid),
+                F.col("ts").alias(alias_ts),
+                F.col("event_id").alias(alias_id),
+            )
+        )
+
+    clicks = side("click", "c_ts", "c_uid", "c_id")
+    purchases = side("purchase", "p_ts", "p_uid", "p_id")
+    joined = clicks.join(
+        purchases,
+        (F.col("c_uid") == F.col("p_uid"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 6 HOURS")),
+        "inner",
+    ).select("c_uid", "c_id", "p_id")
+    got = {
+        (r.c_uid, r.c_id, r.p_id)
+        for r in run_to_parquet(joined, "ss_join_test", sf_dir).collect()
+    }
+
+    ev = load(spark, sf_dir, "events")
+    c = ev.filter("event_type = 'click'").select(
+        F.col("user_id").alias("c_uid"), F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+    )
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    want = {
+        (r.c_uid, r.c_id, r.p_id)
+        for r in c.join(
+            p,
+            (F.col("c_uid") == F.col("p_uid"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 6 HOURS")),
+            "inner",
+        ).collect()
+    }
+    assert got == want and len(got) > 0
