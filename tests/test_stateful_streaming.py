@@ -238,3 +238,42 @@ def test_stream_stream_interval_join_batch_equivalent(spark, sf_dir):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_static_dimension_join(spark, sf_dir):
+    """Stream-static enrichment: the events stream joins a static
+    dimension (per-user tier derived from user_id) without any
+    watermark requirement — the static side broadcasts into every
+    micro-batch. Aggregated result must equal the batch equivalent."""
+    from pyspark.sql import functions as F
+
+    from etfconstituentextractor_spark.sources.tables import load
+    from etfconstituentextractor_spark.streaming.replay import (
+        read_stream,
+        run_to_memory,
+        stage_chunks,
+    )
+
+    chunks = stage_chunks(spark, sf_dir, tag="plain2", n_chunks=2, reuse=True)
+    ev = load(spark, sf_dir, "events")
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("tier", F.when(F.col("user_id") % 3 == 0, "gold").otherwise("std"))
+    )
+
+    enriched = (
+        read_stream(spark, chunks)
+        .join(F.broadcast(dim), "user_id")
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {
+        r.tier: r.n
+        for r in run_to_memory(enriched, "etfce_ss_dim_test", "complete", sf_dir).collect()
+    }
+    want = {
+        r.tier: r.n
+        for r in ev.join(dim, "user_id").groupBy("tier").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want and set(got) == {"gold", "std"}
