@@ -50,6 +50,13 @@ def pack_sequences(
     Deterministic: the layout orders by (md5 bucket, key), so the
     same corpus always packs into the same bins regardless of
     partitioning or cluster size.
+
+    ``strat_col=None`` means ONE global layout — an unpartitioned
+    window that drags everything through a single partition. That is
+    fine for a test fixture or one training shard; at corpus scale
+    always pass the shard/stratum column (each shard packs
+    independently and in parallel, and training shards are
+    independent files anyway).
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
