@@ -28,12 +28,12 @@ from etfconstituentextractor_spark.sources.tables import load
 #: Headline set: one per operator family; extended as phases land.
 HEADLINE = [
     "q01_pricing_summary",
-    "q08_math_funcs",
-    "q10_json_funcs",
+    "q08_math_date_funcs",
+    "q17_json_map_funcs",
     "q16_keeplast_dedup",
     "q20_join_star_revenue",
     "q22_join_shuffle_factfact",
-    "q24_join_semi_anti",
+    "q23_join_outer_semi_anti",
     "q27_join_asof",
     "q30_agg_rollup_cube_gsets",
     "q40_topk_family",

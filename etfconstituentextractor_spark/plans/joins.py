@@ -103,7 +103,7 @@ def q22_join_shuffle_factfact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # null-extension semantics are exercised and visible in the output.
 # ---------------------------------------------------------------------------
 @query(
-    "q23_join_outer_family",
+    "q23_join_outer_semi_anti",
     oracle="""
     WITH cust AS (
       SELECT c_nationkey AS nationkey,
@@ -114,15 +114,30 @@ def q22_join_shuffle_factfact(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1
     ),
     supp AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
-    SELECT coalesce(cust.nationkey, supp.nationkey) AS nationkey,
-           coalesce(n_cust, 0) AS n_cust,
-           coalesce(n_orders, 0) AS n_orders,
-           coalesce(sum_total, 0.0) AS sum_total,
-           coalesce(n_supp, 0) AS n_supp
+    SELECT 'outer' AS leg,
+           coalesce(cust.nationkey, supp.nationkey) AS k,
+           coalesce(n_cust, 0) AS n_a,
+           coalesce(n_orders, 0) AS n_b,
+           coalesce(sum_total, 0.0) AS sum_val,
+           coalesce(n_supp, 0) AS n_c
     FROM cust FULL OUTER JOIN supp ON cust.nationkey = supp.nationkey
+    UNION ALL
+    SELECT CASE WHEN has_order THEN 'semi' ELSE 'anti' END,
+           CAST(has_order AS BIGINT), COUNT(*), 0,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,4))), 2) AS DOUBLE), 0
+    FROM (
+      SELECT c.*, EXISTS(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AS has_order
+      FROM customer c
+    )
+    GROUP BY has_order
     """,
 )
-def q23_join_outer_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q23_join_outer_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union (consolidated from the former q23+q24 pair —
+    round-4 registry budget): the 'outer' leg exercises right + full
+    outer null-extension; the 'semi'/'anti' legs exercise EXISTS / NOT
+    EXISTS — Spark still plans genuine LeftSemi/LeftAnti joins (the
+    build side is just a key set; the probe streams at scale)."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     cust = (
@@ -139,49 +154,37 @@ def q23_join_outer_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("s_nationkey").alias("nationkey"))
         .agg(F.count(F.lit(1)).alias("n_supp"))
     )
-    return cust.join(supp, "nationkey", "full").select(
-        "nationkey",
-        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
-        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
-        F.coalesce("sum_total", F.lit(0.0)).alias("sum_total"),
-        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    outer = cust.join(supp, "nationkey", "full").select(
+        F.lit("outer").alias("leg"),
+        F.col("nationkey").alias("k"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_a"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_b"),
+        F.coalesce("sum_total", F.lit(0.0)).alias("sum_val"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_c"),
     )
-
-
-# ---------------------------------------------------------------------------
-# q24 — semi + anti join (EXISTS / NOT EXISTS). Spark never
-# materializes the right side's columns: the build side is just a key
-# set, so at scale the probe streams.
-# ---------------------------------------------------------------------------
-@query(
-    "q24_join_semi_anti",
-    oracle="""
-    SELECT has_order, COUNT(*) AS n_customers,
-           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,4))), 2) AS DOUBLE) AS sum_bal
-    FROM (
-      SELECT c.*, EXISTS(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AS has_order
-      FROM customer c
-    )
-    GROUP BY has_order
-    """,
-)
-def q24_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
     with_o = c.join(o, c.c_custkey == o.o_custkey, "left_semi").withColumn(
         "has_order", F.lit(True)
     )
     without_o = c.join(o, c.c_custkey == o.o_custkey, "left_anti").withColumn(
         "has_order", F.lit(False)
     )
-    return (
+    semi_anti = (
         with_o.unionByName(without_o)
         .groupBy("has_order")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             dsum(dec("c_acctbal"), "sum_bal"),
         )
+        .select(
+            F.when(F.col("has_order"), "semi").otherwise("anti").alias("leg"),
+            F.col("has_order").cast("bigint").alias("k"),
+            F.col("n_customers").alias("n_a"),
+            F.lit(0).cast("bigint").alias("n_b"),
+            F.col("sum_bal").alias("sum_val"),
+            F.lit(0).cast("bigint").alias("n_c"),
+        )
     )
+    return outer.unionByName(semi_anti)
 
 
 # ---------------------------------------------------------------------------

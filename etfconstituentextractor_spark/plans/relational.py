@@ -14,7 +14,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from etfconstituentextractor_spark.functions.parity import dec, dec_rate, dsum, davg
-from etfconstituentextractor_spark.functions.boundary import parse_money
 from etfconstituentextractor_spark.plans.registry import query
 from etfconstituentextractor_spark.sources.tables import load
 
@@ -210,49 +209,18 @@ def q06_scalar_ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q07 — date/time functions (§2B: the reference keeps dates as raw
-# strings, :48/:76; the engine types them at the boundary, §1.2).
+# q08 — scalar math AND date/time functions on one lineitem scan (§2B:
+# the reference keeps dates as raw strings :48/:76 and never parses its
+# numeric strings :117-127; these are the typed ops boundary parsing
+# unlocks, §1.2). Consolidated from the former q07+q08 pair (round-4
+# registry budget): same fact table, same row grain — the merge is a
+# wider select on one scan, no extra shuffle. ceil/floor are cast to
+# BIGINT on both sides (DuckDB returns DOUBLE); date outputs are
+# emitted as ISO strings / INTs because Spark DateType and DuckDB DATE
+# materialize differently in pandas.
 # ---------------------------------------------------------------------------
 @query(
-    "q07_date_funcs",
-    oracle="""
-    SELECT o_orderkey,
-           CAST(year(o_orderdate) AS INT)                    AS order_year,
-           CAST(quarter(o_orderdate) AS INT)                 AS order_quarter,
-           CAST(month(o_orderdate) AS INT)                   AS order_month,
-           date_trunc('month', o_orderdate)                  AS month_start,
-           datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start,
-           strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date
-    FROM orders
-    """,
-)
-def q07_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
-        F.year("o_orderdate").alias("order_year"),
-        F.quarter("o_orderdate").alias("order_quarter"),
-        F.month("o_orderdate").alias("order_month"),
-        F.date_trunc("month", F.col("o_orderdate")).cast("timestamp_ntz").alias("month_start"),
-        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")).alias(
-            "days_since_epoch_start"
-        ),
-        # date outputs are emitted as ISO strings: Spark DateType and
-        # DuckDB DATE materialize differently in pandas, which would
-        # destabilize the driver's value hash
-        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias(
-            "due_date"
-        ),
-    )
-
-
-# ---------------------------------------------------------------------------
-# q08 — math / numeric functions (§2B: the reference never parses its
-# numeric strings; these are the typed ops that parsing unlocks).
-# ceil/floor are cast to BIGINT on both sides (DuckDB returns DOUBLE).
-# ---------------------------------------------------------------------------
-@query(
-    "q08_math_funcs",
+    "q08_math_date_funcs",
     oracle="""
     SELECT l_orderkey, l_linenumber,
            CAST(ROUND(CAST(l_quantity AS DECIMAL(14,4)) * CAST(l_extendedprice AS DECIMAL(14,4)), 2) AS DOUBLE) AS gross,
@@ -260,11 +228,17 @@ def q07_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ceil(l_quantity) AS BIGINT)        AS qty_ceil,
            CAST(floor(l_quantity) AS BIGINT)       AS qty_floor,
            l_linenumber % 3                        AS line_mod,
-           CAST(ROUND(sqrt(l_extendedprice), 6) AS DOUBLE) AS price_sqrt
+           CAST(ROUND(sqrt(l_extendedprice), 6) AS DOUBLE) AS price_sqrt,
+           CAST(year(l_shipdate) AS INT)           AS ship_year,
+           CAST(quarter(l_shipdate) AS INT)        AS ship_quarter,
+           CAST(month(l_shipdate) AS INT)          AS ship_month,
+           date_trunc('month', l_shipdate)         AS ship_month_start,
+           datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS ship_day_no,
+           strftime(CAST(l_shipdate AS DATE) + 30, '%Y-%m-%d') AS due_date
     FROM lineitem
     """,
 )
-def q08_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q08_math_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -275,67 +249,17 @@ def q08_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("l_quantity").alias("qty_floor"),
         (F.col("l_linenumber") % 3).alias("line_mod"),
         F.round(F.sqrt("l_extendedprice"), 6).cast("double").alias("price_sqrt"),
+        F.year("l_shipdate").alias("ship_year"),
+        F.quarter("l_shipdate").alias("ship_quarter"),
+        F.month("l_shipdate").alias("ship_month"),
+        F.date_trunc("month", F.col("l_shipdate")).cast("timestamp_ntz").alias("ship_month_start"),
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")).alias(
+            "ship_day_no"
+        ),
+        F.date_format(F.date_add(F.col("l_shipdate").cast("date"), 30), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
     )
-
-
-# ---------------------------------------------------------------------------
-# q10 — JSON functions on a string column (reference R2: nested dict
-# access `data.get("filings",{}).get("recent",{})`, :45 — here as
-# get_json_object over events.props, §2B "Scalar fns — JSON").
-# ---------------------------------------------------------------------------
-@query(
-    "q10_json_funcs",
-    oracle="""
-    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
-           COUNT(*) AS n,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(14,4))), 2) AS DOUBLE) AS sum_value
-    FROM events
-    WHERE json_extract_string(props, '$.k') IS NOT NULL
-    GROUP BY 1
-    """,
-)
-def q10_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
-    return (
-        ev.filter(k.isNotNull())
-        .groupBy((k % 10).alias("k_bucket"))
-        .agg(F.count(F.lit(1)).alias("n"), dsum(dec("value"), "sum_value"))
-    )
-
-
-# ---------------------------------------------------------------------------
-# q11 — boundary parsing of formatted money strings (reference §1.2:
-# SEC HTML cells are "1,234,567.00"-style strings, :117/:122; no
-# astype anywhere). Inline VALUES table so both engines parse the same
-# literals; try_-variants keep null-tolerance under ANSI mode.
-# ---------------------------------------------------------------------------
-_MONEY_LITERALS = [
-    ("1,234,567.89",),
-    ("12.50",),
-    ("0.0042",),
-    ("987,654,321.000001",),
-    ("  44,100  ",),
-    ("not-a-number",),
-    (None,),
-]
-
-
-@query(
-    "q11_parse_money_strings",
-    oracle="""
-    SELECT s AS raw,
-           CAST(TRY_CAST(replace(trim(s), ',', '') AS DECIMAL(38,6)) AS DOUBLE) AS amount
-    FROM (VALUES ('1,234,567.89'), ('12.50'), ('0.0042'),
-                 ('987,654,321.000001'), ('  44,100  '),
-                 ('not-a-number'), (NULL)) t(s)
-    """,
-)
-def q11_parse_money_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.createDataFrame(_MONEY_LITERALS, "s string")
-    # decimal is the internal representation; outputs emit double (both
-    # engines' pandas bridges downcast decimals to float64 anyway)
-    return df.select(F.col("s").alias("raw"), parse_money("s").cast("double").alias("amount"))
 
 
 # ---------------------------------------------------------------------------
@@ -457,18 +381,24 @@ def q16_keeplast_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q17 — map functions (§2B "Scalar fns — map"): events.props parsed as
-# a typed map via from_json, then map_keys / map_values / element_at /
-# map aggregation, plus a constructed map (create_map) exploded to
-# key/value rows. DuckDB has no first-class map over JSON, so the
-# oracle spells the same semantics via json functions + a two-branch
-# union for the explode.
+# q17 — JSON and map functions on one events scan (§2B "Scalar fns —
+# JSON" / "Scalar fns — map"; reference R2: nested dict access
+# `data.get("filings",{}).get("recent",{})`, :45 — here as
+# get_json_object string-path access alongside the typed-map path).
+# Consolidated from the former q10+q17 pair (round-4 registry budget):
+# same table, same grain. events.props is read BOTH ways — raw
+# get_json_object (the untyped R2 spelling) and from_json into a typed
+# map, then map_keys / map_values / element_at / map aggregation, plus
+# a constructed map (create_map) exploded to key/value rows. DuckDB
+# has no first-class map over JSON, so the oracle spells the same
+# semantics via json functions + a two-branch union for the explode.
 # ---------------------------------------------------------------------------
 @query(
-    "q17_map_funcs",
+    "q17_json_map_funcs",
     oracle="""
     SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
            len(json_keys(props)) AS n_prop_keys,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_vals_sum,
            'type' AS key, event_type AS val
@@ -476,16 +406,18 @@ def q16_keeplast_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS BIGINT),
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10,
            len(json_keys(props)),
            CAST(json_extract_string(props, '$.k') AS BIGINT),
            'uid', CAST(user_id AS VARCHAR)
     FROM events
     """,
 )
-def q17_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q17_json_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     mapped = ev.select(
         "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_raw"),
         F.from_json("props", "map<string,bigint>").alias("pm"),
         F.create_map(
             F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
@@ -494,6 +426,7 @@ def q17_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapped.select(
         "event_id",
         F.element_at("pm", F.lit("k")).alias("k_val"),
+        (F.col("k_raw") % 10).alias("k_bucket"),
         F.size(F.map_keys("pm")).alias("n_prop_keys"),
         F.expr("aggregate(map_values(pm), 0L, (acc, x) -> acc + x)").alias("prop_vals_sum"),
         F.explode("am").alias("key", "val"),
