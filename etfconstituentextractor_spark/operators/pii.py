@@ -28,12 +28,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: (name, java-regex, replacement-token) — order is the redaction order.
+#: (name, regex, replacement-token) — order is the redaction order.
+#: Patterns deliberately stay in the Java∩RE2 common subset (no
+#: backreferences, no lookaround) so the DuckDB oracle of q84 can run
+#: the IDENTICAL pattern strings: the 16-digit card rule spells
+#: "consistent separator" as an alternation ('1111 2222-3333 4444'
+#: stays out) rather than the backreference a Java-only regex would
+#: use.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
-    # 16-digit card-style numbers, optionally 4x4 grouped with a
-    # consistent separator (backreference keeps '1111 2222-3333 4444' out)
-    ("card", r"\b\d{4}([ -]?)\d{4}\1\d{4}\1\d{4}\b", "[CARD]"),
+    ("card", r"\b(?:\d{4}(?: \d{4}){3}|\d{4}(?:-\d{4}){3}|\d{16})\b", "[CARD]"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
     ("phone", r"\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b", "[PHONE]"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),

@@ -1,0 +1,80 @@
+"""Incremental-refresh (CDC) query over `documents`
+(operators/snapshot_diff.py; SURVEY.md §2B "LLM-pipeline — snapshot
+diff"). The reference regenerates everything per run; a 100 TB corpus
+refresh instead diffs snapshots and reprocesses only the delta.
+
+The fixture is a deterministically perturbed copy of the corpus built
+identically by both engines — every 17th doc deleted, every 13th
+survivor's text revised, every 11th doc re-inserted under a fresh key
+— so the diff outcome is a pure function of the input and the oracle
+can state it exactly, including the md5 content hashes themselves
+(both engines concatenate the compared columns with the same
+null-sentinel + field-separator framing).
+
+Scale posture (inherited from the operator): both sides reduce to
+(key, md5) BEFORE the full-outer join — the shuffle carries 32-byte
+hashes plus keys, never document text, and unchanged keys (the
+overwhelming majority of a real refresh) drop immediately after.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etfconstituentextractor_spark.operators.snapshot_diff import snapshot_diff
+from etfconstituentextractor_spark.plans.registry import query
+from etfconstituentextractor_spark.sources.tables import load
+
+#: key shift for re-inserted docs — far beyond any real doc_id.
+_INSERT_SHIFT = 10_000_000
+
+#: the md5 framing both engines share: null sentinel + unit separator.
+_H = "md5(coalesce(text, chr(0) || 'null') || chr(31) || coalesce(lang, chr(0) || 'null'))"
+
+
+@query(
+    "q86_snapshot_diff",
+    oracle=f"""
+    WITH old_h AS (
+      SELECT doc_id, {_H} AS old_hash FROM documents
+    ),
+    new_rows AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN text || ' (rev2)' ELSE text END AS text,
+             lang
+      FROM documents WHERE doc_id % 17 <> 0
+      UNION ALL
+      SELECT doc_id + {_INSERT_SHIFT}, 'fresh ' || text, lang
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    new_h AS (
+      SELECT doc_id, {_H} AS new_hash FROM new_rows
+    ),
+    j AS (
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, old_hash, new_hash
+      FROM old_h o FULL OUTER JOIN new_h n ON o.doc_id = n.doc_id
+    )
+    SELECT doc_id, old_hash, new_hash,
+           CASE WHEN old_hash IS NULL THEN 'inserted'
+                WHEN new_hash IS NULL THEN 'deleted'
+                WHEN old_hash <> new_hash THEN 'updated' END AS change
+    FROM j
+    WHERE old_hash IS NULL OR new_hash IS NULL OR old_hash <> new_hash
+    """,
+)
+def q86_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    survivors = d.filter(F.col("doc_id") % 17 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" (rev2)"))
+        ).otherwise(F.col("text")),
+    )
+    inserts = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + F.lit(_INSERT_SHIFT)).alias("doc_id"),
+        F.concat(F.lit("fresh "), F.col("text")).alias("text"),
+        "lang",
+    )
+    new = survivors.unionByName(inserts)
+    return snapshot_diff(d, new, keys=["doc_id"], compare_cols=["text", "lang"])

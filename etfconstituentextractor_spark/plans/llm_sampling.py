@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etfconstituentextractor_spark.operators.packing import pack_sequences
 from etfconstituentextractor_spark.operators.sampling import (
     BUCKETS,
     hash_oversample,
@@ -126,3 +127,59 @@ def q83_sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("copy_id").cast("int").alias("rn"),
     )
     return rate_leg.unionByName(quota_leg).unionByName(over_leg)
+
+
+# ---------------------------------------------------------------------------
+# q85 — sequence packing (operators/packing.py, §2B "LLM-pipeline —
+# sequence packing"): assign every document to a fixed-token-budget
+# training sequence. The layout orders docs by (md5 bucket, doc_id)
+# per language shard, lays them end-to-end, and cuts every `budget`
+# tokens — a doc belongs to the bin its STARTING offset falls in, so
+# bins overflow by at most one boundary document (the slack real
+# packers truncate/pad). Deterministic across reruns, cluster sizes,
+# and engines. Plan shape: ONE window shuffle on the shard key
+# carrying (doc_id, n_tokens) — never text; the cumsum and bin
+# arithmetic are codegen scalars. At 100 TB each shard packs
+# independently — exactly the strat_col parameter.
+# ---------------------------------------------------------------------------
+PACK_BUDGET = 2048
+
+
+@query(
+    "q85_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), ':pack')), 1, 8) AS BIGINT)
+               % {BUCKETS} AS bucket
+      FROM documents
+    ),
+    laid AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(row_number() OVER w AS INTEGER) AS pack_order,
+             sum(n_tokens) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start_offset
+      FROM t
+      WINDOW w AS (PARTITION BY lang ORDER BY bucket, doc_id)
+    )
+    SELECT doc_id, lang, n_tokens, pack_order, start_offset,
+           start_offset // {PACK_BUDGET} AS bin_id
+    FROM laid
+    """,
+)
+def q85_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    packed = pack_sequences(d, PACK_BUDGET, strat_col="lang", salt="pack")
+    return packed.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.col("pack_order").cast("int").alias("pack_order"),
+        "start_offset",
+        "bin_id",
+    )

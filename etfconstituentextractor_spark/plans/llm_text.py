@@ -36,6 +36,7 @@ from etfconstituentextractor_spark.operators.text import (
     tokens,
 )
 from etfconstituentextractor_spark.operators.contamination import ngram_contamination
+from etfconstituentextractor_spark.operators.pii import PII_PATTERNS, scrub
 from etfconstituentextractor_spark.plans.registry import query
 from etfconstituentextractor_spark.sources.tables import fanout, load
 
@@ -256,4 +257,74 @@ def q82_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_eval = (F.col("doc_id") % 43) == 0
     return ngram_contamination(
         d.filter(~is_eval), d.filter(is_eval), n=4, contaminated_at=8
+    )
+
+
+# ---------------------------------------------------------------------------
+# q84 — PII scrub (operators/pii.py, §2B "LLM-pipeline — PII scrub";
+# no reference counterpart — the reference republishes scraped text
+# verbatim). The corpus contains no PII-shaped strings, so the fixture
+# is DETERMINISTICALLY PLANTED: both engines assemble the identical
+# PII-laden text from customer columns (an email from c_name, the
+# TPC-H phone, a dotted-quad IP, an SSN-shaped id on every 5th row, a
+# 16-digit card on every 7th), then the engine's regexp_count /
+# regexp_replace chain is hash-checked against DuckDB running the
+# IDENTICAL pattern strings (PII_PATTERNS stays in the Java∩RE2
+# subset for exactly this reason). The whole stage is one codegen
+# projection — zero shuffle, zero Python; at 100 TB it rides the scan.
+# ---------------------------------------------------------------------------
+def _pii_planted_sql() -> str:
+    return """
+      'User ' || c_name || ' mail ' || lower(replace(c_name, '#', '.'))
+      || '@corp' || CAST(c_custkey % 100 AS VARCHAR) || '.example.com'
+      || ' phone (' || lpad(CAST(c_custkey % 800 + 200 AS VARCHAR), 3, '0') || ') '
+      || lpad(CAST((c_custkey * 13) % 1000 AS VARCHAR), 3, '0') || '-'
+      || lpad(CAST((c_custkey * 17) % 10000 AS VARCHAR), 4, '0')
+      || ' from 10.' || CAST(c_custkey % 250 AS VARCHAR) || '.'
+      || CAST(c_nationkey AS VARCHAR) || '.7'
+      || CASE WHEN c_custkey % 5 = 0
+              THEN ' ssn ' || lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0')
+                   || '-' || lpad(CAST((c_custkey * 3) % 100 AS VARCHAR), 2, '0')
+                   || '-' || lpad(CAST((c_custkey * 11) % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END
+      || CASE WHEN c_custkey % 7 = 0
+              THEN ' card 4111' || lpad(CAST(c_custkey % 1000000000000 AS VARCHAR), 12, '0')
+              ELSE '' END
+    """
+
+
+def _pii_oracle() -> str:
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    redacted = "text"
+    for _, pat, token in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{token}', 'g')"
+    total = " + ".join(f"len(regexp_extract_all(text, '{pat}'))" for _, pat, _ in PII_PATTERNS)
+    return f"""
+    WITH planted AS (
+      SELECT c_custkey AS cust_id, {_pii_planted_sql()} AS text FROM customer
+    )
+    SELECT cust_id,
+           {counts},
+           CAST({total} AS INT) AS pii_total,
+           {redacted} AS text_redacted
+    FROM planted
+    """
+
+
+@query("q84_pii_scrub", oracle=_pii_oracle())
+def q84_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    planted = c.select(
+        F.col("c_custkey").alias("cust_id"),
+        F.expr(_pii_planted_sql().replace("VARCHAR", "STRING")).alias("text"),
+    )
+    scrubbed = scrub(planted)
+    return scrubbed.select(
+        "cust_id",
+        *[F.col("pii_counts")[name].cast("int").alias(f"n_{name}") for name, _, _ in PII_PATTERNS],
+        F.col("pii_total").cast("int").alias("pii_total"),
+        "text_redacted",
     )

@@ -50,6 +50,7 @@ def load_catalog() -> None:
         "windows",
         "llm_text",
         "llm_sampling",
+        "llm_refresh",
         "llm_dedup",
         "llm_similarity",
         "udf_surface",
