@@ -46,9 +46,13 @@ HEADLINE = [
     "q70_similarity_topk_cosine",
     "q71_similarity_lsh_ann",
     "q72_similarity_ivf_ann",
+    "q73_text_bm25_topk",
     "q80_text_stats",
     "q82_text_contamination",
     "q83_sample_stratified_mix",
+    "q84_pii_scrub",
+    "q85_sequence_packing",
+    "q86_snapshot_diff",
     "q50_doc_extract_holdings",
     "q52_doc_pipeline_e2e",
     "q55_stream_tumbling_sliding",

@@ -274,3 +274,120 @@ def q72_similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_sim",
         "rn",
     )
+
+
+# ---------------------------------------------------------------------------
+# q73 — BM25 lexical retrieval top-k over `documents` (§2B
+# "LLM-pipeline — text analysis" retrieval adjunct; the lexical
+# counterpart of q70's embedding search — real pipelines run both and
+# fuse). Okapi BM25 with k1=1.2, b=0.75:
+#
+#   score(d, q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+#   idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)
+#
+# Scale posture: tokenize → explode → filter to the (tiny, literal)
+# query-term set BEFORE any shuffle — the groupBy(doc, term) then
+# carries only matching tokens, linear in corpus hits. Corpus stats
+# (N, avgdl) and per-term document frequencies join back as broadcast
+# scalar frames — no driver collect. Scores round to 6 dp BEFORE
+# ranking in both engines (module convention) so ranks are identical
+# despite float-summation differences; ties break on doc_id.
+# ---------------------------------------------------------------------------
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+BM25_QUERIES: dict[str, tuple[str, ...]] = {
+    "spark_join": ("spark", "hash", "join"),
+    "stream_agg": ("stream", "window", "agg"),
+    "vector_scan": ("vector", "scan", "filter"),
+}
+
+
+def _bm25_oracle() -> str:
+    qvals = ", ".join(
+        f"('{qid}', '{t}')" for qid, terms in sorted(BM25_QUERIES.items()) for t in terms
+    )
+    all_terms = ", ".join(
+        f"'{t}'" for t in sorted({t for ts in BM25_QUERIES.values() for t in ts})
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, avg(dl) AS avgdl FROM d),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+      WHERE tok IN ({all_terms})
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+    qterms(query_id, tok) AS (VALUES {qvals}),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(ROUND(SUM(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+               * tf * ({BM25_K1} + 1)
+               / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))
+             ), 6) AS DOUBLE) AS score
+      FROM tf
+      JOIN qterms q USING (tok)
+      JOIN dfreq USING (tok)
+      JOIN d USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score,
+           CAST(rn AS INTEGER) AS rn
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+      FROM scored
+    )
+    WHERE rn <= {BM25_TOP_K}
+    """
+
+
+@query("q73_text_bm25_topk", oracle=_bm25_oracle())
+def q73_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).withColumn("dl", F.size("toks").cast("bigint"))
+
+    all_terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(all_terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in sorted(BM25_QUERIES.items()) for t in terms],
+        "query_id string, tok string",
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    term_score = (
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1)
+        / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "tok")
+        .join(F.broadcast(dfreq), "tok")
+        .join(d.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(term_score), 6).cast("double").alias("score"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= BM25_TOP_K)
+        .select("query_id", "doc_id", "score", "rn")
+    )
