@@ -298,12 +298,15 @@ def q12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q15 — partitioned sink round-trips, CSV and Parquet (reference R20:
-# one CSV per reporting date, :136-143; §2B "Sinks"). The engine writes
-# `partitionBy(key)` — the same per-key layout as the reference's
-# per-date files, but parallel, atomic-per-task, and partition-pruned
-# on read-back. CSV round-trips values exactly by writing decimals as
-# text; Parquet round-trips the typed schema natively.
+# q15 — partitioned sink round-trips, CSV, Parquet, and ORC (reference
+# R20: one CSV per reporting date, :136-143; §2B "Sinks"). The engine
+# writes `partitionBy(key)` — the same per-key layout as the
+# reference's per-date files, but parallel, atomic-per-task, and
+# partition-pruned on read-back. CSV round-trips values exactly by
+# writing decimals as text; Parquet and ORC round-trip the typed
+# schema natively (ORC is the second columnar format warehouses
+# actually run; DuckDB can't read it, so the oracle restates the same
+# aggregate — the round-trip itself is what the leg certifies).
 # ---------------------------------------------------------------------------
 @query(
     "q15_sink_roundtrip",
@@ -314,6 +317,10 @@ def q12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY o_orderstatus
       UNION ALL
       SELECT 'parquet', o_orderstatus, COUNT(*),
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,4))), 2) AS DOUBLE)
+      FROM orders GROUP BY o_orderstatus
+      UNION ALL
+      SELECT 'orc', o_orderstatus, COUNT(*),
              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,4))), 2) AS DOUBLE)
       FROM orders GROUP BY o_orderstatus
     )
@@ -331,6 +338,7 @@ def q15_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(sf_dir.rstrip("/"))
     csv_out = os.path.join(tempfile.gettempdir(), f"etfce_csv_roundtrip_{tag}")
     pq_out = os.path.join(tempfile.gettempdir(), f"etfce_pq_roundtrip_{tag}")
+    orc_out = os.path.join(tempfile.gettempdir(), f"etfce_orc_roundtrip_{tag}")
     (
         o.repartition("o_orderstatus")
         .write.mode("overwrite")
@@ -344,16 +352,27 @@ def q15_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("o_orderstatus")
         .parquet(pq_out)
     )
+    (
+        o.repartition("o_orderstatus")
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .orc(orc_out)
+    )
     csv_back = spark.read.option("header", True).schema(
         "o_orderkey bigint, o_totalprice decimal(14,4), o_orderstatus string"
     ).csv(csv_out)
     pq_back = spark.read.parquet(pq_out)
+    orc_back = spark.read.orc(orc_out)
     def summarize(df: DataFrame, sink: str) -> DataFrame:
         return df.groupBy("o_orderstatus").agg(
             F.count(F.lit(1)).alias("n_orders"),
             dsum(dec("o_totalprice"), "sum_total"),
         ).select(F.lit(sink).alias("sink"), "o_orderstatus", "n_orders", "sum_total")
-    return summarize(csv_back, "csv").unionByName(summarize(pq_back, "parquet"))
+    return (
+        summarize(csv_back, "csv")
+        .unionByName(summarize(pq_back, "parquet"))
+        .unionByName(summarize(orc_back, "orc"))
+    )
 
 
 # ---------------------------------------------------------------------------
