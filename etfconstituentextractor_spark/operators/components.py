@@ -59,16 +59,25 @@ def connected_components(
 
 
 def _propagate(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
+    # sym is re-joined on `b` EVERY round: partition it by the join key
+    # once, so each round's join reads the persisted layout exchange-
+    # free. labels is born partitioned on `node` (groupBy key below)
+    # and every later version inherits that through the node-keyed
+    # joins + localCheckpoint — the per-round plan then carries exactly
+    # ONE exchange (the groupBy(a) re-aggregation), not three.
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .repartition(F.col("b"))
         .persist()
     )
+    # seed with round 1's result directly: component = min(self, all
+    # neighbors) — one aggregation instead of an identity-labels frame
+    # plus a full join round.
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.least(F.first("a"), F.min("b")).alias("component"))
         .localCheckpoint()
     )
 
