@@ -1,0 +1,99 @@
+"""Media transform plumbing (operators/media.py): byte-histogram
+features (real math), stubbed resize round-trip, and the frame-sample
+row generator over the VID0 container."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from etfconstituentextractor_spark.operators.media import (
+    byte_histogram_features,
+    pack_video,
+    resize_blobs,
+    sample_frames,
+)
+
+
+def _img_blob(payload: bytes) -> bytes:
+    return b"IMG0" + f"{len(payload):08x}".encode() + payload
+
+
+def _blob_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, blob binary")
+
+
+def test_byte_histogram_is_normalized_and_deterministic(spark):
+    df = _blob_df(spark, [(1, b"\x00\x00\xff\xf0"), (2, b""), (3, b"abc")])
+    out = {r.doc_id: r for r in byte_histogram_features(df).collect()}
+    assert out[2].error == "empty_blob" and out[2].features is None
+    f1 = out[1].features
+    assert len(f1) == 16 and abs(sum(f1) - 1.0) < 1e-12
+    # 0x00,0x00 -> bin 0; 0xff,0xf0 -> bin 15
+    assert f1[0] == 0.5 and f1[15] == 0.5
+    assert out[3].n_bytes == 3
+
+
+def test_resize_validates_container_and_stubs_resample(spark):
+    good = _img_blob(b"pixels")
+    bad = b"XXX0whatever"
+    out = {
+        r.doc_id: r
+        for r in resize_blobs(_blob_df(spark, [(1, good), (2, bad)]), 64, 48).collect()
+    }
+    assert out[1].error is None
+    assert (out[1].width, out[1].height) == (64, 48)
+    assert out[1].payload_md5 == hashlib.md5(b"pixels").hexdigest()
+    assert out[2].error == "bad_magic"
+    with pytest.raises(NotImplementedError):
+        resize_blobs(_blob_df(spark, [(1, good)]), 64, 48, real_resample=True)
+
+
+def test_frame_sampler_expands_rows(spark):
+    frames = [bytes([i]) * 8 for i in range(10)]
+    vid = pack_video(frames)
+    truncated = vid[:-4]  # payload shorter than header claims
+    df = _blob_df(spark, [(1, vid), (2, truncated), (3, b"IMG0nope")])
+    out = sample_frames(df, every_n=3).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # every 3rd frame from 10: indices 0,3,6,9
+    got = sorted(r.frame_idx for r in by_doc[1])
+    assert got == [0, 3, 6, 9]
+    for r in by_doc[1]:
+        assert r.frame_md5 == hashlib.md5(frames[r.frame_idx]).hexdigest()
+        assert r.frame_len == 8
+    assert len(by_doc[2]) == 1 and by_doc[2][0].error.startswith("bad_header")
+    assert len(by_doc[3]) == 1 and by_doc[3][0].error == "bad_magic"
+
+
+def test_frame_sampler_composes_with_decode_fixture(spark, sf_dir):
+    # build containers from the corpus (JVM-side), sample on executors:
+    # the full multimodal chain shape — build -> opaque stage -> rows.
+    from etfconstituentextractor_spark.sources.tables import load
+
+    d = load(spark, sf_dir, "documents").limit(20)
+    frames = 4
+    # frame payload: the text bytes, repeated as equal frames
+    pad = F.encode(F.rpad(F.substring("text", 1, 16), 16, "x"), "UTF-8")
+    blob = F.concat(
+        F.encode(F.lit("VID0"), "UTF-8"),
+        F.encode(F.lpad(F.hex(F.octet_length(pad)), 8, "0"), "UTF-8"),
+        F.encode(F.lpad(F.hex(F.lit(frames)), 8, "0"), "UTF-8"),
+        *[pad for _ in range(frames)],
+    )
+    out = sample_frames(d.select("doc_id", blob.alias("blob")), every_n=2)
+    rows = out.collect()
+    assert len(rows) == 20 * 2  # frames 0 and 2 per doc
+    assert all(r.error is None for r in rows)
+
+
+def test_media_stages_have_single_python_boundary(spark):
+    df = _blob_df(spark, [(1, _img_blob(b"x"))])
+    plan = (
+        byte_histogram_features(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("MapInPandas") == 1
