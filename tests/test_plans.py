@@ -463,3 +463,61 @@ def test_runtime_bloom_filter_reduces_probe_side(spark, sf_dir):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_q73_bm25_shape(spark, sf_dir):
+    """BM25 scale posture: corpus stats / document frequencies / query
+    terms all broadcast (the fact side never shuffles to meet them);
+    the per-query top-k gets the same Partial WindowGroupLimit
+    pre-prune as the quota sample; no Python anywhere."""
+    plan = _plan(spark, sf_dir, "q73_text_bm25_topk")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats frame
+    i_exchange = plan.find("Exchange hashpartitioning(query_id")
+    assert i_exchange != -1
+    assert plan.rfind("WindowGroupLimit") > i_exchange, plan[:1200]
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_q84_pii_scrub_is_single_codegen_projection(spark, sf_dir):
+    """The PII stage must ride the scan: zero Exchange, zero Python —
+    the whole query is projections over one pruned customer scan."""
+    plan = _plan(spark, sf_dir, "q84_pii_scrub")
+    assert "Exchange" not in plan, plan[:800]
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_q85_packing_single_shuffle_never_moves_text(spark, sf_dir):
+    """Packing's plan contract: ONE exchange (the per-shard layout
+    window), and the map-side projection feeding it computes n_tokens
+    and drops the text column — the shuffle carries (key, counts)."""
+    plan = _plan(spark, sf_dir, "q85_sequence_packing")
+    assert plan.count("Exchange") == 1, plan[:1200]
+    i = plan.find("Exchange hashpartitioning(lang")
+    assert i != -1
+    below = plan[i:]
+    # the exchange's child projection computes the token count map-side
+    assert "size(split(text" in below
+    # and the shuffled attribute set excludes raw text: the only text
+    # reference below the exchange is inside that size(split(...)) expr
+    assert below.count("text#") == below.count("size(split(text#") + below.count(
+        "ReadSchema"
+    ), below[:1500]
+
+
+def test_q86_snapshot_diff_shuffles_hashes_only(spark, sf_dir):
+    """CDC scale posture: both snapshots reduce to (key, md5) BEFORE
+    the full-outer join — every projection feeding the two exchanges
+    computes the hash map-side, so the shuffle never carries document
+    text."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q86_snapshot_diff")
+    i = plan.find("SortMergeJoin")
+    assert "FullOuter" in plan[i : i + 120]
+    assert plan.count("Exchange") == 2, plan[:1200]
+    hash_projects = re.findall(r"Project \[[^\n]*md5\(", plan)
+    assert len(hash_projects) == 3, hash_projects  # old side + 2 union legs
