@@ -298,8 +298,9 @@ def q12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q15 — partitioned sink round-trips, CSV, Parquet, and ORC (reference
-# R20: one CSV per reporting date, :136-143; §2B "Sinks"). The engine
+# q15 — partitioned sink round-trips: CSV, Parquet, ORC, JSON-lines
+# (reference R20: one CSV per reporting date, :136-143; §2B "Sinks").
+# The engine
 # writes `partitionBy(key)` — the same per-key layout as the
 # reference's per-date files, but parallel, atomic-per-task, and
 # partition-pruned on read-back. CSV round-trips values exactly by
@@ -323,6 +324,10 @@ def q12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'orc', o_orderstatus, COUNT(*),
              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,4))), 2) AS DOUBLE)
       FROM orders GROUP BY o_orderstatus
+      UNION ALL
+      SELECT 'jsonl', o_orderstatus, COUNT(*),
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,4))), 2) AS DOUBLE)
+      FROM orders GROUP BY o_orderstatus
     )
     """,
 )
@@ -339,6 +344,7 @@ def q15_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     csv_out = os.path.join(tempfile.gettempdir(), f"etfce_csv_roundtrip_{tag}")
     pq_out = os.path.join(tempfile.gettempdir(), f"etfce_pq_roundtrip_{tag}")
     orc_out = os.path.join(tempfile.gettempdir(), f"etfce_orc_roundtrip_{tag}")
+    json_out = os.path.join(tempfile.gettempdir(), f"etfce_jsonl_roundtrip_{tag}")
     (
         o.repartition("o_orderstatus")
         .write.mode("overwrite")
@@ -358,11 +364,22 @@ def q15_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("o_orderstatus")
         .orc(orc_out)
     )
+    # JSON-lines: decimals serialize as JSON numbers; the typed
+    # read-back schema restores them exactly (4 dp fits the source).
+    (
+        o.repartition("o_orderstatus")
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .json(json_out)
+    )
     csv_back = spark.read.option("header", True).schema(
         "o_orderkey bigint, o_totalprice decimal(14,4), o_orderstatus string"
     ).csv(csv_out)
     pq_back = spark.read.parquet(pq_out)
     orc_back = spark.read.orc(orc_out)
+    json_back = spark.read.schema(
+        "o_orderkey bigint, o_totalprice decimal(14,4), o_orderstatus string"
+    ).json(json_out)
     def summarize(df: DataFrame, sink: str) -> DataFrame:
         return df.groupBy("o_orderstatus").agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -372,6 +389,7 @@ def q15_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         summarize(csv_back, "csv")
         .unionByName(summarize(pq_back, "parquet"))
         .unionByName(summarize(orc_back, "orc"))
+        .unionByName(summarize(json_back, "jsonl"))
     )
 
 

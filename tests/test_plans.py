@@ -521,3 +521,13 @@ def test_q86_snapshot_diff_shuffles_hashes_only(spark, sf_dir):
     assert plan.count("Exchange") == 2, plan[:1200]
     hash_projects = re.findall(r"Project \[[^\n]*md5\(", plan)
     assert len(hash_projects) == 3, hash_projects  # old side + 2 union legs
+
+
+def test_q23_merge_still_plans_all_four_join_types(spark, sf_dir):
+    """The q23/q24 consolidation is a tagged union, not a rewrite: the
+    plan must still contain genuine right/full-outer null-extension
+    AND LeftSemi/LeftAnti joins (the build side stays a key set)."""
+    plan = _plan(spark, sf_dir, "q23_join_outer_semi_anti")
+    assert "FullOuter" in plan
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
