@@ -24,6 +24,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from etfconstituentextractor_spark.operators.ann import ivf_index, ivf_topk
+from etfconstituentextractor_spark.operators.retrieval import bm25_topk
 from etfconstituentextractor_spark.plans.registry import query
 from etfconstituentextractor_spark.sources.tables import load
 
@@ -351,43 +352,10 @@ def _bm25_oracle() -> str:
 
 @query("q73_text_bm25_topk", oracle=_bm25_oracle())
 def q73_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("toks")
-    ).withColumn("dl", F.size("toks").cast("bigint"))
-
-    all_terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
-    stats = d.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-    tf = (
-        d.select("doc_id", F.explode("toks").alias("tok"))
-        .filter(F.col("tok").isin(all_terms))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    qterms = spark.createDataFrame(
-        [(qid, t) for qid, terms in sorted(BM25_QUERIES.items()) for t in terms],
-        "query_id string, tok string",
-    )
-    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
-    term_score = (
-        idf
-        * F.col("tf")
-        * (BM25_K1 + 1)
-        / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
-    )
-    scored = (
-        tf.join(F.broadcast(qterms), "tok")
-        .join(F.broadcast(dfreq), "tok")
-        .join(d.select("doc_id", "dl"), "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("query_id", "doc_id")
-        .agg(F.round(F.sum(term_score), 6).cast("double").alias("score"))
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("int"))
-        .filter(F.col("rn") <= BM25_TOP_K)
-        .select("query_id", "doc_id", "score", "rn")
+    return bm25_topk(
+        load(spark, sf_dir, "documents"),
+        BM25_QUERIES,
+        k=BM25_TOP_K,
+        k1=BM25_K1,
+        b=BM25_B,
     )

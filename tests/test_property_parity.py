@@ -314,3 +314,58 @@ def test_asof_join_tolerance_matches_duckdb(spark, left, right, tol):
     )
     con.close()
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["ab", "cd", "ef", "gh", "ij"]), min_size=0, max_size=8),
+        min_size=1,
+        max_size=10,
+    ),
+    k=st.integers(1, 5),
+)
+def test_bm25_matches_python_reference(spark, docs, k):
+    """bm25_topk (operators/retrieval.py) against a from-scratch Python
+    BM25 on arbitrary tiny corpora: same scores (6 dp), same ranks,
+    same tie-breaks — including empty documents, terms absent from the
+    corpus, and every-doc-matches saturation."""
+    import math
+
+    queries = {"qa": ("ab", "cd"), "qb": ("ef",), "qc": ("zz",)}  # zz never occurs
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    from etfconstituentextractor_spark.operators.retrieval import bm25_topk
+
+    got = sorted(
+        (r.query_id, r.doc_id, r.score, r.rn)
+        for r in bm25_topk(sdf, queries, k=k).collect()
+    )
+
+    # independent reference: plain Python, no shared code
+    k1, b = 1.2, 0.75
+    # NOTE: split(" ") on "" yields [""], matching Spark's semantics
+    toks_by_doc = {i: text.split(" ") for i, text in rows}
+    n = len(rows)
+    avgdl = sum(len(t) for t in toks_by_doc.values()) / n
+    want = []
+    for qid, terms in queries.items():
+        scored = []
+        for i, toks in toks_by_doc.items():
+            s = 0.0
+            hit = False
+            for t in set(terms):
+                tf = toks.count(t)
+                if tf == 0:
+                    continue
+                hit = True
+                df = sum(1 for tt in toks_by_doc.values() if t in tt)
+                idf = math.log((n - df + 0.5) / (df + 0.5) + 1)
+                s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+            if hit:
+                scored.append((i, round(s, 6)))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        for rn, (i, s) in enumerate(scored[:k], start=1):
+            want.append((qid, i, s, rn))
+    assert got == sorted(want)
