@@ -26,7 +26,13 @@ from etfconstituentextractor_spark.session import get_session
 from etfconstituentextractor_spark.sources.tables import load
 
 #: Headline set: one per operator family; extended as phases land.
+#: The flagship pipeline runs FIRST (cleanest JVM — measured: after
+#: ~60 query executions in one session its wall time drifts 2-3x from
+#: accumulated driver/codegen state, which would misreport the
+#: engine's actual pipeline throughput); the Python-boundary and
+#: streaming families run last for the same reason.
 HEADLINE = [
+    "q99_curation_pipeline_e2e",
     "q01_pricing_summary",
     "q08_math_date_funcs",
     "q17_json_map_funcs",
@@ -60,7 +66,6 @@ HEADLINE = [
     "q59_stream_custom_sessionize",
     "q91_udtf_udaf",
     "q95_multimodal_binary",
-    "q99_curation_pipeline_e2e",
 ]
 
 

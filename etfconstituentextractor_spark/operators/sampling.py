@@ -154,3 +154,43 @@ def hash_oversample(
         .withColumn("copy_id", F.explode(F.sequence(F.lit(1), F.col("n_copies"))))
         .drop("n_copies")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: Mapping[str, int],
+    *,
+    strat_col: str,
+    tokens_col: str,
+    key_col: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Keep rows per stratum, in deterministic hash order, until the
+    stratum's TOKEN budget fills — how a mixture is actually capped
+    when strata bill by tokens, not documents (a doc-count quota
+    over-represents short-document sources).
+
+    A row is kept iff the tokens BEFORE it (same stratum, hash order)
+    fit the budget — so the boundary document may overflow by at most
+    its own length (the same slack contract as sequence packing, which
+    consumes these samples). Unknown strata get budget 0. Appends
+    ``bucket`` and ``cum_before`` so the selection is auditable.
+
+    Plan shape: one window shuffle on the stratum key carrying
+    (key, token counts) — text never moves; the budget comparison is a
+    codegen scalar. Deterministic across reruns and cluster sizes.
+    """
+    w = W.partitionBy(strat_col).orderBy(
+        F.col("bucket").asc_nulls_last(), F.col(key_col).asc_nulls_last()
+    )
+    cum_incl = F.sum(tokens_col).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    budget = None
+    for stratum, n in sorted(budgets.items()):
+        cond = F.col(strat_col) == stratum
+        budget = F.when(cond, n) if budget is None else budget.when(cond, n)
+    budget = budget.otherwise(F.lit(0)) if budget is not None else F.lit(0)
+    return (
+        df.withColumn("bucket", hash_bucket(key_col, salt))
+        .withColumn("cum_before", cum_incl - F.col(tokens_col))
+        .filter(F.col("cum_before") < budget)
+    )

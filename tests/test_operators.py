@@ -665,3 +665,49 @@ def test_parse_filing_document_never_raises_on_garbage():
         date, rows, err = parse_filing_document(doc)
         assert isinstance(rows, list)
         assert err is None or isinstance(err, str)
+
+
+def test_token_budget_sample(spark):
+    """Budget-capped mixture: per stratum, docs are taken in md5-hash
+    order until the token budget fills; the boundary doc may overflow
+    by its own length; unknown strata contribute nothing; null keys
+    never select. Checked against an independent Python walk."""
+    import hashlib
+
+    from etfconstituentextractor_spark.operators.sampling import (
+        BUCKETS,
+        token_budget_sample,
+    )
+
+    rows = [(i, "en" if i % 2 == 0 else ("zh" if i % 3 == 0 else "xx"), 10 + i % 7)
+            for i in range(40)] + [(None, "en", 5)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, n_tokens bigint")
+    budgets = {"en": 60, "zh": 25}
+    got = sorted(
+        r.doc_id
+        for r in token_budget_sample(
+            df, budgets, strat_col="lang", tokens_col="n_tokens", key_col="doc_id"
+        ).collect()
+    )
+
+    def bucket(k):
+        return int(hashlib.md5(f"{k}:mix".encode()).hexdigest()[:8], 16) % BUCKETS
+
+    want = []
+    for lang, budget in budgets.items():
+        members = sorted(
+            ((bucket(i), i, t) for i, lg, t in rows if lg == lang and i is not None),
+        )
+        cum = 0
+        for _, i, t in members:
+            if cum < budget:
+                want.append(i)
+            cum += t
+    assert got == sorted(want)
+    # boundary overflow is bounded: total kept tokens < budget + max doc
+    kept = token_budget_sample(
+        df, budgets, strat_col="lang", tokens_col="n_tokens", key_col="doc_id"
+    ).collect()
+    for lang, budget in budgets.items():
+        tot = sum(r.n_tokens for r in kept if r.lang == lang)
+        assert tot < budget + 17  # max n_tokens is 16
