@@ -239,3 +239,81 @@ def hex_to_long(hex_expr: str) -> Column:
 
 def sql_hex_to_long(hex_expr: str) -> str:
     return f"CAST('0x' || {hex_expr} AS BIGINT)"
+
+
+def simhash_pairs(
+    docs,
+    *,
+    tokens_expr: str = "split(text, ' ')",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bits: int = 16,
+    n_bands: int = 4,
+):
+    """SimHash near-dup candidate pairs: documents whose fingerprints
+    differ in at most ``max_hamming`` bits (SURVEY.md §2B "LLM-pipeline
+    — near-dup": the SimHash member of the dedup family, beside q62's
+    MinHash-LSH and q63's exact Jaccard).
+
+    Banded blocking, never all-pairs: the n_bits fingerprint splits
+    into n_bands equal substrings and docs bucket-join per band. By
+    pigeonhole the blocking is COMPLETE for max_hamming <= n_bands - 1
+    (d differing bits cannot touch all n_bands bands), which the unit
+    test pins against brute force. A pair sharing several bands emits
+    once: only the FIRST equal band keeps it (both fingerprints ride
+    the joined row, so "no earlier band equal" is a codegen predicate
+    — no distinct shuffle).
+
+    Plan shape: one fingerprint scan, explode to n_bands rows per doc
+    (banded signatures only — text never shuffles), equi-join on
+    (band_idx, band_value), hamming verify + first-band dedup as
+    codegen scalars. All built-ins — no Python anywhere.
+    """
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"banded blocking is only complete for max_hamming <= n_bands - 1 "
+            f"(got max_hamming={max_hamming}, n_bands={n_bands})"
+        )
+    if n_bits % n_bands:
+        raise ValueError(f"n_bands={n_bands} must divide n_bits={n_bits}")
+    w = n_bits // n_bands
+
+    fp = docs.select(
+        F.col(id_col).alias("doc_id"),
+        simhash_bits(tokens_expr, n_bits).alias("fp"),
+    )
+    banded = fp.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), "
+                f"i -> struct(i AS band, substring(fp, i * {w} + 1, {w}) AS sig))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "fp", F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.expr(
+        f"aggregate(sequence(1, {n_bits}), 0, (acc, i) -> "
+        f"acc + IF(substring(a.fp, i, 1) <> substring(b.fp, i, 1), 1, 0))"
+    )
+    first_band = F.expr(
+        f"a.band = aggregate(sequence({n_bands - 1}, 0, -1), {n_bands - 1}, (acc, i) -> "
+        f"IF(substring(a.fp, i * {w} + 1, {w}) = substring(b.fp, i * {w} + 1, {w}), i, acc))"
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn("hamming", hamming)
+        .filter((F.col("hamming") <= max_hamming) & first_band)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "hamming",
+        )
+    )

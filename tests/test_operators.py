@@ -711,3 +711,54 @@ def test_token_budget_sample(spark):
     for lang, budget in budgets.items():
         tot = sum(r.n_tokens for r in kept if r.lang == lang)
         assert tot < budget + 17  # max n_tokens is 16
+
+
+def test_simhash_pairs_complete_vs_brute_force(spark, sf_dir):
+    """Banded simhash blocking must find EVERY pair within max_hamming
+    (pigeonhole: <= n_bands-1 differing bits leave one band intact),
+    each exactly once, with the exact hamming distance — checked
+    against brute-force pairwise comparison of the same fingerprints
+    on real corpus documents."""
+    from etfconstituentextractor_spark.operators.text import simhash_bits, simhash_pairs
+    from etfconstituentextractor_spark.sources.tables import load
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text").limit(120)
+    fps = {
+        r.doc_id: r.fp
+        for r in d.select(
+            "doc_id", simhash_bits("split(text, ' ')").alias("fp")
+        ).collect()
+    }
+    want = {}
+    ids = sorted(fps)
+    for i, da in enumerate(ids):
+        for db in ids[i + 1 :]:
+            h = sum(1 for x, y in zip(fps[da], fps[db]) if x != y)
+            if h <= 3:
+                want[(da, db)] = h
+    got_rows = simhash_pairs(d, max_hamming=3).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in got_rows}
+    assert len(got_rows) == len(got)  # first-band dedup: no double emissions
+    assert got == want
+    assert want  # fixture sanity: some near pairs exist
+
+
+def test_simhash_pairs_rejects_incomplete_blocking(spark):
+    import pytest
+    from etfconstituentextractor_spark.operators.text import simhash_pairs
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="complete"):
+        simhash_pairs(df, max_hamming=4, n_bands=4)
+    with pytest.raises(ValueError, match="divide"):
+        simhash_pairs(df, max_hamming=2, n_bands=5)
+
+
+def test_simhash_pairs_plan_is_python_free(spark, sf_dir):
+    from etfconstituentextractor_spark.operators.text import simhash_pairs
+    from etfconstituentextractor_spark.sources.tables import load
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = simhash_pairs(d)._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
