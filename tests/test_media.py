@@ -97,3 +97,11 @@ def test_media_stages_have_single_python_boundary(spark):
         byte_histogram_features(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("MapInPandas") == 1
+
+
+def test_frame_sampler_empty_container_contract(spark):
+    """A VALID container with zero frames yields zero rows (one row
+    per sampled frame — nothing to sample, no error); presence
+    tracking belongs to the caller's left join, like any generator."""
+    df = _blob_df(spark, [(1, pack_video([]))])
+    assert sample_frames(df, every_n=2).count() == 0

@@ -531,3 +531,13 @@ def test_q23_merge_still_plans_all_four_join_types(spark, sf_dir):
     assert "FullOuter" in plan
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
+
+
+def test_q64_blocked_pairwise_is_jvm_side(spark, sf_dir):
+    """q64's within-block all-pairs cosine must stay whole-stage JVM
+    work: the label-block join with no Python evaluation — the 64-dim
+    dot products run as codegen higher-order functions."""
+    plan = _plan(spark, sf_dir, "q64_dedup_embedding_cosine")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan

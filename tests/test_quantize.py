@@ -121,3 +121,31 @@ def test_quantize_plan_is_python_free(spark, sf_dir):
     )
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_quantize_roundtrip_fuzz(spark):
+    """Hypothesis: for arbitrary float vectors (negatives, tiny and
+    huge magnitudes, zeros), quantize→dequantize stays within the
+    scale/254 bound and codes stay in [-127, 127]."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    finite = st.floats(
+        min_value=-1e12, max_value=1e12, allow_nan=False, allow_infinity=False
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(vec=st.lists(finite, min_size=1, max_size=12))
+    def inner(vec):
+        df = spark.createDataFrame([(1, vec)], "id bigint, v array<double>")
+        r = dequantize(quantize_int8(df)).collect()[0]
+        assert all(-127 <= c <= 127 for c in r.q)
+        bound = r.scale / 254 + abs(r.scale) * 1e-12
+        for x, d in zip(vec, r.deq):
+            assert abs(x - d) <= bound, (x, d, r.scale)
+
+    inner()
