@@ -46,7 +46,7 @@ HEADLINE = [
     "q42_window_trailing_range",
     "q60_dedup_exact_family",
     "q62_dedup_minhash_lsh",
-    "q63_dedup_ngram_jaccard",
+    "q63_dedup_jaccard_simhash",
     "q64_dedup_embedding_cosine",
     "q65_dedup_groups",
     "q70_similarity_topk_cosine",

@@ -32,6 +32,8 @@ from etfconstituentextractor_spark.operators.text import (
     sql_jaccard_predistinct,
     sql_shingles,
     sql_tokens,
+    simhash_pairs,
+    sql_simhash_bits,
 )
 from etfconstituentextractor_spark.plans.registry import query
 from etfconstituentextractor_spark.sources.tables import fanout, load
@@ -299,7 +301,9 @@ def q65_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q63 — n-gram Jaccard near-dup with attribute blocking (source +
+# q63 — exact-similarity near-dup reference points, tagged union:
+# n-gram Jaccard with attribute blocking + banded SimHash hamming
+# pairs. Jaccard leg: blocking by (source +
 # length bucket), no hashing: the exact-similarity reference point for
 # q62's LSH approximation. Shingle sets are DISTINCTED ONCE per doc
 # (and materialized once across the self-join) so the per-pair similarity is
@@ -393,8 +397,14 @@ def ngram_jaccard_pairs(
     return pairs, skipped
 
 
+_SIMHASH_HAMMING = (
+    "len(list_filter(range(1, 17), "
+    "i -> substr(fa, CAST(i AS INT), 1) <> substr(fb, CAST(i AS INT), 1)))"
+)
+
+
 @query(
-    "q63_dedup_ngram_jaccard",
+    "q63_dedup_jaccard_simhash",
     oracle=f"""
     WITH s AS (
       SELECT doc_id, source, n_chars // 100 AS len_bucket,
@@ -406,18 +416,55 @@ def ngram_jaccard_pairs(
       SELECT source, len_bucket FROM s
       GROUP BY source, len_bucket HAVING COUNT(*) <= {_Q63_MAX_BLOCK}
     ),
-    kept AS (SELECT s.* FROM s JOIN kept_keys USING (source, len_bucket))
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           {sql_jaccard_predistinct('a.sh', 'b.sh')} AS jaccard_sim
+    kept AS (SELECT s.* FROM s JOIN kept_keys USING (source, len_bucket)),
+    sim AS (
+      SELECT doc_id, {sql_simhash_bits(sql_tokens())} AS fp FROM documents
+    ),
+    sbands AS (
+      SELECT doc_id, fp, i AS band, substr(fp, CAST(i * 4 + 1 AS INT), 4) AS sig
+      FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS i)
+    ),
+    spairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp AS fa, b.fp AS fb
+      FROM sbands a JOIN sbands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+    SELECT 'jaccard' AS leg, a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {sql_jaccard_predistinct('a.sh', 'b.sh')} AS score
     FROM kept a JOIN kept b
       ON a.source = b.source AND a.len_bucket = b.len_bucket
      AND a.doc_id < b.doc_id
     WHERE {sql_jaccard_predistinct('a.sh', 'b.sh')} >= 0.3
+    UNION ALL
+    SELECT 'simhash', doc_a, doc_b, CAST({_SIMHASH_HAMMING} AS DOUBLE)
+    FROM spairs
+    WHERE {_SIMHASH_HAMMING} <= 3
     """,
 )
-def q63_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs, _skipped = ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
-    return pairs
+def q63_dedup_jaccard_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union of the two EXACT-similarity near-dup reference
+    points beside q62's banded MinHash approximation: blocked n-gram
+    Jaccard (attribute blocking + set intersect) and banded SimHash
+    (hamming <= 3, pigeonhole-complete blocking over fingerprint
+    bands — `operators/text.py:simhash_pairs`). Same pair grain, same
+    (leg, doc_a, doc_b, score) shape; both legs emit each pair exactly
+    once without a distinct shuffle (first-shared-band predicate on
+    the simhash side, a < b ordering on both)."""
+    d = load(spark, sf_dir, "documents")
+    pairs, _skipped = ngram_jaccard_pairs(d)
+    jac = pairs.select(
+        F.lit("jaccard").alias("leg"),
+        "doc_a",
+        "doc_b",
+        F.col("jaccard_sim").alias("score"),
+    )
+    sh = simhash_pairs(fanout(d.select("doc_id", "text")), max_hamming=3).select(
+        F.lit("simhash").alias("leg"),
+        "doc_a",
+        "doc_b",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    return jac.unionByName(sh)
 
 
 # ---------------------------------------------------------------------------

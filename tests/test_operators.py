@@ -196,7 +196,7 @@ def test_connected_components_on_neardup_pairs(spark, sf_dir):
     every pair's two docs must land in the same component."""
     from etfconstituentextractor_spark.operators.components import connected_components
 
-    pairs = QUERIES["q63_dedup_ngram_jaccard"](spark, sf_dir).select(
+    pairs = QUERIES["q63_dedup_jaccard_simhash"](spark, sf_dir).filter(F.col("leg") == "jaccard").select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     if pairs.count() == 0:
