@@ -397,8 +397,19 @@ def ngram_jaccard_pairs(
     return pairs, skipped
 
 
+# SimHash leg parameters: 32-bit fingerprints (the md5-hex
+# construction's max — one bit per hex digit; production would widen
+# to 64 via a second salted md5), TWO 16-bit bands → 65536 buckets per
+# band (the blocking stays sub-quadratic even on this unusually
+# self-similar synthetic corpus: 16-bit fingerprints measured 3.5M
+# pairs / 19s at sf0.1; 32-bit hamming<=1 is 23k pairs / 2.5s), and
+# max_hamming=1 — the "virtually identical" criterion, complete for
+# two bands by pigeonhole.
+_SIMHASH_BITS = 32
+_SIMHASH_BANDS = 2
+_SIMHASH_MAXH = 1
 _SIMHASH_HAMMING = (
-    "len(list_filter(range(1, 17), "
+    f"len(list_filter(range(1, {_SIMHASH_BITS + 1}), "
     "i -> substr(fa, CAST(i AS INT), 1) <> substr(fb, CAST(i AS INT), 1)))"
 )
 
@@ -418,11 +429,13 @@ _SIMHASH_HAMMING = (
     ),
     kept AS (SELECT s.* FROM s JOIN kept_keys USING (source, len_bucket)),
     sim AS (
-      SELECT doc_id, {sql_simhash_bits(sql_tokens())} AS fp FROM documents
+      SELECT doc_id, {sql_simhash_bits(sql_tokens(), _SIMHASH_BITS)} AS fp FROM documents
     ),
     sbands AS (
-      SELECT doc_id, fp, i AS band, substr(fp, CAST(i * 4 + 1 AS INT), 4) AS sig
-      FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS i)
+      SELECT doc_id, fp, i AS band,
+             substr(fp, CAST(i * {_SIMHASH_BITS // _SIMHASH_BANDS} + 1 AS INT),
+                    {_SIMHASH_BITS // _SIMHASH_BANDS}) AS sig
+      FROM sim CROSS JOIN (SELECT unnest(range(0, {_SIMHASH_BANDS})) AS i)
     ),
     spairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp AS fa, b.fp AS fb
@@ -438,15 +451,15 @@ _SIMHASH_HAMMING = (
     UNION ALL
     SELECT 'simhash', doc_a, doc_b, CAST({_SIMHASH_HAMMING} AS DOUBLE)
     FROM spairs
-    WHERE {_SIMHASH_HAMMING} <= 3
+    WHERE {_SIMHASH_HAMMING} <= {_SIMHASH_MAXH}
     """,
 )
 def q63_dedup_jaccard_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tagged union of the two EXACT-similarity near-dup reference
     points beside q62's banded MinHash approximation: blocked n-gram
     Jaccard (attribute blocking + set intersect) and banded SimHash
-    (hamming <= 3, pigeonhole-complete blocking over fingerprint
-    bands — `operators/text.py:simhash_pairs`). Same pair grain, same
+    (32-bit fingerprints, hamming <= 1, pigeonhole-complete blocking
+    over two 16-bit bands — `operators/text.py:simhash_pairs`). Same pair grain, same
     (leg, doc_a, doc_b, score) shape; both legs emit each pair exactly
     once without a distinct shuffle (first-shared-band predicate on
     the simhash side, a < b ordering on both)."""
@@ -458,7 +471,12 @@ def q63_dedup_jaccard_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         F.col("jaccard_sim").alias("score"),
     )
-    sh = simhash_pairs(fanout(d.select("doc_id", "text")), max_hamming=3).select(
+    sh = simhash_pairs(
+        fanout(d.select("doc_id", "text")),
+        max_hamming=_SIMHASH_MAXH,
+        n_bits=_SIMHASH_BITS,
+        n_bands=_SIMHASH_BANDS,
+    ).select(
         F.lit("simhash").alias("leg"),
         "doc_a",
         "doc_b",
