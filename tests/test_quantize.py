@@ -149,3 +149,36 @@ def test_quantize_roundtrip_fuzz(spark):
             assert abs(x - d) <= bound, (x, d, r.scale)
 
     inner()
+
+
+def test_quantized_vectors_compose_with_ivf(spark, sf_dir):
+    """The at-scale composition: int8 codes (4x smaller index) feed the
+    IVF index/search unchanged — scales cancel in cosine, so cell
+    assignment and rerank run on the codes cast to double. The contract
+    isolates QUANTIZATION loss: quantized-IVF vs float-IVF at the same
+    nprobe must overlap almost completely (measured 0.98 at nprobe=2;
+    IVF's own pruning loss is the ANN operator's concern, not this
+    one's)."""
+    from etfconstituentextractor_spark.operators.ann import ivf_index, ivf_topk
+
+    vecs = _vecs(spark, sf_dir)
+    codes = quantize_int8(vecs).select(
+        "id", F.expr("transform(q, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+
+    def ivf_results(src):
+        centroids = src.filter(F.col("id") % 7 == 3).limit(8).select(
+            F.col("id").alias("cell"), F.col("v").alias("cv")
+        )
+        indexed = ivf_index(src, centroids)
+        queries = src.filter(F.col("id") < 5).select(
+            F.col("id").alias("qid"), F.col("v").alias("qv")
+        )
+        return {
+            (r.qid, r.id)
+            for r in ivf_topk(indexed, queries, centroids, k=10, nprobe=2).collect()
+        }
+
+    quant = ivf_results(codes)
+    exact = ivf_results(vecs)
+    assert len(quant & exact) / len(exact) >= 0.9, len(quant & exact) / len(exact)
