@@ -194,3 +194,34 @@ def token_budget_sample(
         .withColumn("cum_before", cum_incl - F.col(tokens_col))
         .filter(F.col("cum_before") < budget)
     )
+
+
+def temperature_rates(
+    counts: Mapping[str, int], alpha: float, keep_fraction: float = 1.0
+) -> dict[str, float]:
+    """Temperature-weighted mixture rates: sampled share of stratum s
+    is proportional to count(s)**alpha — the standard multilingual /
+    multi-source rebalancing scheme (alpha=1 keeps natural
+    proportions, alpha=0 equalizes strata, alpha~0.3 is the usual
+    compromise). Returns per-stratum KEEP rates for
+    ``hash_rate_sample`` / ``hash_oversample`` such that the total
+    kept volume is ``keep_fraction`` of the corpus; scarce strata may
+    get rates above 1 (epochs — feed those to ``hash_oversample``).
+
+    Driver-side math over per-stratum totals (a handful of scalars —
+    the aggregate that produced them is the only cluster work).
+    """
+    if not counts:
+        return {}
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    total = sum(counts.values())
+    weights = {s: (n ** alpha if n > 0 else 0.0) for s, n in counts.items()}
+    wsum = sum(weights.values())
+    if wsum == 0 or total == 0:
+        return {s: 0.0 for s in counts}
+    budget = keep_fraction * total
+    return {
+        s: (budget * weights[s] / wsum) / counts[s] if counts[s] else 0.0
+        for s in counts
+    }

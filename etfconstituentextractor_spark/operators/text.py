@@ -317,3 +317,18 @@ def simhash_pairs(
             "hamming",
         )
     )
+
+
+def clean_text(col: str = "text") -> Column:
+    """C4-style text normalization as ONE codegen expression chain:
+    strip control characters (except newline/tab), collapse runs of
+    spaces/tabs, collapse 3+ newlines to 2 (paragraph preserve), trim.
+    Pure regexp_replace — no Python, rides the scan like the PII
+    stage; Unicode-category NFC/NFKC normalization would need an ICU
+    UDF and is deliberately out of the codegen path.
+    """
+    c = F.col(col)
+    c = F.regexp_replace(c, r"[\x00-\x08\x0B-\x1F\x7F]", "")
+    c = F.regexp_replace(c, r"[ \t]{2,}", " ")
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")
+    return F.trim(c)

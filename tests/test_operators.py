@@ -762,3 +762,71 @@ def test_simhash_pairs_plan_is_python_free(spark, sf_dir):
     plan = simhash_pairs(d)._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_temperature_rates_properties():
+    """alpha=1 keeps natural proportions; alpha=0 equalizes strata;
+    the kept-volume budget holds; scarce strata can exceed rate 1."""
+    from etfconstituentextractor_spark.operators.sampling import temperature_rates
+
+    counts = {"en": 8000, "zh": 1500, "sw": 500}
+    natural = temperature_rates(counts, alpha=1.0, keep_fraction=0.5)
+    assert all(abs(r - 0.5) < 1e-12 for r in natural.values())
+
+    flat = temperature_rates(counts, alpha=0.0, keep_fraction=0.3)
+    kept = {s: flat[s] * counts[s] for s in counts}
+    assert max(kept.values()) - min(kept.values()) < 1e-6  # equal share
+    assert abs(sum(kept.values()) - 0.3 * 10000) < 1e-6
+
+    mid = temperature_rates(counts, alpha=0.3, keep_fraction=1.0)
+    assert mid["sw"] > 1.0 > mid["en"]  # scarce oversampled, dominant cut
+    assert abs(sum(mid[s] * counts[s] for s in counts) - 10000) < 1e-6
+
+    assert temperature_rates({}, 0.3) == {}
+    assert temperature_rates({"a": 0}, 0.3) == {"a": 0.0}
+
+
+def test_temperature_rates_drive_the_mixture(spark, sf_dir):
+    """Composition: per-lang counts -> temperature rates -> the
+    deterministic mixture legs. Kept share per stratum approaches
+    count**alpha proportions (hash-Bernoulli tolerance)."""
+    from etfconstituentextractor_spark.operators.sampling import (
+        hash_rate_sample,
+        temperature_rates,
+    )
+    from etfconstituentextractor_spark.sources.tables import load
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    rates = temperature_rates(counts, alpha=0.0, keep_fraction=0.4)
+    capped = {s: min(1.0, r) for s, r in rates.items()}
+    kept = hash_rate_sample(d, capped, strat_col="lang", key_col="doc_id")
+    got = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # alpha=0: every stratum targets the same kept count (or its whole
+    # size when rate capped at 1); Bernoulli noise stays within ~35%
+    target = 0.4 * sum(counts.values()) / len(counts)
+    for s in counts:
+        want = min(counts[s], target)
+        assert abs(got.get(s, 0) - want) <= max(8.0, 0.35 * want), (s, got.get(s), want)
+
+
+def test_clean_text_normalization(spark):
+    from etfconstituentextractor_spark.operators.text import clean_text
+
+    rows = [
+        (1, "a  b\t\tc"),                      # space/tab runs collapse
+        (2, "x\x00y\x07z"),                     # control chars strip
+        (3, "p1\n\n\n\n\np2"),                  # newline runs cap at 2
+        (4, "  padded  "),                      # trim
+        (5, "keep\nsingle\n\ndouble"),          # 1-2 newlines untouched
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    out = {r.id: r.c for r in df.select("id", clean_text().alias("c")).collect()}
+    assert out[1] == "a b c"
+    assert out[2] == "xyz"
+    assert out[3] == "p1\n\np2"
+    assert out[4] == "padded"
+    assert out[5] == "keep\nsingle\n\ndouble"
+    plan = df.select(clean_text().alias("c"))._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
