@@ -338,3 +338,45 @@ def test_corpus_to_training_shards_chain(spark, sf_dir, tmp_path):
         # a bin holds at most budget + one boundary document's tokens
         assert r.n_tokens <= budget + max_doc
         assert r.bin_id >= 0
+
+
+def test_refresh_diff_identifies_changed_verdicts(spark, sf_dir):
+    """Incremental operations composition: curate the corpus, curate a
+    deterministically refreshed copy, snapshot-diff the two AUDITS on
+    (doc_id -> verdict). The diff must (a) flag every deleted doc, (b)
+    flag the new docs as inserted, and (c) never flag a doc whose
+    verdict is identical in both audits — the CDC contract that lets a
+    pipeline reprocess only what a refresh actually changed."""
+    from pyspark.sql import functions as F
+
+    from etfconstituentextractor_spark.operators.snapshot_diff import snapshot_diff
+    from etfconstituentextractor_spark.pipeline.curation import curate
+    from etfconstituentextractor_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    refreshed = docs.filter(F.col("doc_id") % 19 != 0).unionByName(
+        docs.filter(F.col("doc_id") % 23 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang"
+        )
+    )
+    a1 = curate(docs).select("doc_id", "verdict")
+    a2 = curate(refreshed).select("doc_id", "verdict")
+    delta = snapshot_diff(a1, a2, keys=["doc_id"], compare_cols=["verdict"])
+    by_change = {r.doc_id: r.change for r in delta.collect()}
+
+    deleted = {r.doc_id for r in docs.filter(F.col("doc_id") % 19 == 0).collect()}
+    inserted = {
+        r.doc_id + 1_000_000
+        for r in docs.filter(F.col("doc_id") % 23 == 0).collect()
+    }
+    assert deleted == {k for k, c in by_change.items() if c == "deleted"}
+    assert inserted <= {k for k, c in by_change.items() if c == "inserted"}
+    # verdict-stable docs are absent from the delta
+    v1 = {r.doc_id: r.verdict for r in a1.collect()}
+    v2 = {r.doc_id: r.verdict for r in a2.collect()}
+    for k, c in by_change.items():
+        if c == "updated":
+            assert v1[k] != v2[k], k
+    for k in set(v1) & set(v2):
+        if v1[k] == v2[k]:
+            assert k not in by_change, k
