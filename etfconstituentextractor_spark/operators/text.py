@@ -118,10 +118,22 @@ def sql_minhash(shingles_expr: str, salt: str = "") -> str:
 _HI = "'8','9','a','b','c','d','e','f'"
 
 
+def _simhash_hash_expr(n_bits: int) -> str:
+    """One hex digit feeds one fingerprint bit: a single md5 covers 32
+    bits; wider fingerprints (production simhash is 64-bit) concatenate
+    a second salted md5 — both engines build the identical string."""
+    if n_bits <= 32:
+        return "md5(t)"
+    if n_bits <= 64:
+        return "concat(md5(t), md5(concat('simhash2|', t)))"
+    raise ValueError(f"n_bits must be <= 64, got {n_bits}")
+
+
 def simhash_bits(tokens_expr: str, n_bits: int = 16) -> Column:
     """SimHash over token md5s: bit i of the fingerprint is the sign of
-    the sum over tokens of ±1 according to hex digit i of md5(token).
-    Returns the fingerprint as an n_bits-char bitstring.
+    the sum over tokens of ±1 according to hex digit i of md5(token)
+    (digits 33-64 come from a second salted md5). Returns the
+    fingerprint as an n_bits-char bitstring.
 
     Spelled as ONE aggregate pass carrying all n_bits counters in an
     array accumulator: the md5 transform is the aggregate's input,
@@ -132,7 +144,7 @@ def simhash_bits(tokens_expr: str, n_bits: int = 16) -> Column:
     an intermediate column doesn't help: CollapseProject inlines
     single-reference projections regardless of cost."""
     return F.expr(
-        f"aggregate(transform({tokens_expr}, t -> md5(t)), "
+        f"aggregate(transform({tokens_expr}, t -> {_simhash_hash_expr(n_bits)}), "
         f"array_repeat(0, {n_bits}), "
         f"(acc, h) -> zip_with(acc, sequence(1, {n_bits}), (a, i) -> "
         f"a + (CASE WHEN substring(h, i, 1) IN ({_HI}) THEN 1 ELSE -1 END)), "
@@ -144,9 +156,10 @@ def sql_simhash_bits(tokens_expr: str, n_bits: int = 16) -> str:
     # coalesce(..., 0): DuckDB list_sum([]) is NULL while Spark's
     # aggregate(..., 0, ...) yields 0 — both engines must agree that an
     # empty token array fingerprints as all-'1' (sum 0 >= 0).
+    h = _simhash_hash_expr(n_bits)
     return (
         f"array_to_string(list_transform(range(1, {n_bits + 1}), i -> "
-        f"CASE WHEN coalesce(list_sum(list_transform(list_transform({tokens_expr}, t -> md5(t)), "
+        f"CASE WHEN coalesce(list_sum(list_transform(list_transform({tokens_expr}, t -> {h}), "
         f"h -> CASE WHEN substr(h, i, 1) IN ({_HI}) THEN 1 ELSE -1 END)), 0) >= 0 "
         f"THEN '1' ELSE '0' END), '')"
     )

@@ -830,3 +830,47 @@ def test_clean_text_normalization(spark):
     plan = df.select(clean_text().alias("c"))._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_simhash_64bit_cross_engine_and_banded(spark, sf_dir):
+    """64-bit fingerprints (second salted md5 for digits 33-64): both
+    engines build identical bitstrings, and banded pair generation
+    stays pigeonhole-complete at hamming<=3 over 4 x 16-bit bands —
+    the production-scale configuration (65536 buckets per band)."""
+    import duckdb
+
+    from etfconstituentextractor_spark.operators.text import (
+        simhash_bits,
+        simhash_pairs,
+        sql_simhash_bits,
+        sql_tokens,
+    )
+    from etfconstituentextractor_spark.sources.tables import load
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text").limit(80)
+    got = {
+        r.doc_id: r.fp
+        for r in d.select("doc_id", simhash_bits("split(text, ' ')", 64).alias("fp")).collect()
+    }
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, {sql_simhash_bits(sql_tokens(), 64)} AS fp "
+        f"FROM read_parquet('{sf_dir}/documents.parquet') "
+        f"WHERE doc_id IN ({', '.join(str(k) for k in got)})"
+    ).fetchall()
+    want = {k: v for k, v in rows}
+    assert got == want
+    assert all(len(v) == 64 for v in got.values())
+
+    # banded completeness at the production shape
+    fps = got
+    ids = sorted(fps)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if sum(1 for x, y in zip(fps[a], fps[b]) if x != y) <= 3
+    }
+    pairs = simhash_pairs(d, max_hamming=3, n_bits=64, n_bands=4)
+    got_pairs = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert got_pairs == brute
