@@ -15,7 +15,7 @@ Portability notes (probed against DuckDB 1.x):
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: tiny per-language stopword lists for the n-gram/stopword language
@@ -345,3 +345,65 @@ def clean_text(col: str = "text") -> Column:
     c = F.regexp_replace(c, r"[ \t]{2,}", " ")
     c = F.regexp_replace(c, r"\n{3,}", "\n\n")
     return F.trim(c)
+
+
+def repetition_features(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition quality features per document: the
+    share of the document taken by its single most frequent token
+    (``top_token_share``) and the fraction of 2-gram occurrences that
+    are repeats of an already-seen 2-gram (``dup_2gram_frac``) — the
+    repetition gates a pretraining quality filter applies beside
+    length/stopword ratios.
+
+    Plan shape: tokenize → explode → two-level aggregation — the
+    shuffles carry (doc_id, token-hash-sized strings) counts, never
+    the document; at corpus scale this is the same explode→partial-agg
+    pattern as the token-count analytics (q81).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(text_col, " ")).alias("tok"),
+    )
+    uni = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.max("c").alias("top_c"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("top_c") / F.col("n_tokens")).alias("top_token_share"),
+        )
+    )
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(
+                f"zip_with(slice(split({text_col}, ' '), 1, size(split({text_col}, ' ')) - 1), "
+                f"slice(split({text_col}, ' '), 2, size(split({text_col}, ' ')) - 1), "
+                f"(a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("g"),
+    )
+    dup2 = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            ((F.sum("c") - F.count(F.lit(1))) / F.sum("c")).alias("dup_2gram_frac")
+        )
+    )
+    return uni.join(dup2, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.round("top_token_share", 6).alias("top_token_share"),
+        F.round(F.coalesce("dup_2gram_frac", F.lit(0.0)), 6).alias("dup_2gram_frac"),
+    )

@@ -397,9 +397,9 @@ def ngram_jaccard_pairs(
     return pairs, skipped
 
 
-# SimHash leg parameters: 32-bit fingerprints (the md5-hex
-# construction's max — one bit per hex digit; production would widen
-# to 64 via a second salted md5), TWO 16-bit bands → 65536 buckets per
+# SimHash leg parameters: 32-bit fingerprints (one md5 hex digit per
+# bit; the operator also supports the production 64-bit shape via a
+# second salted md5 — pinned cross-engine in tests), TWO 16-bit bands → 65536 buckets per
 # band (the blocking stays sub-quadratic even on this unusually
 # self-similar synthetic corpus: 16-bit fingerprints measured 3.5M
 # pairs / 19s at sf0.1; 32-bit hamming<=1 is 23k pairs / 2.5s), and

@@ -874,3 +874,24 @@ def test_simhash_64bit_cross_engine_and_banded(spark, sf_dir):
     pairs = simhash_pairs(d, max_hamming=3, n_bits=64, n_bands=4)
     got_pairs = {(r.doc_a, r.doc_b) for r in pairs.collect()}
     assert got_pairs == brute
+
+
+def test_repetition_features(spark):
+    """Repetition quality gates against hand-computed values: a
+    repeated-token doc scores high on both features, a all-distinct
+    doc scores near-uniform, and a single-token doc has no 2-grams."""
+    from etfconstituentextractor_spark.operators.text import repetition_features
+
+    rows = [
+        (1, "spam spam spam spam eggs"),   # top share 4/5; 2-grams: 4 total, {spam spam: 3, spam eggs: 1} -> dup (4-2)/4
+        (2, "a b c d e"),                   # all distinct: top 1/5, dup 0
+        (3, "solo"),                        # one token: no 2-grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in repetition_features(df).collect()}
+    assert out[1].n_tokens == 5
+    assert abs(out[1].top_token_share - 0.8) < 1e-9
+    assert abs(out[1].dup_2gram_frac - 0.5) < 1e-9
+    assert abs(out[2].top_token_share - 0.2) < 1e-9
+    assert out[2].dup_2gram_frac == 0.0
+    assert out[3].n_tokens == 1 and out[3].dup_2gram_frac == 0.0
