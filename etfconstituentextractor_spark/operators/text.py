@@ -407,3 +407,38 @@ def repetition_features(
         F.round("top_token_share", 6).alias("top_token_share"),
         F.round(F.coalesce("dup_2gram_frac", F.lit(0.0)), 6).alias("dup_2gram_frac"),
     )
+
+
+def normalize_url(col: str = "url") -> Column:
+    """Canonical URL for URL-level dedup (the cheap gate a crawl
+    pipeline runs BEFORE content dedup): lowercase scheme+host, strip
+    scheme, strip a leading www., drop fragment and query string,
+    collapse duplicate slashes in the path, strip a trailing slash.
+    One regexp codegen chain — rides the scan like the PII stage.
+    """
+    c = F.trim(F.col(col))
+    c = F.regexp_replace(c, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")   # scheme
+    c = F.regexp_replace(c, r"[#?].*$", "")                        # query/fragment
+    # lowercase the host part only (path case is significant)
+    host = F.lower(F.regexp_extract(c, r"^([^/]*)", 1))
+    path = F.regexp_replace(c, r"^[^/]*", "")
+    path = F.regexp_replace(path, r"/{2,}", "/")
+    path = F.regexp_replace(path, r"/$", "")
+    host = F.regexp_replace(host, r"^www\.", "")
+    return F.concat(host, path)
+
+
+def url_keep_first(
+    docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep-first dedup on the normalized URL: appends ``url_norm``
+    and ``is_url_keeper`` (smallest id per normalized URL wins — the
+    deterministic version of crawl-order keep-first). One shuffle on
+    the normalized-URL key; the window carries (id, url) only."""
+    from pyspark.sql import Window as W
+
+    normed = docs.withColumn("url_norm", normalize_url(url_col))
+    w = W.partitionBy("url_norm")
+    return normed.withColumn(
+        "is_url_keeper", F.col(id_col) == F.min(id_col).over(w)
+    )

@@ -895,3 +895,25 @@ def test_repetition_features(spark):
     assert abs(out[2].top_token_share - 0.2) < 1e-9
     assert out[2].dup_2gram_frac == 0.0
     assert out[3].n_tokens == 1 and out[3].dup_2gram_frac == 0.0
+
+
+def test_url_normalization_and_keep_first(spark):
+    from etfconstituentextractor_spark.operators.text import url_keep_first
+
+    rows = [
+        (1, "https://WWW.Example.com/a/b?q=1#frag"),
+        (2, "http://example.com/a//b/"),          # same after normalization
+        (3, "example.com/a/b"),                    # scheme-less, same
+        (4, "https://example.com/A/B"),            # path case differs -> distinct
+        (5, "https://other.org//x//y//"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    out = {r.doc_id: r for r in url_keep_first(df).collect()}
+    assert out[1].url_norm == out[2].url_norm == out[3].url_norm == "example.com/a/b"
+    assert out[4].url_norm == "example.com/A/B"
+    assert out[5].url_norm == "other.org/x/y"
+    assert out[1].is_url_keeper and not out[2].is_url_keeper and not out[3].is_url_keeper
+    assert out[4].is_url_keeper and out[5].is_url_keeper
+    plan = url_keep_first(df)._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
