@@ -70,49 +70,46 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q02 — projection / rename / computed columns + equality filter
-# (reference R3: build the filing-index frame from 4 of ~14 fields with
-# display names, ETFQuarterlyHoldingsExtractor.py:46-51; R4:
-# df[df["Form Type"] == "NPORT-P"], :52). Catalyst makes both manual
-# optimizations automatic: ReadSchema shows only the 4 referenced
-# columns, PushedFilters=[EqualTo(o_orderstatus,'F')] reaches the scan.
-# ---------------------------------------------------------------------------
-@query(
-    "q02_project_filter",
-    oracle="""
-    SELECT o_orderkey AS order_key,
-           o_custkey AS cust_key,
-           UPPER(o_orderpriority) AS priority_uc,
-           CAST(ROUND(CAST(o_totalprice AS DECIMAL(14,4)) * CAST(1.1 AS DECIMAL(3,2)), 2) AS DOUBLE) AS marked_up
-    FROM orders WHERE o_orderstatus = 'F'
-    """,
-)
-def q02_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load(spark, sf_dir, "orders")
-        .filter(F.col("o_orderstatus") == "F")
-        .select(
-            F.col("o_orderkey").alias("order_key"),
-            F.col("o_custkey").alias("cust_key"),
-            F.upper("o_orderpriority").alias("priority_uc"),
-            F.round(dec("o_totalprice") * F.lit(1.1).cast("decimal(3,2)"), 2)
-            .cast("double")
-            .alias("marked_up"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# q04 — the full filter family: range / IN / null-ness (§2B — the
-# reference's README promises a 5-year window it never implements) and
-# string patterns contains / LIKE / RLIKE (reference R9's substring
-# anchors :68/:87/:100, CIK validation regex :163). All conjuncts and
-# the LIKE/contains disjunction push to the parquet scan.
+# q04 — projection + filter family, a two-leg tagged union (merged from
+# the former q02+q04 — round-4 registry budget; both legs keep their own
+# pushed scans, so the union concatenates two already-filtered reads
+# with zero shuffle):
+#   * 'proj' leg (was q02; reference R3: build the filing-index frame
+#     from 4 of ~14 fields with display names,
+#     ETFQuarterlyHoldingsExtractor.py:46-51; R4:
+#     df[df["Form Type"] == "NPORT-P"], :52) — projection / rename /
+#     computed columns behind an equality filter on orders. Catalyst
+#     makes both manual optimizations automatic: ReadSchema shows only
+#     the 4 referenced columns, PushedFilters=[EqualTo(o_orderstatus,F)]
+#     reaches the scan.
+#   * 'filt' leg: range / IN / null-ness (§2B — the reference's README
+#     promises a 5-year window it never implements) and string patterns
+#     contains / LIKE / RLIKE (reference R9's substring anchors
+#     :68/:87/:100, CIK validation regex :163) on part. All conjuncts
+#     and the LIKE/contains disjunction push to the parquet scan.
+# Column map: k1 = order_key | p_partkey, k2 = cust_key | p_size,
+# s1 = priority_uc | p_name, s2/s3 = NULL | p_brand/p_type,
+# val = marked_up | p_retailprice.
 # ---------------------------------------------------------------------------
 @query(
     "q04_filter_family",
     oracle="""
-    SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+    SELECT 'proj' AS leg,
+           o_orderkey AS k1,
+           o_custkey AS k2,
+           UPPER(o_orderpriority) AS s1,
+           CAST(NULL AS VARCHAR) AS s2,
+           CAST(NULL AS VARCHAR) AS s3,
+           CAST(ROUND(CAST(o_totalprice AS DECIMAL(14,4)) * CAST(1.1 AS DECIMAL(3,2)), 2) AS DOUBLE) AS val
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT 'filt' AS leg,
+           p_partkey AS k1,
+           CAST(p_size AS BIGINT) AS k2,
+           p_name AS s1,
+           p_brand AS s2,
+           p_type AS s3,
+           CAST(p_retailprice AS DOUBLE) AS val
     FROM part
     WHERE p_size BETWEEN 10 AND 40
       AND p_brand IN ('Brand#11', 'Brand#12', 'Brand#21', 'Brand#22', 'Brand#31')
@@ -123,17 +120,44 @@ def q02_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q04_filter_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = load(spark, sf_dir, "part")
-    return p.filter(
-        F.col("p_size").between(10, 40)
-        & F.col("p_brand").isin("Brand#11", "Brand#12", "Brand#21", "Brand#22", "Brand#31")
-        & F.col("p_retailprice").isNotNull()
-        & (
-            F.col("p_type").like("%BRASS%")
-            | F.col("p_name").contains("green")
-            | F.col("p_type").rlike(r"^STANDARD.*")
+    proj = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            F.lit("proj").alias("leg"),
+            F.col("o_orderkey").alias("k1"),
+            F.col("o_custkey").alias("k2"),
+            F.upper("o_orderpriority").alias("s1"),
+            F.lit(None).cast("string").alias("s2"),
+            F.lit(None).cast("string").alias("s3"),
+            F.round(dec("o_totalprice") * F.lit(1.1).cast("decimal(3,2)"), 2)
+            .cast("double")
+            .alias("val"),
         )
-    ).select("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    )
+    filt = (
+        load(spark, sf_dir, "part")
+        .filter(
+            F.col("p_size").between(10, 40)
+            & F.col("p_brand").isin("Brand#11", "Brand#12", "Brand#21", "Brand#22", "Brand#31")
+            & F.col("p_retailprice").isNotNull()
+            & (
+                F.col("p_type").like("%BRASS%")
+                | F.col("p_name").contains("green")
+                | F.col("p_type").rlike(r"^STANDARD.*")
+            )
+        )
+        .select(
+            F.lit("filt").alias("leg"),
+            F.col("p_partkey").alias("k1"),
+            F.col("p_size").cast("bigint").alias("k2"),
+            F.col("p_name").alias("s1"),
+            F.col("p_brand").alias("s2"),
+            F.col("p_type").alias("s3"),
+            F.col("p_retailprice").cast("double").alias("val"),
+        )
+    )
+    return proj.unionByName(filt)
 
 
 # ---------------------------------------------------------------------------

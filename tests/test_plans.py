@@ -35,9 +35,15 @@ def test_q01_filter_and_projection_reach_scan(spark, sf_dir):
     assert cols.count(",") + 1 == 7, cols
 
 
-def test_q02_equality_filter_pushed(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "q02_project_filter")
+def test_q04_filters_push_on_both_union_legs(spark, sf_dir):
+    # merged q02+q04: the tagged union must not block pushdown — each
+    # leg's conjuncts still reach its own parquet scan
+    plan = _plan(spark, sf_dir, "q04_filter_family")
     assert "EqualTo(o_orderstatus,F)" in plan
+    assert "GreaterThanOrEqual(p_size,10)" in plan
+    assert "In(p_brand" in plan
+    # pure scan-union: no shuffle anywhere in the plan
+    assert "Exchange" not in plan
 
 
 def test_q20_dimensions_broadcast(spark, sf_dir):
