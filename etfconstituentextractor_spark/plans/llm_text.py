@@ -36,6 +36,7 @@ from etfconstituentextractor_spark.operators.text import (
     tokens,
 )
 from etfconstituentextractor_spark.operators.contamination import ngram_contamination
+from etfconstituentextractor_spark.operators.boilerplate import strip_boilerplate
 from etfconstituentextractor_spark.operators.pii import PII_PATTERNS, scrub
 from etfconstituentextractor_spark.plans.registry import query
 from etfconstituentextractor_spark.sources.tables import fanout, load
@@ -327,4 +328,90 @@ def q84_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col("pii_counts")[name].cast("int").alias(f"n_{name}") for name, _, _ in PII_PATTERNS],
         F.col("pii_total").cast("int").alias("pii_total"),
         "text_redacted",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q87 — corpus-frequency boilerplate removal (operators/boilerplate.py,
+# the CCNet/RefinedWeb line-dedup cleaning stage). The test corpus has
+# no natural repeated lines, so — exactly like q84's planted PII — both
+# engines deterministically plant the same boilerplate first: every doc
+# gets one of three footer banners keyed by doc_id % 3 (~1/3 of the
+# corpus each), and docs with doc_id % 7 == 0 additionally get a cookie
+# header. min_docs=5 then classifies precisely the four banners as
+# boilerplate (each original body is one unique line), and the strip
+# must restore the original text with the per-doc line accounting.
+#
+# Plan (pinned in tests/test_plans.py): frequency pass shuffles only
+# per-doc-distinct xxhash64(line) values; the frequent set collapses to
+# one broadcast array row; the documents side is a pure codegen array
+# filter with ZERO Exchange — text never shuffles.
+# ---------------------------------------------------------------------------
+_BANNERS = (
+    "subscribe to our newsletter for daily updates",
+    "all rights reserved copyright example corp",
+    "share this article on social media",
+)
+_COOKIE_HEADER = "please enable cookies to continue"
+
+
+def _banner_plant_sql() -> str:
+    return f"""
+      SELECT doc_id,
+             concat(CASE WHEN doc_id % 7 = 0 THEN '{_COOKIE_HEADER}' || chr(10) ELSE '' END,
+                    text, chr(10),
+                    CASE WHEN doc_id % 3 = 0 THEN '{_BANNERS[0]}'
+                         WHEN doc_id % 3 = 1 THEN '{_BANNERS[1]}'
+                         ELSE '{_BANNERS[2]}' END) AS text
+      FROM documents
+    """
+
+
+def planted_boilerplate(docs: DataFrame) -> DataFrame:
+    """Spark twin of _banner_plant_sql (same rows, same banners)."""
+    footer = F.element_at(
+        F.array(*[F.lit(b) for b in _BANNERS]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    header = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.lit(_COOKIE_HEADER), F.lit("\n"))
+    ).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.concat(header, F.col("text"), F.lit("\n"), footer).alias("text"),
+    )
+
+
+@query(
+    "q87_boilerplate_strip",
+    oracle=f"""
+    WITH aug AS ({_banner_plant_sql()}),
+    lines AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS line,
+             generate_subscripts(string_split(text, chr(10)), 1) AS pos
+      FROM aug
+    ),
+    freq AS (
+      SELECT line FROM (
+        SELECT line, COUNT(DISTINCT doc_id) AS n_docs FROM lines GROUP BY line
+      ) WHERE n_docs >= 5
+    ),
+    kept AS (SELECT l.doc_id, l.pos, l.line FROM lines l ANTI JOIN freq f USING (line)),
+    clean AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           coalesce(c.clean_text, '') AS clean_text,
+           CAST(len(string_split(a.text, chr(10))) AS BIGINT) AS n_lines,
+           CAST(coalesce(c.n_kept, 0) AS BIGINT) AS n_kept
+    FROM aug a LEFT JOIN clean c USING (doc_id)
+    """,
+)
+def q87_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = planted_boilerplate(fanout(load(spark, sf_dir, "documents")))
+    return strip_boilerplate(docs, min_docs=5).select(
+        "doc_id", "clean_text", "n_lines", "n_kept"
     )
