@@ -38,10 +38,19 @@ from etfconstituentextractor_spark.operators.text import (
 from etfconstituentextractor_spark.operators.contamination import ngram_contamination
 from etfconstituentextractor_spark.operators.boilerplate import strip_boilerplate
 from etfconstituentextractor_spark.operators.pii import PII_PATTERNS, scrub
+from etfconstituentextractor_spark.operators.quality_model import (
+    hashed_linear_margin,
+    make_weights,
+    sql_hashed_linear_margin,
+)
 from etfconstituentextractor_spark.plans.registry import query
 from etfconstituentextractor_spark.sources.tables import fanout, load
 
 _LANGS = ("en", "es", "de", "fr", "zh")
+
+# stand-in for an offline-trained fastText-style quality model
+# (operators/quality_model.py); deterministic, shared with the oracle
+_QWEIGHTS = make_weights(64)
 
 
 # ---------------------------------------------------------------------------
@@ -57,7 +66,11 @@ _LANGS = ("en", "es", "de", "fr", "zh")
 #    (hex→int of the hash prefix), 3-shingle minhash signature;
 # 4. simhash — 16-bit token-multiset signature + exact-bucket size
 #    (near-dup families collapse to one signature; the window is the
-#    query's only shuffle and carries doc_id + 16 chars, never text).
+#    query's only shuffle and carries doc_id + 16 chars, never text);
+# 5. model scoring — fastText-style hashed unigram+bigram linear
+#    margin + band (operators/quality_model.py): learned-filter
+#    INFERENCE as one aggregate HOF riding the same scan; the dyadic
+#    weights make the margin bit-identical across engines.
 # ---------------------------------------------------------------------------
 def _sql_lang_guess() -> str:
     return (
@@ -82,7 +95,8 @@ def _sql_lang_guess() -> str:
              md5(text) AS doc_md5,
              {sql_minhash(sql_shingles(sql_tokens()))} AS minhash_sig,
              {sql_rolling_fingerprint(sql_tokens())} AS rolling_fp,
-             {sql_simhash_bits(sql_tokens())} AS simhash16
+             {sql_simhash_bits(sql_tokens())} AS simhash16,
+             {sql_hashed_linear_margin(sql_tokens(), _QWEIGHTS, shingles_expr=sql_shingles(sql_tokens(), 2))} AS model_margin
       FROM documents
     )
     SELECT doc_id, lang, source, n_tokens, n_subtokens,
@@ -99,6 +113,10 @@ def _sql_lang_guess() -> str:
            minhash_sig,
            rolling_fp,
            simhash16,
+           model_margin,
+           CASE WHEN model_margin >= 0.01 THEN 'high'
+                WHEN model_margin >= -0.01 THEN 'mid'
+                ELSE 'low' END AS model_band,
            COUNT(*) OVER (PARTITION BY simhash16) AS simhash_bucket
     FROM feats
     """,
@@ -129,6 +147,9 @@ def q80_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash(spark_shingles(tok_expr)).alias("minhash_sig"),
         rolling_fingerprint(tok_expr).alias("rolling_fp"),
         simhash_bits(tok_expr).alias("simhash16"),
+        hashed_linear_margin(
+            tok_expr, _QWEIGHTS, shingles_expr=spark_shingles(tok_expr, 2)
+        ).alias("model_margin"),
     )
 
     h = {lg: F.col(f"h_{lg}") for lg in _LANGS}
@@ -169,6 +190,11 @@ def q80_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "minhash_sig",
         "rolling_fp",
         "simhash16",
+        "model_margin",
+        F.when(F.col("model_margin") >= 0.01, "high")
+        .when(F.col("model_margin") >= -0.01, "mid")
+        .otherwise("low")
+        .alias("model_band"),
         F.count(F.lit(1)).over(W.partitionBy("simhash16")).alias("simhash_bucket"),
     )
 
