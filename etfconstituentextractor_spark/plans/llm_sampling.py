@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etfconstituentextractor_spark.operators.chunking import chunk_documents
 from etfconstituentextractor_spark.operators.packing import pack_sequences
 from etfconstituentextractor_spark.operators.sampling import (
     BUCKETS,
@@ -130,19 +131,35 @@ def q83_sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q85 — sequence packing (operators/packing.py, §2B "LLM-pipeline —
-# sequence packing"): assign every document to a fixed-token-budget
-# training sequence. The layout orders docs by (md5 bucket, doc_id)
-# per language shard, lays them end-to-end, and cuts every `budget`
-# tokens — a doc belongs to the bin its STARTING offset falls in, so
-# bins overflow by at most one boundary document (the slack real
-# packers truncate/pad). Deterministic across reruns, cluster sizes,
-# and engines. Plan shape: ONE window shuffle on the shard key
-# carrying (doc_id, n_tokens) — never text; the cumsum and bin
-# arithmetic are codegen scalars. At 100 TB each shard packs
-# independently — exactly the strat_col parameter.
+# q85 — sequence LAYOUT family, two tagged legs (the driver caps the
+# catalog at 50 registered queries, so the two context-length-prep
+# inverses share one registration, as q02's projection leg does inside
+# q04):
+# - 'pack' leg (operators/packing.py, §2B "LLM-pipeline — sequence
+#   packing"): assign every document to a fixed-token-budget training
+#   sequence. The layout orders docs by (md5 bucket, doc_id) per
+#   language shard, lays them end-to-end, and cuts every `budget`
+#   tokens — a doc belongs to the bin its STARTING offset falls in, so
+#   bins overflow by at most one boundary document (the slack real
+#   packers truncate/pad). Deterministic across reruns, cluster sizes,
+#   and engines. Plan shape: ONE window shuffle on the shard key
+#   carrying (doc_id, n_tokens) — never text; the cumsum and bin
+#   arithmetic are codegen scalars. At 100 TB each shard packs
+#   independently — exactly the strat_col parameter.
+# - 'chunk' leg (operators/chunking.py): the inverse — split LONG docs
+#   into overlapping fixed-token windows with (doc_id, ord) provenance.
+#   Pure codegen project + explode(sequence) + slice, ZERO shuffle
+#   (pinned in tests/test_chunking.py); the only at-scale cost is the
+#   deliberate ~chunk/stride amplification, which the caller picks.
+#   min_tail drops ragged tails already contained in the previous
+#   window; window 0 is never dropped, so no document vanishes.
+# Unified columns: ord = pack_order | chunk_idx, n_tok = doc tokens |
+# window tokens; leg-specific columns are NULL on the other leg.
 # ---------------------------------------------------------------------------
 PACK_BUDGET = 2048
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+CHUNK_MIN_TAIL = 8
 
 
 @query(
@@ -162,24 +179,65 @@ PACK_BUDGET = 2048
                - n_tokens AS start_offset
       FROM t
       WINDOW w AS (PARTITION BY lang ORDER BY bucket, doc_id)
+    ),
+    ctoks AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    cidx AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, (len(toks) - 1) // {CHUNK_STRIDE})) AS chunk_idx
+      FROM ctoks
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+             list_slice(toks, chunk_idx * {CHUNK_STRIDE} + 1,
+                        chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}) AS chunk
+      FROM cidx
     )
-    SELECT doc_id, lang, n_tokens, pack_order, start_offset,
-           start_offset // {PACK_BUDGET} AS bin_id
+    SELECT 'pack' AS leg, doc_id, lang, pack_order AS ord, n_tokens AS n_tok,
+           start_offset, start_offset // {PACK_BUDGET} AS bin_id,
+           CAST(NULL AS VARCHAR) AS chunk_text
     FROM laid
+    UNION ALL
+    SELECT 'chunk' AS leg, doc_id, CAST(NULL AS VARCHAR) AS lang,
+           chunk_idx AS ord, CAST(len(chunk) AS BIGINT) AS n_tok,
+           CAST(NULL AS BIGINT) AS start_offset, CAST(NULL AS BIGINT) AS bin_id,
+           array_to_string(chunk, ' ') AS chunk_text
+    FROM chunks
+    WHERE len(chunk) >= {CHUNK_MIN_TAIL} OR chunk_idx = 0
     """,
 )
 def q85_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select(
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
         "doc_id",
         "lang",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
     )
     packed = pack_sequences(d, PACK_BUDGET, strat_col="lang", salt="pack")
-    return packed.select(
+    pack_leg = packed.select(
+        F.lit("pack").alias("leg"),
         "doc_id",
         "lang",
-        "n_tokens",
-        F.col("pack_order").cast("int").alias("pack_order"),
+        F.col("pack_order").cast("int").alias("ord"),
+        F.col("n_tokens").alias("n_tok"),
         "start_offset",
         "bin_id",
+        F.lit(None).cast("string").alias("chunk_text"),
     )
+    chunk_leg = chunk_documents(
+        docs,
+        chunk_tokens=CHUNK_TOKENS,
+        stride=CHUNK_STRIDE,
+        min_tail_tokens=CHUNK_MIN_TAIL,
+    ).select(
+        F.lit("chunk").alias("leg"),
+        "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        F.col("chunk_idx").alias("ord"),
+        F.col("n_chunk_tokens").alias("n_tok"),
+        F.lit(None).cast("bigint").alias("start_offset"),
+        F.lit(None).cast("bigint").alias("bin_id"),
+        "chunk_text",
+    )
+    return pack_leg.unionByName(chunk_leg)

@@ -497,21 +497,25 @@ def test_q84_pii_scrub_is_single_codegen_projection(spark, sf_dir):
 
 
 def test_q85_packing_single_shuffle_never_moves_text(spark, sf_dir):
-    """Packing's plan contract: ONE exchange (the per-shard layout
-    window), and the map-side projection feeding it computes n_tokens
-    and drops the text column — the shuffle carries (key, counts)."""
+    """The layout family's plan contract: ONE exchange total — the
+    pack leg's per-shard layout window; the chunk leg is pure codegen
+    explode+slice and adds NONE. The map-side projection feeding the
+    exchange computes n_tokens and drops the text column, so the one
+    shuffle carries (key, counts), never text (the chunk leg touches
+    text, but only scan-local — no Exchange ever sees it)."""
     plan = _plan(spark, sf_dir, "q85_sequence_packing")
     assert plan.count("Exchange") == 1, plan[:1200]
     i = plan.find("Exchange hashpartitioning(lang")
     assert i != -1
-    below = plan[i:]
-    # the exchange's child projection computes the token count map-side
-    assert "size(split(text" in below
-    # and the shuffled attribute set excludes raw text: the only text
-    # reference below the exchange is inside that size(split(...)) expr
-    assert below.count("text#") == below.count("size(split(text#") + below.count(
-        "ReadSchema"
-    ), below[:1500]
+    # the exchange's child projection (first Project under it) computes
+    # the token count map-side and outputs no bare text column
+    j = plan.find("+- Project", i)
+    assert j != -1
+    project_line = plan[j : plan.find("\n", j)]
+    assert "size(split(text#" in project_line, project_line
+    assert project_line.count("text#") == project_line.count(
+        "size(split(text#"
+    ), project_line
 
 
 def test_q86_snapshot_diff_shuffles_hashes_only(spark, sf_dir):
