@@ -141,3 +141,59 @@ def encode(tokens_expr: str, merges: list[tuple[str, str]]):
             f"concat(acc, array(x)))))"
         )
     return F.expr(expr)
+
+
+def encode_corpus(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = " ",
+) -> DataFrame:
+    """(id, pieces, n_pieces): BPE-encode every document — the
+    dictionary path ``encode``'s docstring points long merge lists at.
+
+    The word-frequency insight applied to inference: the merge folds
+    run over the corpus's DISTINCT words, so each merge is one codegen
+    pass over a vocabulary-sized frame and the dictionary covers every
+    corpus word by construction (no unseen-word fallback needed). The
+    corpus itself is touched exactly twice — once to collect the
+    vocabulary (one shuffle of bare words) and once to map word →
+    pieces back through a broadcast join and reassemble per-document
+    piece arrays in position order (one shuffle on the doc key). At
+    100 TB the per-merge cost is bounded by vocabulary size, never
+    corpus size; documents shuffle once, as (id, pos, pieces) rows.
+
+    Documents with no words after the split (empty text) produce no
+    output row. Greedy left-to-right fold per merge matches
+    ``train_bpe`` / ``encode`` semantics exactly (pinned in tests).
+    """
+    reserved = {"word", "pos", "syms"}
+    if id_col in reserved or text_col in reserved:
+        raise ValueError(f"id_col/text_col must not be one of {sorted(reserved)}")
+    toks = F.split(F.col(text_col), delim)
+    words = (
+        docs.select(F.explode(toks).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    vocab = symbolize(words).localCheckpoint()
+    for a, b in merges:
+        vocab = _apply_merge(vocab, a, b).localCheckpoint()
+    tokens = docs.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "word")
+    ).filter(F.col("word") != "")
+    joined = tokens.join(F.broadcast(vocab), "word")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "syms"))),
+                    lambda s: s["syms"],
+                )
+            ).alias("pieces")
+        )
+        .select(id_col, "pieces", F.size("pieces").cast("bigint").alias("n_pieces"))
+    )

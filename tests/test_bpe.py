@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from etfconstituentextractor_spark.operators.bpe import (
     END,
     encode,
+    encode_corpus,
     pair_counts,
     symbolize,
     train_bpe,
@@ -117,3 +118,74 @@ def test_encode_applies_merges(spark, docs):
     freqs = dict(Counter(" ".join(CORPUS).split()))
     _, vocab = py_bpe(freqs, 8)
     assert enc.pieces == [vocab[w] for w in CORPUS[0].split()]
+
+
+# ---------------------------------------------------------------------------
+# encode_corpus — the dictionary-path inference encode
+# ---------------------------------------------------------------------------
+def py_encode_word(word: str, merges) -> list[str]:
+    syms = list(word) + [END]
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+@pytest.fixture(scope="module")
+def iddocs(spark):
+    return spark.createDataFrame(list(enumerate(CORPUS)), "doc_id long, text string")
+
+
+def test_encode_corpus_matches_python_oracle(spark, iddocs):
+    freqs = dict(Counter(w for t in CORPUS for w in t.split(" ")))
+    merges, _ = py_bpe(freqs, 8)
+    got = {r.doc_id: (r.pieces, r.n_pieces) for r in encode_corpus(iddocs, merges).collect()}
+    for i, t in enumerate(CORPUS):
+        want = [p for w in t.split(" ") if w for p in py_encode_word(w, merges)]
+        assert got[i] == (want, len(want)), i
+
+
+def test_encode_corpus_matches_expression_encode(spark, iddocs):
+    """The dictionary path and the fold-chain expression path are the
+    same function — inference parity between the two encode shapes."""
+    merges, _ = train_bpe(word_frequencies(iddocs), 6)
+    via_dict = {r.doc_id: r.pieces for r in encode_corpus(iddocs, merges).collect()}
+    via_expr = {
+        r.doc_id: r.pieces
+        for r in iddocs.select(
+            "doc_id",
+            F.flatten(encode("split(text, ' ')", merges)).alias("pieces"),
+        ).collect()
+    }
+    assert via_dict == via_expr
+
+
+def test_encode_corpus_drops_wordless_docs_and_guards_names(spark):
+    df = spark.createDataFrame([(0, "a b"), (1, "")], "doc_id long, text string")
+    out = encode_corpus(df, [("a", END)]).collect()
+    assert {r.doc_id for r in out} == {0}
+    with pytest.raises(ValueError):
+        encode_corpus(df.withColumnRenamed("doc_id", "pos"), [], id_col="pos")
+
+
+def test_encode_corpus_plan_broadcast_join_single_doc_shuffle(spark, iddocs):
+    """Scale contract: the corpus-side plan is posexplode → broadcast
+    dictionary join → ONE doc-key shuffle; zero Python evaluation."""
+    merges, _ = train_bpe(word_frequencies(iddocs), 4)
+    plan = (
+        encode_corpus(iddocs, merges)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
