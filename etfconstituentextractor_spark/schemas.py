@@ -8,11 +8,12 @@ design is the opposite: fixed, explicit ``StructType`` per dataset,
 ``nullable=True`` on extracted fields, and typed parsing at the
 boundary (SURVEY.md §1.2-1.3).
 
-Note on ``events.ts``: the corpus parquet stores TIMESTAMP(NANOS),
-which Spark cannot read natively — it is read as a nanosecond long
-(``spark.sql.legacy.parquet.nanosAsLong``) and converted to
-``timestamp_ntz`` by the loader (sources/tables.py), matching DuckDB's
-nanos→micros truncation.
+Note on ``events.ts``: the corpus has shipped this column as both
+TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across refreshes. The loader
+(sources/tables.py) probes the parquet footer's unit and picks the
+schema: ``EVENTS`` (native timestamp_ntz) for micros/millis, or
+``EVENTS_RAW`` (nanos long + exact DIV-1000 truncation, matching
+DuckDB) only when the footer says nanos.
 """
 
 from __future__ import annotations
@@ -95,7 +96,8 @@ LINEITEM = T.StructType(
     ]
 )
 
-# Raw on-disk schema: ts is a nanosecond epoch long (see module docstring).
+# Legacy on-disk schema for nanos-typed corpora: ts read as a
+# nanosecond epoch long (see module docstring).
 EVENTS_RAW = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -137,8 +139,9 @@ EMBEDDINGS = T.StructType(
     ]
 )
 
-#: name -> on-disk read schema (None = let parquet footer drive; events
-#: uses the RAW schema because of the nanos quirk).
+#: name -> on-disk read schema. The events entry is nominal: the loader
+#: (sources/tables.py) probes the footer unit and picks EVENTS (native
+#: micros read) or EVENTS_RAW (nanos-as-long) itself.
 TABLE_SCHEMAS: dict[str, T.StructType] = {
     "region": REGION,
     "nation": NATION,

@@ -9,8 +9,8 @@ Two entry styles are supported:
 
 - ``get_session()`` — build our own session (tests, bench).
 - ``prep(spark)``   — defensively pin the *runtime-mutable* confs we
-  depend on (UTC timezone, Arrow, nanos-as-long parquet reads) on a
-  session someone else built (the verify driver constructs its own).
+  depend on (UTC timezone, Arrow) on a session someone else built
+  (the verify driver constructs its own).
 """
 
 from __future__ import annotations
@@ -21,13 +21,14 @@ from pyspark.sql import SparkSession
 
 #: Runtime-mutable SQL confs every query depends on. Timezone pinned to
 #: UTC so timestamp<->string/ntz conversions agree with the DuckDB
-#: oracle (SURVEY.md §5.2); nanosAsLong because the test corpus'
-#: ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-#: reader otherwise rejects ([PARQUET_TYPE_ILLEGAL]).
+#: oracle (SURVEY.md §5.2). NOTE: ``nanosAsLong`` is deliberately NOT
+#: global — the events loader (sources/tables.py) probes the parquet
+#: footer's timestamp unit and enables the legacy long read only for a
+#: genuinely nanos-typed corpus; a global assumption here is how round 3
+#: silently compressed the time axis 1000× after a corpus refresh.
 RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

@@ -9,14 +9,24 @@ Design notes for scale (100 TB posture):
   prunes columns into the scan (verify with ``.explain`` —
   ``PushedFilters`` / ``ReadSchema``), and partition pruning applies
   when a table is directory-partitioned.
-- ``events.ts`` arrives as parquet TIMESTAMP(NANOS); Spark reads it as
-  a nanos long (legacy conf) and we convert with *integer* division
-  (``ts DIV 1000`` — a double division would lose precision above
-  2^53 ns) then ``timestamp_micros`` → ``timestamp_ntz``. This matches
-  DuckDB's nanos→micros truncation bit-for-bit.
+- ``events.ts`` has shipped as both parquet TIMESTAMP(NANOS) and
+  TIMESTAMP(MICROS) across corpus refreshes. The loader probes the
+  footer's timestamp unit ONCE per file (pyarrow metadata read — no
+  Spark job, no data scan) and branches: native ``timestamp_ntz`` read
+  for micros/millis, and the legacy nanos-as-long path (``ts DIV
+  1000`` — *integer* division; a double division would lose precision
+  above 2^53 ns) only when the footer actually says nanos. Both match
+  DuckDB's truncation bit-for-bit. Never assume the unit: a stale
+  assumption here compresses or stretches the time axis 1000× and
+  silently passes every ordering-invariant query while corrupting
+  every absolute-time one.
 """
 
 from __future__ import annotations
+
+import functools
+import glob
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -25,20 +35,58 @@ from etfconstituentextractor_spark import schemas
 from etfconstituentextractor_spark.session import prep
 
 
+@functools.lru_cache(maxsize=64)
+def _events_ts_unit(path: str) -> str:
+    """Probe the parquet footer for events.ts's timestamp unit.
+
+    Returns 'ns' | 'us' | 'ms' | 's'. Footer-only read (first fragment),
+    cached per path — the probe is control-plane, not a data scan.
+    """
+    import pyarrow.parquet as pq
+
+    frag = path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            raise FileNotFoundError(f"no parquet fragments under {path}")
+        frag = parts[0]
+    field = pq.ParquetFile(frag).schema_arrow.field("ts")
+    unit = getattr(field.type, "unit", None)
+    if unit not in ("ns", "us", "ms", "s"):
+        raise TypeError(
+            f"events.ts at {path} is {field.type}, expected a parquet timestamp"
+        )
+    return unit
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table as a typed DataFrame."""
     if name not in schemas.TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {schemas.TABLES}")
     prep(spark)
-    df = spark.read.schema(schemas.TABLE_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        # nanos long -> micros (exact integer division) -> ntz timestamp.
-        # Session tz is pinned UTC by prep(), so TimestampType->NTZ cast
-        # is an identity on the underlying micros.
-        df = df.withColumn(
+        return _load_events(spark, path)
+    return spark.read.schema(schemas.TABLE_SCHEMAS[name]).parquet(path)
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """Unit-aware events reader (see module docstring)."""
+    if _events_ts_unit(path) == "ns":
+        # Spark's vectorized reader rejects TIMESTAMP(NANOS)
+        # ([PARQUET_TYPE_ILLEGAL]); read it as a nanos long and truncate
+        # to micros exactly. The conf is runtime-mutable and inert for
+        # non-nanos columns, so setting it here cannot corrupt other
+        # tables.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.schema(schemas.EVENTS_RAW).parquet(path)
+        return df.withColumn(
             "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS timestamp_ntz)")
         )
-    return df
+    # micros/millis/seconds: Spark reads these natively; the explicit
+    # timestamp_ntz schema pins NTZ semantics (corpus writes
+    # isAdjustedToUTC=false) so no session-timezone shift applies.
+    return spark.read.schema(schemas.EVENTS).parquet(path)
 
 
 def fanout(df: DataFrame, key: str = "doc_id") -> DataFrame:
