@@ -29,6 +29,7 @@ test-local.
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 import tempfile
@@ -49,6 +50,33 @@ EVENTS_DDL = (
 
 def _clean(path: str) -> None:
     shutil.rmtree(path, ignore_errors=True)
+
+
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Identity of the corpus `events` table: per-file (name, size,
+    mtime_ns), so an in-place corpus refresh (new mtime) or rewrite
+    (new size) invalidates every staged layout derived from it.
+
+    Round-4 postmortem: the reuse marker was content-blind
+    (``tag|n_chunks|sf_dir``), so chunk files staged BEFORE a corpus
+    refresh kept replaying afterward — four red driver rows traced to
+    one missing term in this signature. Every layout recipe here
+    (plain chunks, the q58 doubled stream, hardlinked extra-chunk
+    dirs) is a deterministic function of (tag, corpus), so tag +
+    corpus identity is a COMPLETE cache key.
+    """
+    p = os.path.join(sf_dir, "events.parquet")
+    if os.path.isfile(p):
+        paths = [p]
+    elif os.path.isdir(p):  # directory-partitioned layout
+        paths = sorted(glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
+    else:
+        paths = []
+    parts = []
+    for f in paths:
+        st = os.stat(f)
+        parts.append(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}")
+    return ";".join(parts) or "missing"
 
 
 def work_dir(sf_dir: str, tag: str) -> str:
@@ -109,18 +137,21 @@ def stage_chunks(
     marker check.
 
     ``reuse=True`` returns an existing staging directory when its
-    marker matches (tag, n_chunks, sf_dir) — the corpus is read-only
-    and every layout recipe is a deterministic function of its tag, so
-    identical layouts are shared across queries and runs. (If a tag's
-    recipe ever changes in code, bump the tag.) Not honored for
-    ``extra_last_chunk`` callers: extras frames can embed
+    marker matches (tag, n_chunks, sf_dir, corpus fingerprint) — every
+    layout recipe is a deterministic function of its tag plus the
+    corpus, so identical layouts are shared across queries and runs,
+    and a corpus refresh (changed size/mtime of events.parquet)
+    invalidates the marker and re-stages. (If a tag's recipe ever
+    changes in code, bump the tag. A caller passing a ``source`` NOT
+    derived from the corpus events table must not set reuse.) Not
+    honored for ``extra_last_chunk`` callers: extras frames can embed
     query-specific values, and their staging is near-free anyway. The
     marker is written last: an interrupted staging has no marker and
     re-stages.
     """
     base = work_dir(sf_dir, tag)
     marker = os.path.join(base, "_STAGED_OK")
-    sig = f"{tag}|{n_chunks}|{sf_dir}"
+    sig = f"{tag}|{n_chunks}|{sf_dir}|{_corpus_fingerprint(sf_dir)}"
     if reuse and extra_last_chunk is None and os.path.isfile(marker):
         with open(marker) as fh:
             if fh.read() == sig:
