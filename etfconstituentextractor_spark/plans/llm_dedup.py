@@ -489,18 +489,61 @@ def q63_dedup_jaccard_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q64 — embedding-cosine near-dup pairs, blocked by label (the cluster
 # id stands in for an IVF assignment at scale). Scores rounded before
 # thresholding so both engines make identical keep/drop decisions.
+#
+# Blocks are CAPPED at _Q64_MAX_BLOCK rows (q63's HAVING-count
+# prefilter pattern): within-block comparison is quadratic, so one
+# skewed label at 100x data volume would otherwise dominate the whole
+# job. An excluded oversized block is not silently dropped in
+# production use — it is exactly the shape the IVF path (q72,
+# operators/ann.py) handles by splitting into finer centroids; here
+# the cap keeps the worst case bounded at cap^2/2 pairs per block.
 # ---------------------------------------------------------------------------
+_Q64_MAX_BLOCK = 1000
+
+
+def embedding_cosine_pairs(e: DataFrame, cap: int = _Q64_MAX_BLOCK) -> DataFrame:
+    """All within-label cosine pairs over (vec_id, label, v[double]),
+    skipping labels with more than ``cap`` members. The kept-label
+    frame is grouped counts (one row per label) — broadcast, so the
+    guard costs one map-side semi-join, never a shuffle of vectors."""
+    n = e.withColumn(
+        "nrm", F.sqrt(F.expr("aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x)"))
+    )
+    kept = (
+        e.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") <= cap)
+        .select("label")
+    )
+    n = n.join(F.broadcast(kept), "label")
+    a = n.alias("a")
+    b = n.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    )
+    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= 0.35)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), "cos_sim")
+    )
+
+
 @query(
     "q64_dedup_embedding_cosine",
-    oracle="""
+    oracle=f"""
     WITH e AS (
       SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     ),
+    kept_keys AS (
+      SELECT label FROM e GROUP BY label HAVING COUNT(*) <= {_Q64_MAX_BLOCK}
+    ),
     n AS (
-      SELECT vec_id, label, v,
-             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-      FROM e
+      SELECT e.vec_id, e.label, e.v,
+             sqrt(list_sum(list_transform(e.v, x -> x * x))) AS nrm
+      FROM e JOIN kept_keys USING (label)
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
@@ -516,18 +559,4 @@ def q64_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
     )
-    n = e.withColumn(
-        "nrm", F.sqrt(F.expr("aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x)"))
-    )
-    a = n.alias("a")
-    b = n.alias("b")
-    dot = F.expr(
-        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-    )
-    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .withColumn("cos_sim", cos)
-        .filter(F.col("cos_sim") >= 0.35)
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), "cos_sim")
-    )
+    return embedding_cosine_pairs(e)

@@ -218,11 +218,12 @@ def q57_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q58_stream_dedup_watermark",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            COUNT(*) AS n,
            COUNT(DISTINCT user_id) AS n_users,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(14,4))), 2) AS DOUBLE) AS sum_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(14,4))), 2) AS DOUBLE) AS sum_value,
+           strftime(MAX(ts), '{_SQL_FMT_US}') AS max_ts
     FROM events
     GROUP BY event_type
     """,
@@ -240,10 +241,15 @@ def q58_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
     )
     sunk = run_to_parquet(deduped, "q58", sf_dir)
+    # max_ts is a deliberate canary: q58's other outputs carry no time
+    # axis, so a stale/corrupted staged replay (round 3's compressed
+    # 1970-epoch chunks) could pass this query while q55-q57 failed.
+    # A time-bearing column makes that impossible.
     return sunk.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("user_id").alias("n_users"),
         dsum(dec("value"), "sum_value"),
+        F.date_format(F.max("ts"), _FMT_US).alias("max_ts"),
     )
 
 

@@ -349,6 +349,29 @@ def test_ngram_jaccard_block_cap(spark):
     assert skipped_default.count() == 0
 
 
+def test_embedding_cosine_block_cap(spark):
+    """q64's scale guard (round-4 verdict item 3): a label block larger
+    than the cap is excluded from the within-block all-pairs cosine
+    join — one skewed label must not go quadratic at scale. Small
+    blocks are unaffected, and identical vectors pair at cos_sim 1."""
+    from etfconstituentextractor_spark.plans.llm_dedup import embedding_cosine_pairs
+
+    v = [1.0, 0.0, 2.0]
+    rows = [(i, "big", v) for i in range(6)]  # oversized at cap=5
+    rows += [(100, "small", v), (101, "small", v)]
+    e = spark.createDataFrame(
+        rows, "vec_id bigint, label string, v array<double>"
+    )
+    got = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in embedding_cosine_pairs(e, cap=5).collect()
+    }
+    assert got == {(100, 101, 1.0)}, got
+
+    # default cap admits every corpus-shaped block
+    assert embedding_cosine_pairs(e).count() == 6 * 5 // 2 + 1
+
+
 def test_ngram_contamination_micro(spark):
     """Planted fixture with exact expected verdicts: a verbatim copy of
     an eval doc ('contaminated' at threshold 2), a one-gram collision
