@@ -6,17 +6,24 @@ Pandas UDFs over mapInPandas").
 Division of real vs stubbed, per the multimodal module's contract
 (`plans/multimodal.py`): everything Spark-side — schemas, Arrow batch
 transfer, 1→N row generation, error rows, partitioning — is REAL and
-tested; only the pixel-level math that needs an image library the
-container does not ship is stubbed:
+tested, and so is every pixel operation expressible over RAW bitmaps
+(numpy suffices; an image LIBRARY is only needed for compressed
+codecs):
 
 - ``byte_histogram_features`` is fully real (no stub): a 16-bin byte
   histogram as ``array<double>`` per blob — the cheap content
   fingerprint real pipelines use for corrupt-file triage and
   modality detection, computed vectorized in numpy per Arrow batch.
-- ``resize_blobs`` carries a real container round-trip (header parse,
-  new-dimension header write, payload fingerprint) with the pixel
-  resample itself stubbed deterministically; requesting a real
-  resample raises NotImplementedError, mirroring ``_decode_meta``.
+- ``resize_raw`` is a REAL resampler over ``RAW0`` raw-bitmap
+  containers (magic + 8-hex width + 8-hex height + 2-hex channels +
+  width·height·channels pixel bytes): nearest-neighbor and bilinear
+  interpolation as vectorized numpy index/weight math, verified
+  against a from-scratch pure-Python oracle in tests/test_media.py.
+- ``resize_blobs`` is the metadata path for COMPRESSED formats
+  (IMG0-wrapped JPEG/PNG-style payloads): container round-trip is
+  real; ``real_resample=True`` raises NotImplementedError because
+  decompressing a codec payload needs PIL/opencv, which the
+  environment does not ship — decode is the only stub left.
 - ``sample_frames`` is the row-GENERATOR stage (one input blob → one
   row per sampled frame) over a deterministic frame container
   (``VID0`` magic + 8-hex frame size + 8-hex frame count + payload):
@@ -42,6 +49,11 @@ from pyspark.sql import DataFrame
 #: video-container magic: VID0 | frame_size (8 hex) | n_frames (8 hex) | frames.
 VID_MAGIC = b"VID0"
 
+#: raw-bitmap magic: RAW0 | width (8 hex) | height (8 hex) |
+#: channels (2 hex) | width*height*channels pixel bytes (row-major,
+#: interleaved channels) — the uncompressed layout pixel math runs on.
+RAW_MAGIC = b"RAW0"
+
 #: number of byte-histogram bins (256 byte values / 16 per bin).
 N_BINS = 16
 
@@ -49,9 +61,129 @@ FEATURE_SCHEMA = "doc_id bigint, error string, n_bytes bigint, features array<do
 RESIZE_SCHEMA = (
     "doc_id bigint, error string, width int, height int, payload_md5 string"
 )
+RAW_RESIZE_SCHEMA = (
+    "doc_id bigint, error string, width int, height int, blob binary, "
+    "payload_md5 string"
+)
 FRAME_SCHEMA = (
     "doc_id bigint, error string, frame_idx int, frame_md5 string, frame_len int"
 )
+
+
+def pack_raw(width: int, height: int, channels: int, payload: bytes) -> bytes:
+    """Build a RAW0 raw-bitmap container (row-major, interleaved)."""
+    if width < 1 or height < 1 or not 1 <= channels <= 255:
+        raise ValueError(f"bad dimensions {width}x{height}x{channels}")
+    if len(payload) != width * height * channels:
+        raise ValueError(
+            f"payload {len(payload)} != {width}x{height}x{channels}"
+        )
+    return RAW_MAGIC + f"{width:08x}{height:08x}{channels:02x}".encode("ascii") + payload
+
+
+def _parse_raw(b: bytes) -> tuple[int, int, int, np.ndarray]:
+    """(width, height, channels, (h, w, c) uint8 array) of a RAW0 blob."""
+    w = int(b[4:12].decode("ascii"), 16)
+    h = int(b[12:20].decode("ascii"), 16)
+    c = int(b[20:22].decode("ascii"), 16)
+    if w < 1 or h < 1 or c < 1:
+        raise ValueError(f"bad dimensions {w}x{h}x{c}")
+    payload = b[22:]
+    if len(payload) != w * h * c:
+        raise ValueError(f"payload {len(payload)} != {w}x{h}x{c}")
+    return w, h, c, np.frombuffer(payload, dtype=np.uint8).reshape(h, w, c)
+
+
+def _resample(img: np.ndarray, out_w: int, out_h: int, method: str) -> np.ndarray:
+    """REAL pixel resample, (h, w, c) uint8 → (out_h, out_w, c) uint8.
+
+    Vectorized numpy index/weight math — no image library involved;
+    codecs are only needed to DECOMPRESS, not to resample. Half-pixel
+    sample centers (the align_corners=False convention shared by PIL,
+    OpenCV and torch): source coordinate of output cell i is
+    (i + 0.5) · in/out − 0.5, clamped to the edge. Bilinear output
+    rounds half-UP via floor(x + 0.5) — an explicit convention so the
+    pure-Python oracle in tests replays it bit-for-bit (np.round's
+    banker's rounding would be equally valid but harder to restate).
+    """
+    in_h, in_w = img.shape[0], img.shape[1]
+    if method == "nearest":
+        ys = np.minimum(
+            ((np.arange(out_h) + 0.5) * in_h / out_h).astype(np.int64), in_h - 1
+        )
+        xs = np.minimum(
+            ((np.arange(out_w) + 0.5) * in_w / out_w).astype(np.int64), in_w - 1
+        )
+        return img[ys][:, xs]
+    if method != "bilinear":
+        raise ValueError(f"unknown method {method!r}")
+
+    def grid(n_out: int, n_in: int):
+        c = (np.arange(n_out) + 0.5) * n_in / n_out - 0.5
+        c = np.clip(c, 0.0, n_in - 1.0)
+        lo = np.floor(c).astype(np.int64)
+        hi = np.minimum(lo + 1, n_in - 1)
+        return lo, hi, c - lo
+
+    y0, y1, wy = grid(out_h, in_h)
+    x0, x1, wx = grid(out_w, in_w)
+    f = img.astype(np.float64)
+    wxc = wx[None, :, None]
+    top = f[y0][:, x0] * (1.0 - wxc) + f[y0][:, x1] * wxc
+    bot = f[y1][:, x0] * (1.0 - wxc) + f[y1][:, x1] * wxc
+    out = top * (1.0 - wy)[:, None, None] + bot * wy[:, None, None]
+    return np.floor(out + 0.5).astype(np.uint8)
+
+
+def resize_raw(
+    blobs: DataFrame,
+    width: int,
+    height: int,
+    method: str = "bilinear",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Real resize stage over RAW0 raw-bitmap containers: parses the
+    container, resamples the pixels (``_resample``), and emits a new
+    RAW0 container at the target dimensions plus the resampled
+    payload's fingerprint. Corrupt containers yield error rows (R22
+    semantics). One Python call per Arrow batch, never per row."""
+    if width < 1 or height < 1:
+        raise ValueError(f"bad target {width}x{height}")
+    if method not in ("nearest", "bilinear"):
+        raise ValueError(f"unknown method {method!r}")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                b = bytes(blob)
+                if b[:4] != RAW_MAGIC:
+                    rows.append((doc_id, "bad_magic", None, None, None, None))
+                    continue
+                try:
+                    _, _, c, img = _parse_raw(b)
+                except Exception as exc:
+                    rows.append(
+                        (doc_id, f"bad_header: {exc}", None, None, None, None)
+                    )
+                    continue
+                payload = _resample(img, width, height, method).tobytes()
+                rows.append(
+                    (
+                        doc_id,
+                        None,
+                        width,
+                        height,
+                        pack_raw(width, height, c, payload),
+                        hashlib.md5(payload).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "error", "width", "height", "blob", "payload_md5"],
+            )
+
+    return blobs.select("doc_id", blob_col).mapInPandas(gen, schema=RAW_RESIZE_SCHEMA)
 
 
 def pack_video(frames: list[bytes]) -> bytes:
@@ -105,8 +237,9 @@ def resize_blobs(
     ``real_resample=True`` raises, mirroring the decode stub."""
     if real_resample:
         raise NotImplementedError(
-            "pixel resampling requires an image library (PIL/opencv); "
-            "this environment ships none — metadata-only resize"
+            "IMG0 payloads are compressed-codec bytes; decompressing them "
+            "requires an image library (PIL/opencv) this environment does "
+            "not ship. Raw bitmaps resample for real via resize_raw()."
         )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

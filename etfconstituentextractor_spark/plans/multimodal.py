@@ -9,11 +9,15 @@ BUILT deterministically as binary column expressions (magic bytes +
 fingerprints the payload. Because the blob derives from `documents`,
 the DuckDB oracle states the expected decode directly — hash-matched.
 
-The real decode (pixel data via PIL/ffmpeg) is STUBBED: the container
-has no media libraries, so `_decode_meta` falls back to a
-deterministic header-derived fake (width/height from payload length)
-and raises NotImplementedError only if real decoding is requested.
-The Spark-side shape — BinaryType column, Arrow batch transfer, typed
+The codec decode (decompressing JPEG/PNG-style payloads via
+PIL/ffmpeg) is STUBBED: the container ships no media libraries, so
+`_decode_meta` falls back to a deterministic header-derived fake
+(width/height from payload length) and raises NotImplementedError only
+if real decoding is requested. It is the ONLY stub left in the
+multimodal surface: pixel-level math over raw bitmaps — resampling,
+byte-histogram features — is real (`operators/media.py:resize_raw`,
+numpy nearest/bilinear verified against a pure-Python oracle). The
+Spark-side shape — BinaryType column, Arrow batch transfer, typed
 struct out, error row on corrupt input — is the real, tested part, and
 is exactly what a production decode would plug into. A `binaryFile`
 source read is exercised in the unit tests (repo fixture files; no

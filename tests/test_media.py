@@ -1,18 +1,23 @@
 """Media transform plumbing (operators/media.py): byte-histogram
-features (real math), stubbed resize round-trip, and the frame-sample
-row generator over the VID0 container."""
+features (real math), REAL raw-bitmap resampling vs a from-scratch
+pure-Python oracle, the codec-metadata resize round-trip, and the
+frame-sample row generator over the VID0 container."""
 
 from __future__ import annotations
 
 import hashlib
+import math
+import random
 
 import pytest
 from pyspark.sql import functions as F
 
 from etfconstituentextractor_spark.operators.media import (
     byte_histogram_features,
+    pack_raw,
     pack_video,
     resize_blobs,
+    resize_raw,
     sample_frames,
 )
 
@@ -49,6 +54,84 @@ def test_resize_validates_container_and_stubs_resample(spark):
     assert out[2].error == "bad_magic"
     with pytest.raises(NotImplementedError):
         resize_blobs(_blob_df(spark, [(1, good)]), 64, 48, real_resample=True)
+
+
+def _py_resample(pixels, in_w, in_h, c, out_w, out_h, method):
+    """From-scratch scalar reimplementation of the resampler contract
+    (half-pixel centers, edge clamp, bilinear rounds half-up) —
+    independent of numpy broadcasting."""
+    def px(x, y, ch):
+        return pixels[(y * in_w + x) * c + ch]
+
+    out = []
+    for j in range(out_h):
+        for i in range(out_w):
+            if method == "nearest":
+                sy = min(int((j + 0.5) * in_h / out_h), in_h - 1)
+                sx = min(int((i + 0.5) * in_w / out_w), in_w - 1)
+                out.extend(px(sx, sy, ch) for ch in range(c))
+                continue
+            cy = min(max((j + 0.5) * in_h / out_h - 0.5, 0.0), in_h - 1.0)
+            cx = min(max((i + 0.5) * in_w / out_w - 0.5, 0.0), in_w - 1.0)
+            y0, x0 = int(math.floor(cy)), int(math.floor(cx))
+            y1, x1 = min(y0 + 1, in_h - 1), min(x0 + 1, in_w - 1)
+            wy, wx = cy - y0, cx - x0
+            for ch in range(c):
+                top = px(x0, y0, ch) * (1 - wx) + px(x1, y0, ch) * wx
+                bot = px(x0, y1, ch) * (1 - wx) + px(x1, y1, ch) * wx
+                out.append(int(math.floor(top * (1 - wy) + bot * wy + 0.5)))
+    return bytes(out)
+
+
+@pytest.mark.parametrize("method", ["nearest", "bilinear"])
+def test_resize_raw_matches_python_oracle(spark, method):
+    rng = random.Random(42)
+    in_w, in_h, c = 7, 5, 3
+    pixels = bytes(rng.randrange(256) for _ in range(in_w * in_h * c))
+    blob = pack_raw(in_w, in_h, c, pixels)
+    for out_w, out_h in [(3, 4), (14, 10), (7, 5), (1, 1)]:
+        got = resize_raw(
+            _blob_df(spark, [(1, blob)]), out_w, out_h, method=method
+        ).collect()[0]
+        want = _py_resample(pixels, in_w, in_h, c, out_w, out_h, method)
+        assert got.error is None
+        assert (got.width, got.height) == (out_w, out_h)
+        assert bytes(got.blob) == pack_raw(out_w, out_h, c, want)
+        assert got.payload_md5 == hashlib.md5(want).hexdigest()
+
+
+def test_resize_raw_identity_and_known_values(spark):
+    # identity: same-dimension bilinear resample is exact
+    pixels = bytes(range(24))
+    blob = pack_raw(4, 2, 3, pixels)
+    out = resize_raw(_blob_df(spark, [(1, blob)]), 4, 2).collect()[0]
+    assert bytes(out.blob) == blob
+    # hand-computed 1-D bilinear upscale: [0, 100] -> [0, 25, 75, 100]
+    up = resize_raw(
+        _blob_df(spark, [(1, pack_raw(2, 1, 1, bytes([0, 100])))]), 4, 1
+    ).collect()[0]
+    assert list(bytes(up.blob)[22:]) == [0, 25, 75, 100]
+    # hand-computed nearest downscale: [10,20,30,40] -> [20, 40]
+    dn = resize_raw(
+        _blob_df(spark, [(1, pack_raw(4, 1, 1, bytes([10, 20, 30, 40])))]),
+        2,
+        1,
+        method="nearest",
+    ).collect()[0]
+    assert list(bytes(dn.blob)[22:]) == [20, 40]
+
+
+def test_resize_raw_error_rows(spark):
+    bad_magic = b"IMG0" + b"x" * 20
+    bad_header = b"RAW0" + f"{3:08x}{2:08x}{1:02x}".encode() + b"short"
+    out = {
+        r.doc_id: r
+        for r in resize_raw(
+            _blob_df(spark, [(1, bad_magic), (2, bad_header)]), 2, 2
+        ).collect()
+    }
+    assert out[1].error == "bad_magic" and out[1].blob is None
+    assert out[2].error.startswith("bad_header")
 
 
 def test_frame_sampler_expands_rows(spark):
