@@ -54,6 +54,11 @@ VID_MAGIC = b"VID0"
 #: interleaved channels) — the uncompressed layout pixel math runs on.
 RAW_MAGIC = b"RAW0"
 
+#: raw-audio magic: AUD0 | sample_rate (8 hex) | channels (2 hex) |
+#: interleaved signed-int16 little-endian PCM samples — the
+#: uncompressed layout waveform math runs on.
+AUD_MAGIC = b"AUD0"
+
 #: number of byte-histogram bins (256 byte values / 16 per bin).
 N_BINS = 16
 
@@ -68,6 +73,109 @@ RAW_RESIZE_SCHEMA = (
 FRAME_SCHEMA = (
     "doc_id bigint, error string, frame_idx int, frame_md5 string, frame_len int"
 )
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id bigint, error string, sample_rate int, n_channels int, "
+    "n_frames bigint, duration_s double, rms double, peak int, zcr double"
+)
+
+
+def pack_audio(sample_rate: int, channels: int, samples: bytes) -> bytes:
+    """Build an AUD0 raw-PCM container (int16 LE, interleaved)."""
+    if sample_rate < 1 or not 1 <= channels <= 255:
+        raise ValueError(f"bad audio params {sample_rate}Hz x{channels}")
+    if len(samples) % (2 * channels):
+        raise ValueError(
+            f"payload {len(samples)} not a whole number of {channels}-channel "
+            "int16 frames"
+        )
+    return AUD_MAGIC + f"{sample_rate:08x}{channels:02x}".encode("ascii") + samples
+
+
+def audio_features(blobs: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """REAL waveform feature extraction over AUD0 raw-PCM containers —
+    the audio leg of the multimodal surface (SURVEY.md §2B: "decode /
+    feature-extract ... as Pandas UDFs"). A codec library is only
+    needed to decompress mp3/ogg; PCM math is numpy:
+
+    - ``rms``: root-mean-square amplitude of the channel-mean mix —
+      the loudness feature quality filters threshold on;
+    - ``peak``: max absolute raw sample across channels (clipping
+      detection);
+    - ``zcr``: zero-crossing rate of the mix, crossings / (frames−1)
+      — the cheap voiced/unvoiced/noise discriminator.
+
+    rms/zcr round to 6 dp (module determinism convention). Empty
+    payloads are valid containers with zero frames: rms/zcr are null,
+    duration 0 — presence is the caller's concern (generator
+    contract). Corrupt containers yield error rows (R22 semantics).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                b = bytes(blob)
+                if b[:4] != AUD_MAGIC:
+                    rows.append(
+                        (doc_id, "bad_magic", None, None, None, None, None, None, None)
+                    )
+                    continue
+                try:
+                    rate = int(b[4:12].decode("ascii"), 16)
+                    nch = int(b[12:14].decode("ascii"), 16)
+                    if rate < 1 or nch < 1:
+                        raise ValueError(f"bad params {rate}Hz x{nch}")
+                    payload = b[14:]
+                    if len(payload) % (2 * nch):
+                        raise ValueError(
+                            f"payload {len(payload)} not whole {nch}-channel frames"
+                        )
+                except Exception as exc:
+                    rows.append(
+                        (
+                            doc_id,
+                            f"bad_header: {exc}",
+                            None, None, None, None, None, None, None,
+                        )
+                    )
+                    continue
+                pcm = np.frombuffer(payload, dtype="<i2")
+                n_frames = len(pcm) // nch
+                if n_frames == 0:
+                    rows.append((doc_id, None, rate, nch, 0, 0.0, None, None, None))
+                    continue
+                mix = pcm.reshape(n_frames, nch).astype(np.float64).mean(axis=1)
+                rms = float(np.sqrt(np.mean(mix * mix)))
+                peak = int(np.max(np.abs(pcm.astype(np.int32))))
+                if n_frames > 1:
+                    signs = mix >= 0
+                    zcr = float(np.count_nonzero(signs[1:] != signs[:-1])) / (
+                        n_frames - 1
+                    )
+                else:
+                    zcr = 0.0
+                rows.append(
+                    (
+                        doc_id,
+                        None,
+                        rate,
+                        nch,
+                        n_frames,
+                        round(n_frames / rate, 6),
+                        round(rms, 6),
+                        peak,
+                        round(zcr, 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "error", "sample_rate", "n_channels",
+                    "n_frames", "duration_s", "rms", "peak", "zcr",
+                ],
+            )
+
+    return blobs.select("doc_id", blob_col).mapInPandas(gen, schema=AUDIO_FEATURE_SCHEMA)
 
 
 def pack_raw(width: int, height: int, channels: int, payload: bytes) -> bytes:

@@ -182,6 +182,58 @@ def test_media_stages_have_single_python_boundary(spark):
     assert plan.count("MapInPandas") == 1
 
 
+def _py_audio_features(samples, nch, rate):
+    """From-scratch scalar oracle for rms/peak/zcr over int16 frames."""
+    frames = [samples[i : i + nch] for i in range(0, len(samples), nch)]
+    mix = [sum(f) / nch for f in frames]
+    rms = math.sqrt(sum(x * x for x in mix) / len(mix))
+    peak = max(abs(s) for s in samples)
+    crossings = sum(
+        1 for a, b in zip(mix, mix[1:]) if (a >= 0) != (b >= 0)
+    )
+    zcr = crossings / (len(mix) - 1) if len(mix) > 1 else 0.0
+    return round(rms, 6), peak, round(zcr, 6), round(len(mix) / rate, 6)
+
+
+def test_audio_features_match_python_oracle(spark):
+    import struct
+
+    from etfconstituentextractor_spark.operators.media import audio_features, pack_audio
+
+    rng = random.Random(7)
+    samples = [rng.randrange(-32768, 32768) for _ in range(2 * 500)]  # stereo
+    blob = pack_audio(16000, 2, struct.pack(f"<{len(samples)}h", *samples))
+    out = audio_features(_blob_df(spark, [(1, blob)])).collect()[0]
+    rms, peak, zcr, dur = _py_audio_features(samples, 2, 16000)
+    assert out.error is None
+    assert (out.sample_rate, out.n_channels, out.n_frames) == (16000, 2, 500)
+    assert (out.rms, out.peak, out.zcr, out.duration_s) == (rms, peak, zcr, dur)
+
+
+def test_audio_features_known_values_and_errors(spark):
+    import struct
+
+    from etfconstituentextractor_spark.operators.media import audio_features, pack_audio
+
+    # mono square wave at half amplitude: rms == amplitude, zcr: signs
+    # + + - - + + - - ... -> a crossing every 2 frames
+    wave = [1000, 1000, -1000, -1000] * 4
+    blob = pack_audio(8, 1, struct.pack(f"<{len(wave)}h", *wave))
+    empty = pack_audio(8, 1, b"")
+    truncated = b"AUD0" + f"{8:08x}{2:02x}".encode() + b"\x01"  # odd bytes
+    out = {
+        r.doc_id: r
+        for r in audio_features(
+            _blob_df(spark, [(1, blob), (2, empty), (3, truncated), (4, b"IMG0x")])
+        ).collect()
+    }
+    assert out[1].rms == 1000.0 and out[1].peak == 1000
+    assert out[1].zcr == round(7 / 15, 6) and out[1].duration_s == 2.0
+    assert out[2].n_frames == 0 and out[2].rms is None and out[2].error is None
+    assert out[3].error.startswith("bad_header")
+    assert out[4].error == "bad_magic"
+
+
 def test_frame_sampler_empty_container_contract(spark):
     """A VALID container with zero frames yields zero rows (one row
     per sampled frame — nothing to sample, no error); presence
