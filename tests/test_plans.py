@@ -551,3 +551,39 @@ def test_q64_blocked_pairwise_is_jvm_side(spark, sf_dir):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q70_int8_leg_broadcasts_quantized_queries(spark, sf_dir):
+    """Round-5 int8 leg scale posture: BOTH legs broadcast the tiny
+    query side (candidates never shuffle to meet queries), and the
+    quantize + integer-dot arithmetic stays JVM-side codegen — zero
+    Python evaluation anywhere in q70."""
+    plan = _plan(spark, sf_dir, "q70_similarity_topk_cosine")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    assert plan.count("BroadcastNestedLoopJoin") >= 2, plan[:1500]
+
+
+def test_q81_bpe_leg_broadcasts_vocab_and_never_shuffles_text(spark, sf_dir):
+    """Round-5 bpe leg scale posture: the word->pieces dictionary
+    joins back via broadcast (per-merge folds run over DISTINCT words,
+    never the corpus), and no exchange partitions on the raw text
+    column — the corpus shuffles only as (doc_id, pos, word/pieces)
+    rows."""
+    plan = _plan(spark, sf_dir, "q81_text_token_counts")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    assert "BroadcastHashJoin" in plan
+    ensure = [l for l in plan.splitlines() if "ENSURE_REQUIREMENTS" in l]
+    assert ensure and not any("text#" in l for l in ensure), ensure
+
+
+def test_q64_oversized_label_blocks_are_prefiltered(spark, sf_dir):
+    """The q64 block cap must act BEFORE the pair join: the plan
+    aggregates per-label counts and semi-joins the kept labels back via
+    broadcast, so an oversized block's vectors never reach the
+    quadratic join."""
+    plan = _plan(spark, sf_dir, "q64_dedup_embedding_cosine")
+    i = plan.find("BroadcastHashJoin")
+    assert i >= 0, plan[:1200]
+    assert "count(1)" in plan  # the HAVING-count guard frame
