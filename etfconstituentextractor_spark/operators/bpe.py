@@ -150,6 +150,7 @@ def encode_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     delim: str = " ",
+    broadcast_dict: bool = True,
 ) -> DataFrame:
     """(id, pieces, n_pieces): BPE-encode every document — the
     dictionary path ``encode``'s docstring points long merge lists at.
@@ -168,6 +169,12 @@ def encode_corpus(
     Documents with no words after the split (empty text) produce no
     output row. Greedy left-to-right fold per merge matches
     ``train_bpe`` / ``encode`` semantics exactly (pinned in tests).
+
+    ``broadcast_dict=False`` switches the word→pieces join to a plain
+    shuffle join for vocabularies too large to broadcast (a web-scale
+    corpus's long-tail vocabulary can exceed executor broadcast
+    budgets); the token side then shuffles on the word key — the same
+    unbroadcastable-side fallback the boilerplate operator documents.
     """
     reserved = {"word", "pos", "syms"}
     if id_col in reserved or text_col in reserved:
@@ -184,7 +191,7 @@ def encode_corpus(
     tokens = docs.select(
         F.col(id_col), F.posexplode(toks).alias("pos", "word")
     ).filter(F.col("word") != "")
-    joined = tokens.join(F.broadcast(vocab), "word")
+    joined = tokens.join(F.broadcast(vocab) if broadcast_dict else vocab, "word")
     return (
         joined.groupBy(id_col)
         .agg(

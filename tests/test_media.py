@@ -234,6 +234,64 @@ def test_audio_features_known_values_and_errors(spark):
     assert out[4].error == "bad_magic"
 
 
+class TestResampleProperties:
+    """Hypothesis invariants on the pure-numpy resampler core (no
+    Spark job per example, so examples are cheap): bilinear output is
+    a convex combination of inputs (range-bounded), constant images
+    are fixpoints, nearest only ever emits input values, and same-size
+    resampling is the identity."""
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    dims = st.integers(min_value=1, max_value=9)
+
+    @staticmethod
+    def _img(rng_bytes, w, h, c):
+        import numpy as np
+
+        need = w * h * c
+        data = (rng_bytes * (need // len(rng_bytes) + 1))[:need]
+        return np.frombuffer(bytes(data), dtype=np.uint8).reshape(h, w, c)
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        st.binary(min_size=1, max_size=64),
+        dims, dims, st.integers(1, 3), dims, dims,
+        st.sampled_from(["nearest", "bilinear"]),
+    )
+    def test_range_bounded_and_dtype(self, data, w, h, c, ow, oh, method):
+        from etfconstituentextractor_spark.operators.media import _resample
+
+        img = self._img(data, w, h, c)
+        out = _resample(img, ow, oh, method)
+        assert out.shape == (oh, ow, c) and out.dtype == img.dtype
+        assert out.min() >= img.min() and out.max() <= img.max()
+        if method == "nearest":
+            assert set(out.ravel().tolist()) <= set(img.ravel().tolist())
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(0, 255), dims, dims, dims, dims,
+           st.sampled_from(["nearest", "bilinear"]))
+    def test_constant_image_is_fixpoint(self, v, w, h, ow, oh, method):
+        import numpy as np
+
+        from etfconstituentextractor_spark.operators.media import _resample
+
+        img = np.full((h, w, 1), v, dtype=np.uint8)
+        assert (_resample(img, ow, oh, method) == v).all()
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(min_size=1, max_size=64), dims, dims,
+           st.sampled_from(["nearest", "bilinear"]))
+    def test_same_size_is_identity(self, data, w, h, method):
+        from etfconstituentextractor_spark.operators.media import _resample
+
+        img = self._img(data, w, h, 2)
+        assert (_resample(img, w, h, method) == img).all()
+
+
 def test_frame_sampler_empty_container_contract(spark):
     """A VALID container with zero frames yields zero rows (one row
     per sampled frame — nothing to sample, no error); presence
