@@ -648,3 +648,28 @@ def test_bpe_encode_shuffle_join_fallback_matches_broadcast(spark):
     }
     assert a == b and 3 not in a
     assert a[1][0] == "the</w>"
+
+
+def test_catalog_wide_plan_hygiene(spark, sf_dir):
+    """Sweep EVERY registered batch query's physical plan for the two
+    red flags that silently kill a 100 TB run: an unbroadcast
+    CartesianProduct (all-pairs across the cluster) and row-at-a-time
+    Python evaluation (BatchEvalPython) on a hot path. Streaming
+    queries are excluded — their query functions materialize real
+    replays on call; their plans are pinned individually in
+    test_stateful_streaming.py. q90 keeps BatchEvalPython by design
+    (it IS the deliberate scalar-UDF-vs-pandas-UDF contrast), and q91's
+    Python @udtf plans as BatchEvalPython too — that query IS the
+    Python-UDTF surface demonstration."""
+    skip = {n for n in QUERIES if "_stream_" in n}
+    python_ok = {"q90_udf_scalar_pandas", "q91_udtf_udaf"}
+    offenders = []
+    for name in sorted(QUERIES):
+        if name in skip:
+            continue
+        plan = _plan(spark, sf_dir, name)
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan and name not in python_ok:
+            offenders.append((name, "BatchEvalPython"))
+    assert not offenders, offenders
