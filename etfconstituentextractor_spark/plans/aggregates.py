@@ -119,29 +119,58 @@ def q30_agg_rollup_cube_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distinct branch) — at scale this is the plan to watch for skew; AQE
 # handles the re-shuffle.
 # ---------------------------------------------------------------------------
-@query(
-    "q34_agg_collect_distinct",
-    oracle="""
+def _q34_oracle() -> str:
+    from etfconstituentextractor_spark.operators.sketch import sql_kmv_distinct
+
+    kmv = sql_kmv_distinct(
+        "(SELECT n_name, c_custkey FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey)",
+        "n_name",
+        "c_custkey",
+    )
+    return f"""
+    WITH kmv AS ({kmv})
     SELECT n_name,
            string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
            COUNT(DISTINCT c_mktsegment) AS n_segments,
            COUNT(DISTINCT c_custkey) AS n_cust,
+           ANY_VALUE(kmv_est) AS kmv_cust_est,
            COUNT(*) AS n
-    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN kmv USING (n_name)
     GROUP BY n_name
-    """,
-)
+    """
+
+
+@query("q34_agg_collect_distinct", oracle=_q34_oracle())
 def q34_agg_collect_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect/distinct family + the deterministic KMV distinct sketch
+    (operators/sketch.py) beside the exact count on the same grain —
+    unlike q36's HLL (engine-specific, rows-only), the md5-based KMV
+    estimate hash-matches the oracle exactly."""
+    from etfconstituentextractor_spark.operators.sketch import kmv_distinct
+
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    kmv = kmv_distinct(joined, ["n_name"], "c_custkey")
     return (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("n_name")
+        joined.groupBy("n_name")
         .agg(
             F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias("segments"),
             F.countDistinct("c_mktsegment").alias("n_segments"),
             F.countDistinct("c_custkey").alias("n_cust"),
             F.count(F.lit(1)).alias("n"),
+        )
+        .join(F.broadcast(kmv), "n_name")
+        .select(
+            "n_name",
+            "segments",
+            "n_segments",
+            "n_cust",
+            F.col("kmv_est").alias("kmv_cust_est"),
+            "n",
         )
     )
 

@@ -940,3 +940,23 @@ def test_url_normalization_and_keep_first(spark):
     plan = url_keep_first(df)._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_kmv_sketch_accuracy_and_exact_branch(spark):
+    """KMV distinct sketch (operators/sketch.py): groups under k get
+    the EXACT count (the sketch holds every hash); groups over k
+    estimate within the sketch's expected relative error
+    (~1/sqrt(k-1), asserted at 3x slack); k < 2 is rejected."""
+    import pytest as _pytest
+
+    from etfconstituentextractor_spark.operators.sketch import kmv_distinct
+
+    rows = [("small", f"s{i}") for i in range(10)]
+    rows += [("big", f"b{i}") for i in range(2000)]
+    rows += [("big", f"b{i}") for i in range(500)]  # duplicates
+    df = spark.createDataFrame(rows, "grp string, v string")
+    got = {r.grp: r.kmv_est for r in kmv_distinct(df, ["grp"], "v", k=64).collect()}
+    assert got["small"] == 10.0  # exact branch
+    assert abs(got["big"] - 2000) / 2000 < 3 / (63**0.5), got["big"]
+    with _pytest.raises(ValueError):
+        kmv_distinct(df, ["grp"], "v", k=1)
