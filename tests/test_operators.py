@@ -960,3 +960,24 @@ def test_kmv_sketch_accuracy_and_exact_branch(spark):
     assert abs(got["big"] - 2000) / 2000 < 3 / (63**0.5), got["big"]
     with _pytest.raises(ValueError):
         kmv_distinct(df, ["grp"], "v", k=1)
+
+
+def test_kmv_sketch_prunes_map_side(spark):
+    """The k-smallest-per-group window must compile with a PARTIAL
+    WindowGroupLimit below the exchange: each map task keeps its local
+    k smallest hashes, so the group shuffle carries <= k rows per task
+    per group — the property that keeps KMV viable when a group's
+    distinct count is billions."""
+    from etfconstituentextractor_spark.operators.sketch import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(100)], "grp string, v string"
+    )
+    plan = (
+        kmv_distinct(df, ["grp"], "v", k=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan[plan.find("WindowGroupLimit") :], plan[:1500]
