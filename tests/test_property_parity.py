@@ -369,3 +369,32 @@ def test_bm25_matches_python_reference(spark, docs, k):
         for rn, (i, s) in enumerate(scored[:k], start=1):
             want.append((qid, i, s, rn))
     assert got == sorted(want)
+
+
+@given(
+    values=st.lists(
+        st.text(alphabet="abcdef0123456789xyz", min_size=1, max_size=6),
+        min_size=1,
+        max_size=60,
+    ),
+    k=st.integers(min_value=2, max_value=12),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kmv_sketch_matches_python_oracle(spark, values, k):
+    """operators/sketch.py vs a from-scratch hashlib reimplementation:
+    same k smallest md5 hashes, same (k-1)/U(k) estimate, exact branch
+    under k — on arbitrary duplicate-laden inputs."""
+    import hashlib
+
+    from etfconstituentextractor_spark.operators.sketch import kmv_distinct
+
+    df = spark.createDataFrame([("g", v) for v in values], "grp string, v string")
+    got = kmv_distinct(df, ["grp"], "v", k=k).collect()[0].kmv_est
+
+    hashes = sorted({hashlib.md5(v.encode()).hexdigest() for v in values})
+    if len(hashes) < k:
+        want = float(len(hashes))
+    else:
+        frac = int(hashes[k - 1][:13], 16) / 16**13
+        want = round((k - 1) / frac, 4)
+    assert got == want
