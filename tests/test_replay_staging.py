@@ -132,3 +132,29 @@ def test_extra_chunk_layout_spans_corpus_plus_extra(spark, sf_dir):
     assert s_n == c_n + 1
     assert (s_min, s_max) == (c_min, c_max)
     assert s_max - s_min > datetime.timedelta(days=1)
+
+
+def test_corpus_text_is_free_of_bpe_separator(sf_dir):
+    """q81's BPE oracle folds over a chr(31)-joined symbol string; a
+    corpus refresh that introduced that byte into document text would
+    make DuckDB mis-split symbols while Spark (array-based) would not
+    — a silent hash divergence. Guard the assumption per corpus state,
+    alongside this module's other refresh tripwires."""
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE contains(text, chr(31))"
+    ).fetchone()[0]
+    assert n == 0
+
+
+def test_committed_bpe_merges_stay_sql_safe():
+    """The committed merge list is inlined into oracle SQL as quoted
+    literals; symbols must stay free of the separator and of quote
+    characters the two engines escape differently."""
+    from etfconstituentextractor_spark.plans.llm_text import _BPE_MERGES
+
+    for a, b in _BPE_MERGES:
+        for sym in (a, b):
+            assert "\x1f" not in sym and "'" not in sym and "\\" not in sym
