@@ -83,6 +83,22 @@ def main() -> None:
     for t in TABLES:
         load(spark, sf_dir, t).limit(1).write.format("noop").mode("overwrite").save()
 
+    # Host-speed calibration: a fixed CPU-bound probe (no I/O, no code
+    # that this repo changes), min-of-3. Two back-to-back bench runs
+    # measured 50.7s vs 40.1s with EVERY query moving the same
+    # direction — whole-host load, which per-query min-of-N cannot
+    # remove. Publishing the probe time lets a reader normalize
+    # round-over-round totals before attributing drift to code.
+    calib_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(30_000_000).selectExpr(
+            "sum(sin(id * 1e-6))", "max(sqrt(id))"
+        ).collect()
+        calib_runs.append(round(time.perf_counter() - t0, 3))
+    calibration = min(calib_runs)
+    print(f"# calibration probe: {calibration}s (runs: {calib_runs})", file=sys.stderr)
+
     # Each query runs at least TWICE and reports the fastest run: the
     # first execution pays one-time costs a long-running cluster
     # amortizes (whole-stage-codegen compilation, Python worker
@@ -131,6 +147,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "calibration_sec": calibration,
             }
         )
     )
