@@ -75,7 +75,12 @@ FRAME_SCHEMA = (
 )
 AUDIO_FEATURE_SCHEMA = (
     "doc_id bigint, error string, sample_rate int, n_channels int, "
-    "n_frames bigint, duration_s double, rms double, peak int, zcr double"
+    "n_frames bigint, duration_s double, rms double, peak int, zcr double, "
+    "spectral_centroid_hz double"
+)
+MOTION_SCHEMA = (
+    "doc_id bigint, error string, n_frames int, frame_len int, "
+    "mean_motion double, max_motion double"
 )
 
 
@@ -102,12 +107,19 @@ def audio_features(blobs: DataFrame, blob_col: str = "blob") -> DataFrame:
     - ``peak``: max absolute raw sample across channels (clipping
       detection);
     - ``zcr``: zero-crossing rate of the mix, crossings / (frames−1)
-      — the cheap voiced/unvoiced/noise discriminator.
+      — the cheap voiced/unvoiced/noise discriminator;
+    - ``spectral_centroid_hz``: amplitude-weighted mean frequency of
+      the mix's magnitude spectrum (DC bin excluded) — the
+      brightness feature; real FFT math (numpy.fft), checked against
+      a from-scratch O(n²) DFT oracle in tests. Null for silent or
+      single-frame signals.
 
-    rms/zcr round to 6 dp (module determinism convention). Empty
-    payloads are valid containers with zero frames: rms/zcr are null,
-    duration 0 — presence is the caller's concern (generator
-    contract). Corrupt containers yield error rows (R22 semantics).
+    rms/zcr round to 6 dp, the centroid to 4 (module determinism
+    convention; FFT summation order differs from a naive DFT at
+    ~1e-12 relative). Empty payloads are valid containers with zero
+    frames: feature columns are null, duration 0 — presence is the
+    caller's concern (generator contract). Corrupt containers yield
+    error rows (R22 semantics).
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -117,7 +129,8 @@ def audio_features(blobs: DataFrame, blob_col: str = "blob") -> DataFrame:
                 b = bytes(blob)
                 if b[:4] != AUD_MAGIC:
                     rows.append(
-                        (doc_id, "bad_magic", None, None, None, None, None, None, None)
+                        (doc_id, "bad_magic", None, None, None, None, None, None,
+                         None, None)
                     )
                     continue
                 try:
@@ -135,14 +148,16 @@ def audio_features(blobs: DataFrame, blob_col: str = "blob") -> DataFrame:
                         (
                             doc_id,
                             f"bad_header: {exc}",
-                            None, None, None, None, None, None, None,
+                            None, None, None, None, None, None, None, None,
                         )
                     )
                     continue
                 pcm = np.frombuffer(payload, dtype="<i2")
                 n_frames = len(pcm) // nch
                 if n_frames == 0:
-                    rows.append((doc_id, None, rate, nch, 0, 0.0, None, None, None))
+                    rows.append(
+                        (doc_id, None, rate, nch, 0, 0.0, None, None, None, None)
+                    )
                     continue
                 mix = pcm.reshape(n_frames, nch).astype(np.float64).mean(axis=1)
                 rms = float(np.sqrt(np.mean(mix * mix)))
@@ -154,6 +169,13 @@ def audio_features(blobs: DataFrame, blob_col: str = "blob") -> DataFrame:
                     )
                 else:
                     zcr = 0.0
+                centroid = None
+                if n_frames > 1:
+                    mags = np.abs(np.fft.rfft(mix))[1:]  # drop DC
+                    total = float(mags.sum())
+                    if total > 0:
+                        freqs = np.arange(1, len(mags) + 1) * rate / n_frames
+                        centroid = round(float((freqs * mags).sum() / total), 4)
                 rows.append(
                     (
                         doc_id,
@@ -165,6 +187,7 @@ def audio_features(blobs: DataFrame, blob_col: str = "blob") -> DataFrame:
                         round(rms, 6),
                         peak,
                         round(zcr, 6),
+                        centroid,
                     )
                 )
             yield pd.DataFrame(
@@ -172,10 +195,62 @@ def audio_features(blobs: DataFrame, blob_col: str = "blob") -> DataFrame:
                 columns=[
                     "doc_id", "error", "sample_rate", "n_channels",
                     "n_frames", "duration_s", "rms", "peak", "zcr",
+                    "spectral_centroid_hz",
                 ],
             )
 
     return blobs.select("doc_id", blob_col).mapInPandas(gen, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def frame_motion(blobs: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Temporal motion metric over VID0 containers: mean absolute
+    byte difference between consecutive frames — the cheap scene-
+    change / static-content discriminator a video curation pipeline
+    thresholds on, computed as one vectorized numpy diff over the
+    whole frame stack. Needs >= 2 frames (null metrics otherwise);
+    corrupt containers yield error rows."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                b = bytes(blob)
+                if b[:4] != VID_MAGIC:
+                    rows.append((doc_id, "bad_magic", None, None, None, None))
+                    continue
+                try:
+                    size = int(b[4:12].decode("ascii"), 16)
+                    count = int(b[12:20].decode("ascii"), 16)
+                    frames = b[20:]
+                    if len(frames) != size * count:
+                        raise ValueError(f"payload {len(frames)} != {size}x{count}")
+                except Exception as exc:
+                    rows.append((doc_id, f"bad_header: {exc}", None, None, None, None))
+                    continue
+                if count < 2 or size == 0:
+                    rows.append((doc_id, None, count, size, None, None))
+                    continue
+                stack = np.frombuffer(frames, dtype=np.uint8).reshape(count, size)
+                diffs = np.abs(np.diff(stack.astype(np.int16), axis=0)).mean(axis=1)
+                rows.append(
+                    (
+                        doc_id,
+                        None,
+                        count,
+                        size,
+                        round(float(diffs.mean()), 6),
+                        round(float(diffs.max()), 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "error", "n_frames", "frame_len",
+                    "mean_motion", "max_motion",
+                ],
+            )
+
+    return blobs.select("doc_id", blob_col).mapInPandas(gen, schema=MOTION_SCHEMA)
 
 
 def pack_raw(width: int, height: int, channels: int, payload: bytes) -> bytes:

@@ -298,3 +298,64 @@ def test_frame_sampler_empty_container_contract(spark):
     tracking belongs to the caller's left join, like any generator."""
     df = _blob_df(spark, [(1, pack_video([]))])
     assert sample_frames(df, every_n=2).count() == 0
+
+
+def test_spectral_centroid_matches_naive_dft(spark):
+    """The FFT-based centroid vs a from-scratch O(n^2) DFT: same
+    magnitude spectrum, same amplitude-weighted mean frequency."""
+    import struct
+
+    from etfconstituentextractor_spark.operators.media import audio_features, pack_audio
+
+    rng = random.Random(11)
+    n, rate = 64, 8000
+    samples = [rng.randrange(-2000, 2000) for _ in range(n)]
+    blob = pack_audio(rate, 1, struct.pack(f"<{n}h", *samples))
+    got = audio_features(_blob_df(spark, [(1, blob)])).collect()[0]
+
+    num = den = 0.0
+    for k in range(1, n // 2 + 1):
+        re = sum(samples[t] * math.cos(2 * math.pi * k * t / n) for t in range(n))
+        im = -sum(samples[t] * math.sin(2 * math.pi * k * t / n) for t in range(n))
+        mag = math.hypot(re, im)
+        num += (k * rate / n) * mag
+        den += mag
+    assert got.spectral_centroid_hz == round(num / den, 4)
+
+
+def test_spectral_centroid_pure_tone_and_silence(spark):
+    import struct
+
+    from etfconstituentextractor_spark.operators.media import audio_features, pack_audio
+
+    n, rate = 32, 3200
+    # pure tone at bin 4 -> centroid exactly 4 * rate / n = 400 Hz
+    tone = [int(1000 * math.cos(2 * math.pi * 4 * t / n)) for t in range(n)]
+    silent = [0] * n
+    blobs = [
+        (1, pack_audio(rate, 1, struct.pack(f"<{n}h", *tone))),
+        (2, pack_audio(rate, 1, struct.pack(f"<{n}h", *silent))),
+    ]
+    out = {r.doc_id: r for r in audio_features(_blob_df(spark, blobs)).collect()}
+    assert abs(out[1].spectral_centroid_hz - 400.0) < 0.5
+    assert out[2].spectral_centroid_hz is None and out[2].rms == 0.0
+
+
+def test_frame_motion_hand_computed(spark):
+    from etfconstituentextractor_spark.operators.media import frame_motion
+
+    # frames: [0,0], [10,30], [10,30] -> diffs: mean(|10|,|30|)=20, then 0
+    frames = [bytes([0, 0]), bytes([10, 30]), bytes([10, 30])]
+    vid = pack_video(frames)
+    static = pack_video([bytes([7, 7])] * 4)
+    single = pack_video([bytes([1, 2])])
+    out = {
+        r.doc_id: r
+        for r in frame_motion(
+            _blob_df(spark, [(1, vid), (2, static), (3, single), (4, b"IMG0x")])
+        ).collect()
+    }
+    assert (out[1].mean_motion, out[1].max_motion) == (10.0, 20.0)
+    assert (out[2].mean_motion, out[2].max_motion) == (0.0, 0.0)
+    assert out[3].mean_motion is None and out[3].n_frames == 1
+    assert out[4].error == "bad_magic"
