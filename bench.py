@@ -42,6 +42,7 @@ HEADLINE = [
     "q23_join_outer_semi_anti",
     "q27_join_asof",
     "q30_agg_rollup_cube_gsets",
+    "q34_agg_collect_distinct",
     "q40_topk_family",
     "q42_window_trailing_range",
     "q60_dedup_exact_family",
@@ -54,6 +55,7 @@ HEADLINE = [
     "q72_similarity_ivf_ann",
     "q73_text_bm25_topk",
     "q80_text_stats",
+    "q81_text_token_counts",
     "q82_text_contamination",
     "q83_sample_stratified_mix",
     "q84_pii_scrub",
