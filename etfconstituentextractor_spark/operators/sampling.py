@@ -112,6 +112,61 @@ def stratified_quota_sample(
     )
 
 
+#: 16^13 + 1 — denominator mapping a 13-hex-char (52-bit) md5 prefix
+#: into u ∈ (0, 1]; the integer numerator is double-EXACT in every
+#: engine, so u is bit-identical cross-engine.
+_WES_DENOM = 16**13 + 1
+
+
+def weighted_reservoir_sample(
+    df: DataFrame,
+    *,
+    strat_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wes",
+) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling WITHOUT replacement:
+    top-k rows per stratum by the priority key ln(u)/w (equivalent to
+    ranking on u^(1/w)) — a heavier row wins proportionally more
+    often, and a re-run selects the same rows (u derives from
+    md5(key:salt), not a RNG).
+
+    Cross-engine determinism: u's numerator is a 52-bit integer
+    (double-exact), then ln(u) is ROUNDED AT 6 dp BEFORE the division
+    by weight. ln is the one libm call — engines may differ in its
+    last ulp — and the 1e-6 grid crushes that divergence (the idf
+    precedent in q81), while the division by w is exact IEEE given
+    identical inputs, so the full weighted resolution survives and the
+    rank order is bit-identical cross-engine with no further
+    rounding. Ties (equal rounded-ln AND equal weight) break on the
+    key column.
+
+    Rows with null or non-positive weight have no valid draw and are
+    excluded. One shuffle on the stratum key; WindowGroupLimit
+    pre-prunes each map task to its local top-k (same plan shape as
+    ``stratified_quota_sample``).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt)))
+    u = (F.conv(F.substring(h, 1, 13), 16, 10).cast("double") + F.lit(1.0)) / F.lit(
+        float(_WES_DENOM)
+    )
+    es = F.round(F.log(u), 6) / F.col(weight_col).cast("double")
+    w = W.partitionBy(strat_col).orderBy(
+        F.col("es_key").desc(), F.col(key_col).asc_nulls_last()
+    )
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("es_key", es)
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .drop("es_key")
+    )
+
+
 def hash_oversample(
     df: DataFrame,
     rates: Mapping[str, float],

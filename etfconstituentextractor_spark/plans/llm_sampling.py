@@ -15,9 +15,11 @@ from etfconstituentextractor_spark.operators.chunking import chunk_documents
 from etfconstituentextractor_spark.operators.packing import pack_sequences
 from etfconstituentextractor_spark.operators.sampling import (
     BUCKETS,
+    _WES_DENOM,
     hash_oversample,
     hash_rate_sample,
     stratified_quota_sample,
+    weighted_reservoir_sample,
 )
 from etfconstituentextractor_spark.plans.registry import query
 from etfconstituentextractor_spark.sources.tables import load
@@ -34,6 +36,10 @@ QUOTA_K = 25
 #: leg — scarce languages repeat (zh 2-3x, fr 1-2x), the dominant one
 #: subsamples (en 40%) through the SAME bucket mechanism
 OVER_RATES = {"en": 0.4, "es": 1.0, "de": 1.0, "fr": 1.5, "zh": 2.3}
+
+#: per-language top-k for the length-WEIGHTED (Efraimidis-Spirakis)
+#: leg — longer documents proportionally more likely to be kept
+WEIGHTED_K = 40
 
 
 def _sql_rate_case() -> str:
@@ -76,6 +82,13 @@ def _sql_copies() -> str:
 # - 'oversample' leg: WITH-replacement duplication factors (epochs
 #   per language: zh repeats 2-3x, en subsamples to 40%) — codegen
 #   copy count + explode(sequence), zero shuffle; rn carries copy_id.
+# - 'weighted' leg (round 5): Efraimidis-Spirakis length-weighted
+#   top-k per language (operators/sampling.py:
+#   weighted_reservoir_sample) — a longer document proportionally
+#   more likely to survive, the ln(u) rounded at 6 dp BEFORE the
+#   exact division by weight so both engines rank identically (see
+#   the operator docstring); bucket is NULL on this leg (its draw is
+#   the ES key, not the mix bucket).
 # The `bucket` column is part of the contract so the selection is
 # auditable row-by-row; both engines derive it identically
 # (md5 hex prefix → bigint → mod).
@@ -104,10 +117,25 @@ def _sql_copies() -> str:
            CAST(unnest(range(1, n_copies + 1)) AS INTEGER) AS rn
     FROM (SELECT h.*, {_sql_copies()} AS n_copies FROM h)
     WHERE n_copies >= 1
+    UNION ALL
+    SELECT 'weighted' AS leg, doc_id, lang, source, CAST(NULL AS BIGINT) AS bucket, rn
+    FROM (
+      SELECT doc_id, lang, source,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ROUND(ln((CAST('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), ':wes')), 1, 13) AS BIGINT)
+                                  + 1.0) / {float(_WES_DENOM)}), 6)
+                        / CAST(n_chars AS DOUBLE) DESC,
+                        doc_id
+             ) AS INTEGER) AS rn
+      FROM documents WHERE n_chars > 0
+    )
+    WHERE rn <= {WEIGHTED_K}
     """,
 )
 def q83_sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    full = load(spark, sf_dir, "documents")
+    d = full.select("doc_id", "lang", "source")
     rate_leg = hash_rate_sample(d, MIX_RATES, strat_col="lang", key_col="doc_id").select(
         F.lit("rate").alias("leg"),
         "doc_id",
@@ -127,7 +155,25 @@ def q83_sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.col("copy_id").cast("int").alias("rn"),
     )
-    return rate_leg.unionByName(quota_leg).unionByName(over_leg)
+    weighted_leg = weighted_reservoir_sample(
+        full.select("doc_id", "lang", "source", "n_chars"),
+        strat_col="lang",
+        key_col="doc_id",
+        weight_col="n_chars",
+        k=WEIGHTED_K,
+    ).select(
+        F.lit("weighted").alias("leg"),
+        "doc_id",
+        "lang",
+        "source",
+        F.lit(None).cast("bigint").alias("bucket"),
+        "rn",
+    )
+    return (
+        rate_leg.unionByName(quota_leg)
+        .unionByName(over_leg)
+        .unionByName(weighted_leg)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -981,3 +981,44 @@ def test_kmv_sketch_prunes_map_side(spark):
     )
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan[plan.find("WindowGroupLimit") :], plan[:1500]
+
+
+def test_weighted_reservoir_matches_python_oracle(spark):
+    """Efraimidis-Spirakis weighted sampling vs a from-scratch hashlib
+    + math.log replay of the key construction (rounded ln before the
+    exact division), plus the monotonicity this sampler exists for:
+    weighting by length must raise the selected rows' mean weight
+    above uniform selection's."""
+    import hashlib
+    import math
+
+    from etfconstituentextractor_spark.operators.sampling import (
+        _WES_DENOM,
+        weighted_reservoir_sample,
+    )
+
+    rows = [(i, "s", (i % 50) + 1) for i in range(300)]  # weights 1..50
+    rows += [(1000, "s", None), (1001, "s", 0)]  # no valid draw
+    df = spark.createDataFrame(rows, "doc_id bigint, grp string, w bigint")
+    k = 40
+    got = [
+        r.doc_id
+        for r in weighted_reservoir_sample(
+            df, strat_col="grp", key_col="doc_id", weight_col="w", k=k
+        )
+        .orderBy("rn")
+        .collect()
+    ]
+
+    def es_key(doc_id, w):
+        h = hashlib.md5(f"{doc_id}:wes".encode()).hexdigest()
+        u = (int(h[:13], 16) + 1) / _WES_DENOM
+        return round(math.log(u), 6) / w
+
+    want = sorted(
+        (i for i, _g, w in rows if w), key=lambda i: (-es_key(i, (i % 50) + 1), i)
+    )[:k]
+    assert got == want
+    sel_mean = sum((i % 50) + 1 for i in got) / k
+    pop_mean = sum((i % 50) + 1 for i, _g, w in rows if w) / 300
+    assert sel_mean > pop_mean * 1.15, (sel_mean, pop_mean)
