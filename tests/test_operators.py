@@ -1022,3 +1022,39 @@ def test_weighted_reservoir_matches_python_oracle(spark):
     sel_mean = sum((i % 50) + 1 for i in got) / k
     pop_mean = sum((i % 50) + 1 for i, _g, w in rows if w) / 300
     assert sel_mean > pop_mean * 1.15, (sel_mean, pop_mean)
+
+
+def test_register_views_sql_api(spark, sf_dir):
+    """The SQL entry point (sources/tables.py:register_views): every
+    corpus table queryable via spark.sql, typed by the same loaders
+    (events gets the unit-aware ts path), and a SQL aggregation over
+    the views matches the DataFrame API result exactly."""
+    from etfconstituentextractor_spark.sources.tables import load, register_views
+    from etfconstituentextractor_spark import schemas
+
+    register_views(spark, sf_dir, suffix="_v")
+    for t in schemas.TABLES:
+        assert spark.table(f"{t}_v").schema == load(spark, sf_dir, t).schema
+
+    got = spark.sql(
+        "SELECT l_returnflag, COUNT(*) AS n, "
+        "CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(14,4))), 2) AS DOUBLE) AS q "
+        "FROM lineitem_v GROUP BY l_returnflag ORDER BY l_returnflag"
+    ).collect()
+    from pyspark.sql import functions as F
+
+    want = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(14,4)")), 2)
+            .cast("double")
+            .alias("q"),
+        )
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # events view must carry the unit-normalized NTZ timestamp
+    assert dict(spark.table("events_v").dtypes)["ts"] == "timestamp_ntz"
