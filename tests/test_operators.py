@@ -1058,3 +1058,30 @@ def test_register_views_sql_api(spark, sf_dir):
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     # events view must carry the unit-normalized NTZ timestamp
     assert dict(spark.table("events_v").dtypes)["ts"] == "timestamp_ntz"
+
+
+def test_normalize_url_canonical_cases(spark):
+    """URL canonicalization (operators/text.py) — the URL-level dedup
+    gate a crawl pipeline runs before content dedup: scheme/fragment/
+    query stripped, host lowercased and de-www'd, duplicate and
+    trailing slashes collapsed, path case preserved."""
+    from etfconstituentextractor_spark.operators.text import normalize_url
+
+    cases = [
+        ("HTTPS://WWW.Example.COM//a//B/?q=1#frag", "example.com/a/B"),
+        ("http://example.com/", "example.com"),
+        ("example.com/x/", "example.com/x"),
+        ("  https://sub.Example.org/Path/  ", "sub.example.org/Path"),
+        ("ftp://Host.net//d", "host.net/d"),
+    ]
+    df = spark.createDataFrame(cases, "url string, want string")
+    out = df.select("want", normalize_url("url").alias("got")).collect()
+    for r in out:
+        assert r.got == r.want, (r.got, r.want)
+    # idempotent: normalizing a normalized URL is a no-op
+    again = (
+        df.select(normalize_url("url").alias("url"))
+        .select(F.col("url").alias("want"), normalize_url("url").alias("got"))
+        .collect()
+    )
+    assert all(r.got == r.want for r in again)
