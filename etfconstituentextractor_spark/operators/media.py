@@ -84,6 +84,15 @@ MOTION_SCHEMA = (
 )
 
 
+def _null_blob_row(doc_id, n_feature_cols: int) -> tuple:
+    """Error row for a NULL blob value. Without this guard,
+    ``bytes(None)`` raises inside the generator and fails the whole
+    task — a single NULL cell would take down the stage, contradicting
+    the R22 contract (corrupt input yields error ROWS, never task
+    failure)."""
+    return (doc_id, "null_blob") + (None,) * n_feature_cols
+
+
 def pack_audio(sample_rate: int, channels: int, samples: bytes) -> bytes:
     """Build an AUD0 raw-PCM container (int16 LE, interleaved)."""
     if sample_rate < 1 or not 1 <= channels <= 255:
@@ -126,6 +135,9 @@ def audio_features(blobs: DataFrame, blob_col: str = "blob") -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                if blob is None:
+                    rows.append(_null_blob_row(doc_id, 8))
+                    continue
                 b = bytes(blob)
                 if b[:4] != AUD_MAGIC:
                     rows.append(
@@ -214,6 +226,9 @@ def frame_motion(blobs: DataFrame, blob_col: str = "blob") -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                if blob is None:
+                    rows.append(_null_blob_row(doc_id, 4))
+                    continue
                 b = bytes(blob)
                 if b[:4] != VID_MAGIC:
                     rows.append((doc_id, "bad_magic", None, None, None, None))
@@ -339,6 +354,9 @@ def resize_raw(
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                if blob is None:
+                    rows.append(_null_blob_row(doc_id, 4))
+                    continue
                 b = bytes(blob)
                 if b[:4] != RAW_MAGIC:
                     rows.append((doc_id, "bad_magic", None, None, None, None))
@@ -392,6 +410,9 @@ def byte_histogram_features(
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                if blob is None:
+                    rows.append(_null_blob_row(doc_id, 2))
+                    continue
                 b = bytes(blob)
                 if not b:
                     rows.append((doc_id, "empty_blob", 0, None))
@@ -429,6 +450,9 @@ def resize_blobs(
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                if blob is None:
+                    rows.append(_null_blob_row(doc_id, 3))
+                    continue
                 b = bytes(blob)
                 if b[:4] != b"IMG0":
                     rows.append((doc_id, "bad_magic", None, None, None))
@@ -466,6 +490,9 @@ def sample_frames(
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                if blob is None:
+                    rows.append(_null_blob_row(doc_id, 3))
+                    continue
                 b = bytes(blob)
                 if b[:4] != VID_MAGIC:
                     rows.append((doc_id, "bad_magic", None, None, None))

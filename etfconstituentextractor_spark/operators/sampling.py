@@ -38,6 +38,20 @@ from pyspark.sql import functions as F
 BUCKETS = 10_000
 
 
+def _reject_reserved(df: DataFrame, *names: str) -> None:
+    """Refuse input columns that a sampler is about to materialize —
+    ``withColumn`` would silently overwrite them (the same reserved-name
+    contract as bpe.encode_corpus). Applies to appended OUTPUT columns
+    (bucket, rn, ...) and dropped internals (es_key) alike: either way
+    the caller's data would be destroyed."""
+    clash = [n for n in names if n in df.columns]
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with sampler-reserved names; "
+            "rename them before sampling"
+        )
+
+
 def hash_bucket(key_col: str, salt: str = "mix") -> Column:
     """Uniform deterministic bucket in [0, BUCKETS) from md5(key:salt).
 
@@ -84,6 +98,7 @@ def hash_rate_sample(
     Deterministic Bernoulli(rate) per stratum; appends the ``bucket``
     column so callers (and oracles) can audit the decision.
     """
+    _reject_reserved(df, "bucket")
     return df.withColumn("bucket", hash_bucket(key_col, salt)).filter(
         F.col("bucket") < rate_threshold(rates, strat_col, default_rate)
     )
@@ -102,6 +117,7 @@ def stratified_quota_sample(
     uniform without-replacement sample. Appends ``bucket`` and the
     1-based ``rn`` rank within the stratum.
     """
+    _reject_reserved(df, "bucket", "rn")
     w = W.partitionBy(strat_col).orderBy(
         F.col("bucket").asc_nulls_last(), F.col(key_col).asc_nulls_last()
     )
@@ -150,6 +166,7 @@ def weighted_reservoir_sample(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    _reject_reserved(df, "es_key", "rn")
     h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt)))
     u = (F.conv(F.substring(h, 1, 13), 16, 10).cast("double") + F.lit(1.0)) / F.lit(
         float(_WES_DENOM)
@@ -187,6 +204,7 @@ def hash_oversample(
     copy-count are codegen scalars; `explode(sequence(...))` is the
     only row-expanding op, no shuffle at all.
     """
+    _reject_reserved(df, "bucket", "n_copies", "copy_id")
     floor_expr = None
     frac_expr = None
     for stratum, rate in sorted(rates.items()):
@@ -235,6 +253,7 @@ def token_budget_sample(
     (key, token counts) — text never moves; the budget comparison is a
     codegen scalar. Deterministic across reruns and cluster sizes.
     """
+    _reject_reserved(df, "bucket", "cum_before")
     w = W.partitionBy(strat_col).orderBy(
         F.col("bucket").asc_nulls_last(), F.col(key_col).asc_nulls_last()
     )

@@ -50,9 +50,16 @@ def kmv_distinct(
     every hash)."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    hashes = df.select(
-        *group_cols, F.md5(F.col(value_col).cast("string")).alias("__h")
-    ).distinct()
+    # NULLs never enter the sketch: md5(NULL) is a NULL hash, and the
+    # engines disagree on where NULL sorts in the window (Spark
+    # nulls-first vs DuckDB nulls-last) — a NULL row would consume a
+    # sketch slot in one engine but not the other. Distinct-count
+    # semantics ignore NULL anyway (COUNT(DISTINCT x) does).
+    hashes = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, F.md5(F.col(value_col).cast("string")).alias("__h"))
+        .distinct()
+    )
     w = W.partitionBy(*group_cols).orderBy("__h")
     sk = (
         hashes.withColumn("__rn", F.row_number().over(w))
@@ -82,7 +89,8 @@ def sql_kmv_distinct(
              row_number() OVER (PARTITION BY {group_col} ORDER BY __h) AS __rn
       FROM (SELECT DISTINCT {group_col},
                    md5(CAST({value_col} AS VARCHAR)) AS __h
-            FROM {from_sql})
+            FROM {from_sql}
+            WHERE {value_col} IS NOT NULL)
     )
     WHERE __rn <= {k}
     GROUP BY {group_col}

@@ -19,6 +19,8 @@ from etfconstituentextractor_spark.operators.sampling import (
     hash_oversample,
     hash_rate_sample,
     stratified_quota_sample,
+    temperature_rates,
+    token_budget_sample,
     weighted_reservoir_sample,
 )
 from etfconstituentextractor_spark.plans.registry import query
@@ -40,6 +42,18 @@ OVER_RATES = {"en": 0.4, "es": 1.0, "de": 1.0, "fr": 1.5, "zh": 2.3}
 #: per-language top-k for the length-WEIGHTED (Efraimidis-Spirakis)
 #: leg — longer documents proportionally more likely to be kept
 WEIGHTED_K = 40
+
+#: per-language TOKEN budgets (n_chars as the token proxy — the same
+#: weight column the 'weighted' leg uses) for the budget-capped leg:
+#: strata bill by tokens, not documents, so a doc-count quota would
+#: over-represent short-document sources
+TOKEN_BUDGETS = {"en": 40_000, "es": 25_000, "de": 15_000, "fr": 10_000, "zh": 5_000}
+
+#: temperature-weighted mixture parameters: sampled share of stratum s
+#: proportional to count(s)**ALPHA, total kept volume TEMP_KEEP of the
+#: corpus (the standard multilingual rebalancing scheme)
+TEMP_ALPHA = 0.3
+TEMP_KEEP = 0.5
 
 
 def _sql_rate_case() -> str:
@@ -71,8 +85,16 @@ def _sql_copies() -> str:
     return f"{floor_case} + CASE WHEN bucket < {frac_case} THEN 1 ELSE 0 END"
 
 
+def _sql_budget_case() -> str:
+    return (
+        "CASE lang "
+        + " ".join(f"WHEN '{lg}' THEN {n}" for lg, n in sorted(TOKEN_BUDGETS.items()))
+        + " ELSE 0 END"
+    )
+
+
 # ---------------------------------------------------------------------------
-# q83 — stratified mixture sampling, three shapes in one tagged plan:
+# q83 — stratified mixture sampling, six shapes in one tagged plan:
 # - 'rate' leg: deterministic Bernoulli(rate[lang]) via hash bucket —
 #   a pure codegen filter, zero shuffle: the at-scale path;
 # - 'quota' leg: exactly min(k, |stratum|) rows per language, the k
@@ -89,6 +111,20 @@ def _sql_copies() -> str:
 #   exact division by weight so both engines rank identically (see
 #   the operator docstring); bucket is NULL on this leg (its draw is
 #   the ES key, not the mix bucket).
+# - 'budget' leg (round 6): token-budget cap per language
+#   (operators/sampling.py: token_budget_sample) — rows kept in hash
+#   order until the stratum's TOKEN budget fills (n_chars as the token
+#   proxy), the boundary doc overflowing by at most its own length;
+#   `cum_before` exposes the decision. One window shuffle carrying
+#   (key, counts) — text never moves.
+# - 'temperature' leg (round 6): count**alpha temperature rebalancing
+#   (operators/sampling.py: temperature_rates → hash_rate_sample).
+#   Per-stratum counts are a control-plane aggregate (5 scalars to the
+#   driver — the only cluster work before the codegen filter); rates
+#   round at 4 dp so rate·BUCKETS is integer-exact and both engines
+#   derive the SAME thresholds from their own pow() (the 6dp-ln
+#   precedent, one notch coarser because the value feeds an integer
+#   round).
 # The `bucket` column is part of the contract so the selection is
 # auditable row-by-row; both engines derive it identically
 # (md5 hex prefix → bigint → mod).
@@ -97,16 +133,19 @@ def _sql_copies() -> str:
     "q83_sample_stratified_mix",
     oracle=f"""
     WITH h AS (
-      SELECT doc_id, lang, source,
+      SELECT doc_id, lang, source, n_chars,
              CAST('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), ':mix')), 1, 8) AS BIGINT)
                % {BUCKETS} AS bucket
       FROM documents
     )
-    SELECT 'rate' AS leg, doc_id, lang, source, bucket, CAST(NULL AS INTEGER) AS rn
+    SELECT 'rate' AS leg, doc_id, lang, source, bucket, CAST(NULL AS INTEGER) AS rn,
+           CAST(NULL AS BIGINT) AS cum_before
     FROM h
     WHERE bucket < {_sql_rate_case()}
     UNION ALL
-    SELECT 'quota' AS leg, doc_id, lang, source, bucket, rn FROM (
+    SELECT 'quota' AS leg, doc_id, lang, source, bucket, rn,
+           CAST(NULL AS BIGINT) AS cum_before
+    FROM (
       SELECT doc_id, lang, source, bucket,
              CAST(row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS INTEGER) AS rn
       FROM h
@@ -114,11 +153,13 @@ def _sql_copies() -> str:
     WHERE rn <= {QUOTA_K}
     UNION ALL
     SELECT 'oversample' AS leg, doc_id, lang, source, bucket,
-           CAST(unnest(range(1, n_copies + 1)) AS INTEGER) AS rn
+           CAST(unnest(range(1, n_copies + 1)) AS INTEGER) AS rn,
+           CAST(NULL AS BIGINT) AS cum_before
     FROM (SELECT h.*, {_sql_copies()} AS n_copies FROM h)
     WHERE n_copies >= 1
     UNION ALL
-    SELECT 'weighted' AS leg, doc_id, lang, source, CAST(NULL AS BIGINT) AS bucket, rn
+    SELECT 'weighted' AS leg, doc_id, lang, source, CAST(NULL AS BIGINT) AS bucket, rn,
+           CAST(NULL AS BIGINT) AS cum_before
     FROM (
       SELECT doc_id, lang, source,
              CAST(row_number() OVER (
@@ -131,11 +172,35 @@ def _sql_copies() -> str:
       FROM documents WHERE n_chars > 0
     )
     WHERE rn <= {WEIGHTED_K}
+    UNION ALL
+    SELECT 'budget' AS leg, doc_id, lang, source, bucket, CAST(NULL AS INTEGER) AS rn,
+           cum_before
+    FROM (
+      SELECT doc_id, lang, source, bucket,
+             CAST(SUM(n_chars) OVER (PARTITION BY lang ORDER BY bucket, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_chars AS BIGINT) AS cum_before
+      FROM h
+    )
+    WHERE cum_before < {_sql_budget_case()}
+    UNION ALL
+    SELECT 'temperature' AS leg, doc_id, lang, source, bucket, CAST(NULL AS INTEGER) AS rn,
+           CAST(NULL AS BIGINT) AS cum_before
+    FROM h
+    JOIN (
+      SELECT lang,
+             CAST(ROUND(ROUND((({TEMP_KEEP} * (SUM(n) OVER ())) * w / (SUM(w) OVER ())) / n, 4)
+                        * {BUCKETS}) AS BIGINT) AS thresh
+      FROM (SELECT lang, COUNT(*) AS n, pow(COUNT(*), {TEMP_ALPHA}) AS w
+            FROM documents GROUP BY lang)
+    ) r USING (lang)
+    WHERE bucket < r.thresh
     """,
 )
 def q83_sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = load(spark, sf_dir, "documents")
     d = full.select("doc_id", "lang", "source")
+    no_cum = F.lit(None).cast("bigint").alias("cum_before")
     rate_leg = hash_rate_sample(d, MIX_RATES, strat_col="lang", key_col="doc_id").select(
         F.lit("rate").alias("leg"),
         "doc_id",
@@ -143,10 +208,13 @@ def q83_sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "bucket",
         F.lit(None).cast("int").alias("rn"),
+        no_cum,
     )
     quota_leg = stratified_quota_sample(
         d, strat_col="lang", key_col="doc_id", k=QUOTA_K
-    ).select(F.lit("quota").alias("leg"), "doc_id", "lang", "source", "bucket", "rn")
+    ).select(
+        F.lit("quota").alias("leg"), "doc_id", "lang", "source", "bucket", "rn", no_cum
+    )
     over_leg = hash_oversample(d, OVER_RATES, strat_col="lang", key_col="doc_id").select(
         F.lit("oversample").alias("leg"),
         "doc_id",
@@ -154,6 +222,7 @@ def q83_sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "bucket",
         F.col("copy_id").cast("int").alias("rn"),
+        no_cum,
     )
     weighted_leg = weighted_reservoir_sample(
         full.select("doc_id", "lang", "source", "n_chars"),
@@ -168,11 +237,50 @@ def q83_sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.lit(None).cast("bigint").alias("bucket"),
         "rn",
+        no_cum,
+    )
+    budget_leg = token_budget_sample(
+        full.select("doc_id", "lang", "source", "n_chars"),
+        TOKEN_BUDGETS,
+        strat_col="lang",
+        tokens_col="n_chars",
+        key_col="doc_id",
+    ).select(
+        F.lit("budget").alias("leg"),
+        "doc_id",
+        "lang",
+        "source",
+        "bucket",
+        F.lit(None).cast("int").alias("rn"),
+        F.col("cum_before").cast("bigint").alias("cum_before"),
+    )
+    # Control-plane aggregate: per-stratum counts (a handful of
+    # scalars) drive the temperature rates; rounding at 4 dp makes
+    # rate·BUCKETS integer-exact so both engines compute identical
+    # thresholds from their own pow() (see the leg comment above).
+    counts = {
+        r["lang"]: r["n"]
+        for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    t_rates = {
+        s: round(r, 4)
+        for s, r in temperature_rates(counts, TEMP_ALPHA, TEMP_KEEP).items()
+    }
+    temp_leg = hash_rate_sample(d, t_rates, strat_col="lang", key_col="doc_id").select(
+        F.lit("temperature").alias("leg"),
+        "doc_id",
+        "lang",
+        "source",
+        "bucket",
+        F.lit(None).cast("int").alias("rn"),
+        no_cum,
     )
     return (
         rate_leg.unionByName(quota_leg)
         .unionByName(over_leg)
         .unionByName(weighted_leg)
+        .unionByName(budget_leg)
+        .unionByName(temp_leg)
     )
 
 

@@ -15,6 +15,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from etfconstituentextractor_spark.functions.parity import dec
+from etfconstituentextractor_spark.operators.timeseries import RESOLUTIONS, time_rollup
 from etfconstituentextractor_spark.plans.registry import query
 from etfconstituentextractor_spark.sources.tables import load
 
@@ -79,11 +80,36 @@ def q40_topk_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q42 — RANGE frame: 7-day trailing revenue over the daily series.
-# Two-level plan: exact decimal daily rollup (distributed), then the
-# range window over day numbers. Both engines get an integer day axis
-# so the frame is engine-neutral.
+# q42 — time-axis aggregation family, two tagged legs (the driver caps
+# the catalog at 50 registered queries — registry-budget pattern):
+# - 'trailing' leg — RANGE frame: 7-day trailing revenue over the
+#   daily series. Two-level plan: exact decimal daily rollup
+#   (distributed), then the range window over day numbers. Both
+#   engines get an integer day axis so the frame is engine-neutral.
+# - 'rollup' leg (round 6) — the hypertable-style multi-resolution
+#   rollup (operators/timeseries.py): OHLC bars at hour/day/week from
+#   ONE events scan + ONE shuffle (GROUPING SETS → a single Expand +
+#   HashAggregate, never R re-reads of the fact table). The oracle
+#   replays each resolution as an independent DuckDB GROUP BY and
+#   unions them — same answer, deliberately different (naive) plan.
+# Unified columns: leg-specific ones are NULL on the other leg.
 # ---------------------------------------------------------------------------
+def _rollup_leg_sql(resolution: str) -> str:
+    return f"""
+    SELECT 'rollup' AS leg, CAST(NULL AS INTEGER) AS day_num,
+           CAST(NULL AS DOUBLE) AS day_rev, CAST(NULL AS DOUBLE) AS trailing_7d,
+           '{resolution}' AS resolution,
+           strftime(date_trunc('{resolution}', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(14,4))), 2) AS DOUBLE) AS v_sum,
+           MIN(value) AS v_min, MAX(value) AS v_max,
+           min_by(value, event_id) AS v_open,
+           max_by(value, event_id) AS v_close
+    FROM events
+    GROUP BY date_trunc('{resolution}', ts)
+    """
+
+
 @query(
     "q42_window_trailing_range",
     oracle="""
@@ -92,12 +118,18 @@ def q40_topk_family(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS day_rev
       FROM orders GROUP BY 1
     )
-    SELECT day_num,
+    SELECT 'trailing' AS leg, day_num,
            CAST(ROUND(day_rev, 2) AS DOUBLE) AS day_rev,
            CAST(ROUND(SUM(day_rev) OVER (ORDER BY day_num
-                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS trailing_7d
+                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS trailing_7d,
+           CAST(NULL AS VARCHAR) AS resolution, CAST(NULL AS VARCHAR) AS bucket_start,
+           CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS v_sum,
+           CAST(NULL AS DOUBLE) AS v_min, CAST(NULL AS DOUBLE) AS v_max,
+           CAST(NULL AS DOUBLE) AS v_open, CAST(NULL AS DOUBLE) AS v_close
     FROM daily
-    """,
+    UNION ALL
+    """
+    + "\nUNION ALL\n".join(_rollup_leg_sql(r) for r in RESOLUTIONS),
 )
 def q42_window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
@@ -107,11 +139,35 @@ def q42_window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).agg(F.sum(dec("o_totalprice")).alias("day_rev"))
     w = W.orderBy("day_num").rangeBetween(-6, 0)
-    return daily.select(
+    trailing = daily.select(
+        F.lit("trailing").alias("leg"),
         "day_num",
         F.round("day_rev", 2).cast("double").alias("day_rev"),
         F.round(F.sum("day_rev").over(w), 2).cast("double").alias("trailing_7d"),
+        F.lit(None).cast("string").alias("resolution"),
+        F.lit(None).cast("string").alias("bucket_start"),
+        F.lit(None).cast("bigint").alias("n"),
+        F.lit(None).cast("double").alias("v_sum"),
+        F.lit(None).cast("double").alias("v_min"),
+        F.lit(None).cast("double").alias("v_max"),
+        F.lit(None).cast("double").alias("v_open"),
+        F.lit(None).cast("double").alias("v_close"),
     )
+    rollup = time_rollup(load(spark, sf_dir, "events")).select(
+        F.lit("rollup").alias("leg"),
+        F.lit(None).cast("int").alias("day_num"),
+        F.lit(None).cast("double").alias("day_rev"),
+        F.lit(None).cast("double").alias("trailing_7d"),
+        "resolution",
+        "bucket_start",
+        "n",
+        "v_sum",
+        "v_min",
+        "v_max",
+        "v_open",
+        "v_close",
+    )
+    return trailing.unionByName(rollup)
 
 
 # ---------------------------------------------------------------------------

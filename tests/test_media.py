@@ -359,3 +359,34 @@ def test_frame_motion_hand_computed(spark):
     assert (out[2].mean_motion, out[2].max_motion) == (0.0, 0.0)
     assert out[3].mean_motion is None and out[3].n_frames == 1
     assert out[4].error == "bad_magic"
+
+
+def test_null_blob_yields_error_row_not_task_failure(spark):
+    """A NULL blob cell must become a 'null_blob' error ROW (R22:
+    failures are data) — bytes(None) would otherwise raise inside the
+    generator and fail the whole task, taking every other row in the
+    batch down with it."""
+    from etfconstituentextractor_spark.operators.media import (
+        audio_features,
+        byte_histogram_features,
+        frame_motion,
+        resize_blobs,
+        resize_raw,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, pack_video([bytes([5, 5])] * 3))],
+        "doc_id int, blob binary",
+    )
+    for op in (
+        lambda d: audio_features(d),
+        lambda d: frame_motion(d),
+        lambda d: resize_raw(d, 2, 2),
+        lambda d: byte_histogram_features(d),
+        lambda d: resize_blobs(d, 2, 2),
+        lambda d: sample_frames(d, 1),
+    ):
+        rows = {r.doc_id: r for r in op(df).collect()}
+        assert rows[1].error == "null_blob", rows[1]
+        assert 2 in rows  # the good row survived the batch

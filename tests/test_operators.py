@@ -1085,3 +1085,59 @@ def test_normalize_url_canonical_cases(spark):
         .collect()
     )
     assert all(r.got == r.want for r in again)
+
+
+def test_kmv_sketch_ignores_nulls(spark):
+    """A NULL value must never consume a sketch slot: md5(NULL) is a
+    NULL hash, and the engines disagree on where NULL sorts (Spark
+    nulls-first vs DuckDB nulls-last), so an unfiltered NULL would
+    skew __n_h in one engine only. Distinct-count semantics ignore
+    NULL anyway — the estimate must equal the null-free input's."""
+    from etfconstituentextractor_spark.operators.sketch import kmv_distinct
+
+    rows = [("g", f"v{i}") for i in range(10)]
+    clean = spark.createDataFrame(rows, "grp string, v string")
+    dirty = spark.createDataFrame(
+        rows + [("g", None), ("g", None), ("only_null", None)],
+        "grp string, v string",
+    )
+    got_clean = {r.grp: r.kmv_est for r in kmv_distinct(clean, ["grp"], "v", k=4).collect()}
+    got_dirty = {r.grp: r.kmv_est for r in kmv_distinct(dirty, ["grp"], "v", k=4).collect()}
+    assert got_clean == got_dirty  # nulls changed nothing
+    assert "only_null" not in got_dirty  # all-null group has no estimate
+
+
+def test_samplers_reject_reserved_columns(spark):
+    """Every sampler materializes internal/output columns via
+    withColumn, which would silently OVERWRITE a caller column of the
+    same name — so colliding inputs must be rejected up front (the
+    encode_corpus reserved-name contract)."""
+    import pytest as _pytest
+
+    from etfconstituentextractor_spark.operators.sampling import (
+        hash_oversample,
+        hash_rate_sample,
+        stratified_quota_sample,
+        token_budget_sample,
+        weighted_reservoir_sample,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 10, 3, "x")], "lang string, doc_id int, n int, rn int, es_key string"
+    )
+    with _pytest.raises(ValueError, match="rn"):
+        stratified_quota_sample(df, strat_col="lang", key_col="doc_id", k=1)
+    with _pytest.raises(ValueError, match="es_key"):
+        weighted_reservoir_sample(
+            df, strat_col="lang", key_col="doc_id", weight_col="n", k=1
+        )
+    bucket_df = df.withColumnRenamed("es_key", "bucket")
+    with _pytest.raises(ValueError, match="bucket"):
+        hash_rate_sample(bucket_df, {"a": 1.0}, strat_col="lang", key_col="doc_id")
+    with _pytest.raises(ValueError, match="bucket"):
+        hash_oversample(bucket_df, {"a": 1.0}, strat_col="lang", key_col="doc_id")
+    cum_df = df.withColumnRenamed("es_key", "cum_before")
+    with _pytest.raises(ValueError, match="cum_before"):
+        token_budget_sample(
+            cum_df, {"a": 100}, strat_col="lang", tokens_col="n", key_col="doc_id"
+        )
