@@ -41,7 +41,13 @@ from pyspark.sql import functions as F
 
 def _pairs(text_col: str, delim: str):
     """array<struct<w1,w2>> of adjacent token pairs — one codegen pass."""
-    toks = f"filter(split({text_col}, '{delim}'), x -> x != '')"
+    return _pairs_of(f"filter(split({text_col}, '{delim}'), x -> x != '')")
+
+
+def _pairs_of(toks: str):
+    """Pair expression over an arbitrary token-array SQL expression —
+    callers that already materialized a token column pass its name so
+    the corpus tokenizes ONCE, not once per LM phase."""
     return F.expr(
         f"CASE WHEN size({toks}) < 2 THEN "
         "CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) "
@@ -52,7 +58,11 @@ def _pairs(text_col: str, delim: str):
 
 
 def train_bigram_lm(
-    docs: DataFrame, *, text_col: str = "text", delim: str = " "
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    delim: str = " ",
+    tokens_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(bigrams, contexts, vocab_size) count frames for a bigram LM.
 
@@ -60,17 +70,22 @@ def train_bigram_lm(
     — how often w1 opens a pair (derived from bigrams, no extra corpus
     scan); vocab_size: single-row (v) frame counting distinct words
     (the add-k smoothing denominator's V).
+
+    ``tokens_col`` names an already-tokenized (empty-filtered)
+    array<string> column; when given, training reads it instead of
+    re-splitting ``text_col`` — callers that also feature-extract
+    share ONE tokenization (and typically one checkpointed scan)
+    across all LM phases.
     """
+    toks = tokens_col if tokens_col else f"filter(split({text_col}, '{delim}'), x -> x != '')"
     bigrams = (
-        docs.select(F.explode(_pairs(text_col, delim)).alias("p"))
+        docs.select(F.explode(_pairs_of(toks)).alias("p"))
         .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
     contexts = bigrams.groupBy("w1").agg(F.sum("n").alias("n_ctx"))
     vocab_size = (
-        docs.select(
-            F.explode(F.expr(f"filter(split({text_col}, '{delim}'), x -> x != '')")).alias("w")
-        )
+        docs.select(F.explode(F.expr(toks)).alias("w"))
         .agg(F.countDistinct("w").alias("v"))
     )
     return bigrams, contexts, vocab_size
@@ -86,17 +101,20 @@ def perplexity(
     id_col: str = "doc_id",
     text_col: str = "text",
     delim: str = " ",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(id, n_pairs, cross_entropy, ppl) per document with >= 2 tokens.
 
     Documents with fewer than two tokens have no bigrams and produce
     no output row (callers treat them as unscoreable, same contract as
-    ``bpe.encode_corpus`` for wordless docs).
+    ``bpe.encode_corpus`` for wordless docs). ``tokens_col``: see
+    ``train_bigram_lm``.
     """
     if k <= 0:
         raise ValueError("k must be > 0 (zero-count pairs need mass)")
+    toks = tokens_col if tokens_col else f"filter(split({text_col}, '{delim}'), x -> x != '')"
     pairs = docs.select(
-        F.col(id_col), F.explode(_pairs(text_col, delim)).alias("p")
+        F.col(id_col), F.explode(_pairs_of(toks)).alias("p")
     ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     scored = (
         pairs.join(bigrams, ["w1", "w2"], "left")

@@ -175,9 +175,21 @@ def q80_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etfconstituentextractor_spark.operators.lm import perplexity, train_bigram_lm
 
     # fanout: single-split scan at small SF would run the whole
-    # hash/HOF feature stage on one core (sources/tables.py:fanout)
-    d = fanout(load(spark, sf_dir, "documents"))
-    lm = perplexity(d, *train_bigram_lm(d), k=_LM_K).select(
+    # hash/HOF feature stage on one core (sources/tables.py:fanout).
+    # localCheckpoint: the LM leg reads the corpus three more times
+    # (bigram counts, vocab, scoring) — checkpointing the tokenized
+    # frame makes ONE parquet scan + ONE tokenization feed all four
+    # consumers instead of each re-scanning and re-splitting (measured
+    # at sf0.1: the LM leg was ~2/3 of q80's wall). Blocks are
+    # per-executor (MEMORY_AND_DISK), released when the plan is GC'd.
+    d = (
+        fanout(load(spark, sf_dir, "documents"))
+        .withColumn("tk", F.expr("filter(split(text, ' '), x -> x != '')"))
+        .localCheckpoint()
+    )
+    lm = perplexity(
+        d, *train_bigram_lm(d, tokens_col="tk"), k=_LM_K, tokens_col="tk"
+    ).select(
         "doc_id",
         F.col("n_pairs").alias("lm_n_pairs"),
         F.col("cross_entropy").alias("lm_cross_entropy"),

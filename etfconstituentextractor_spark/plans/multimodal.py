@@ -9,13 +9,17 @@ BUILT deterministically as binary column expressions (magic bytes +
 fingerprints the payload. Because the blob derives from `documents`,
 the DuckDB oracle states the expected decode directly — hash-matched.
 
-The codec decode (decompressing JPEG/PNG-style payloads via
-PIL/ffmpeg) is STUBBED: the container ships no media libraries, so
-`_decode_meta` falls back to a deterministic header-derived fake
-(width/height from payload length) and raises NotImplementedError only
-if real decoding is requested. It is the ONLY stub left in the
-multimodal surface: pixel-level math over raw bitmaps — resampling,
-byte-histogram features — is real (`operators/media.py:resize_raw`,
+The codec decode here uses a deterministic header-derived fake
+(width/height from payload length) because THESE fixture payloads are
+arbitrary text bytes, not a real codec stream; `_decode_meta` raises
+NotImplementedError if real decoding of them is requested. Real
+compressed-codec decode EXISTS for PNG — the from-scratch stdlib
+codec in `operators/png.py` (zlib inflate + scanline unfilter),
+wired through `media.resize_blobs(real_resample=True)` and verified
+against a pure-Python oracle — so the remaining stub is scoped to
+formats whose decompression needs an external library (JPEG/mp3).
+Pixel-level math over raw bitmaps — resampling, byte-histogram
+features — is likewise real (`operators/media.py:resize_raw`,
 numpy nearest/bilinear verified against a pure-Python oracle). The
 Spark-side shape — BinaryType column, Arrow batch transfer, typed
 struct out, error row on corrupt input — is the real, tested part, and

@@ -31,6 +31,7 @@ from etfconstituentextractor_spark.plans.registry import query
 from etfconstituentextractor_spark.sources.tables import load
 from etfconstituentextractor_spark.streaming.replay import (
     read_stream,
+    run_many_to_memory,
     run_to_memory,
     run_to_parquet,
     stage_chunks,
@@ -96,11 +97,16 @@ def q55_stream_tumbling_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query's staging is a marker-file check.
     chunks = stage_chunks(spark, sf_dir, tag="plain2", n_chunks=2, reuse=True)
     tumb = _win_agg(read_stream(spark, chunks), F.window("ts", "1 day"), "tumbling")
-    tumb_out = run_to_memory(tumb, "etfce_q55_tumbling", "complete", sf_dir)
     slide = _win_agg(
         read_stream(spark, chunks), F.window("ts", "2 days", "1 day"), "sliding"
     )
-    slide_out = run_to_memory(slide, "etfce_q55_sliding", "complete", sf_dir)
+    # one stateful agg per stream -> two streams; drained CONCURRENTLY
+    # so the per-micro-batch fixed costs overlap (replay.py)
+    tumb_out, slide_out = run_many_to_memory(
+        [(tumb, "etfce_q55_tumbling"), (slide, "etfce_q55_sliding")],
+        "complete",
+        sf_dir,
+    )
     return tumb_out.unionByName(slide_out)
 
 
@@ -232,8 +238,15 @@ def q58_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     doubled = ev.unionByName(ev)
     # the doubled layout is a deterministic function of the corpus, so
-    # reuse shares it across bench/verify runs like the plain layouts
-    chunks = stage_chunks(spark, sf_dir, tag="q58_doubled", source=doubled, reuse=True)
+    # reuse shares it across bench/verify runs like the plain layouts.
+    # Two chunks, not four: both copies of an event_id share a chunk by
+    # construction (equal-width id ranges), so dedup correctness never
+    # depended on chunk boundaries; what needs batches is state carry +
+    # watermark advancement, which two still exercise — at half the
+    # per-batch fixed cost (measured: 3.2s → 2.1s, hash unchanged).
+    chunks = stage_chunks(
+        spark, sf_dir, tag="q58_doubled2", n_chunks=2, source=doubled, reuse=True
+    )
     deduped = (
         read_stream(spark, chunks)
         .withColumn("ts", F.col("ts").cast("timestamp"))

@@ -52,8 +52,12 @@ def test_resize_validates_container_and_stubs_resample(spark):
     assert (out[1].width, out[1].height) == (64, 48)
     assert out[1].payload_md5 == hashlib.md5(b"pixels").hexdigest()
     assert out[2].error == "bad_magic"
-    with pytest.raises(NotImplementedError):
-        resize_blobs(_blob_df(spark, [(1, good)]), 64, 48, real_resample=True)
+    # real mode: a non-PNG payload is the DECLARED remaining stub —
+    # an error row, never a task failure
+    real = resize_blobs(
+        _blob_df(spark, [(1, good)]), 64, 48, real_resample=True
+    ).collect()[0]
+    assert real.error.startswith("codec_unsupported")
 
 
 def _py_resample(pixels, in_w, in_h, c, out_w, out_h, method):
