@@ -24,6 +24,10 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from etfconstituentextractor_spark.operators.components import connected_components
+from etfconstituentextractor_spark.operators.substring_dedup import (
+    repeated_ngram_stats,
+    sql_repeated_ngram_stats,
+)
 from etfconstituentextractor_spark.operators.text import (
     jaccard,
     jaccard_predistinct,
@@ -48,17 +52,39 @@ _N_BANDS = 6
 # prefixes). Keep-first = min doc_id over the hash partition —
 # the reference's R19 keep-last dict overwrite, made deterministic.
 # Scale: both windows shuffle 32-byte hash keys, never the text.
+#
+# Round 6 adds the SUB-document half of exact dedup: repeated-n-gram
+# span statistics (operators/substring_dedup.py, the shingle-hash
+# restatement of suffix-array substring dedup) as per-doc columns —
+# n_dup_shingles (8-token shingles occurring >1x corpus-wide),
+# dup_covered_tokens (union of their [pos, pos+8) spans, one lag
+# window per doc), and the dup_token_ratio a curation pipeline
+# thresholds on. Left-join + coalesce-0, the q80 LM-leg contract.
 # ---------------------------------------------------------------------------
+_Q60_SHINGLE_K = 8
+
+
 @query(
     "q60_dedup_exact_family",
-    oracle="""
-    SELECT doc_id, lang, source,
-           md5(text) AS content_hash,
-           md5(substr(text, 1, 40)) AS prefix_hash,
-           COUNT(*) OVER (PARTITION BY md5(text)) AS n_exact_copies,
-           (doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))) AS is_exact_keeper,
-           (doc_id = MIN(doc_id) OVER (PARTITION BY md5(substr(text, 1, 40)))) AS is_prefix_keeper
-    FROM documents
+    oracle=f"""
+    WITH ss AS ({sql_repeated_ngram_stats("documents", _Q60_SHINGLE_K)})
+    SELECT base.*,
+           COALESCE(ss.n_dup_shingles, 0) AS n_dup_shingles,
+           COALESCE(ss.dup_covered_tokens, 0) AS dup_covered_tokens,
+           CAST(ROUND(CASE WHEN base.n_tokens = 0 THEN 0.0
+                ELSE COALESCE(ss.dup_covered_tokens, 0) / CAST(base.n_tokens AS DOUBLE)
+                END, 4) AS DOUBLE) AS dup_token_ratio
+    FROM (
+      SELECT doc_id, lang, source,
+             md5(text) AS content_hash,
+             md5(substr(text, 1, 40)) AS prefix_hash,
+             COUNT(*) OVER (PARTITION BY md5(text)) AS n_exact_copies,
+             (doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))) AS is_exact_keeper,
+             (doc_id = MIN(doc_id) OVER (PARTITION BY md5(substr(text, 1, 40)))) AS is_prefix_keeper,
+             CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ) base
+    LEFT JOIN ss USING (doc_id)
     """,
 )
 def q60_dedup_exact_family(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,10 +95,13 @@ def q60_dedup_exact_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.md5("text").alias("content_hash"),
         F.md5(F.substring("text", 1, 40)).alias("prefix_hash"),
+        F.expr("size(filter(split(text, ' '), x -> x != ''))")
+        .cast("bigint")
+        .alias("n_tokens"),
     )
     w_exact = W.partitionBy("content_hash")
     w_prefix = W.partitionBy("prefix_hash")
-    return hashed.select(
+    base = hashed.select(
         "doc_id",
         "lang",
         "source",
@@ -81,6 +110,26 @@ def q60_dedup_exact_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w_exact).alias("n_exact_copies"),
         (F.col("doc_id") == F.min("doc_id").over(w_exact)).alias("is_exact_keeper"),
         (F.col("doc_id") == F.min("doc_id").over(w_prefix)).alias("is_prefix_keeper"),
+        "n_tokens",
+    )
+    ss = repeated_ngram_stats(d, _Q60_SHINGLE_K)
+    covered = F.coalesce(F.col("dup_covered_tokens"), F.lit(0)).cast("bigint")
+    ratio = F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+        covered / F.col("n_tokens").cast("double")
+    )
+    return base.join(ss, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        "source",
+        "content_hash",
+        "prefix_hash",
+        "n_exact_copies",
+        "is_exact_keeper",
+        "is_prefix_keeper",
+        "n_tokens",
+        F.coalesce(F.col("n_dup_shingles"), F.lit(0)).cast("bigint").alias("n_dup_shingles"),
+        covered.alias("dup_covered_tokens"),
+        F.round(ratio, 4).cast("double").alias("dup_token_ratio"),
     )
 
 

@@ -1141,3 +1141,44 @@ def test_samplers_reject_reserved_columns(spark):
         token_budget_sample(
             cum_df, {"a": 100}, strat_col="lang", tokens_col="n", key_col="doc_id"
         )
+
+
+def test_repeated_ngram_stats_hand_computed(spark):
+    """Substring-span dedup (operators/substring_dedup.py) on a
+    micro corpus with known repeats: shingle width 3, docs 1 and 2
+    share a verbatim 4-token run ("a b c d" -> shingles "a b c",
+    "b c d" at positions 0,1), doc 3 repeats its own opening 3-gram
+    internally, doc 4 is all-unique, doc 5 is too short to shingle.
+    Coverage is the union of [pos, pos+k): overlapping shingles at
+    pos 0,1 cover 4 tokens, not 6."""
+    from etfconstituentextractor_spark.operators.substring_dedup import (
+        repeated_ngram_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d x y z"),
+            (2, "a b c d p q r"),
+            (3, "m n o filler1 filler2 m n o tail"),
+            (4, "u v w only once here"),
+            (5, "too short"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: (r.n_dup_shingles, r.dup_covered_tokens)
+        for r in repeated_ngram_stats(docs, k=3).collect()
+    }
+    # docs 1,2: shingles "a b c"(0) and "b c d"(1) each occur twice
+    # corpus-wide -> 2 dup shingles, covering tokens [0,3)+[1,4) = 4
+    assert got[1] == (2, 4)
+    assert got[2] == (2, 4)
+    # doc 3: "m n o" occurs at pos 0 and 5 -> disjoint spans, 3+3
+    assert got[3] == (2, 6)
+    # docs 4, 5: no duplicated shingles -> no row (left-join contract)
+    assert 4 not in got and 5 not in got
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        repeated_ngram_stats(docs, k=1)
