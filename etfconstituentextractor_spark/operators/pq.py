@@ -1,0 +1,239 @@
+"""Product quantization (PQ) for embedding compression + ADC search
+(SURVEY.md §2B "LLM-pipeline — embedding quantization" adjunct: int8
+scalar quantization is q70's 'int8' leg; PQ is the next compression
+tier — m·log2(ksub) bits per vector instead of d bytes — and the
+memory layout IVF systems (Jégou et al. 2011, "Product Quantization
+for Nearest Neighbor Search") actually serve from).
+
+Division of labor, Spark-first:
+
+- ``train_pq_codebooks`` is CONTROL-PLANE: per-subspace Lloyd k-means
+  over a deterministic hash-ordered sample (first ``sample_n`` rows by
+  md5(id) — the q83 sampling discipline), run driver-side in numpy.
+  The sample and the codebooks are tiny (ksub·d floats); training
+  state never touches the cluster beyond the one sample collect, the
+  same posture as BPE training's one-argmax-row per round.
+- ``pq_encode`` is the DISTRIBUTED half: assign every vector's j-th
+  subvector to its nearest centroid. Codebooks enter the plan as
+  nested array LITERALS (broadcast by value into codegen), distances
+  are ``aggregate(zip_with(...))`` fold sums — JVM-side higher-order
+  functions, zero Python, zero shuffle: a pure map stage that scales
+  to any corpus width.
+- ``pq_adc_topk`` is asymmetric-distance search: the query builds an
+  m×ksub lookup table driver-side (tiny numpy), ships it as a
+  literal, and each row's approximate distance is m array lookups +
+  a sum — again codegen-only, with the top-k a rank window (or
+  orderBy+limit → TakeOrderedAndProject).
+
+Determinism: k-means init is the first ksub sampled subvectors,
+iteration count is fixed, and distance folds are stated in the same
+left-to-right order in the numpy oracle (tests/test_pq.py replays
+training AND encoding from scratch in pure numpy/Python and requires
+bit-identical codes). Pytest-only by design: training is iterative
+(the BPE-training precedent); the ENCODE/SEARCH path is the
+distributed surface.
+
+No reference counterpart (the reference has no vector data at all).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hash_order_sample(
+    df: DataFrame, id_col: str, vec_col: str, n: int
+) -> list[tuple[int, list[float]]]:
+    """Deterministic sample: first n rows by (md5(id), id). One
+    ordered collect of n rows — control-plane staging, like q59's
+    sentinel max() read."""
+    rows = (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+        )
+        .orderBy("__h", id_col)
+        .limit(n)
+        .collect()
+    )
+    return [(r[0], list(r[1])) for r in rows]
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    *,
+    m: int,
+    ksub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 512,
+    iters: int = 5,
+) -> np.ndarray:
+    """(m, ksub, d/m) float64 codebooks via per-subspace Lloyd k-means
+    on a deterministic sample. Fixed iteration count, first-ksub init,
+    argmin ties to the lowest centroid index — every choice replayable
+    by the pure-Python oracle."""
+    if m < 1 or ksub < 2:
+        raise ValueError(f"need m >= 1 and ksub >= 2, got m={m} ksub={ksub}")
+    sample = _hash_order_sample(df, id_col, vec_col, sample_n)
+    if len(sample) < ksub:
+        raise ValueError(f"sample of {len(sample)} rows < ksub={ksub}")
+    x = np.array([v for _, v in sample], dtype=np.float64)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dimension {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.zeros((m, ksub, dsub))
+    for j in range(m):
+        xs = x[:, j * dsub : (j + 1) * dsub]
+        cb = xs[:ksub].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                members = xs[assign == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+                # empty cluster: keep the old centroid (deterministic)
+        books[j] = cb
+    return books
+
+
+def _codebook_lit(cb: np.ndarray) -> Column:
+    """ksub×dsub codebook as a nested array literal column."""
+    return F.array(
+        *[F.array(*[F.lit(float(v)) for v in row]) for row in cb]
+    )
+
+
+def _sub_dist(vec_col: str, j: int, dsub: int, cb_col: str) -> str:
+    """SQL expr: array of squared L2 distances from subvector j to
+    each centroid of ``cb_col`` — a fold sum in fixed left-to-right
+    order (the oracle replays the same order)."""
+    sub = f"slice({vec_col}, {j * dsub + 1}, {dsub})"
+    return (
+        f"transform({cb_col}, c -> aggregate(zip_with(c, {sub}, "
+        "(a, b) -> (a - CAST(b AS DOUBLE)) * (a - CAST(b AS DOUBLE))), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append ``pq_codes`` (array<int>, length m): nearest-centroid
+    index per subspace. Pure codegen map stage — codebooks are
+    literals, no shuffle, no Python."""
+    m, _, dsub = codebooks.shape
+    out = df
+    codes = []
+    for j in range(m):
+        cb_name = f"__cb_{j}"
+        out = out.withColumn(cb_name, _codebook_lit(codebooks[j]))
+        dist = _sub_dist(vec_col, j, dsub, cb_name)
+        # array_position of the min is the lowest-index argmin --
+        # the same tie rule as numpy argmin
+        codes.append(
+            F.expr(
+                f"CAST(array_position({dist}, array_min({dist})) - 1 AS INT)"
+            ).alias(f"__c_{j}")
+        )
+    return (
+        out.select("*", *codes)
+        .withColumn("pq_codes", F.array(*[F.col(f"__c_{j}") for j in range(m)]))
+        .drop(*[f"__cb_{j}" for j in range(m)], *[f"__c_{j}" for j in range(m)])
+    )
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    query: list[float],
+    codebooks: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, adc_dist) of the k nearest rows to ``query`` by asymmetric
+    PQ distance: per-subspace lookup tables built driver-side (m×ksub
+    floats), shipped as literals; each row costs m array lookups + a
+    sum. orderBy + limit compiles to TakeOrderedAndProject — k·tasks
+    rows to the driver merge, never a global sort."""
+    m, _, dsub = codebooks.shape
+    q = np.asarray(query, dtype=np.float64)
+    if q.shape != (m * dsub,):
+        raise ValueError(f"query dim {q.shape} != {m * dsub}")
+    luts = np.array(
+        [((codebooks[j] - q[j * dsub : (j + 1) * dsub]) ** 2).sum(axis=1) for j in range(m)]
+    )
+    lut_col = F.array(
+        *[F.array(*[F.lit(float(v)) for v in luts[j]]) for j in range(m)]
+    )
+    score = F.expr(
+        "aggregate(zip_with(__lut, pq_codes, (t, c) -> element_at(t, c + 1)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return (
+        encoded.withColumn("__lut", lut_col)
+        .select(id_col, F.round(score, 10).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def py_pq_oracle(
+    sample: list[tuple[int, list[float]]],
+    vectors: list[tuple[int, list[float]]],
+    m: int,
+    ksub: int,
+    iters: int = 5,
+) -> tuple[list[list[list[float]]], dict[int, list[int]]]:
+    """From-scratch scalar PQ replay (training + encoding) for tests:
+    plain Python loops, left-to-right fold sums — must reproduce
+    train_pq_codebooks + pq_encode bit-for-bit."""
+    d = len(vectors[0][1])
+    dsub = d // m
+    xs_all = [v for _, v in sample]
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        xs = [x[j * dsub : (j + 1) * dsub] for x in xs_all]
+        cb = [list(x) for x in xs[:ksub]]
+        for _ in range(iters):
+            assign = []
+            for x in xs:
+                best, bi = None, 0
+                for ci, c in enumerate(cb):
+                    dist = 0.0
+                    for a, b in zip(c, x):
+                        dist += (a - b) * (a - b)
+                    if best is None or dist < best:
+                        best, bi = dist, ci
+                assign.append(bi)
+            for ci in range(ksub):
+                members = [xs[i] for i, a in enumerate(assign) if a == ci]
+                if members:
+                    cb[ci] = [
+                        sum(mm[t] for mm in members) / len(members)
+                        for t in range(dsub)
+                    ]
+        books.append(cb)
+    codes = {}
+    for vid, v in vectors:
+        row = []
+        for j in range(m):
+            x = v[j * dsub : (j + 1) * dsub]
+            best, bi = None, 0
+            for ci, c in enumerate(books[j]):
+                dist = 0.0
+                for a, b in zip(c, x):
+                    dist += (a - b) * (a - b)
+                if best is None or dist < best:
+                    best, bi = dist, ci
+            row.append(bi)
+        codes[vid] = row
+    return books, codes
