@@ -24,6 +24,11 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from etfconstituentextractor_spark.operators.components import connected_components
+from etfconstituentextractor_spark.operators.semdedup import (
+    assign_clusters,
+    semantic_dedup,
+    semantic_seeds,
+)
 from etfconstituentextractor_spark.operators.substring_dedup import (
     repeated_ngram_stats,
     sql_repeated_ngram_stats,
@@ -535,19 +540,34 @@ def q63_dedup_jaccard_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q64 — embedding-cosine near-dup pairs, blocked by label (the cluster
-# id stands in for an IVF assignment at scale). Scores rounded before
-# thresholding so both engines make identical keep/drop decisions.
+# q64 — embedding near-dup as a tagged family over `embeddings`:
 #
-# Blocks are CAPPED at _Q64_MAX_BLOCK rows (q63's HAVING-count
-# prefilter pattern): within-block comparison is quadratic, so one
-# skewed label at 100x data volume would otherwise dominate the whole
-# job. An excluded oversized block is not silently dropped in
-# production use — it is exactly the shape the IVF path (q72,
-# operators/ann.py) handles by splitting into finer centroids; here
-# the cap keeps the worst case bounded at cap^2/2 pairs per block.
+# - leg='pairs'   : within-LABEL cosine pairs (the cluster id stands
+#   in for an IVF assignment at scale; scores rounded before
+#   thresholding so both engines make identical keep/drop decisions).
+#   Blocks are CAPPED at _Q64_MAX_BLOCK rows (q63's HAVING-count
+#   prefilter pattern): within-block comparison is quadratic, so one
+#   skewed label at 100x data volume would otherwise dominate. An
+#   excluded oversized block is exactly the shape the IVF path (q72)
+#   handles by splitting into finer centroids.
+# - leg='semantic': SemDeDup (operators/semdedup.py, Abbas et al.
+#   2023) — when no pre-existing blocking key exists, LEARN one:
+#   K hash-ordered seed centers -> broadcast nearest-seed assignment
+#   (map-side-complete max_by, one exchanged row per vector) ->
+#   keep-first cosine dedup confined to cluster blocks, with the same
+#   oversized-cluster cap. One row per vector: (vec_a=vec_id,
+#   vec_b=its cell seed, score=centroid affinity, n_close=earlier
+#   in-cluster semantic duplicates, is_kept).
+#
+# The oracle spells both constructions relationally and UNION ALLs
+# them: the seed sample is ORDER BY (md5(id), id) LIMIT K, assignment
+# is a row_number window over the vector x seed cross product at 9dp,
+# dup counts are the within-cluster self-join at 6dp.
 # ---------------------------------------------------------------------------
 _Q64_MAX_BLOCK = 1000
+_Q66_SEEDS = 8
+_Q66_TAU = 0.30
+_Q66_MAX_CLUSTER = 1000
 
 
 def embedding_cosine_pairs(e: DataFrame, cap: int = _Q64_MAX_BLOCK) -> DataFrame:
@@ -579,33 +599,92 @@ def embedding_cosine_pairs(e: DataFrame, cap: int = _Q64_MAX_BLOCK) -> DataFrame
     )
 
 
+
+
 @query(
     "q64_dedup_embedding_cosine",
     oracle=f"""
     WITH e AS (
-      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
       FROM embeddings
     ),
     kept_keys AS (
       SELECT label FROM e GROUP BY label HAVING COUNT(*) <= {_Q64_MAX_BLOCK}
     ),
-    n AS (
-      SELECT e.vec_id, e.label, e.v,
-             sqrt(list_sum(list_transform(e.v, x -> x * x))) AS nrm
-      FROM e JOIN kept_keys USING (label)
+    n AS (SELECT e.* FROM e JOIN kept_keys USING (label)),
+    seeds AS (
+      SELECT vec_id AS cell, v AS cv, nrm AS cn
+      FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_Q66_SEEDS}
+    ),
+    assigned AS (
+      SELECT vec_id, v, nrm, cell, cent_cos FROM (
+        SELECT e.vec_id, e.v, e.nrm, s.cell,
+               ROUND(list_sum(list_transform(range(1, 65), i -> e.v[i] * s.cv[i]))
+                     / (e.nrm * s.cn), 9) AS cent_cos,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 ROUND(list_sum(list_transform(range(1, 65), i -> e.v[i] * s.cv[i]))
+                       / (e.nrm * s.cn), 9) DESC, s.cell ASC) AS rnc
+        FROM e CROSS JOIN seeds s
+      ) WHERE rnc = 1
+    ),
+    kept_cells AS (
+      SELECT cell FROM assigned GROUP BY cell HAVING COUNT(*) <= {_Q66_MAX_CLUSTER}
+    ),
+    sn AS (SELECT a.* FROM assigned a JOIN kept_cells USING (cell)),
+    close AS (
+      SELECT b_id AS vec_id, COUNT(*) AS n_close FROM (
+        SELECT b.vec_id AS b_id
+        FROM sn a JOIN sn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+                    / (a.nrm * b.nrm), 6) >= {_Q66_TAU}
+      ) GROUP BY 1
     )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    SELECT 'pairs' AS leg, a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
-                 / (a.nrm * b.nrm), 6) AS cos_sim
+                 / (a.nrm * b.nrm), 6) AS score,
+           CAST(NULL AS BIGINT) AS n_close, CAST(NULL AS BOOLEAN) AS is_kept
     FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
                 / (a.nrm * b.nrm), 6) >= 0.35
+    UNION ALL
+    SELECT 'semantic', a.vec_id, a.cell,
+           CAST(ROUND(a.cent_cos, 6) AS DOUBLE),
+           COALESCE(c.n_close, 0), COALESCE(c.n_close, 0) = 0
+    FROM assigned a LEFT JOIN close c USING (vec_id)
     """,
 )
 def q64_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        )
     )
-    return embedding_cosine_pairs(e)
+    pairs = embedding_cosine_pairs(e).select(
+        F.lit("pairs").alias("leg"),
+        "vec_a",
+        "vec_b",
+        F.col("cos_sim").alias("score"),
+        F.lit(None).cast("long").alias("n_close"),
+        F.lit(None).cast("boolean").alias("is_kept"),
+    )
+    ev = e.drop("label").withColumn(
+        "nrm",
+        F.sqrt(F.expr("aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x)")),
+    )
+    sem = semantic_dedup(
+        assign_clusters(ev, semantic_seeds(ev, _Q66_SEEDS)),
+        tau=_Q66_TAU,
+        cap=_Q66_MAX_CLUSTER,
+    ).select(
+        F.lit("semantic").alias("leg"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("cell").alias("vec_b"),
+        F.col("cent_cos").alias("score"),
+        "n_close",
+        "is_kept",
+    )
+    return pairs.unionByName(sem)
