@@ -109,16 +109,24 @@ def _codebook_lit(cb: np.ndarray) -> Column:
     )
 
 
-def _sub_dist(vec_col: str, j: int, dsub: int, cb_col: str) -> str:
+def _sub_dist(
+    vec_col: str, j: int, dsub: int, cb_col: str, round_dp: int | None = None
+) -> str:
     """SQL expr: array of squared L2 distances from subvector j to
     each centroid of ``cb_col`` — a fold sum in fixed left-to-right
-    order (the oracle replays the same order)."""
+    order (the oracle replays the same order). ``round_dp`` rounds
+    each distance before the argmin so a cross-ENGINE oracle (whose
+    list_sum may not fold left-to-right) makes identical code
+    decisions; the pytest bit-match path leaves it None."""
     sub = f"slice({vec_col}, {j * dsub + 1}, {dsub})"
-    return (
-        f"transform({cb_col}, c -> aggregate(zip_with(c, {sub}, "
+    d = (
+        f"aggregate(zip_with(c, {sub}, "
         "(a, b) -> (a - CAST(b AS DOUBLE)) * (a - CAST(b AS DOUBLE))), "
-        "CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     )
+    if round_dp is not None:
+        d = f"round({d}, {round_dp})"
+    return f"transform({cb_col}, c -> {d})"
 
 
 def pq_encode(
@@ -126,6 +134,7 @@ def pq_encode(
     codebooks: np.ndarray,
     *,
     vec_col: str = "embedding",
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Append ``pq_codes`` (array<int>, length m): nearest-centroid
     index per subspace. Pure codegen map stage — codebooks are
@@ -136,7 +145,7 @@ def pq_encode(
     for j in range(m):
         cb_name = f"__cb_{j}"
         out = out.withColumn(cb_name, _codebook_lit(codebooks[j]))
-        dist = _sub_dist(vec_col, j, dsub, cb_name)
+        dist = _sub_dist(vec_col, j, dsub, cb_name, round_dp)
         # array_position of the min is the lowest-index argmin --
         # the same tie rule as numpy argmin
         codes.append(
@@ -183,6 +192,60 @@ def pq_adc_topk(
         .select(id_col, F.round(score, 10).alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def pq_adc_join_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+    qvec_col: str = "qv",
+    lut_dp: int = 9,
+    score_dp: int = 6,
+) -> DataFrame:
+    """Multi-query ADC top-k, fully in-plan: the LUT stage of
+    ``pq_adc_topk`` expressed as a broadcast join instead of a driver
+    loop.
+
+    Each QUERY row computes its own m×ksub lookup table ONCE against
+    the codebook literals (a map over the tiny query frame, distances
+    rounded at ``lut_dp`` so a cross-engine oracle lands on the same
+    values), then broadcasts; every (query, candidate) pair costs m
+    array lookups + a sum — the asymmetric-distance scan PQ exists
+    for, with the big encoded side never shuffling. Scores are
+    NEGATED (so rank order is uniformly descending across q70's legs)
+    and rounded at ``score_dp`` before the rank window; ties break on
+    the lowest candidate id.
+
+    encoded: output of pq_encode (id_col, pq_codes, ...)
+    queries: (qid_col, qvec_col array<double>)
+    returns: (qid, candidate_id, score, rn) with rn <= k.
+    """
+    m, _, dsub = codebooks.shape
+    q = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("__qv"))
+    for j in range(m):
+        q = q.withColumn(f"__qcb_{j}", _codebook_lit(codebooks[j])).withColumn(
+            f"__lut_{j}",
+            F.expr(_sub_dist("__qv", j, dsub, f"__qcb_{j}", lut_dp)),
+        )
+    q = q.drop("__qv", *[f"__qcb_{j}" for j in range(m)])
+    adc = sum(
+        F.expr(f"element_at(__lut_{j}, element_at(pq_codes, {j + 1}) + 1)")
+        for j in range(m)
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("candidate_id"))
+    return (
+        encoded.select(F.col(id_col).alias("candidate_id"), "pq_codes")
+        .crossJoin(F.broadcast(q))
+        .select("qid", "candidate_id", F.round(-adc, score_dp).alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
     )
 
 

@@ -62,6 +62,46 @@ def _vec(df: DataFrame) -> DataFrame:
 _SQL_INT8_NRM = "sqrt(list_sum(list_transform({c}, x -> x * x)))"
 
 
+_PQ_M, _PQ_KSUB, _PQ_DSUB = 4, 8, 16
+
+
+def _pq_leg_sql() -> str:
+    """The PQ leg's oracle CTEs: seed codebooks (hash-ordered first
+    ksub vectors, = train_pq_codebooks with iters=0), per-candidate
+    argmin codes at 9 dp, and the ADC score as the sum of the same
+    9 dp-rounded subspace distances — negated and rounded at 6 dp so
+    ranking is uniformly descending."""
+    nq, m, ks, ds, k = _N_QUERIES, _PQ_M, _PQ_KSUB, _PQ_DSUB, _TOP_K
+    js = ", ".join(str(j) for j in range(1, m + 1))
+    sq = f"(cb.c[t] - x.v[(cb.j-1)*{ds} + t]) * (cb.c[t] - x.v[(cb.j-1)*{ds} + t])"
+    d2 = f"ROUND(list_sum(list_transform(range(1, {ds + 1}), t -> {sq})), 9)"
+    return f"""
+    pq_seeds AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS ci, v
+      FROM (SELECT * FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {ks})
+    ),
+    pq_cb AS (
+      SELECT j, ci, list_transform(range(1, {ds + 1}), t -> v[(j-1)*{ds} + t]) AS c
+      FROM pq_seeds CROSS JOIN (SELECT unnest([{js}]) AS j)
+    ),
+    pq_codes AS (
+      SELECT vec_id, j, ci FROM (
+        SELECT x.vec_id, cb.j, cb.ci,
+               row_number() OVER (PARTITION BY x.vec_id, cb.j
+                                  ORDER BY {d2} ASC, cb.ci ASC) AS rnk
+        FROM (SELECT * FROM e WHERE vec_id >= {nq}) x CROSS JOIN pq_cb cb
+      ) WHERE rnk = 1
+    ),
+    pq_adc AS (
+      SELECT x.vec_id AS query_id, kc.vec_id AS candidate_id,
+             ROUND(-SUM({d2}), 6) AS score
+      FROM (SELECT * FROM e WHERE vec_id < {nq}) x
+      CROSS JOIN pq_codes kc
+      JOIN pq_cb cb ON cb.j = kc.j AND cb.ci = kc.ci
+      GROUP BY 1, 2
+    )"""
+
+
 @query(
     "q70_similarity_topk_cosine",
     oracle=f"""
@@ -73,7 +113,7 @@ _SQL_INT8_NRM = "sqrt(list_sum(list_transform({c}, x -> x * x)))"
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
              ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
-                   / (q.nrm * c.nrm), 6) AS cos_sim
+                   / (q.nrm * c.nrm), 6) AS score
       FROM (SELECT * FROM e WHERE vec_id < {_N_QUERIES}) q
       JOIN (SELECT * FROM e WHERE vec_id >= {_N_QUERIES}) c ON true
     ),
@@ -90,34 +130,48 @@ _SQL_INT8_NRM = "sqrt(list_sum(list_transform({c}, x -> x * x)))"
       SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
              ROUND(list_sum(list_transform(range(1, 65), i -> q.q[i] * c.q[i]))
                    / ({_SQL_INT8_NRM.format(c='q.q')} * {_SQL_INT8_NRM.format(c='c.q')}),
-                   9) AS cos_sim
+                   9) AS score
       FROM (SELECT * FROM codes WHERE vec_id < {_N_QUERIES}) q
       JOIN (SELECT * FROM codes WHERE vec_id >= {_N_QUERIES}) c ON true
-    )
-    SELECT 'float' AS leg, query_id, candidate_id, cos_sim, rn
+    ),{_pq_leg_sql()}
+    SELECT 'float' AS leg, query_id, candidate_id, score, rn
     FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cos_sim DESC, candidate_id) AS rn
+                                   ORDER BY score DESC, candidate_id) AS rn
       FROM scored
     )
     WHERE rn <= {_TOP_K}
     UNION ALL
-    SELECT 'int8', query_id, candidate_id, cos_sim, rn
+    SELECT 'int8', query_id, candidate_id, score, rn
     FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cos_sim DESC, candidate_id) AS rn
+                                   ORDER BY score DESC, candidate_id) AS rn
       FROM int8_scored
+    )
+    WHERE rn <= {_TOP_K}
+    UNION ALL
+    SELECT 'pq', query_id, candidate_id, score, rn
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, candidate_id) AS rn
+      FROM pq_adc
     )
     WHERE rn <= {_TOP_K}
     """,
 )
 def q70_similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etfconstituentextractor_spark.operators.pq import (
+        pq_adc_join_topk,
+        pq_encode,
+        train_pq_codebooks,
+    )
     from etfconstituentextractor_spark.operators.quantize import (
         int8_cosine_topk,
         quantize_int8,
     )
 
-    e = _vec(load(spark, sf_dir, "embeddings"))
+    emb = load(spark, sf_dir, "embeddings")
+    e = _vec(emb)
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
@@ -128,13 +182,13 @@ def q70_similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "candidate_id",
-        F.round(dot / (F.col("qn") * F.col("cn")), 6).alias("cos_sim"),
+        F.round(dot / (F.col("qn") * F.col("cn")), 6).alias("score"),
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("candidate_id"))
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("candidate_id"))
     flt = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TOP_K)
-        .select(F.lit("float").alias("leg"), "query_id", "candidate_id", "cos_sim", "rn")
+        .select(F.lit("float").alias("leg"), "query_id", "candidate_id", "score", "rn")
     )
     qz = quantize_int8(e.select("vec_id", "v"), "v")
     i8 = int8_cosine_topk(
@@ -144,11 +198,36 @@ def q70_similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("int8").alias("leg"),
         F.col("qid").alias("query_id"),
-        "candidate_id",
-        F.col("cos_q").alias("cos_sim"),
+        F.col("candidate_id"),
+        F.col("cos_q").alias("score"),
         "rn",
     )
-    return flt.unionByName(i8)
+    # pq leg: SEED codebooks (iters=0 -> the hash-ordered first-ksub
+    # subvectors, which the oracle re-derives relationally; Lloyd
+    # REFINEMENT stays the pytest-only training surface, the q51/BPE
+    # precedent), rounded-encode so both engines pick identical codes,
+    # then the in-plan LUT-join ADC scan.
+    cb = train_pq_codebooks(
+        emb, m=_PQ_M, ksub=_PQ_KSUB, sample_n=_PQ_KSUB, iters=0
+    )
+    enc = pq_encode(
+        emb.filter(F.col("vec_id") >= _N_QUERIES), cb, round_dp=9
+    )
+    pq = pq_adc_join_topk(
+        enc,
+        e.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "v"),
+        cb,
+        k=_TOP_K,
+        qid_col="vec_id",
+        qvec_col="v",
+    ).select(
+        F.lit("pq").alias("leg"),
+        F.col("qid").alias("query_id"),
+        "candidate_id",
+        "score",
+        "rn",
+    )
+    return flt.unionByName(i8).unionByName(pq)
 
 
 # ---------------------------------------------------------------------------

@@ -97,3 +97,50 @@ def test_pq_guards(spark, sf_dir):
     cb = train_pq_codebooks(emb, m=8, ksub=4, sample_n=32, iters=1)
     with pytest.raises(ValueError, match="query dim"):
         pq_adc_topk(pq_encode(emb, cb), [0.0] * 63, cb)
+
+
+def test_pq_adc_join_topk_matches_per_query_driver_path(spark, sf_dir):
+    """The in-plan LUT-join ADC (q70 'pq' leg) must rank exactly like
+    the driver-loop pq_adc_topk for every query, modulo its negate +
+    6dp display rounding, and must broadcast the tiny query frame —
+    the encoded side never shuffles."""
+    from pyspark.sql import functions as F
+
+    from etfconstituentextractor_spark.operators.pq import pq_adc_join_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    cb = train_pq_codebooks(emb, m=4, ksub=8, sample_n=8, iters=0)
+    enc = pq_encode(emb.filter(F.col("vec_id") >= 10), cb, round_dp=9)
+    queries = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        )
+    )
+    got = (
+        pq_adc_join_topk(enc, queries, cb, k=5, qid_col="vec_id", qvec_col="v")
+        .collect()
+    )
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append((r["rn"], r["candidate_id"], r["score"]))
+    qvecs = {r["vec_id"]: list(r["v"]) for r in queries.collect()}
+    assert set(by_q) == set(qvecs)
+    for qid, qv in qvecs.items():
+        want = pq_adc_topk(enc, qv, cb, k=5).collect()
+        got_ids = [c for _, c, _ in sorted(by_q[qid])]
+        assert got_ids == [r["vec_id"] for r in want], qid
+        # scores: negated ADC distance at 6dp (LUT entries rounded 9dp
+        # first, so they differ from the unrounded path only in the
+        # last digits)
+        for (_, _, s), w in zip(sorted(by_q[qid]), want):
+            assert abs(-s - w["adc_dist"]) < 1e-6
+
+    plan = (
+        pq_adc_join_topk(enc, queries, cb, k=5, qid_col="vec_id", qvec_col="v")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
