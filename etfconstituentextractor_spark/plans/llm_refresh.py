@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etfconstituentextractor_spark.operators.scd2 import scd2_history
 from etfconstituentextractor_spark.operators.snapshot_diff import snapshot_diff
 from etfconstituentextractor_spark.plans.registry import query
 from etfconstituentextractor_spark.sources.tables import load
@@ -54,16 +55,58 @@ _H = "md5(coalesce(text, chr(0) || 'null') || chr(31) || coalesce(lang, chr(0) |
     j AS (
       SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, old_hash, new_hash
       FROM old_h o FULL OUTER JOIN new_h n ON o.doc_id = n.doc_id
+    ),
+    v3_rows AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' (rev3)' ELSE text END AS text,
+             lang
+      FROM new_rows WHERE doc_id % 19 <> 0
+    ),
+    snaps AS (
+      SELECT doc_id, 1 AS version, {_H} AS row_hash FROM documents
+      UNION ALL SELECT doc_id, 2, {_H} FROM new_rows
+      UNION ALL SELECT doc_id, 3, {_H} FROM v3_rows
+    ),
+    isl AS (
+      SELECT doc_id, version, row_hash,
+             CASE WHEN lag(version) OVER w IS NULL
+                    OR lag(version) OVER w <> version - 1
+                    OR lag(row_hash) OVER w <> row_hash
+                  THEN 1 ELSE 0 END AS island_start
+      FROM snaps WINDOW w AS (PARTITION BY doc_id ORDER BY version)
+    ),
+    isl2 AS (
+      SELECT *, SUM(island_start) OVER (PARTITION BY doc_id ORDER BY version
+                                        ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    ),
+    scd2 AS (
+      SELECT doc_id, ANY_VALUE(row_hash) AS row_hash,
+             CAST(MIN(version) AS INTEGER) AS valid_from,
+             CAST(MAX(version) AS INTEGER) AS valid_to,
+             MAX(version) = 3 AS is_current
+      FROM isl2 GROUP BY doc_id, island
     )
-    SELECT doc_id, old_hash, new_hash,
+    SELECT 'diff' AS leg, doc_id, old_hash, new_hash,
            CASE WHEN old_hash IS NULL THEN 'inserted'
                 WHEN new_hash IS NULL THEN 'deleted'
-                WHEN old_hash <> new_hash THEN 'updated' END AS change
+                WHEN old_hash <> new_hash THEN 'updated' END AS change,
+           CAST(NULL AS INTEGER) AS valid_from, CAST(NULL AS INTEGER) AS valid_to,
+           CAST(NULL AS BOOLEAN) AS is_current
     FROM j
     WHERE old_hash IS NULL OR new_hash IS NULL OR old_hash <> new_hash
+    UNION ALL
+    SELECT 'scd2', doc_id, CAST(NULL AS VARCHAR), row_hash,
+           CAST(NULL AS VARCHAR), valid_from, valid_to, is_current
+    FROM scd2
     """,
 )
 def q86_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged family: leg='diff' is the two-version CDC delta; leg=
+    'scd2' (round 6, operators/scd2.py) collapses THREE deterministic
+    snapshot versions into type-2 validity intervals — v3 perturbs v2
+    again (every 19th key deleted, every 7th survivor revised), so
+    delete/re-insert gaps and multi-revision keys all occur."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     survivors = d.filter(F.col("doc_id") % 17 != 0).withColumn(
         "text",
@@ -77,4 +120,32 @@ def q86_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
     )
     new = survivors.unionByName(inserts)
-    return snapshot_diff(d, new, keys=["doc_id"], compare_cols=["text", "lang"])
+    diff = snapshot_diff(d, new, keys=["doc_id"], compare_cols=["text", "lang"]).select(
+        F.lit("diff").alias("leg"),
+        "doc_id",
+        "old_hash",
+        "new_hash",
+        "change",
+        F.lit(None).cast("int").alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+        F.lit(None).cast("boolean").alias("is_current"),
+    )
+    v3 = new.filter(F.col("doc_id") % 19 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" (rev3)"))
+        ).otherwise(F.col("text")),
+    )
+    hist = scd2_history(
+        [(1, d), (2, new), (3, v3)], keys=["doc_id"], compare_cols=["text", "lang"]
+    ).select(
+        F.lit("scd2").alias("leg"),
+        "doc_id",
+        F.lit(None).cast("string").alias("old_hash"),
+        F.col("row_hash").alias("new_hash"),
+        F.lit(None).cast("string").alias("change"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+    return diff.unionByName(hist)
