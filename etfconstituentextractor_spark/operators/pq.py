@@ -109,18 +109,19 @@ def _codebook_lit(cb: np.ndarray) -> Column:
     )
 
 
-def _sub_dist(
-    vec_col: str, j: int, dsub: int, cb_col: str, round_dp: int | None = None
-) -> str:
-    """SQL expr: array of squared L2 distances from subvector j to
-    each centroid of ``cb_col`` — a fold sum in fixed left-to-right
-    order (the oracle replays the same order). ``round_dp`` rounds
-    each distance before the argmin so a cross-ENGINE oracle (whose
+def _sub_dist(sub_col: str, cb_col: str, round_dp: int | None = None) -> str:
+    """SQL expr: array of squared L2 distances from the subvector in
+    ``sub_col`` to each centroid of ``cb_col`` — a fold sum in fixed
+    left-to-right order (the oracle replays the same order).
+    ``sub_col`` must be a materialized COLUMN, not a slice()
+    expression: HOF lambdas re-evaluate free subexpressions per
+    element, so an inline slice would be recomputed once per centroid
+    (the operators/text.py shingle gotcha). ``round_dp`` rounds each
+    distance before the argmin so a cross-ENGINE oracle (whose
     list_sum may not fold left-to-right) makes identical code
     decisions; the pytest bit-match path leaves it None."""
-    sub = f"slice({vec_col}, {j * dsub + 1}, {dsub})"
     d = (
-        f"aggregate(zip_with(c, {sub}, "
+        f"aggregate(zip_with(c, {sub_col}, "
         "(a, b) -> (a - CAST(b AS DOUBLE)) * (a - CAST(b AS DOUBLE))), "
         "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     )
@@ -141,22 +142,36 @@ def pq_encode(
     literals, no shuffle, no Python."""
     m, _, dsub = codebooks.shape
     out = df
-    codes = []
     for j in range(m):
         cb_name = f"__cb_{j}"
-        out = out.withColumn(cb_name, _codebook_lit(codebooks[j]))
-        dist = _sub_dist(vec_col, j, dsub, cb_name, round_dp)
-        # array_position of the min is the lowest-index argmin --
-        # the same tie rule as numpy argmin
-        codes.append(
-            F.expr(
-                f"CAST(array_position({dist}, array_min({dist})) - 1 AS INT)"
-            ).alias(f"__c_{j}")
+        out = out.withColumn(
+            f"__sub_{j}", F.expr(f"slice({vec_col}, {j * dsub + 1}, {dsub})")
+        )
+        dist = _sub_dist(f"__sub_{j}", cb_name, round_dp)
+        # the distance array is materialized as its OWN column before
+        # the argmin: array_position(d, array_min(d)) references it
+        # twice, and CollapseProject would otherwise inline the whole
+        # fold expression into both references — doubling the codegen
+        # and the per-row work. (array_position of the min is the
+        # lowest-index argmin, the same tie rule as numpy.)
+        out = (
+            out.withColumn(cb_name, _codebook_lit(codebooks[j]))
+            .withColumn(f"__d_{j}", F.expr(dist))
+            .withColumn(
+                f"__c_{j}",
+                F.expr(
+                    f"CAST(array_position(__d_{j}, array_min(__d_{j})) - 1 AS INT)"
+                ),
+            )
         )
     return (
-        out.select("*", *codes)
-        .withColumn("pq_codes", F.array(*[F.col(f"__c_{j}") for j in range(m)]))
-        .drop(*[f"__cb_{j}" for j in range(m)], *[f"__c_{j}" for j in range(m)])
+        out.withColumn("pq_codes", F.array(*[F.col(f"__c_{j}") for j in range(m)]))
+        .drop(
+            *[f"__cb_{j}" for j in range(m)],
+            *[f"__sub_{j}" for j in range(m)],
+            *[f"__d_{j}" for j in range(m)],
+            *[f"__c_{j}" for j in range(m)],
+        )
     )
 
 
@@ -228,11 +243,19 @@ def pq_adc_join_topk(
     m, _, dsub = codebooks.shape
     q = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("__qv"))
     for j in range(m):
-        q = q.withColumn(f"__qcb_{j}", _codebook_lit(codebooks[j])).withColumn(
-            f"__lut_{j}",
-            F.expr(_sub_dist("__qv", j, dsub, f"__qcb_{j}", lut_dp)),
+        q = (
+            q.withColumn(f"__qcb_{j}", _codebook_lit(codebooks[j]))
+            .withColumn(f"__qsub_{j}", F.expr(f"slice(__qv, {j * dsub + 1}, {dsub})"))
+            .withColumn(
+                f"__lut_{j}",
+                F.expr(_sub_dist(f"__qsub_{j}", f"__qcb_{j}", lut_dp)),
+            )
         )
-    q = q.drop("__qv", *[f"__qcb_{j}" for j in range(m)])
+    q = q.drop(
+        "__qv",
+        *[f"__qcb_{j}" for j in range(m)],
+        *[f"__qsub_{j}" for j in range(m)],
+    )
     adc = sum(
         F.expr(f"element_at(__lut_{j}, element_at(pq_codes, {j + 1}) + 1)")
         for j in range(m)

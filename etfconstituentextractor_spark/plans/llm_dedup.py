@@ -552,7 +552,11 @@ def q63_dedup_jaccard_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   handles by splitting into finer centroids.
 # - leg='semantic': SemDeDup (operators/semdedup.py, Abbas et al.
 #   2023) — when no pre-existing blocking key exists, LEARN one:
-#   K hash-ordered seed centers -> broadcast nearest-seed assignment
+#   K=32 hash-ordered seed centers (within-cluster pairwise work is
+#   N^2/K — production sizes K ~ N/target_cluster_size; 32 keeps the
+#   bench's pairwise stage ~4x smaller than K=8 while the corpus's
+#   planted near-dup families still co-cluster) -> broadcast
+#   nearest-seed assignment
 #   (map-side-complete max_by, one exchanged row per vector) ->
 #   keep-first cosine dedup confined to cluster blocks, with the same
 #   oversized-cluster cap. One row per vector: (vec_a=vec_id,
@@ -565,7 +569,7 @@ def q63_dedup_jaccard_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dup counts are the within-cluster self-join at 6dp.
 # ---------------------------------------------------------------------------
 _Q64_MAX_BLOCK = 1000
-_Q66_SEEDS = 8
+_Q66_SEEDS = 32
 _Q66_TAU = 0.30
 _Q66_MAX_CLUSTER = 1000
 
@@ -675,8 +679,16 @@ def q64_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nrm",
         F.sqrt(F.expr("aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x)")),
     )
+    # The assignment subtree is consumed THREE times downstream (cap
+    # counts, both pairwise sides, the final left join) and per-branch
+    # column pruning defeats Spark's ReuseExchange, so each consumer
+    # would recompute the 64-dim scoring cross join. localCheckpoint
+    # materializes the (id, v, nrm, cell, cent_cos) assignment once —
+    # the "build the cluster index" step any IVF-shaped system runs
+    # before serving from it.
+    assigned = assign_clusters(ev, semantic_seeds(ev, _Q66_SEEDS)).localCheckpoint()
     sem = semantic_dedup(
-        assign_clusters(ev, semantic_seeds(ev, _Q66_SEEDS)),
+        assigned,
         tau=_Q66_TAU,
         cap=_Q66_MAX_CLUSTER,
     ).select(
