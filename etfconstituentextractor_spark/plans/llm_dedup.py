@@ -161,8 +161,11 @@ _N_MINS = _N_BANDS * _ROWS_PER_BAND  # 12
 _N_SALTS = (_N_MINS + 3) // 4  # 4 segments per md5
 
 
-def _sql_bands() -> str:
-    """Oracle CTEs (hashed → mins → bands), one row per (doc, band)."""
+def _sql_bands(prefix: str = "") -> str:
+    """Oracle CTEs (hashed → mins → bands), one row per (doc, band).
+    ``prefix`` namespaces the CTE chain so two band builds (e.g. the
+    full corpus and the incremental-refresh world) coexist in one
+    oracle query."""
     h_cols = ", ".join(
         f"list_transform(shingles, s -> md5('{i}|' || s)) AS h{i}"
         for i in range(_N_SALTS)
@@ -172,13 +175,13 @@ def _sql_bands() -> str:
         for k in range(_N_MINS)
     )
     band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, mins[{2 * b + 1}] || '#' || mins[{2 * b + 2}] AS sig FROM mins_t"
+        f"SELECT doc_id, {b} AS band, mins[{2 * b + 1}] || '#' || mins[{2 * b + 2}] AS sig FROM {prefix}mins_t"
         for b in range(_N_BANDS)
     )
     return (
-        f"hashed AS (SELECT doc_id, {h_cols} FROM shingled), "
-        f"mins_t AS (SELECT doc_id, [{mins}] AS mins FROM hashed), "
-        f"bands AS ({band_rows})"
+        f"{prefix}hashed AS (SELECT doc_id, {h_cols} FROM {prefix}shingled), "
+        f"{prefix}mins_t AS (SELECT doc_id, [{mins}] AS mins FROM {prefix}hashed), "
+        f"{prefix}bands AS ({band_rows})"
     )
 
 
@@ -216,9 +219,9 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_pairs(load(spark, sf_dir, "documents"))
 
 
-def lsh_pairs(d: DataFrame) -> DataFrame:
-    """The banded-LSH pair construction over any (doc_id, text) frame
-    (also composed by pipeline/curation.py)."""
+def _shingle_and_bands(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(shingled, bands) for a (doc_id, text) frame — the LSH index
+    build, shared by the full-corpus and incremental paths."""
     # shingled feeds the band build AND both sides of the verification
     # join — without materialization the md5-shingle work runs ~4×.
     # localCheckpoint (not persist): blocks are released by the
@@ -265,7 +268,13 @@ def lsh_pairs(d: DataFrame) -> DataFrame:
         )
         .localCheckpoint()
     )
+    return shingled, bands
 
+
+def lsh_pairs(d: DataFrame) -> DataFrame:
+    """The banded-LSH pair construction over any (doc_id, text) frame
+    (also composed by pipeline/curation.py)."""
+    shingled, bands = _shingle_and_bands(d)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -291,15 +300,143 @@ def lsh_pairs(d: DataFrame) -> DataFrame:
     )
 
 
+def lsh_incremental_pairs(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental index maintenance: near-dup pairs INTRODUCED by a
+    refresh, touching only the delta.
+
+    ``base`` is the standing corpus (unchanged docs — in production
+    its band index is a persisted table, not recomputed; here it is
+    built in-plan because the query is self-contained), ``delta`` the
+    inserted/updated docs with their new text. Only the delta is
+    re-shingled and re-hashed — |delta| band rows, not N — and the
+    probe BROADCASTS the tiny delta band frame against the standing
+    index, so the index side never shuffles. Delta–delta collisions
+    come from the same probe (the union side includes the delta);
+    least/greatest + distinct canonicalizes pair order.
+    """
+    sh_b, bands_b = _shingle_and_bands(base)
+    sh_d, bands_d = _shingle_and_bands(delta)
+    x = F.broadcast(bands_d).alias("x")
+    y = bands_b.unionByName(bands_d).alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
+        )
+        .select(
+            F.least("x.doc_id", "y.doc_id").alias("doc_a"),
+            F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    shingled = sh_b.unionByName(sh_d)
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    sim = jaccard("sh_a", "sh_b")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard_sim", sim)
+        .filter(F.col("jaccard_sim") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard_sim")
+    )
+
+
+#: q86's refresh convention, restated: every 17th doc deleted, every
+#: 13th survivor revised, every 11th doc re-inserted under key+shift.
+_INC_SHIFT = 10_000_000
+
+#: SQL predicate: is a doc id part of the refresh delta?
+_INC_DELTA_PRED = (
+    f"(x.doc_id >= {_INC_SHIFT} OR (x.doc_id % 13 = 0 AND x.doc_id % 17 <> 0))"
+)
+
+
+def _sql_incremental_ctes() -> str:
+    """Oracle CTEs for the incremental leg: the refreshed world's
+    docs (delta with NEW text + unchanged base), one shared band
+    build, and candidate pairs where at least one side is delta."""
+    from etfconstituentextractor_spark.operators.text import sql_shingles, sql_tokens
+
+    return f"""inc_docs AS (
+      SELECT doc_id, text || ' (rev2)' AS text FROM documents
+      WHERE doc_id % 17 <> 0 AND doc_id % 13 = 0
+      UNION ALL
+      SELECT doc_id + {_INC_SHIFT}, 'fresh ' || text FROM documents
+      WHERE doc_id % 11 = 0
+      UNION ALL
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 17 <> 0 AND doc_id % 13 <> 0
+    ),
+    inc_shingled AS (
+      SELECT doc_id, {sql_shingles(sql_tokens())} AS shingles
+      FROM inc_docs WHERE len({sql_tokens()}) >= 3
+    ),
+    {_sql_bands("inc_")},
+    inc_cand AS (
+      SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
+                      greatest(x.doc_id, y.doc_id) AS doc_b
+      FROM inc_bands x JOIN inc_bands y
+        ON x.band = y.band AND x.sig = y.sig AND x.doc_id <> y.doc_id
+      WHERE {_INC_DELTA_PRED}
+    )"""
+
+
+# ---------------------------------------------------------------------------
+# q62 — tagged family:
+# - leg='full'       : the banded-LSH construction over the whole
+#   corpus (the from-scratch build).
+# - leg='incremental': round 6 — the INDEX-MAINTENANCE path a 100 TB
+#   pipeline actually runs per refresh: re-hash only the CDC delta
+#   (q86's deterministic v2 perturbation: inserted + updated docs,
+#   new text) and probe it — broadcast — against the standing band
+#   index of unchanged docs, plus delta×delta. Emits the near-dup
+#   pairs the refresh INTRODUCES; work is |delta|·bands + collisions,
+#   never N.
+# The oracle replays both worlds relationally (the band chain is CTE-
+# prefix-namespaced so the two builds coexist in one query).
+# ---------------------------------------------------------------------------
 @query(
     "q62_dedup_minhash_lsh",
     oracle=f"""
-    WITH {_SQL_PAIR_CTES}
-    {_SQL_PAIR_SELECT}
+    WITH {_SQL_PAIR_CTES},
+    {_sql_incremental_ctes()}
+    SELECT 'full' AS leg, doc_a, doc_b, jaccard_sim FROM (
+      {_SQL_PAIR_SELECT}
+    )
+    UNION ALL
+    SELECT 'incremental', doc_a, doc_b, jaccard_sim FROM (
+      SELECT doc_a, doc_b,
+             {sql_jaccard('sa.shingles', 'sb.shingles')} AS jaccard_sim
+      FROM inc_cand
+      JOIN inc_shingled sa ON sa.doc_id = doc_a
+      JOIN inc_shingled sb ON sb.doc_id = doc_b
+      WHERE {sql_jaccard('sa.shingles', 'sb.shingles')} >= 0.5
+    )
     """,
 )
 def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lsh_candidate_pairs(spark, sf_dir)
+    full = lsh_candidate_pairs(spark, sf_dir).select(
+        F.lit("full").alias("leg"), "doc_a", "doc_b", "jaccard_sim"
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.filter((F.col("doc_id") % 17 != 0) & (F.col("doc_id") % 13 != 0))
+    delta = (
+        d.filter((F.col("doc_id") % 17 != 0) & (F.col("doc_id") % 13 == 0))
+        .select("doc_id", F.concat(F.col("text"), F.lit(" (rev2)")).alias("text"))
+        .unionByName(
+            d.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + F.lit(_INC_SHIFT)).alias("doc_id"),
+                F.concat(F.lit("fresh "), F.col("text")).alias("text"),
+            )
+        )
+    )
+    inc = lsh_incremental_pairs(base, delta).select(
+        F.lit("incremental").alias("leg"), "doc_a", "doc_b", "jaccard_sim"
+    )
+    return full.unionByName(inc)
 
 
 # ---------------------------------------------------------------------------

@@ -1182,3 +1182,52 @@ def test_repeated_ngram_stats_hand_computed(spark):
 
     with _pytest.raises(ValueError):
         repeated_ngram_stats(docs, k=1)
+
+
+def test_lsh_incremental_matches_full_rebuild_delta_slice(spark, sf_dir):
+    """q62's incremental leg is exact, not approximate, w.r.t. the LSH
+    construction: probing delta bands against the standing index must
+    find EXACTLY the delta-involved pairs that a full from-scratch
+    rebuild of the refreshed corpus finds (base-base pairs are the
+    only thing it skips), and its plan must broadcast the delta band
+    frame."""
+    from pyspark.sql import functions as F
+
+    from etfconstituentextractor_spark.plans.llm_dedup import (
+        _INC_SHIFT,
+        lsh_incremental_pairs,
+        lsh_pairs,
+    )
+    from etfconstituentextractor_spark.sources.tables import load
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.filter((F.col("doc_id") % 17 != 0) & (F.col("doc_id") % 13 != 0))
+    delta = (
+        d.filter((F.col("doc_id") % 17 != 0) & (F.col("doc_id") % 13 == 0))
+        .select("doc_id", F.concat(F.col("text"), F.lit(" (rev2)")).alias("text"))
+        .unionByName(
+            d.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + F.lit(_INC_SHIFT)).alias("doc_id"),
+                F.concat(F.lit("fresh "), F.col("text")).alias("text"),
+            )
+        )
+    )
+    inc = {
+        (r["doc_a"], r["doc_b"]) for r in lsh_incremental_pairs(base, delta).collect()
+    }
+    delta_ids = {r["doc_id"] for r in delta.select("doc_id").collect()}
+    full_v2 = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_pairs(base.unionByName(delta)).collect()
+    }
+    want = {p for p in full_v2 if p[0] in delta_ids or p[1] in delta_ids}
+    assert inc == want
+    assert inc, "refresh must introduce at least one near-dup pair"
+    # every incremental pair involves a delta doc
+    assert all(a in delta_ids or b in delta_ids for a, b in inc)
+
+    plan = (
+        lsh_incremental_pairs(base, delta)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
