@@ -123,3 +123,35 @@ def test_corrupt_quarantine_split(spark, bad_json_path):
     assert clean.count() + quarantine.count() == df.count()
     assert quarantine.count() >= 1
     assert set(clean.columns) == {"id", "v"}
+
+
+def test_compressed_text_sources_read_transparently(spark, tmp_path):
+    """Corpus dumps arrive gzipped; Spark's text sources must
+    round-trip compressed files transparently (codec from the file
+    extension on read — no option needed) for CSV and JSON lines,
+    with splittable-codec caveats left to the parquet path."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        "id",
+        F.concat(F.lit("doc "), F.col("id").cast("string")).alias("text"),
+    )
+    csv_dir = str(tmp_path / "c")
+    json_dir = str(tmp_path / "j")
+    df.coalesce(1).write.option("compression", "gzip").option("header", True).csv(csv_dir)
+    df.coalesce(1).write.option("compression", "gzip").json(json_dir)
+
+    import glob
+
+    assert glob.glob(csv_dir + "/*.csv.gz"), "csv sink must emit .gz parts"
+    assert glob.glob(json_dir + "/*.json.gz"), "json sink must emit .gz parts"
+
+    csv_back = (
+        spark.read.option("header", True)
+        .schema("id bigint, text string")
+        .csv(csv_dir)
+    )
+    json_back = spark.read.schema("id bigint, text string").json(json_dir)
+    want = {(r["id"], r["text"]) for r in df.collect()}
+    assert {(r["id"], r["text"]) for r in csv_back.collect()} == want
+    assert {(r["id"], r["text"]) for r in json_back.collect()} == want
