@@ -49,6 +49,11 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from etfconstituentextractor_spark.operators.adpcm import (
+    ADP_MAGIC,
+    parse_adpcm,
+)
+
 #: video-container magic: VID0 | frame_size (8 hex) | n_frames (8 hex) | frames.
 VID_MAGIC = b"VID0"
 
@@ -109,10 +114,12 @@ def pack_audio(sample_rate: int, channels: int, samples: bytes) -> bytes:
 
 
 def audio_features(blobs: DataFrame, blob_col: str = "blob") -> DataFrame:
-    """REAL waveform feature extraction over AUD0 raw-PCM containers —
-    the audio leg of the multimodal surface (SURVEY.md §2B: "decode /
-    feature-extract ... as Pandas UDFs"). A codec library is only
-    needed to decompress mp3/ogg; PCM math is numpy:
+    """REAL waveform feature extraction over AUD0 raw-PCM and ADP0
+    IMA-ADPCM containers — the audio leg of the multimodal surface
+    (SURVEY.md §2B: "decode / feature-extract ... as Pandas UDFs").
+    ADP0 payloads decode through the from-scratch IMA codec
+    (operators/adpcm.py) before the same feature math; an external
+    library is only needed for perceptual codecs (mp3/ogg):
 
     - ``rms``: root-mean-square amplitude of the channel-mean mix —
       the loudness feature quality filters threshold on;
@@ -142,32 +149,49 @@ def audio_features(blobs: DataFrame, blob_col: str = "blob") -> DataFrame:
                     rows.append(_null_blob_row(doc_id, 8))
                     continue
                 b = bytes(blob)
-                if b[:4] != AUD_MAGIC:
+                if b[:4] == ADP_MAGIC:
+                    # compressed path: from-scratch IMA-ADPCM decode
+                    # (operators/adpcm.py) straight into the same PCM
+                    # feature math — no external codec library.
+                    try:
+                        rate, nch, samples = parse_adpcm(b)
+                    except ValueError as exc:
+                        rows.append(
+                            (
+                                doc_id,
+                                f"bad_adpcm: {exc}",
+                                None, None, None, None, None, None, None, None,
+                            )
+                        )
+                        continue
+                    pcm = np.array(samples, dtype=np.int16)
+                elif b[:4] != AUD_MAGIC:
                     rows.append(
                         (doc_id, "bad_magic", None, None, None, None, None, None,
                          None, None)
                     )
                     continue
-                try:
-                    rate = int(b[4:12].decode("ascii"), 16)
-                    nch = int(b[12:14].decode("ascii"), 16)
-                    if rate < 1 or nch < 1:
-                        raise ValueError(f"bad params {rate}Hz x{nch}")
-                    payload = b[14:]
-                    if len(payload) % (2 * nch):
-                        raise ValueError(
-                            f"payload {len(payload)} not whole {nch}-channel frames"
+                else:
+                    try:
+                        rate = int(b[4:12].decode("ascii"), 16)
+                        nch = int(b[12:14].decode("ascii"), 16)
+                        if rate < 1 or nch < 1:
+                            raise ValueError(f"bad params {rate}Hz x{nch}")
+                        payload = b[14:]
+                        if len(payload) % (2 * nch):
+                            raise ValueError(
+                                f"payload {len(payload)} not whole {nch}-channel frames"
+                            )
+                    except Exception as exc:
+                        rows.append(
+                            (
+                                doc_id,
+                                f"bad_header: {exc}",
+                                None, None, None, None, None, None, None, None,
+                            )
                         )
-                except Exception as exc:
-                    rows.append(
-                        (
-                            doc_id,
-                            f"bad_header: {exc}",
-                            None, None, None, None, None, None, None, None,
-                        )
-                    )
-                    continue
-                pcm = np.frombuffer(payload, dtype="<i2")
+                        continue
+                    pcm = np.frombuffer(payload, dtype="<i2")
                 n_frames = len(pcm) // nch
                 if n_frames == 0:
                     rows.append(
