@@ -21,12 +21,14 @@ codecs):
   against a from-scratch pure-Python oracle in tests/test_media.py.
 - ``resize_blobs`` handles COMPRESSED formats (IMG0-wrapped codec
   payloads): container round-trip is real, and ``real_resample=True``
-  decodes + resamples PNG payloads for REAL via the from-scratch
-  stdlib codec in ``operators/png.py`` (zlib inflate + scanline
-  unfilter — no image library involved). Only codecs whose
-  decompression genuinely needs an external library (JPEG/mp3/WebP)
-  remain declared stubs, surfaced as ``codec_unsupported`` error
-  rows.
+  decodes + resamples PNG payloads (from-scratch stdlib codec,
+  ``operators/png.py``) AND baseline JPEG payloads (from-scratch
+  codec, ``operators/jpeg.py`` — Annex-K Huffman + IDCT + chroma
+  upsampling) for REAL. Compressed audio decodes for real too
+  (``operators/adpcm.py`` IMA-ADPCM via ``audio_features``). Only
+  codecs whose decompression genuinely needs an external library
+  (WebP/AVIF/mp3) remain declared stubs, surfaced as
+  ``codec_unsupported`` error rows.
 - ``sample_frames`` is the row-GENERATOR stage (one input blob → one
   row per sampled frame) over a deterministic frame container
   (``VID0`` magic + 8-hex frame size + 8-hex frame count + payload):
@@ -468,17 +470,20 @@ def resize_blobs(
 
     Default (metadata) mode keeps the pixel resample stubbed — the md5
     is of the ORIGINAL payload, deterministic and test-checkable.
-    ``real_resample=True`` decodes PNG payloads for real (from-scratch
-    stdlib codec, ``operators/png.py``: zlib inflate + per-scanline
-    unfilter) and resamples them through the same ``_resample`` math
-    as resize_raw — the md5 is then of the RESAMPLED pixel bytes.
-    Payloads in codecs that genuinely need an external library
-    (JPEG/WebP/...) yield a declared ``codec_unsupported`` error row —
-    the one remaining stub, now scoped to formats zlib cannot open."""
+    ``real_resample=True`` decodes PNG payloads (from-scratch stdlib
+    codec, ``operators/png.py``: zlib inflate + per-scanline unfilter)
+    AND baseline JPEG payloads (from-scratch codec,
+    ``operators/jpeg.py``: Annex-K Huffman decode + dequantize + IDCT
+    + chroma upsampling) for real, then resamples through the same
+    ``_resample`` math as resize_raw — the md5 is then of the
+    RESAMPLED pixel bytes. Only payloads in codecs that genuinely need
+    an external library (WebP/AVIF/mp3...) yield the declared
+    ``codec_unsupported`` error row."""
     if method not in ("nearest", "bilinear"):
         raise ValueError(f"unknown method {method!r}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etfconstituentextractor_spark.operators.jpeg import decode_jpeg
         from etfconstituentextractor_spark.operators.png import (
             PNG_SIGNATURE,
             decode_png,
@@ -507,20 +512,30 @@ def resize_blobs(
                         (doc_id, None, width, height, hashlib.md5(payload).hexdigest())
                     )
                     continue
-                if not payload.startswith(PNG_SIGNATURE):
+                if payload.startswith(PNG_SIGNATURE):
+                    try:
+                        _, _, _, img = decode_png(payload)
+                    except Exception as exc:
+                        rows.append((doc_id, f"bad_png: {exc}", None, None, None))
+                        continue
+                elif payload[:2] == b"\xff\xd8":
+                    # baseline JPEG: from-scratch codec
+                    # (operators/jpeg.py — Huffman + IDCT, 4:4:4/4:2:0)
+                    try:
+                        img = decode_jpeg(payload)
+                    except Exception as exc:
+                        rows.append((doc_id, f"bad_jpeg: {exc}", None, None, None))
+                        continue
+                else:
                     rows.append(
                         (
                             doc_id,
-                            "codec_unsupported: payload is not PNG; other "
-                            "codecs need an external library (declared stub)",
+                            "codec_unsupported: payload is neither PNG nor "
+                            "baseline JPEG; perceptual codecs (WebP/AVIF/...) "
+                            "need an external library (declared stub)",
                             None, None, None,
                         )
                     )
-                    continue
-                try:
-                    _, _, _, img = decode_png(payload)
-                except Exception as exc:
-                    rows.append((doc_id, f"bad_png: {exc}", None, None, None))
                     continue
                 resampled = _resample(img, width, height, method).tobytes()
                 rows.append(

@@ -8,7 +8,8 @@ from the public spec, RFC 2083 §6).
 Scope: non-interlaced, 8-bit-per-sample images, color types 0 (gray),
 2 (RGB), 4 (gray+alpha), 6 (RGBA) — the layouts training-data image
 pipelines actually see; palette (3), 16-bit, and Adam7 interlace raise
-a clear error. JPEG/mp3 remain declared stubs (they need external
+a clear error. Baseline JPEG has its own from-scratch codec
+(operators/jpeg.py); WebP/mp3 remain declared stubs (they need external
 codec libraries; ``operators/media.py``).
 
 The decoder is the production path (vectorized where the filter's

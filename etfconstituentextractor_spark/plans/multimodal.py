@@ -13,11 +13,14 @@ The codec decode here uses a deterministic header-derived fake
 (width/height from payload length) because THESE fixture payloads are
 arbitrary text bytes, not a real codec stream; `_decode_meta` raises
 NotImplementedError if real decoding of them is requested. Real
-compressed-codec decode EXISTS for PNG — the from-scratch stdlib
-codec in `operators/png.py` (zlib inflate + scanline unfilter),
-wired through `media.resize_blobs(real_resample=True)` and verified
-against a pure-Python oracle — so the remaining stub is scoped to
-formats whose decompression needs an external library (JPEG/mp3).
+compressed-codec decode EXISTS for PNG (`operators/png.py`, zlib
+inflate + scanline unfilter), for baseline JPEG (`operators/jpeg.py`,
+Annex-K Huffman + dequantize + IDCT + chroma upsampling, 4:4:4 and
+4:2:0), and for IMA-ADPCM audio (`operators/adpcm.py`, decoded inside
+`audio_features`) — each a from-scratch codec verified against
+independent scalar implementations — so the remaining stub is scoped
+to formats whose decompression genuinely needs an external library
+(WebP/AVIF/mp3).
 Pixel-level math over raw bitmaps — resampling, byte-histogram
 features — is likewise real (`operators/media.py:resize_raw`,
 numpy nearest/bilinear verified against a pure-Python oracle). The

@@ -136,7 +136,17 @@ def test_real_resize_of_png_payload_matches_python_oracle(spark):
     rng = random.Random(99)
     img = _rand_img(rng, 6, 8, 3)
     payload = encode_png(img, row_filters=[4, 1, 3, 2, 0, 4])
-    df = _blob_df(spark, [(1, _img_blob(payload)), (2, _img_blob(b"\xff\xd8JPEG"))])
+    # doc 2: an FFD8 prefix now routes to the real JPEG decoder
+    # (operators/jpeg.py) and fails as a malformed JPEG; doc 3: a
+    # payload in no supported codec keeps the declared stub row.
+    df = _blob_df(
+        spark,
+        [
+            (1, _img_blob(payload)),
+            (2, _img_blob(b"\xff\xd8JPEG")),
+            (3, _img_blob(b"RIFFwebp")),
+        ],
+    )
     out = {
         r.doc_id: r
         for r in resize_blobs(df, 4, 3, real_resample=True, method="bilinear").collect()
@@ -144,4 +154,5 @@ def test_real_resize_of_png_payload_matches_python_oracle(spark):
     want = _py_resample(bytes(img.reshape(-1)), 8, 6, 3, 4, 3, "bilinear")
     assert out[1].error is None
     assert out[1].payload_md5 == hashlib.md5(want).hexdigest()
-    assert out[2].error.startswith("codec_unsupported")
+    assert out[2].error.startswith("bad_jpeg")
+    assert out[3].error.startswith("codec_unsupported")
