@@ -314,6 +314,7 @@ def lsh_incremental_pairs(
     base: DataFrame | None,
     delta: DataFrame,
     base_index: tuple[DataFrame, DataFrame] | None = None,
+    delta_index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Incremental index maintenance: near-dup pairs INTRODUCED by a
     refresh, touching only the delta.
@@ -323,7 +324,10 @@ def lsh_incremental_pairs(
     built in-plan because the query is self-contained), ``delta`` the
     inserted/updated docs with their new text. Callers holding a
     prebuilt (shingled, bands) index pass it as ``base_index`` (and
-    may pass base=None); q62 reuses its full-leg build this way.
+    may pass base=None); q62 reuses its full-leg build this way, and
+    the streaming maintenance loop (streaming/dedup_index.py) passes
+    ``delta_index`` too so one band build serves both the probe and
+    the index append.
     Only the delta is re-shingled and re-hashed — |delta| band rows,
     not N — and the
     probe BROADCASTS the tiny delta band frame against the standing
@@ -335,7 +339,10 @@ def lsh_incremental_pairs(
         sh_b, bands_b = base_index
     else:
         sh_b, bands_b = _shingle_and_bands(base)
-    sh_d, bands_d = _shingle_and_bands(delta)
+    if delta_index is not None:
+        sh_d, bands_d = delta_index
+    else:
+        sh_d, bands_d = _shingle_and_bands(delta)
     x = F.broadcast(bands_d).alias("x")
     y = bands_b.unionByName(bands_d).alias("y")
     cand = (
