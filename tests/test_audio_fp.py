@@ -1,0 +1,149 @@
+"""Haitsma-Kalker audio fingerprint (operators/audio_fp.py): the same
+clip must match itself across raw PCM and ADPCM compression at a BER
+far below the paper's 0.35 threshold, different clips must sit near
+0.5, the scalar math must match an independent replay, and the BER
+matcher must be pure codegen (bit_count over int words — verified to
+count within 32-bit width)."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+from etfconstituentextractor_spark.operators.adpcm import pack_adpcm
+from etfconstituentextractor_spark.operators.audio_fp import (
+    audio_fingerprints,
+    fingerprint_ber,
+    fingerprint_of_samples,
+)
+from etfconstituentextractor_spark.operators.media import pack_audio
+
+
+def _clip(seed: int, n=6000, rate=8000):
+    """Deterministic BROADBAND clip: LCG noise through a moving-average
+    filter plus seed-dependent tones under an envelope. Broadband
+    content is load-bearing: with a few pure tones, most log bands
+    hold only numerical noise, their difference signs are coin flips,
+    and dup/non-dup BERs collapse toward each other (measured 0.29 vs
+    0.33; broadband separates them to 0.05 vs ~0.38)."""
+    state = 12345 + seed * 999331
+    vals = []
+    for _ in range(n + 8):
+        state = (1103515245 * state + 12345) % (1 << 31)
+        vals.append(state / (1 << 30) - 1.0)
+    noise = np.convolve(np.array(vals), np.ones(8) / 8, mode="valid")[:n]
+    t = np.arange(n) / rate
+    tones = sum(
+        np.sin(2 * np.pi * (180 * ((seed * k) % 9 + 1)) * t + seed * k)
+        for k in (1, 2, 3)
+    ) / 3
+    x = 0.55 * noise + 0.45 * tones
+    env = 0.4 + 0.6 * np.abs(np.sin(2 * np.pi * 2 * t + seed))
+    return np.clip(np.round(x * env * 18000), -32768, 32767).astype(int).tolist()
+
+
+def _ber(a: list[int], b: list[int]) -> float:
+    n = min(len(a), len(b))
+    bits = sum(bin((x ^ y) & 0xFFFFFFFF).count("1") for x, y in zip(a[:n], b[:n]))
+    return bits / (n * 32)
+
+
+def test_same_clip_survives_adpcm_different_clips_do_not_match():
+    s1 = _clip(3)
+    fp_raw = fingerprint_of_samples(np.array(s1), 8000)
+    assert len(fp_raw) > 20
+    from etfconstituentextractor_spark.operators.adpcm import (
+        adpcm_decode,
+        adpcm_encode,
+    )
+    decoded = adpcm_decode(adpcm_encode(s1), len(s1))
+    fp_comp = fingerprint_of_samples(np.array(decoded), 8000)
+    assert _ber(fp_raw, fp_comp) < 0.15, _ber(fp_raw, fp_comp)
+    for other_seed in (4, 9):
+        fp_other = fingerprint_of_samples(np.array(_clip(other_seed)), 8000)
+        assert _ber(fp_raw, fp_other) > 0.30, (other_seed, _ber(fp_raw, fp_other))
+
+
+def test_matches_independent_scalar_replay():
+    """Replay frame 5's word from the definition: Hann window by the
+    cosine formula, direct DFT power, geomspace band integration,
+    double differencing — no shared FFT code."""
+    s = _clip(7, n=2000)
+    x = np.array(s, dtype=np.float64)
+    frame, hop, n_bands = 256, 128, 32
+    got = fingerprint_of_samples(x, 8000)
+    n_bins = frame // 2 + 1
+    edges = np.unique(np.round(np.geomspace(1, n_bins - 1, n_bands + 1)).astype(int))
+    edges = list(edges)
+    while len(edges) < n_bands + 2:
+        edges.append(min(edges[-1] + 1, n_bins - 1))
+
+    def energies(fi):
+        seg = x[fi * hop : fi * hop + frame]
+        w = [0.5 - 0.5 * math.cos(2 * math.pi * k / (frame - 1)) for k in range(frame)]
+        e = []
+        for b in range(n_bands + 1):
+            lo, hi = edges[b], max(edges[b + 1], edges[b] + 1)
+            acc = 0.0
+            for k in range(lo, hi):
+                re = sum(seg[t] * w[t] * math.cos(2 * math.pi * k * t / frame) for t in range(frame))
+                im = -sum(seg[t] * w[t] * math.sin(2 * math.pi * k * t / frame) for t in range(frame))
+                acc += re * re + im * im
+            e.append(acc)
+        return e
+
+    e5, e4 = energies(5), energies(4)
+    word = 0
+    for m in range(n_bands):
+        d_now = e5[m] - e5[m + 1]
+        d_prev = e4[m] - e4[m + 1]
+        word = (word << 1) | (1 if d_now - d_prev > 0 else 0)
+    if word >= 1 << 31:
+        word -= 1 << 32
+    assert got[5] == word
+
+
+def test_distributed_extraction_and_codegen_ber(spark):
+    s1, s2 = _clip(3), _clip(9)
+    rows = [
+        (1, pack_audio(8000, 1, struct.pack(f"<{len(s1)}h", *s1))),
+        (2, pack_adpcm(8000, s1)),
+        (3, pack_adpcm(8000, s2)),
+        (4, b"XXXX"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, blob binary")
+    fps = audio_fingerprints(df)
+    got = {r["doc_id"]: r for r in fps.collect()}
+    assert got[4]["error"] == "bad_magic"
+    assert all(got[i]["error"] is None for i in (1, 2, 3))
+    # python replay of the distributed fingerprint
+    assert got[1]["fingerprint"] == fingerprint_of_samples(np.array(s1), 8000)
+
+    # spark bit_count SIGN-EXTENDS ints to 64 bits — the reason
+    # fingerprint_ber masks the XOR to its low 32 bits
+    assert spark.sql("SELECT bit_count(CAST(-1 AS INT)) AS c").collect()[0]["c"] == 64
+
+    a = fps.filter("doc_id = 1").select(F_id("doc_a"), F_fp("fp_a"))
+    b = fps.filter("doc_id > 1").select(F_id("doc_b"), F_fp("fp_b"))
+    scored = a.crossJoin(b).select(
+        "doc_a", "doc_b", fingerprint_ber("fp_a", "fp_b").alias("ber")
+    )
+    out = {r["doc_b"]: r["ber"] for r in scored.collect()}
+    assert out[2] < 0.15 and out[3] > 0.30
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "bit_count" in plan
+    assert "BatchEvalPython" not in plan.split("MapInPandas")[-1]
+
+
+def F_id(alias):
+    from pyspark.sql import functions as F
+
+    return F.col("doc_id").alias(alias)
+
+
+def F_fp(alias):
+    from pyspark.sql import functions as F
+
+    return F.col("fingerprint").alias(alias)
