@@ -189,6 +189,7 @@ def q04_filter_family(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN c_acctbal < 5000 THEN 'standard'
                 ELSE 'premium' END                           AS bal_band,
            coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           levenshtein(c_mktsegment, 'MACHINERY')            AS seg_edit_dist,
            CASE WHEN c_acctbal IS NULL THEN 0.0 ELSE c_acctbal END AS bal_filled,
            rank()       OVER wt AS bal_rank,
            dense_rank() OVER wt AS bal_dense_rank,
@@ -222,6 +223,8 @@ def q06_scalar_ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
             "seg_or_other"
         ),
+        # full Wagner-Fischer edit distance in both engines (round 6)
+        F.levenshtein("c_mktsegment", F.lit("MACHINERY")).alias("seg_edit_dist"),
         F.when(F.col("c_acctbal").isNull(), F.lit(0.0))
         .otherwise(F.col("c_acctbal"))
         .alias("bal_filled"),

@@ -175,7 +175,8 @@ def q42_window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 # min plus first_value/last_value (the reference's "first match wins"
 # break at :77, window-formalized as first over the frame), PLUS the
 # analytic lag/lead leg (consolidated from the former q41 — round-3
-# registry budget): prev/next value and the delta against the previous
+# registry budget) and the distribution-rank trio
+# (ntile/percent_rank/cume_dist, round 6): prev/next value and the delta against the previous
 # event. Decimal accumulation: window aggregation internals differ
 # between engines (DuckDB uses segment trees — different summation
 # order), so exactness requires the decimal cast. Both window specs
@@ -195,7 +196,10 @@ def q42_window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
            lag(value)  OVER wp AS prev_value,
            lead(value) OVER wp AS next_value,
            CAST(ROUND(CAST(value AS DECIMAL(14,4))
-                - CAST(coalesce(lag(value) OVER wp, value) AS DECIMAL(14,4)), 2) AS DOUBLE) AS delta_prev
+                - CAST(coalesce(lag(value) OVER wp, value) AS DECIMAL(14,4)), 2) AS DOUBLE) AS delta_prev,
+           CAST(ntile(4) OVER wp AS INTEGER) AS quartile,
+           CAST(ROUND(percent_rank() OVER wp, 9) AS DOUBLE) AS pct_rank,
+           CAST(ROUND(cume_dist() OVER wp, 9) AS DOUBLE) AS cume
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
@@ -224,4 +228,11 @@ def q44_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dec("value") - dec(F.coalesce(prev, F.col("value"))), 2)
         .cast("double")
         .alias("delta_prev"),
+        # distribution-rank trio on the SAME partition+sort: ntile,
+        # percent_rank ((rank-1)/(n-1)), cume_dist — another sibling
+        # Window node, still no extra exchange; rounded at 9dp (module
+        # convention) against engine division-order differences.
+        F.ntile(4).over(wp).alias("quartile"),
+        F.round(F.percent_rank().over(wp), 9).cast("double").alias("pct_rank"),
+        F.round(F.cume_dist().over(wp), 9).cast("double").alias("cume"),
     )
