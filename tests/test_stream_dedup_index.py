@@ -37,9 +37,15 @@ def drained(spark, sf_dir, tmp_path_factory):
     import shutil
 
     os.makedirs(src, exist_ok=True)
+    # FileStreamSource orders batches by modification TIME (path only
+    # breaks ties) — pin strictly increasing mtimes so chunk i is
+    # batch i, which the later-member assertion depends on
+    base = 1_600_000_000
     for i in range(N_CHUNKS):
         part = glob.glob(str(root / f"stage{i}") + "/part-*.parquet")[0]
-        shutil.copy(part, f"{src}/chunk_{i}.parquet")
+        dst = f"{src}/chunk_{i}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, times=(base + i * 10, base + i * 10))
     index_dir = str(root / "index")
     pairs_dir = str(root / "pairs")
     run_stream_dedup(spark, src, index_dir, pairs_dir, str(root / "ckpt"))
