@@ -125,14 +125,18 @@ def parse_adpcm(b: bytes) -> tuple[int, int, list[int]]:
         raise ValueError("not an ADP0 container")
     if len(b) < 4 + 18 + 6:
         raise ValueError("short ADP0 header")
-    try:
-        rate = int(b[4:12], 16)
-        channels = int(b[12:14], 16)
-        n = int(b[14:22], 16)
-        predictor = int(b[22:26], 16)
-        index = int(b[26:28], 16)
-    except ValueError:
+    hexdigits = b"0123456789abcdefABCDEF"
+    if any(ch not in hexdigits for ch in b[4:28]):
+        # int(b'-1', 16) would PARSE — a sign character must not slip
+        # a negative index/predictor past the range checks below
+        # (STEP_TABLE[-1] silently decodes garbage via negative
+        # indexing)
         raise ValueError("bad ADP0 header hex")
+    rate = int(b[4:12], 16)
+    channels = int(b[12:14], 16)
+    n = int(b[14:22], 16)
+    predictor = int(b[22:26], 16)
+    index = int(b[26:28], 16)
     if channels != 1:
         raise ValueError(f"ADP0 supports mono, got {channels} channels")
     if index > 88:

@@ -6,9 +6,12 @@ spectral energies. The audio identity survives lossy compression
 give you for audio blobs — the AUDIO analogue of phash.py.
 
 Construction per the paper, sized down to the test corpus: frame the
-mono mix (window ``frame`` samples, hop ``hop``), Hann-window + FFT,
+mono mix (FRAME_S-second windows every HOP_S seconds — wall-clock
+framing, so the frame count is rate-independent), Hann-window + FFT,
 integrate the magnitude-squared spectrum into ``n_bands + 1``
-logarithmically-spaced bands, then
+log-spaced bands over the FIXED [F_LO_HZ, F_HI_HZ] range (band
+identity is physical frequency, not bin index — the same clip stored
+at 8 kHz and 16 kHz fingerprints alike), then
 
   bit(n, m) = 1  iff  (E[n,m] − E[n,m+1]) − (E[n−1,m] − E[n−1,m+1]) > 0
 
@@ -36,37 +39,65 @@ from pyspark.sql import functions as F
 FP_SCHEMA = "doc_id bigint, error string, n_frames int, fingerprint array<int>"
 
 
+#: fixed physical analysis parameters (Haitsma-Kalker posture): frame
+#: and hop are WALL-CLOCK durations and band edges are in HZ, so the
+#: same content fingerprints identically at any sample rate.
+FRAME_S = 0.032
+HOP_S = 0.016
+F_LO_HZ = 50.0
+F_HI_HZ = 3500.0
+
+
+def _band_edges(frame: int, rate: int, n_bands: int) -> list[int]:
+    """n_bands+2 STRICTLY increasing FFT-bin edges, log-spaced over
+    [F_LO_HZ, F_HI_HZ]. A forward max(prev+1, target) pass guarantees
+    every band integrates at least one distinct bin — np.unique-style
+    rounding collapses low-frequency edges (measured: 26 of 34
+    survive at frame=256) and padding with a repeated last bin would
+    make the top bands' differences constant-zero bits."""
+    n_bins = frame // 2 + 1
+    if n_bins - 1 < n_bands + 2:
+        raise ValueError(f"frame {frame} too small for {n_bands} bands")
+    lo = max(1, int(round(F_LO_HZ * frame / rate)))
+    hi = min(n_bins - 1, max(lo + n_bands + 1, int(round(F_HI_HZ * frame / rate))))
+    targets = np.geomspace(lo, hi, n_bands + 2)
+    edges = []
+    prev = lo - 1
+    for k, t in enumerate(targets):
+        e = max(prev + 1, int(round(t)))
+        # keep enough headroom that the remaining edges still fit
+        e = min(e, hi - (n_bands + 1 - k))
+        edges.append(e)
+        prev = e
+    return edges
+
+
 def fingerprint_of_samples(
     samples: np.ndarray,
     rate: int,
     *,
-    frame: int = 256,
-    hop: int = 128,
     n_bands: int = 32,
 ) -> list[int]:
     """Per-frame 32-bit sub-fingerprints (as signed int32) of a mono
-    float/int array. Empty list when fewer than one frame."""
+    float/int array. Empty list when fewer than one frame. Frame/hop
+    are FRAME_S/HOP_S seconds and bands are fixed in Hz, so the same
+    content matches across sample rates."""
+    if rate < 1:
+        raise ValueError(f"bad sample rate {rate}")
     x = np.asarray(samples, dtype=np.float64)
+    frame = max(2, int(round(FRAME_S * rate)))
+    hop = max(1, int(round(HOP_S * rate)))
     if len(x) < frame:
         return []
     n_frames = 1 + (len(x) - frame) // hop
     win = np.hanning(frame)
-    # log-spaced band edges over [rate/frame, rate/2] (skip DC bin)
-    n_bins = frame // 2 + 1
-    edges = np.unique(
-        np.round(
-            np.geomspace(1, n_bins - 1, n_bands + 1)
-        ).astype(int)
-    )
-    while len(edges) < n_bands + 2:  # tiny frames: pad by extending
-        edges = np.append(edges, min(edges[-1] + 1, n_bins - 1))
+    edges = _band_edges(frame, rate, n_bands)
     energies = np.zeros((n_frames, n_bands + 1))
     for i in range(n_frames):
         seg = x[i * hop : i * hop + frame] * win
         spec = np.abs(np.fft.rfft(seg)) ** 2
         for b in range(n_bands + 1):
-            lo, hi = edges[b], max(edges[b + 1], edges[b] + 1)
-            energies[i, b] = spec[lo:hi].sum()
+            energies[i, b] = spec[edges[b] : edges[b + 1]].sum()
     words = []
     prev_diff = np.zeros(n_bands)
     for i in range(n_frames):
@@ -90,7 +121,10 @@ def audio_fingerprints(blobs: DataFrame, blob_col: str = "blob") -> DataFrame:
             ADP_MAGIC,
             parse_adpcm,
         )
-        from etfconstituentextractor_spark.operators.media import AUD_MAGIC
+        from etfconstituentextractor_spark.operators.media import (
+            AUD_MAGIC,
+            parse_aud0,
+        )
 
         for pdf in batches:
             rows = []
@@ -104,12 +138,7 @@ def audio_fingerprints(blobs: DataFrame, blob_col: str = "blob") -> DataFrame:
                         rate, _, samples = parse_adpcm(b)
                         mix = np.array(samples, dtype=np.float64)
                     elif b[:4] == AUD_MAGIC:
-                        rate = int(b[4:12].decode("ascii"), 16)
-                        nch = int(b[12:14].decode("ascii"), 16)
-                        payload = b[14:]
-                        if rate < 1 or nch < 1 or len(payload) % (2 * nch):
-                            raise ValueError("bad AUD0 header/payload")
-                        pcm = np.frombuffer(payload, dtype="<i2")
+                        rate, nch, pcm = parse_aud0(b)
                         mix = (
                             pcm.reshape(len(pcm) // nch, nch)
                             .astype(np.float64)

@@ -9,8 +9,10 @@ only its ``nprobe`` cells with per-cell lookup tables.
 Spark-first composition — nothing here is new machinery, which is the
 point; the test pins that the pieces compose correctly:
 
-- **index**: ``ivf_index`` assigns cells (broadcast centroids,
-  max_by); residuals are one ``zip_with(v, cv, (x, y) -> x - y)``
+- **index**: cells assigned by squared-L2 ``min_by`` over broadcast
+  centroids (``_l2_assign`` — the SAME metric the residual codebooks,
+  ADC tables, and cell probe use; a cosine assignment would misroute
+  vectors whose norms differ); residuals are one ``zip_with(v, cv, (x, y) -> x - y)``
   map; ``pq_encode`` turns them into codes with codebook literals —
   all codegen, and the encoded frame can be written
   ``partitionBy(cell)`` so a cell probe is a partition-pruned scan.
@@ -37,13 +39,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from etfconstituentextractor_spark.operators.ann import ivf_index
 from etfconstituentextractor_spark.operators.pq import (
     pq_encode,
     train_pq_codebooks,
 )
 
 _RESID = "zip_with(v, cv, (x, y) -> x - y)"
+_SQL_D2 = (
+    "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, t) -> acc + t)"
+)
+
+
+def _l2_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment by SQUARED L2 — the metric the
+    whole IVF-PQ path speaks (residual codebooks and ADC tables are
+    L2 objects; ann.ivf_index's cosine assignment would send a
+    vector's true L2-nearest neighbors to cells the L2-ranked probe
+    never visits when norms vary). Broadcast centroids + map-side-
+    complete min_by; distances round at 9 dp, ties to the lowest
+    cell."""
+    c = F.broadcast(centroids.select("cell", "cv"))
+    d2 = F.round(F.expr(_SQL_D2), 9)
+    return (
+        vectors.crossJoin(c)
+        .select("id", "v", "cell", d2.alias("__d2"))
+        .groupBy("id")
+        .agg(
+            F.first("v").alias("v"),
+            F.min_by("cell", F.struct(F.col("__d2"), F.col("cell"))).alias("cell"),
+        )
+    )
 
 
 def ivfpq_index(
@@ -62,7 +87,7 @@ def ivfpq_index(
     encoded:   (id, cell, pq_codes array<int>) — the frame a
                deployment writes partitionBy('cell').
     """
-    assigned = ivf_index(vectors, centroids).join(
+    assigned = _l2_assign(vectors, centroids).join(
         F.broadcast(centroids.select("cell", "cv")), "cell"
     )
     resid = assigned.select("id", "cell", F.expr(_RESID).alias("r"))

@@ -414,8 +414,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     """(h, w, ncomp) uint8 array from baseline JPEG bytes.
 
     Raises ValueError on anything outside the supported profile (see
-    module docstring) or on malformed/truncated streams.
+    module docstring) or on malformed/truncated streams — including
+    streams whose corruption surfaces as struct.error / IndexError in
+    the marker parser, converted here so ``except ValueError`` is the
+    whole contract.
     """
+    try:
+        return _decode_jpeg_unchecked(data)
+    except ValueError:
+        raise
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed JPEG: {exc}") from exc
+
+
+def _decode_jpeg_unchecked(data: bytes) -> np.ndarray:
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -577,7 +589,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
 def jpeg_dimensions(data: bytes) -> tuple[int, int, int]:
     """(height, width, ncomp) from the SOF header alone — the cheap
-    metadata probe a 100 TB pipeline runs instead of full decode."""
+    metadata probe a 100 TB pipeline runs instead of full decode.
+    ValueError on malformed input (struct.error converted)."""
+    try:
+        return _jpeg_dimensions_unchecked(data)
+    except ValueError:
+        raise
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed JPEG: {exc}") from exc
+
+
+def _jpeg_dimensions_unchecked(data: bytes) -> tuple[int, int, int]:
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2

@@ -115,6 +115,43 @@ def pack_audio(sample_rate: int, channels: int, samples: bytes) -> bytes:
     return AUD_MAGIC + f"{sample_rate:08x}{channels:02x}".encode("ascii") + samples
 
 
+def parse_aud0(b: bytes) -> tuple[int, int, np.ndarray]:
+    """(rate, channels, int16 sample array) of an AUD0 blob — THE
+    validation/decode for raw-PCM containers, shared by every consumer
+    (audio_features here, audio_fp.audio_fingerprints) so the accept/
+    reject behavior can never drift between them. ValueError on a
+    malformed container."""
+    if b[:4] != AUD_MAGIC:
+        raise ValueError("not an AUD0 container")
+    try:
+        rate = int(b[4:12].decode("ascii"), 16)
+        nch = int(b[12:14].decode("ascii"), 16)
+    except (ValueError, UnicodeDecodeError):
+        raise ValueError("bad AUD0 header hex")
+    if rate < 1 or nch < 1:
+        raise ValueError(f"bad params {rate}Hz x{nch}")
+    payload = b[14:]
+    if len(payload) % (2 * nch):
+        raise ValueError(f"payload {len(payload)} not whole {nch}-channel frames")
+    return rate, nch, np.frombuffer(payload, dtype="<i2")
+
+
+def parse_img0(b: bytes) -> bytes:
+    """Codec payload of an IMG0 wrapper (magic + 8-hex length) — the
+    shared container validation for resize_blobs and phash_blobs.
+    ValueError on a malformed wrapper."""
+    if b[:4] != b"IMG0":
+        raise ValueError("bad_magic")
+    try:
+        n = int(b[4:12].decode("ascii"), 16)
+    except (ValueError, UnicodeDecodeError):
+        raise ValueError("bad IMG0 header hex")
+    payload = b[12:]
+    if len(payload) != n:
+        raise ValueError(f"length {len(payload)} != header {n}")
+    return payload
+
+
 def audio_features(blobs: DataFrame, blob_col: str = "blob") -> DataFrame:
     """REAL waveform feature extraction over AUD0 raw-PCM and ADP0
     IMA-ADPCM containers — the audio leg of the multimodal surface
@@ -175,16 +212,8 @@ def audio_features(blobs: DataFrame, blob_col: str = "blob") -> DataFrame:
                     continue
                 else:
                     try:
-                        rate = int(b[4:12].decode("ascii"), 16)
-                        nch = int(b[12:14].decode("ascii"), 16)
-                        if rate < 1 or nch < 1:
-                            raise ValueError(f"bad params {rate}Hz x{nch}")
-                        payload = b[14:]
-                        if len(payload) % (2 * nch):
-                            raise ValueError(
-                                f"payload {len(payload)} not whole {nch}-channel frames"
-                            )
-                    except Exception as exc:
+                        rate, nch, pcm = parse_aud0(b)
+                    except ValueError as exc:
                         rows.append(
                             (
                                 doc_id,
@@ -193,7 +222,6 @@ def audio_features(blobs: DataFrame, blob_col: str = "blob") -> DataFrame:
                             )
                         )
                         continue
-                    pcm = np.frombuffer(payload, dtype="<i2")
                 n_frames = len(pcm) // nch
                 if n_frames == 0:
                     rows.append(
@@ -500,11 +528,8 @@ def resize_blobs(
                     rows.append((doc_id, "bad_magic", None, None, None))
                     continue
                 try:
-                    n = int(b[4:12].decode("ascii"), 16)
-                    payload = b[12:]
-                    if len(payload) != n:
-                        raise ValueError(f"length {len(payload)} != header {n}")
-                except Exception as exc:
+                    payload = parse_img0(b)
+                except ValueError as exc:
                     rows.append((doc_id, f"bad_header: {exc}", None, None, None))
                     continue
                 if not real_resample:

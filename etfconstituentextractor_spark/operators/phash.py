@@ -5,8 +5,10 @@ noisy) land within a few bits of Hamming distance, unrelated pictures
 ~32/64 bits apart.
 
 Construction (the classic DCT pHash): decode → grayscale (ITU-R 601
-luma, the same weights as jpeg.py's YCbCr) → bilinear-resample to
-32×32 (media._resample — the oracle-tested path) → 32-point DCT-II
+luma, the same weights as jpeg.py's YCbCr) → integer-boundary
+box-AVERAGE to 32×32 (``_box_reduce``; not bilinear point-sampling,
+which aliases high frequencies into the threshold — see the helper's
+measurement) → 32-point DCT-II
 (orthonormal, same construction as jpeg._C at size 32) → keep the
 top-left 8×8 low-frequency block → threshold each coefficient against
 the MEDIAN of the 63 non-DC coefficients → 64-bit hash (row-major,
@@ -99,6 +101,7 @@ def phash_blobs(blobs: DataFrame, blob_col: str = "blob") -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from etfconstituentextractor_spark.operators.jpeg import decode_jpeg
+        from etfconstituentextractor_spark.operators.media import parse_img0
         from etfconstituentextractor_spark.operators.png import (
             PNG_SIGNATURE,
             decode_png,
@@ -115,11 +118,8 @@ def phash_blobs(blobs: DataFrame, blob_col: str = "blob") -> DataFrame:
                     rows.append((doc_id, "bad_magic", None))
                     continue
                 try:
-                    n = int(b[4:12].decode("ascii"), 16)
-                    payload = b[12:]
-                    if len(payload) != n:
-                        raise ValueError(f"length {len(payload)} != header {n}")
-                except Exception as exc:
+                    payload = parse_img0(b)
+                except ValueError as exc:
                     rows.append((doc_id, f"bad_header: {exc}", None))
                     continue
                 try:

@@ -75,10 +75,23 @@ def _paeth(a: int, b: int, c: int) -> int:
 def decode_png(b: bytes) -> tuple[int, int, int, np.ndarray]:
     """(width, height, channels, (h, w, c) uint8 array) of a PNG blob.
 
-    Raises ValueError on anything outside the supported profile —
-    callers (``media.resize_blobs``) turn that into an error ROW, the
-    R22 contract.
+    Raises ValueError on anything outside the supported profile OR
+    malformed data — callers (``media.resize_blobs``) turn that into
+    an error ROW, the R22 contract. Lower layers raise zlib.error /
+    struct.error / IndexError on corrupt streams; those are converted
+    here so ``except ValueError`` really is the whole contract.
     """
+    import zlib as _zlib
+
+    try:
+        return _decode_png_unchecked(b)
+    except ValueError:
+        raise
+    except (_zlib.error, struct.error, IndexError) as exc:
+        raise ValueError(f"malformed PNG: {exc}") from exc
+
+
+def _decode_png_unchecked(b: bytes) -> tuple[int, int, int, np.ndarray]:
     if b[: len(PNG_SIGNATURE)] != PNG_SIGNATURE:
         raise ValueError("not a PNG (bad signature)")
     width = height = None

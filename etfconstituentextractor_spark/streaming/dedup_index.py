@@ -10,7 +10,8 @@ composes three existing proven pieces rather than new machinery:
 ``plans.llm_dedup._shingle_and_bands`` (the band build),
 ``plans.llm_dedup.lsh_incremental_pairs`` (delta-probe semantics,
 property-tested against a full rebuild), and Structured Streaming's
-``foreachBatch`` (the keyed-upsert sink pattern proven in
+``foreachBatch`` (insert-only state directories here; the keyed-
+UPSERT variant of the pattern is proven separately in
 tests/test_stateful_streaming.py).
 
 State layout (plain parquet directories — swap for a table format
@@ -19,10 +20,14 @@ with atomic commits in production):
   <index_dir>/shingles  (doc_id, shingles)       — for exact-Jaccard verify
   <pairs_dir>           (doc_a, doc_b, jaccard_sim, batch_id)
 
-Exactly-once caveat (documented, inherent to foreachBatch + plain
-parquet): a batch retried after a mid-write crash can append twice;
-production pins idempotency by writing per-(batch_id) subdirectories
-or a transactional table. The invariant the test pins: after the
+Exactly-once posture: re-delivered doc_ids are dropped via an
+anti-join against the standing index (insert-only ingest — plain
+parquet cannot retract a superseded signature, and a doubled doc
+would fan out duplicate pairs through the verify joins; CDC updates
+belong to the batch path or a transactional table). A batch retried
+after a mid-write crash between the pairs write and the index append
+can still double the PAIRS output; production pins that by writing
+per-(batch_id) subdirectories or a transactional table. The invariant the test pins: after the
 stream drains, the pair set equals the FULL-corpus batch build's —
 every near-dup pair is found exactly once, at the arrival of its
 LATER member, regardless of how documents were chunked into batches.
@@ -50,10 +55,17 @@ _SHINGLES_SCHEMA = T.StructType(
 
 
 def _load_or_empty(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
-    try:
-        return spark.read.schema(schema).parquet(path)
-    except Exception:
+    """Empty frame ONLY when the index doesn't exist yet (first
+    batch bootstrap). Any other read failure propagates: silently
+    probing an EMPTY index after a transient IO error would drop all
+    cross-batch pairs for the batch and then append it anyway —
+    permanently violating the full-rebuild-equivalence invariant with
+    no error surfaced."""
+    import os
+
+    if not os.path.isdir(path):
         return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(path)
 
 
 def lsh_index_batch_handler(index_dir: str, pairs_dir: str):
@@ -73,11 +85,22 @@ def lsh_index_batch_handler(index_dir: str, pairs_dir: str):
         docs = batch_df.select("doc_id", "text")
         if not docs.take(1):
             return
-        sh_d, bands_d = _shingle_and_bands(docs)
-        base_index = (
-            _load_or_empty(spark, f"{index_dir}/shingles", _SHINGLES_SCHEMA),
-            _load_or_empty(spark, f"{index_dir}/bands", _BANDS_SCHEMA),
+        base_sh = _load_or_empty(spark, f"{index_dir}/shingles", _SHINGLES_SCHEMA)
+        base_bands = _load_or_empty(spark, f"{index_dir}/bands", _BANDS_SCHEMA)
+        # INSERT-ONLY ingest: a re-delivered doc_id (retry, at-least-
+        # once source) is dropped rather than appended — plain parquet
+        # cannot retract the old bands/shingles, and a doubled doc
+        # would fan out duplicate contradictory pairs through the
+        # verify joins. CDC UPDATES belong to the batch path
+        # (lsh_incremental_pairs over a snapshot_diff delta) or a
+        # transactional table format with real upserts.
+        docs = docs.join(
+            base_sh.select("doc_id"), "doc_id", "left_anti"
         )
+        if not docs.take(1):
+            return
+        sh_d, bands_d = _shingle_and_bands(docs)
+        base_index = (base_sh, base_bands)
         pairs = lsh_incremental_pairs(None, docs, base_index=base_index, delta_index=(sh_d, bands_d))
         (
             pairs.withColumn("batch_id", F.lit(batch_id))

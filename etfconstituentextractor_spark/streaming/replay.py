@@ -259,7 +259,9 @@ def run_many_to_memory(
     named: list[tuple[DataFrame, str]], mode: str, sf_dir: str
 ) -> list[DataFrame]:
     """Drain several independent streams CONCURRENTLY into in-memory
-    tables; returns their batch DataFrames in input order.
+    tables; returns their batch DataFrames in input order. Raises
+    ValueError on an empty stream list (rather than a confusing
+    IndexError from the session lookup).
 
     Spark allows one stateful aggregation per stream, so a query
     needing two (q55's tumbling + sliding) runs two streams — but
@@ -268,6 +270,8 @@ def run_many_to_memory(
     both before awaiting either overlaps those costs (measured at
     sf0.1: 3.1s → 1.6s for q55); AvailableNow still bounds each run,
     so the result is the same deterministic function of the input."""
+    if not named:
+        raise ValueError("run_many_to_memory needs at least one stream")
     spark = named[0][0].sparkSession
     qs = []
     with _replay_shuffle(spark):

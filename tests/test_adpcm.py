@@ -126,3 +126,17 @@ def test_audio_features_decodes_adp0_like_aud0(spark):
         assert abs(a - b) <= tol * max(abs(a), 1), (col, a, b)
     assert rows[3]["error"].startswith("bad_adpcm")
     assert rows[4]["error"].startswith("bad_adpcm")
+
+
+def test_signed_hex_header_rejected():
+    """int(b'-1', 16) parses in Python — a sign character in the hex
+    header must not sneak a negative index past the range check into
+    STEP_TABLE[-1] garbage decoding."""
+    blob = bytearray(pack_adpcm(8000, _waveform(100)))
+    blob[26:28] = b"-1"  # index field
+    with pytest.raises(ValueError, match="hex"):
+        parse_adpcm(bytes(blob))
+    blob = bytearray(pack_adpcm(8000, _waveform(100)))
+    blob[22:26] = b"-999"  # predictor field
+    with pytest.raises(ValueError, match="hex"):
+        parse_adpcm(bytes(blob))

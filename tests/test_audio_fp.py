@@ -61,9 +61,35 @@ def test_same_clip_survives_adpcm_different_clips_do_not_match():
     decoded = adpcm_decode(adpcm_encode(s1), len(s1))
     fp_comp = fingerprint_of_samples(np.array(decoded), 8000)
     assert _ber(fp_raw, fp_comp) < 0.15, _ber(fp_raw, fp_comp)
+    # unrelated clips sit near 0.5 (paper threshold 0.35; measured
+    # ~0.49-0.51 once every band integrates a distinct bin — with the
+    # pre-fix degenerate top bands they were dragged to ~0.38)
     for other_seed in (4, 9):
         fp_other = fingerprint_of_samples(np.array(_clip(other_seed)), 8000)
-        assert _ber(fp_raw, fp_other) > 0.30, (other_seed, _ber(fp_raw, fp_other))
+        assert _ber(fp_raw, fp_other) > 0.40, (other_seed, _ber(fp_raw, fp_other))
+
+
+def test_same_content_matches_across_sample_rates():
+    """Wall-clock framing + Hz band edges: the same clip stored at
+    8 kHz and (upsampled) 16 kHz yields the same number of frames and
+    near-identical words."""
+    s1 = _clip(3)
+    x8 = np.array(s1, dtype=np.float64)
+    x16 = np.interp(np.arange(len(x8) * 2) / 2, np.arange(len(x8)), x8)
+    fp8 = fingerprint_of_samples(x8, 8000)
+    fp16 = fingerprint_of_samples(x16, 16000)
+    assert len(fp8) == len(fp16)
+    assert _ber(fp8, fp16) < 0.05, _ber(fp8, fp16)
+
+
+def test_band_edges_strictly_increase_at_defaults():
+    from etfconstituentextractor_spark.operators.audio_fp import _band_edges
+
+    for rate in (8000, 16000, 44100):
+        frame = max(2, int(round(0.032 * rate)))
+        edges = _band_edges(frame, rate, 32)
+        assert len(edges) == 34
+        assert all(b > a for a, b in zip(edges, edges[1:])), (rate, edges)
 
 
 def test_matches_independent_scalar_replay():
@@ -72,22 +98,27 @@ def test_matches_independent_scalar_replay():
     double differencing — no shared FFT code."""
     s = _clip(7, n=2000)
     x = np.array(s, dtype=np.float64)
-    frame, hop, n_bands = 256, 128, 32
-    got = fingerprint_of_samples(x, 8000)
-    n_bins = frame // 2 + 1
-    edges = np.unique(np.round(np.geomspace(1, n_bins - 1, n_bands + 1)).astype(int))
-    edges = list(edges)
-    while len(edges) < n_bands + 2:
-        edges.append(min(edges[-1] + 1, n_bins - 1))
+    rate, n_bands = 8000, 32
+    frame, hop = 256, 128  # 0.032s / 0.016s at 8 kHz
+    got = fingerprint_of_samples(x, rate)
+    # independent edge construction: strictly increasing rounded
+    # geomspace over the Hz window, with the same headroom clamp
+    lo = max(1, round(50.0 * frame / rate))
+    hi = min(frame // 2, max(lo + n_bands + 1, round(3500.0 * frame / rate)))
+    targets = np.geomspace(lo, hi, n_bands + 2)
+    edges, prev = [], lo - 1
+    for k, t in enumerate(targets):
+        e = min(max(prev + 1, int(round(t))), hi - (n_bands + 1 - k))
+        edges.append(e)
+        prev = e
 
     def energies(fi):
         seg = x[fi * hop : fi * hop + frame]
         w = [0.5 - 0.5 * math.cos(2 * math.pi * k / (frame - 1)) for k in range(frame)]
         e = []
         for b in range(n_bands + 1):
-            lo, hi = edges[b], max(edges[b + 1], edges[b] + 1)
             acc = 0.0
-            for k in range(lo, hi):
+            for k in range(edges[b], edges[b + 1]):
                 re = sum(seg[t] * w[t] * math.cos(2 * math.pi * k * t / frame) for t in range(frame))
                 im = -sum(seg[t] * w[t] * math.sin(2 * math.pi * k * t / frame) for t in range(frame))
                 acc += re * re + im * im
@@ -131,7 +162,7 @@ def test_distributed_extraction_and_codegen_ber(spark):
         "doc_a", "doc_b", fingerprint_ber("fp_a", "fp_b").alias("ber")
     )
     out = {r["doc_b"]: r["ber"] for r in scored.collect()}
-    assert out[2] < 0.15 and out[3] > 0.30
+    assert out[2] < 0.15 and out[3] > 0.40
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "bit_count" in plan
     assert "BatchEvalPython" not in plan.split("MapInPandas")[-1]

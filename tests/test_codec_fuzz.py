@@ -77,3 +77,34 @@ def test_adpcm_converges_to_constant(level, n):
     out = adpcm_decode(adpcm_encode([level] * n), n)
     tail = out[-10:]
     assert all(abs(v - level) <= 24 for v in tail), (level, tail[-3:])
+
+
+def test_decode_error_contract_is_valueerror_only():
+    """decode_png/decode_jpeg/jpeg_dimensions promise ValueError on
+    malformed input; corruption that internally raises zlib.error /
+    struct.error / IndexError must be converted (so the documented
+    'except ValueError' pattern in mapInPandas layers really does
+    yield error rows, not task failures)."""
+    import pytest
+
+    from etfconstituentextractor_spark.operators.jpeg import jpeg_dimensions
+    from etfconstituentextractor_spark.operators.png import PNG_SIGNATURE
+
+    img = np.zeros((9, 11, 3), dtype=np.uint8)
+    png = encode_png(img)
+    jpg = encode_jpeg(img)
+    # PNG with its IDAT payload zeroed -> zlib.error internally
+    broken = bytearray(png)
+    i = bytes(broken).find(b"IDAT")
+    broken[i + 4 : i + 12] = b"\x00" * 8
+    with pytest.raises(ValueError):
+        decode_png(bytes(broken))
+    # PNG with a truncated IHDR payload -> struct.error internally
+    with pytest.raises(ValueError):
+        decode_png(PNG_SIGNATURE + b"\x00\x00\x00\x04IHDR\x00\x00\x00\x00")
+    # JPEG truncated inside the SOF segment -> struct.error internally
+    sof = jpg.find(b"\xff\xc0")
+    with pytest.raises(ValueError):
+        decode_jpeg(jpg[: sof + 5])
+    with pytest.raises(ValueError):
+        jpeg_dimensions(jpg[: sof + 5])
