@@ -11,6 +11,7 @@ exact (functions/parity.py).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from etfconstituentextractor_spark.functions.parity import dec, dsum
@@ -199,7 +200,9 @@ def q34_agg_collect_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey, o_orderkey,
              CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
              row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn_a,
-             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_d
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_d,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn_h
       FROM orders
     )
     SELECT o_custkey,
@@ -207,21 +210,43 @@ def q34_agg_collect_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(CASE WHEN rn_d = 1 THEN o_orderkey END) AS last_order,
            COUNT(*) AS n_orders,
            CAST(ROUND(quantile_cont(cents, 0.5), 3) AS DOUBLE) AS median_cents,
-           CAST(ROUND(quantile_cont(cents, 0.9), 3) AS DOUBLE) AS p90_cents
+           CAST(ROUND(quantile_cont(cents, 0.9), 3) AS DOUBLE) AS p90_cents,
+           CAST(ROUND(quantile_cont(cents, 0.5) FILTER (rn_h <= 8), 3) AS DOUBLE) AS sk_median_cents
     FROM ranked
     GROUP BY o_custkey
     """,
 )
 def q35_agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 6 adds ``sk_median_cents``: the median over each group's
+    deterministic bottom-8 sample by (md5(o_orderkey), o_orderkey) —
+    the KMV-style SAMPLED quantile sketch beside the exact one. Like
+    q34's KMV distinct estimate, the hash-ordered sample makes a
+    normally-approximate sketch an exact cross-engine function: at
+    scale the bottom-k rows per group are a mergeable partial
+    aggregate (min-heap on the hash), bounded memory per group, while
+    the exact percentile must sort every value."""
     o = load(spark, sf_dir, "orders")
     key = F.struct("o_orderdate", "o_orderkey")
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
-    return o.withColumn("cents", cents).groupBy("o_custkey").agg(
-        F.min_by("o_orderkey", key).alias("first_order"),
-        F.max_by("o_orderkey", key).alias("last_order"),
-        F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.percentile("cents", F.lit(0.5)), 3).cast("double").alias("median_cents"),
-        F.round(F.percentile("cents", F.lit(0.9)), 3).cast("double").alias("p90_cents"),
+    wh = W.partitionBy("o_custkey").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), "o_orderkey"
+    )
+    return (
+        o.withColumn("cents", cents)
+        .withColumn("__rn_h", F.row_number().over(wh))
+        .groupBy("o_custkey")
+        .agg(
+            F.min_by("o_orderkey", key).alias("first_order"),
+            F.max_by("o_orderkey", key).alias("last_order"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.percentile("cents", F.lit(0.5)), 3).cast("double").alias("median_cents"),
+            F.round(F.percentile("cents", F.lit(0.9)), 3).cast("double").alias("p90_cents"),
+            F.round(
+                F.percentile(F.when(F.col("__rn_h") <= 8, F.col("cents")), F.lit(0.5)), 3
+            )
+            .cast("double")
+            .alias("sk_median_cents"),
+        )
     )
 
 
