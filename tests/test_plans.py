@@ -677,3 +677,12 @@ def test_catalog_wide_plan_hygiene(spark, sf_dir):
         if "BatchEvalPython" in plan and name not in python_ok:
             offenders.append((name, "BatchEvalPython"))
     assert not offenders, offenders
+
+
+def test_q44_rank_trio_adds_no_exchange(spark, sf_dir):
+    """All of q44's window families — running frames, lag/lead, and
+    the round-6 ntile/percent_rank/cume_dist trio — share one
+    (user_id | ts, event_id) partition+sort, so Catalyst plans exactly
+    ONE exchange for the whole query."""
+    plan = _plan(spark, sf_dir, "q44_window_frames")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
