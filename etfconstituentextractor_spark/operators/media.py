@@ -136,6 +136,23 @@ def parse_aud0(b: bytes) -> tuple[int, int, np.ndarray]:
     return rate, nch, np.frombuffer(payload, dtype="<i2")
 
 
+def parse_vid0(b: bytes) -> tuple[int, int, bytes]:
+    """(frame_size, n_frames, frame bytes) of a VID0 container — the
+    shared validation for sample_frames, frame_motion, and
+    phash.video_phashes. ValueError on a malformed container."""
+    if b[:4] != VID_MAGIC:
+        raise ValueError("not a VID0 container")
+    try:
+        size = int(b[4:12].decode("ascii"), 16)
+        count = int(b[12:20].decode("ascii"), 16)
+    except (ValueError, UnicodeDecodeError):
+        raise ValueError("bad VID0 header hex")
+    frames = b[20:]
+    if len(frames) != size * count:
+        raise ValueError(f"payload {len(frames)} != {size}x{count}")
+    return size, count, frames
+
+
 def parse_img0(b: bytes) -> bytes:
     """Codec payload of an IMG0 wrapper (magic + 8-hex length) — the
     shared container validation for resize_blobs and phash_blobs.
@@ -291,12 +308,8 @@ def frame_motion(blobs: DataFrame, blob_col: str = "blob") -> DataFrame:
                     rows.append((doc_id, "bad_magic", None, None, None, None))
                     continue
                 try:
-                    size = int(b[4:12].decode("ascii"), 16)
-                    count = int(b[12:20].decode("ascii"), 16)
-                    frames = b[20:]
-                    if len(frames) != size * count:
-                        raise ValueError(f"payload {len(frames)} != {size}x{count}")
-                except Exception as exc:
+                    size, count, frames = parse_vid0(b)
+                except ValueError as exc:
                     rows.append((doc_id, f"bad_header: {exc}", None, None, None, None))
                     continue
                 if count < 2 or size == 0:
@@ -596,14 +609,8 @@ def sample_frames(
                     rows.append((doc_id, "bad_magic", None, None, None))
                     continue
                 try:
-                    size = int(b[4:12].decode("ascii"), 16)
-                    count = int(b[12:20].decode("ascii"), 16)
-                    frames = b[20:]
-                    if len(frames) != size * count:
-                        raise ValueError(
-                            f"payload {len(frames)} != {size}x{count}"
-                        )
-                except Exception as exc:
+                    size, count, frames = parse_vid0(b)
+                except ValueError as exc:
                     rows.append((doc_id, f"bad_header: {exc}", None, None, None))
                     continue
                 for i in range(0, count, every_n):

@@ -165,3 +165,65 @@ def phash_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+VIDEO_FP_SCHEMA = "doc_id bigint, error string, n_frames int, phashes array<bigint>"
+
+
+def video_phashes(
+    blobs: DataFrame, width: int, height: int, blob_col: str = "blob", every_n: int = 1
+) -> DataFrame:
+    """(doc_id, error, n_frames, phashes) over VID0 containers whose
+    frames are raw width×height GRAYSCALE bitmaps — the VIDEO member
+    of the fingerprint family (phash per sampled frame; audio_fp.py
+    is the audio member). Containers whose frame_size doesn't equal
+    width·height yield error rows, like every other malformed
+    container (R22)."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etfconstituentextractor_spark.operators.media import parse_vid0
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                if blob is None:
+                    rows.append((doc_id, "null_blob", None, None))
+                    continue
+                try:
+                    size, count, frames = parse_vid0(bytes(blob))
+                    if size != width * height:
+                        raise ValueError(
+                            f"frame size {size} != {width}x{height}"
+                        )
+                except ValueError as exc:
+                    rows.append((doc_id, f"bad_container: {exc}", None, None))
+                    continue
+                hs = []
+                for i in range(0, count, every_n):
+                    frame = np.frombuffer(
+                        frames[i * size : (i + 1) * size], dtype=np.uint8
+                    ).reshape(height, width)
+                    hs.append(phash_of_pixels(frame))
+                rows.append((doc_id, None, len(hs), hs))
+            yield pd.DataFrame(rows, columns=["doc_id", "error", "n_frames", "phashes"])
+
+    return blobs.select("doc_id", blob_col).mapInPandas(gen, schema=VIDEO_FP_SCHEMA)
+
+
+def video_hamming(a: str, b: str) -> F.Column:
+    """Mean per-frame Hamming distance between two aligned
+    ``array<bigint>`` frame-hash columns — pure codegen (bit_count on
+    64-bit words needs no masking), NULL when either side is empty.
+    Same-content videos across mild per-frame distortion sit a few
+    bits apart per frame; unrelated videos ~32."""
+    common = f"least(size({a}), size({b}))"
+    bits = (
+        f"aggregate(zip_with(slice({a}, 1, {common}), slice({b}, 1, {common}), "
+        "(x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)"
+    )
+    return F.when(
+        F.expr(common) > 0,
+        F.expr(bits) / F.expr(common),
+    )

@@ -139,3 +139,56 @@ def test_distributed_phash_and_codegen_pairing(spark):
     for marker in ("BatchEvalPython", "ArrowEvalPython"):
         assert marker not in plan.split("MapInPandas")[-1]
     assert "bit_count" in plan
+
+
+def test_video_phashes_and_codegen_matching(spark):
+    """VIDEO fingerprint: per-frame pHash sequences — the same footage
+    under mild per-frame brightness distortion matches at a few bits
+    per frame, unrelated footage sits near 32; matching is codegen
+    (64-bit bit_count, no masking needed); malformed containers and
+    frame-size mismatches yield error rows. The python replay pins the
+    distributed hashes exactly."""
+    from pyspark.sql import functions as F
+
+    from etfconstituentextractor_spark.operators.media import pack_video
+    from etfconstituentextractor_spark.operators.phash import (
+        phash_of_pixels,
+        video_hamming,
+        video_phashes,
+    )
+
+    w, h, n_frames = 32, 24, 6
+
+    def frames(seed, shift=0):
+        out = []
+        for f in range(n_frames):
+            img = _photo(h, w, seed=seed + f)[..., 0]  # gray plane, evolving
+            out.append(np.clip(img.astype(int) + shift, 0, 255).astype(np.uint8).tobytes())
+        return out
+
+    vids = {
+        1: pack_video(frames(1)),
+        2: pack_video(frames(1, shift=6)),   # same footage, brightened
+        3: pack_video(frames(40)),           # different footage
+        4: b"VID0zzzzzzzzzzzzzzzz",
+        5: pack_video([b"\x00" * 10] * 2),   # wrong frame size
+    }
+    df = spark.createDataFrame(list(vids.items()), "doc_id bigint, blob binary")
+    fps = video_phashes(df, w, h)
+    got = {r["doc_id"]: r for r in fps.collect()}
+    assert all(got[i]["error"] is None for i in (1, 2, 3))
+    assert got[1]["n_frames"] == n_frames
+    assert got[4]["error"].startswith("bad_container")
+    assert got[5]["error"].startswith("bad_container")
+    # python replay of frame 0's hash
+    img0 = np.frombuffer(frames(1)[0], dtype=np.uint8).reshape(h, w)
+    assert got[1]["phashes"][0] == phash_of_pixels(img0)
+
+    a = fps.filter("doc_id = 1").select(F.col("doc_id").alias("doc_a"), F.col("phashes").alias("pa"))
+    b = fps.filter("doc_id in (2, 3)").select(F.col("doc_id").alias("doc_b"), F.col("phashes").alias("pb"))
+    scored = a.crossJoin(b).select("doc_a", "doc_b", video_hamming("pa", "pb").alias("mh"))
+    out = {r["doc_b"]: r["mh"] for r in scored.collect()}
+    assert out[2] <= 8, out
+    assert out[3] >= 14, out
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "bit_count" in plan
