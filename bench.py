@@ -102,7 +102,12 @@ def main() -> None:
     # `value_normalized` divides the total by it — two identical-code
     # runs should agree on value_normalized within ~10% even when the
     # raw totals are 25% apart (that is the enforceable form of the
-    # "within 2x of baseline" gate).
+    # "within 2x of baseline" gate). Caveat measured across round-6
+    # runs: the probe is a ~0.2s job, so its own min-of-3 can still
+    # wobble 30-50% under bursty load while the minutes-long workload
+    # moves less — `calibration_spread_sec` is emitted so a reader can
+    # discount value_normalized when the probe itself was unstable;
+    # raw totals ACROSS runs remain the most trustworthy signal.
     calib_runs = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -163,6 +168,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "calibration_sec": calibration,
+                "calibration_spread_sec": round(max(calib_runs) - min(calib_runs), 3),
                 "calibration_ratio": ratio,
                 "value_normalized": round(total / ratio, 3),
             }
