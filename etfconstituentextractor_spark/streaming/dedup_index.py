@@ -24,10 +24,11 @@ Exactly-once posture: re-delivered doc_ids are dropped via an
 anti-join against the standing index (insert-only ingest — plain
 parquet cannot retract a superseded signature, and a doubled doc
 would fan out duplicate pairs through the verify joins; CDC updates
-belong to the batch path or a transactional table). A batch retried
-after a mid-write crash between the pairs write and the index append
-can still double the PAIRS output; production pins that by writing
-per-(batch_id) subdirectories or a transactional table. The invariant the test pins: after the
+belong to the batch path or a transactional table). All three state
+writes are idempotent per-batch OVERWRITE subdirectories committed
+pairs → bands → shingles — the re-delivery anti-join keys on
+shingles, the LAST write, so a crash at any point leaves the batch
+fully re-processable and its retry overwrites rather than doubles. The invariant the test pins: after the
 stream drains, the pair set equals the FULL-corpus batch build's —
 every near-dup pair is found exactly once, at the arrival of its
 LATER member, regardless of how documents were chunked into batches.
@@ -60,12 +61,18 @@ def _load_or_empty(spark: SparkSession, path: str, schema: T.StructType) -> Data
     probing an EMPTY index after a transient IO error would drop all
     cross-batch pairs for the batch and then append it anyway —
     permanently violating the full-rebuild-equivalence invariant with
-    no error surfaced."""
+    no error surfaced. The state layout is per-batch subdirectories
+    (ingest_batch=N); the partition column Spark appends on read is
+    projected away."""
     import os
 
-    if not os.path.isdir(path):
+    if not os.path.isdir(path) or not any(
+        e.name.startswith("ingest_batch=") for e in os.scandir(path)
+    ):
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(path)
+    return spark.read.schema(schema).parquet(path).select(
+        *[f.name for f in schema.fields]
+    )
 
 
 def lsh_index_batch_handler(index_dir: str, pairs_dir: str):
@@ -102,16 +109,18 @@ def lsh_index_batch_handler(index_dir: str, pairs_dir: str):
         sh_d, bands_d = _shingle_and_bands(docs)
         base_index = (base_sh, base_bands)
         pairs = lsh_incremental_pairs(None, docs, base_index=base_index, delta_index=(sh_d, bands_d))
-        (
-            pairs.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(pairs_dir)
+        # Idempotent per-batch OVERWRITE subdirectories, in commit
+        # order pairs -> bands -> shingles: the anti-join keys on
+        # SHINGLES, which commit last, so a crash anywhere earlier
+        # leaves the batch fully re-processable and the retry
+        # overwrites (never doubles) whatever did land. batch_id /
+        # ingest_batch come back as partition columns on read.
+        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch_id={batch_id}")
+        bands_d.select("doc_id", "band", "sig").write.mode("overwrite").parquet(
+            f"{index_dir}/bands/ingest_batch={batch_id}"
         )
-        bands_d.select("doc_id", "band", "sig").write.mode("append").parquet(
-            f"{index_dir}/bands"
-        )
-        sh_d.select("doc_id", "shingles").write.mode("append").parquet(
-            f"{index_dir}/shingles"
+        sh_d.select("doc_id", "shingles").write.mode("overwrite").parquet(
+            f"{index_dir}/shingles/ingest_batch={batch_id}"
         )
 
     return handle

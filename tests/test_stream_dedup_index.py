@@ -88,3 +88,32 @@ def test_standing_index_matches_batch_band_build(spark, drained):
         for r in spark.read.parquet(f"{index_dir}/bands").collect()
     }
     assert got == want
+
+
+def test_batch_retry_is_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch may re-run a batch after a crash: re-invoking the
+    handler with the same (batch_df, batch_id) must leave pairs and
+    index state EXACTLY as a single run would — per-batch overwrite
+    subdirectories, with the re-delivery anti-join dropping docs whose
+    shingles already committed."""
+    from etfconstituentextractor_spark.streaming.dedup_index import (
+        lsh_index_batch_handler,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    index_dir, pairs_dir = str(tmp_path / "idx"), str(tmp_path / "pairs")
+    handle = lsh_index_batch_handler(index_dir, pairs_dir)
+    handle(b0, 0)
+    handle(b0, 0)  # crash-retry of the SAME batch
+    handle(b1, 1)
+    handle(b1, 1)
+
+    got_rows = spark.read.parquet(pairs_dir).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in got_rows}
+    assert len(got) == len(got_rows), "retry doubled a pair"
+    want = {(r["doc_a"], r["doc_b"]) for r in lsh_pairs(docs).collect()}
+    assert got == want
+    bands = spark.read.parquet(f"{index_dir}/bands").collect()
+    assert len({(r["doc_id"], r["band"]) for r in bands}) == len(bands)
