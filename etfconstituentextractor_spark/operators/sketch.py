@@ -4,9 +4,11 @@ custom-operator family of the engine brief — no reference counterpart,
 the reference never aggregates at all).
 
 Spark's built-in HLL++ (`approx_count_distinct`, q36) is the
-production sketch, but its estimate is engine-specific — the driver
-can only rows-check it. KMV is the sketch you reach for when the
-estimate itself must be REPRODUCIBLE across engines: keep the k
+production sketch, but its estimate is engine-specific — q36 puts its
+ACCURACY CONTRACT (not its estimate) under the oracle, plus a
+deterministic md5-based HLL (operators/hll.py). KMV is the other
+sketch you reach for when the estimate itself must be REPRODUCIBLE
+across engines: keep the k
 smallest values of a uniform hash per group; if the group has fewer
 than k distinct hashes the sketch is exact, otherwise the k-th
 smallest normalized hash U(k) estimates the distinct count as

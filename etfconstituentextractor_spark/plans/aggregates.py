@@ -15,6 +15,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from etfconstituentextractor_spark.functions.parity import dec, dsum
+from etfconstituentextractor_spark.operators.hll import hll_distinct, sql_hll_distinct
 from etfconstituentextractor_spark.plans.registry import query
 from etfconstituentextractor_spark.sources.tables import load
 
@@ -148,8 +149,9 @@ def _q34_oracle() -> str:
 def q34_agg_collect_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect/distinct family + the deterministic KMV distinct sketch
     (operators/sketch.py) beside the exact count on the same grain —
-    unlike q36's HLL (engine-specific, rows-only), the md5-based KMV
-    estimate hash-matches the oracle exactly."""
+    like q36's deterministic HLL, the md5-based KMV estimate
+    hash-matches the oracle exactly (the two sketches trade accuracy
+    for state differently: KMV keeps k hashes, HLL m registers)."""
     from etfconstituentextractor_spark.operators.sketch import kmv_distinct
 
     c = load(spark, sf_dir, "customer")
@@ -251,26 +253,79 @@ def q35_agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q36 — the approximate-sketch family: HyperLogLog++ count-distinct
-# and quantile-sketch percentiles, each next to its exact twin. No SQL
-# oracle: sketch estimates are engine-specific → rows-only check, plus
-# pytest unit tests assert each estimate is within its documented
-# error bound of the exact value. At 100 TB these are the one-pass
-# mergeable-sketch alternatives to the exact (sort/Expand-based)
-# aggregates: fixed memory per group, partial-merge friendly.
+# q36 — the approximate-sketch family, now FULLY under the hash
+# oracle (was rows-only through round 6). Three sketches side by side:
+# (1) the deterministic md5-based HLL (operators/hll.py) whose exact
+#     dyadic register sum + estimate DuckDB replays bit-for-bit;
+# (2) the engine's own HLL++ (`approx_count_distinct`) — its estimate
+#     is engine-specific, so what goes under the oracle is its
+#     ACCURACY CONTRACT: a boolean "within 3 sigma of exact" that each
+#     engine computes against its OWN sketch (both must say true);
+# (3) likewise the engine quantile sketch (`approx_percentile` /
+#     DuckDB approx_quantile) as a within-5% band boolean, beside the
+#     exact interpolated median on integer cents (q35's ulp-safe
+#     rounding trick).
+# At 100 TB these are the one-pass mergeable-sketch alternatives to
+# the exact (sort/Expand-based) aggregates: fixed memory per group,
+# partial-merge friendly. The lineitem scan runs twice (raw-row aggs
+# vs register build); the 3-row HLL frame broadcasts back.
 # ---------------------------------------------------------------------------
-@query("q36_agg_approx_count_distinct")
+@query(
+    "q36_agg_approx_count_distinct",
+    oracle=f"""
+    WITH hll AS ({sql_hll_distinct("lineitem", "l_returnflag", "l_partkey", p=12)}),
+    base AS (
+      SELECT l_returnflag,
+             COUNT(DISTINCT l_partkey) AS exact_parts,
+             approx_count_distinct(l_partkey) AS __acd,
+             approx_quantile(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.5) AS __apx_med,
+             CAST(ROUND(quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.5), 3)
+                  AS DOUBLE) AS exact_median_cents
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT b.l_returnflag, exact_parts,
+           hll_est AS hll_parts, hll_sum_dyadic, hll_zero_regs,
+           abs(hll_est - exact_parts) <= CAST(0.05 AS DOUBLE) * exact_parts AS hll_ok,
+           abs(__acd - exact_parts) <= CAST(0.06 AS DOUBLE) * exact_parts AS acd_ok,
+           abs(CAST(__apx_med AS DOUBLE) - exact_median_cents)
+             <= CAST(0.05 AS DOUBLE) * abs(exact_median_cents) AS apx_median_ok,
+           exact_median_cents
+    FROM base b JOIN hll USING (l_returnflag)
+    """,
+)
 def q36_agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "cents", F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    )
+    base = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
-        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10_000)).alias(
-            "approx_median_price"
+        F.approx_count_distinct("l_partkey", 0.02).alias("__acd"),
+        F.approx_percentile("cents", F.lit(0.5), F.lit(10_000)).alias("__apx_med"),
+        F.round(F.percentile("cents", F.lit(0.5)), 3).cast("double").alias(
+            "exact_median_cents"
         ),
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias(
-            "exact_median_price"
-        ),
+    )
+    hll = hll_distinct(li, ["l_returnflag"], "l_partkey", p=12)
+    return base.join(F.broadcast(hll), "l_returnflag").select(
+        "l_returnflag",
+        "exact_parts",
+        F.col("hll_est").alias("hll_parts"),
+        "hll_sum_dyadic",
+        "hll_zero_regs",
+        (
+            F.abs(F.col("hll_est") - F.col("exact_parts"))
+            <= F.lit(0.05) * F.col("exact_parts")
+        ).alias("hll_ok"),
+        (
+            F.abs(F.col("__acd") - F.col("exact_parts"))
+            <= F.lit(0.06) * F.col("exact_parts")
+        ).alias("acd_ok"),
+        (
+            F.abs(F.col("__apx_med").cast("double") - F.col("exact_median_cents"))
+            <= F.lit(0.05) * F.abs(F.col("exact_median_cents"))
+        ).alias("apx_median_ok"),
+        "exact_median_cents",
     )
 
 
