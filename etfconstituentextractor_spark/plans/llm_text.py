@@ -35,6 +35,7 @@ from etfconstituentextractor_spark.operators.text import (
     subtoken_count,
     tokens,
 )
+from etfconstituentextractor_spark.operators.cms import sql_cms_from_counts
 from etfconstituentextractor_spark.operators.contamination import ngram_contamination
 from etfconstituentextractor_spark.operators.boilerplate import strip_boilerplate
 from etfconstituentextractor_spark.operators.pii import PII_PATTERNS, scrub
@@ -270,8 +271,8 @@ def q80_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q81 — corpus token statistics, tagged union of two tokenizations of
-# the same corpus at the same (token, n, n_docs, idf) grain:
+# q81 — corpus token statistics, tagged union of three legs at the
+# same (token, n, n_docs, idf) grain:
 #
 # - leg='word': whitespace tokens (tokenize → explode → count → IDF).
 #   The explode fans each document into its tokens; partial
@@ -290,6 +291,14 @@ def q80_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   in DuckDB: one `list_reduce` pass per merge over a separator-
 #   joined symbol string (chr(31) — absent from corpus text), which
 #   makes piece-level results hash-comparable, not just count-level.
+# - leg='cms': count–min-sketch heavy hitters (operators/cms.py) —
+#   tokens whose SKETCH-estimated count clears 0.4% of all token
+#   occurrences; this leg's `n` is the CMS estimate (>= exact, md5
+#   rows + integer counters → both engines inflate identically). At
+#   100 TB the d×w counter grid is the fixed-memory mergeable path to
+#   corpus-wide frequency; here it reads out of the same token
+#   shuffle the word leg already pays (wstats is localCheckpointed —
+#   three consumers, vocabulary-sized).
 # ---------------------------------------------------------------------------
 _BPE_MERGES = [
     ("e", "r"),
@@ -337,53 +346,82 @@ def _sql_bpe_encode() -> str:
       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
             FROM documents) t
       JOIN bpe_enc e USING (word)
-    )
-    SELECT 'word' AS leg, token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs,
-           CAST(ROUND(ln((SELECT n_total FROM total) / CAST(COUNT(DISTINCT doc_id) AS DOUBLE)), 6) AS DOUBLE) AS idf
-    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
-    GROUP BY token
-    HAVING COUNT(*) >= 5
+    ),
+    wstats AS (
+      SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token
+    ),
+    cms AS ({sql_cms_from_counts("SELECT token, n AS n_exact FROM wstats", "token")})
+    SELECT 'word' AS leg, token, n, n_docs,
+           CAST(ROUND(ln((SELECT n_total FROM total) / CAST(n_docs AS DOUBLE)), 6) AS DOUBLE) AS idf
+    FROM wstats
+    WHERE n >= 5
     UNION ALL
     SELECT 'bpe', token, COUNT(*), COUNT(DISTINCT doc_id),
            CAST(ROUND(ln((SELECT n_total FROM total) / CAST(COUNT(DISTINCT doc_id) AS DOUBLE)), 6) AS DOUBLE)
     FROM bpe_tok
     GROUP BY token
     HAVING COUNT(*) >= 5
+    UNION ALL
+    SELECT 'cms', c.token, c.cms_est, w.n_docs,
+           CAST(ROUND(ln((SELECT n_total FROM total) / CAST(w.n_docs AS DOUBLE)), 6) AS DOUBLE)
+    FROM cms c JOIN wstats w USING (token)
+    WHERE c.cms_est >= CAST(0.004 AS DOUBLE) * (SELECT SUM(n) FROM wstats)
     """,
 )
 def q81_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etfconstituentextractor_spark.operators.bpe import encode_corpus
+    from etfconstituentextractor_spark.operators.cms import cms_from_counts
 
     d = load(spark, sf_dir, "documents")
     total = d.agg(F.count(F.lit(1)).alias("n_total"))
 
-    def _stats(tok_df: DataFrame, leg: str) -> DataFrame:
-        return (
-            tok_df.groupBy("token")
-            .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_docs"))
-            .filter(F.col("n") >= 5)
-            .crossJoin(F.broadcast(total))
-            .select(
-                F.lit(leg).alias("leg"),
-                "token",
-                "n",
-                "n_docs",
-                F.round(F.log(F.col("n_total") / F.col("n_docs").cast("double")), 6)
-                .cast("double")
-                .alias("idf"),
-            )
+    def _finish(stats_df: DataFrame, leg: str, n_col: str = "n") -> DataFrame:
+        return stats_df.crossJoin(F.broadcast(total)).select(
+            F.lit(leg).alias("leg"),
+            "token",
+            F.col(n_col).alias("n"),
+            "n_docs",
+            F.round(F.log(F.col("n_total") / F.col("n_docs").cast("double")), 6)
+            .cast("double")
+            .alias("idf"),
         )
 
-    words = _stats(
-        fanout(d).select("doc_id", F.explode(tokens()).alias("token")), "word"
-    )
-    pieces = _stats(
-        encode_corpus(fanout(d), _BPE_MERGES).select(
-            "doc_id", F.explode("pieces").alias("token")
-        ),
+    def _stats(tok_df: DataFrame) -> DataFrame:
+        return tok_df.groupBy("token").agg(
+            F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_docs")
+        )
+
+    # word-token stats feed THREE consumers (word leg, CMS read-out,
+    # total-occurrence scalar) — localCheckpoint the vocabulary-sized
+    # frame so per-branch pruning can't force three corpus scans
+    # (the q62/q64 multi-consumer pattern).
+    wstats = _stats(
+        fanout(d).select("doc_id", F.explode(tokens()).alias("token"))
+    ).localCheckpoint()
+    words = _finish(wstats.filter(F.col("n") >= 5), "word")
+    pieces = _finish(
+        _stats(
+            encode_corpus(fanout(d), _BPE_MERGES).select(
+                "doc_id", F.explode("pieces").alias("token")
+            )
+        ).filter(F.col("n") >= 5),
         "bpe",
     )
-    return words.unionByName(pieces)
+    # count-min heavy hitters (operators/cms.py): n is the SKETCH
+    # estimate (>= exact by construction; w=64 forces real, but
+    # deterministic, collisions on this vocabulary), thresholded at
+    # 0.4% of total token occurrences.
+    est = cms_from_counts(wstats.select("token", F.col("n").alias("n_exact")), "token")
+    n_occ = wstats.agg(F.sum("n").alias("n_occ"))
+    heavy = (
+        est.join(wstats.select("token", "n_docs"), "token")
+        .crossJoin(F.broadcast(n_occ))
+        .filter(F.col("cms_est") >= F.lit(0.004) * F.col("n_occ"))
+    )
+    cms_leg = _finish(heavy, "cms", n_col="cms_est")
+    return words.unionByName(pieces).unionByName(cms_leg)
 
 
 # ---------------------------------------------------------------------------
