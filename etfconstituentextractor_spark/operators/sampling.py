@@ -270,6 +270,47 @@ def token_budget_sample(
     )
 
 
+def epoch_shard_shuffle(
+    df: DataFrame,
+    key_col: str,
+    tokens_col: str,
+    n_shards: int = 8,
+    salt: str = "epoch0",
+) -> DataFrame:
+    """Deterministic epoch shuffle + shard layout for a training run:
+    every row gets a seed-keyed md5 rank, lands in shard
+    ``hash % n_shards`` (``shard``), and ``shard_rank`` is its
+    shuffled position within the shard; ``start_offset`` is the
+    cumulative token count before it (the shard's file offset). A new
+    ``salt`` is a new epoch order.
+
+    Deliberately shard-local: a global row_number would funnel the
+    corpus through ONE sort partition, while per-shard windows
+    parallelize across the cluster and the global training order is
+    just the shard interleave — which is how sharded training data is
+    actually consumed. One window shuffle carrying (key, token
+    counts); text never moves. Deterministic across reruns, cluster
+    sizes, and engines (md5 + integer arithmetic only).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    _reject_reserved(df, "shard", "shard_rank", "start_offset", "__h")
+    h = F.expr(
+        f"CAST(conv(substring(md5(concat(cast({key_col} as string), ':{salt}')), 1, 8), 16, 10) AS BIGINT)"
+    )
+    w = W.partitionBy("shard").orderBy(
+        F.col("__h").asc_nulls_last(), F.col(key_col).asc_nulls_last()
+    )
+    cum_incl = F.sum(tokens_col).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", F.col("__h") % n_shards)
+        .withColumn("shard_rank", F.row_number().over(w))
+        .withColumn("start_offset", cum_incl - F.col(tokens_col))
+        .drop("__h")
+    )
+
+
 def temperature_rates(
     counts: Mapping[str, int], alpha: float, keep_fraction: float = 1.0
 ) -> dict[str, float]:

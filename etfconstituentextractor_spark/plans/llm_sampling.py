@@ -16,6 +16,7 @@ from etfconstituentextractor_spark.operators.packing import pack_sequences
 from etfconstituentextractor_spark.operators.sampling import (
     BUCKETS,
     _WES_DENOM,
+    epoch_shard_shuffle,
     hash_oversample,
     hash_rate_sample,
     stratified_quota_sample,
@@ -307,13 +308,26 @@ def q83_sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   deliberate ~chunk/stride amplification, which the caller picks.
 #   min_tail drops ragged tails already contained in the previous
 #   window; window 0 is never dropped, so no document vanishes.
-# Unified columns: ord = pack_order | chunk_idx, n_tok = doc tokens |
-# window tokens; leg-specific columns are NULL on the other leg.
+# - 'shard' leg (round 6): the deterministic EPOCH SHUFFLE + SHARD
+#   layout a training run consumes — every doc gets a seed-keyed md5
+#   rank, lands in shard `hash % NSHARDS` (bin_id), and `ord` is its
+#   shuffled position WITHIN the shard (start_offset = cumulative
+#   tokens before it, the shard's file offset). A new seed string is a
+#   new epoch order. Deliberately shard-local: a global row_number
+#   would funnel 100 TB through one sort partition, while per-shard
+#   windows parallelize perfectly and the global order is just the
+#   shard interleave. Same one-(doc_id,n_tokens)-window shape as
+#   'pack'; text never shuffles.
+# Unified columns: ord = pack_order | chunk_idx | shard rank, n_tok =
+# doc tokens | window tokens; leg-specific columns are NULL on the
+# other legs.
 # ---------------------------------------------------------------------------
 PACK_BUDGET = 2048
 CHUNK_TOKENS = 32
 CHUNK_STRIDE = 24
 CHUNK_MIN_TAIL = 8
+NSHARDS = 8
+EPOCH_SALT = "epoch0"
 
 
 @query(
@@ -359,6 +373,21 @@ CHUNK_MIN_TAIL = 8
            array_to_string(chunk, ' ') AS chunk_text
     FROM chunks
     WHERE len(chunk) >= {CHUNK_MIN_TAIL} OR chunk_idx = 0
+    UNION ALL
+    SELECT 'shard', doc_id, lang,
+           CAST(row_number() OVER ws AS INTEGER) AS ord, n_tokens,
+           sum(n_tokens) OVER (ws ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_tokens AS start_offset,
+           __h % {NSHARDS} AS bin_id,
+           CAST(NULL AS VARCHAR) AS chunk_text
+    FROM (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), ':{EPOCH_SALT}')), 1, 8)
+               AS BIGINT) AS __h
+      FROM documents
+    )
+    WINDOW ws AS (PARTITION BY __h % {NSHARDS} ORDER BY __h, doc_id)
     """,
 )
 def q85_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -394,4 +423,24 @@ def q85_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("bin_id"),
         "chunk_text",
     )
-    return pack_leg.unionByName(chunk_leg)
+    shard_leg = epoch_shard_shuffle(
+        docs.select(
+            "doc_id",
+            "lang",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        ),
+        key_col="doc_id",
+        tokens_col="n_tokens",
+        n_shards=NSHARDS,
+        salt=EPOCH_SALT,
+    ).select(
+        F.lit("shard").alias("leg"),
+        "doc_id",
+        "lang",
+        F.col("shard_rank").cast("int").alias("ord"),
+        F.col("n_tokens").alias("n_tok"),
+        "start_offset",
+        F.col("shard").alias("bin_id"),
+        F.lit(None).cast("string").alias("chunk_text"),
+    )
+    return pack_leg.unionByName(chunk_leg).unionByName(shard_leg)

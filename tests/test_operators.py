@@ -1108,6 +1108,54 @@ def test_kmv_sketch_ignores_nulls(spark):
     assert "only_null" not in got_dirty  # all-null group has no estimate
 
 
+def test_epoch_shard_shuffle(spark):
+    """Sharded epoch shuffle: shard/rank/offset replay a Python walk
+    of the identical md5 construction; a different salt is a
+    different epoch ORDER over the same shard populations' union; the
+    operator rejects colliding input columns."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from etfconstituentextractor_spark.operators.sampling import epoch_shard_shuffle
+
+    rows = [(i, 10 + i % 7) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+    got = {
+        r.doc_id: (r.shard, r.shard_rank, r.start_offset)
+        for r in epoch_shard_shuffle(df, "doc_id", "n_tokens", n_shards=4).collect()
+    }
+
+    def h(k, salt):
+        return int(hashlib.md5(f"{k}:{salt}".encode()).hexdigest()[:8], 16)
+
+    want = {}
+    for shard in range(4):
+        members = sorted(
+            (h(i, "epoch0"), i, t) for i, t in rows if h(i, "epoch0") % 4 == shard
+        )
+        cum = 0
+        for rank, (_, i, t) in enumerate(members, start=1):
+            want[i] = (shard, rank, cum)
+            cum += t
+    assert got == want
+
+    other = {
+        r.doc_id: (r.shard, r.shard_rank)
+        for r in epoch_shard_shuffle(
+            df, "doc_id", "n_tokens", n_shards=4, salt="epoch1"
+        ).collect()
+    }
+    assert other != {k: v[:2] for k, v in got.items()}  # new epoch, new order
+    assert set(other) == set(got)  # same corpus
+
+    clash = spark.createDataFrame([(1, 2, 3)], "doc_id int, n_tokens int, shard int")
+    with _pytest.raises(ValueError, match="shard"):
+        epoch_shard_shuffle(clash, "doc_id", "n_tokens")
+    with _pytest.raises(ValueError, match="n_shards"):
+        epoch_shard_shuffle(df, "doc_id", "n_tokens", n_shards=0)
+
+
 def test_samplers_reject_reserved_columns(spark):
     """Every sampler materializes internal/output columns via
     withColumn, which would silently OVERWRITE a caller column of the
