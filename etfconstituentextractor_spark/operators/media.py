@@ -22,13 +22,15 @@ codecs):
 - ``resize_blobs`` handles COMPRESSED formats (IMG0-wrapped codec
   payloads): container round-trip is real, and ``real_resample=True``
   decodes + resamples PNG payloads (from-scratch stdlib codec,
-  ``operators/png.py``) AND baseline JPEG payloads (from-scratch
-  codec, ``operators/jpeg.py`` — Annex-K Huffman + IDCT + chroma
-  upsampling) for REAL. Compressed audio decodes for real too
+  ``operators/png.py``), baseline JPEG payloads (from-scratch codec,
+  ``operators/jpeg.py`` — Annex-K Huffman + IDCT + chroma
+  upsampling) AND WebP-lossless payloads (from-scratch VP8L codec,
+  ``operators/vp8l.py`` — prefix codes + LZ77 + all four transforms)
+  for REAL. Compressed audio decodes for real too
   (``operators/adpcm.py`` IMA-ADPCM via ``audio_features``). Only
   codecs whose decompression genuinely needs an external library
-  (WebP/AVIF/mp3) remain declared stubs, surfaced as
-  ``codec_unsupported`` error rows.
+  (JPEG-progressive/lossy-VP8/AVIF/mp3) remain declared stubs,
+  surfaced as ``codec_unsupported`` error rows.
 - ``sample_frames`` is the row-GENERATOR stage (one input blob → one
   row per sampled frame) over a deterministic frame container
   (``VID0`` magic + 8-hex frame size + 8-hex frame count + payload):
@@ -512,13 +514,16 @@ def resize_blobs(
     Default (metadata) mode keeps the pixel resample stubbed — the md5
     is of the ORIGINAL payload, deterministic and test-checkable.
     ``real_resample=True`` decodes PNG payloads (from-scratch stdlib
-    codec, ``operators/png.py``: zlib inflate + per-scanline unfilter)
-    AND baseline JPEG payloads (from-scratch codec,
-    ``operators/jpeg.py``: Annex-K Huffman decode + dequantize + IDCT
-    + chroma upsampling) for real, then resamples through the same
-    ``_resample`` math as resize_raw — the md5 is then of the
-    RESAMPLED pixel bytes. Only payloads in codecs that genuinely need
-    an external library (WebP/AVIF/mp3...) yield the declared
+    codec, ``operators/png.py``: zlib inflate + per-scanline unfilter),
+    baseline JPEG payloads (from-scratch codec, ``operators/jpeg.py``:
+    Annex-K Huffman decode + dequantize + IDCT + chroma upsampling)
+    AND WebP-lossless payloads (from-scratch codec,
+    ``operators/vp8l.py``: canonical prefix codes + color cache +
+    LZ77 + predictor/color/subtract-green/palette transforms) for
+    real, then resamples through the same ``_resample`` math as
+    resize_raw — the md5 is then of the RESAMPLED pixel bytes. Only
+    payloads in codecs that genuinely need an external library
+    (JPEG-progressive/lossy-VP8/AVIF/mp3...) yield the declared
     ``codec_unsupported`` error row."""
     if method not in ("nearest", "bilinear"):
         raise ValueError(f"unknown method {method!r}")
@@ -529,6 +534,7 @@ def resize_blobs(
             PNG_SIGNATURE,
             decode_png,
         )
+        from etfconstituentextractor_spark.operators.vp8l import decode_vp8l
 
         for pdf in batches:
             rows = []
@@ -564,13 +570,24 @@ def resize_blobs(
                     except Exception as exc:
                         rows.append((doc_id, f"bad_jpeg: {exc}", None, None, None))
                         continue
+                elif payload[:4] == b"RIFF" or payload[:1] == b"\x2f":
+                    # WebP lossless: from-scratch VP8L codec
+                    # (operators/vp8l.py — prefix codes + LZ77 + the
+                    # four transforms); lossy VP8 raises inside and
+                    # lands in the error row
+                    try:
+                        img = decode_vp8l(payload)
+                    except Exception as exc:
+                        rows.append((doc_id, f"bad_webp: {exc}", None, None, None))
+                        continue
                 else:
                     rows.append(
                         (
                             doc_id,
-                            "codec_unsupported: payload is neither PNG nor "
-                            "baseline JPEG; perceptual codecs (WebP/AVIF/...) "
-                            "need an external library (declared stub)",
+                            "codec_unsupported: payload is not PNG, baseline "
+                            "JPEG, or VP8L WebP; perceptual codecs "
+                            "(JPEG-progressive/AVIF/lossy-VP8/...) need an "
+                            "external library (declared stub)",
                             None, None, None,
                         )
                     )

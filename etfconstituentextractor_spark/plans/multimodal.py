@@ -18,9 +18,10 @@ inflate + scanline unfilter), for baseline JPEG (`operators/jpeg.py`,
 Annex-K Huffman + dequantize + IDCT + chroma upsampling, 4:4:4 and
 4:2:0), and for IMA-ADPCM audio (`operators/adpcm.py`, decoded inside
 `audio_features`) — each a from-scratch codec verified against
-independent scalar implementations — so the remaining stub is scoped
-to formats whose decompression genuinely needs an external library
-(WebP/AVIF/mp3).
+independent scalar implementations — and round 6 added WebP-lossless
+(`operators/vp8l.py`), so the remaining stub is scoped to formats
+whose decompression genuinely needs an external library
+(JPEG-progressive/lossy-VP8/AVIF/mp3).
 Pixel-level math over raw bitmaps — resampling, byte-histogram
 features — is likewise real (`operators/media.py:resize_raw`,
 numpy nearest/bilinear verified against a pure-Python oracle). The

@@ -41,6 +41,26 @@ def test_png_roundtrip_exact_on_arbitrary_images(img):
 
 
 @settings(max_examples=25, deadline=None)
+@given(_images(channels=(1, 3, 4)), st.booleans())
+def test_vp8l_roundtrip_exact_on_arbitrary_images(img, subtract_green):
+    from etfconstituentextractor_spark.operators.vp8l import (
+        decode_vp8l,
+        encode_vp8l,
+    )
+
+    decoded = decode_vp8l(encode_vp8l(img, use_subtract_green=subtract_green))
+    h, w, c = img.shape
+    assert decoded.shape == (h, w, 4)
+    if c == 1:
+        assert np.array_equal(decoded[..., 0], img[..., 0])
+        assert np.array_equal(decoded[..., 1], img[..., 0])
+    else:
+        assert np.array_equal(decoded[..., :c], img)
+    if c != 4:
+        assert (decoded[..., 3] == 255).all()
+
+
+@settings(max_examples=25, deadline=None)
 @given(
     _images(),
     st.integers(40, 95),

@@ -118,7 +118,7 @@ def test_distributed_phash_and_codegen_pairing(spark):
         (1, _wrap(encode_png(imgs[1]))),
         (2, _wrap(encode_jpeg(imgs[2], quality=80))),
         (3, _wrap(encode_jpeg(imgs[3], quality=80))),
-        (4, _wrap(b"RIFFwebp")),
+        (4, _wrap(b"GIF89a\x00\x01")),
         (5, None),
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, blob binary")
