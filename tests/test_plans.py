@@ -497,25 +497,30 @@ def test_q84_pii_scrub_is_single_codegen_projection(spark, sf_dir):
 
 
 def test_q85_packing_single_shuffle_never_moves_text(spark, sf_dir):
-    """The layout family's plan contract: ONE exchange total — the
-    pack leg's per-shard layout window; the chunk leg is pure codegen
-    explode+slice and adds NONE. The map-side projection feeding the
-    exchange computes n_tokens and drops the text column, so the one
-    shuffle carries (key, counts), never text (the chunk leg touches
-    text, but only scan-local — no Exchange ever sees it)."""
+    """The layout family's plan contract: TWO exchanges total — the
+    pack leg's per-lang layout window and the shard leg's per-shard
+    epoch window; the chunk leg is pure codegen explode+slice and
+    adds NONE. Each exchange's map-side projection computes n_tokens
+    and drops the text column, so no shuffle ever carries text (the
+    chunk leg touches text, but only scan-local)."""
     plan = _plan(spark, sf_dir, "q85_sequence_packing")
-    assert plan.count("Exchange") == 1, plan[:1200]
-    i = plan.find("Exchange hashpartitioning(lang")
-    assert i != -1
-    # the exchange's child projection (first Project under it) computes
-    # the token count map-side and outputs no bare text column
-    j = plan.find("+- Project", i)
-    assert j != -1
-    project_line = plan[j : plan.find("\n", j)]
-    assert "size(split(text#" in project_line, project_line
-    assert project_line.count("text#") == project_line.count(
-        "size(split(text#"
-    ), project_line
+    assert plan.count("Exchange") == 2, plan[:1200]
+    for anchor in ("Exchange hashpartitioning(lang", "Exchange hashpartitioning(shard"):
+        i = plan.find(anchor)
+        assert i != -1, anchor
+        # the exchange's child projection (first Project under it)
+        # computes the token count map-side and outputs no bare text
+        j = plan.find("+- Project", i)
+        assert j != -1
+        project_line = plan[j : plan.find("\n", j)]
+        # any text reference in the exchange's child projection must be
+        # inside the map-side size(split(...)) count (the shard leg's
+        # projection has already dropped text a level deeper → zero)
+        assert project_line.count("text#") == project_line.count(
+            "size(split(text#"
+        ), project_line
+    # the pack leg computes the token count map-side of ITS exchange
+    assert "size(split(text#" in plan
 
 
 def test_q86_snapshot_diff_shuffles_hashes_only(spark, sf_dir):

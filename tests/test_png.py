@@ -144,7 +144,7 @@ def test_real_resize_of_png_payload_matches_python_oracle(spark):
         [
             (1, _img_blob(payload)),
             (2, _img_blob(b"\xff\xd8JPEG")),
-            (3, _img_blob(b"RIFFwebp")),
+            (3, _img_blob(b"GIF89a\x00\x01")),
         ],
     )
     out = {
