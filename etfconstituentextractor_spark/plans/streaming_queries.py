@@ -33,6 +33,7 @@ from etfconstituentextractor_spark.streaming.replay import (
     read_stream,
     run_many_to_memory,
     run_to_memory,
+    run_many_to_parquet,
     run_to_parquet,
     stage_chunks,
 )
@@ -160,27 +161,58 @@ def q56_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q57 — watermark + late-data drop, append mode. Copies of the 5
-# earliest events (fresh negative ids) arrive in a final late-only
-# micro-batch, by which point the watermark (max seen ts − 2h,
-# advanced over the 4 data batches spanning weeks) is far past their
-# day-window's end — the state store has finalized that window and
-# MUST drop them.
-# Append mode emits exactly the finalized windows: end <= final
-# watermark. The oracle counts only the on-time rows and only the
-# finalized windows; a late-row leak or an unfinalized emission both
-# hash-mismatch.
+# q57 — watermark semantics in append mode, two tagged legs over the
+# SAME chunk layout (late-row injection included):
+#
+# - leg='window': watermark + late-data drop. Copies of the 5
+#   earliest events (fresh negative ids) arrive in a final late-only
+#   micro-batch, by which point the watermark (max seen ts − 2h,
+#   advanced over the 4 data batches spanning weeks) is far past
+#   their day-window's end — the state store has finalized that
+#   window and MUST drop them. Append mode emits exactly the
+#   finalized windows: end <= final watermark (max ts − 2h).
+# - leg='ssjoin' (round 6 finish): STREAM-STREAM inner join followed
+#   by a windowed aggregation — two CHAINED stateful operators in one
+#   stream. view→click conversion pairs per user within 1h
+#   (b.ts ∈ [a.ts, a.ts+1h)), then click-day windows. The join holds
+#   both sides in watermarked state; the downstream agg sees a
+#   watermark DELAYED BY THE JOIN'S TIME RANGE (Spark's multi-
+#   stateful watermark propagation), so its finalization boundary is
+#   max ts − 2h − 1h. That rule was pinned empirically with boundary
+#   streams either side of the cut (tests/test_stateful_streaming.py)
+#   — both candidate boundaries were then encoded and only −3h
+#   matched. The late copies are also dropped by the JOIN's input
+#   watermark, extending the late-drop contract to join state.
+#
+# The oracle states both legs as batch SQL over the on-time rows with
+# each leg's finalization boundary; a late-row leak, an unfinalized
+# emission, or a mis-propagated watermark all hash-mismatch. Both
+# streams drain CONCURRENTLY (run_many_to_parquet — overlapped
+# micro-batch fixed costs, the q55 pattern).
 # ---------------------------------------------------------------------------
 @query(
     "q57_stream_watermark_late",
     oracle=f"""
-    SELECT strftime(date_trunc('day', ts), '{_SQL_FMT}') AS window_start,
+    SELECT 'window' AS leg,
+           strftime(date_trunc('day', ts), '{_SQL_FMT}') AS window_start,
            COUNT(*) AS n,
            CAST(ROUND(SUM(CAST(value AS DECIMAL(14,4))), 2) AS DOUBLE) AS sum_value
     FROM events
     WHERE date_trunc('day', ts) + INTERVAL 1 DAY
           <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
     GROUP BY date_trunc('day', ts)
+    UNION ALL
+    SELECT 'ssjoin',
+           strftime(date_trunc('day', b.ts), '{_SQL_FMT}'),
+           COUNT(*),
+           CAST(ROUND(SUM(CAST(b.value AS DECIMAL(14,4))), 2) AS DOUBLE)
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'click'
+     AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 1 HOUR
+    WHERE date_trunc('day', b.ts) + INTERVAL 1 DAY
+          <= (SELECT max(ts) - INTERVAL 3 HOUR FROM events)
+    GROUP BY date_trunc('day', b.ts)
     """,
 )
 def q57_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -212,7 +244,38 @@ def q57_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return run_to_parquet(agg, "q57", sf_dir)
+
+    def _side(event_type: str, pre: str) -> DataFrame:
+        return (
+            read_stream(spark, chunks)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("ts").cast("timestamp").alias(f"{pre}_ts"),
+                F.col("user_id").alias(f"{pre}_user"),
+                F.col("value").alias(f"{pre}_value"),
+            )
+            .withWatermark(f"{pre}_ts", "2 hours")
+        )
+
+    joined = _side("view", "a").join(
+        _side("click", "b"),
+        F.expr("a_user = b_user AND b_ts >= a_ts AND b_ts < a_ts + interval 1 hour"),
+    )
+    conv = (
+        joined.groupBy(F.window("b_ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(dec("b_value"), "sum_value"))
+        .select(
+            F.date_format("w.start", _FMT).alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+    window_out, conv_out = run_many_to_parquet(
+        [(agg, "q57"), (conv, "q57_ssjoin")], sf_dir
+    )
+    return window_out.select(F.lit("window").alias("leg"), "*").unionByName(
+        conv_out.select(F.lit("ssjoin").alias("leg"), "*")
+    )
 
 
 # ---------------------------------------------------------------------------

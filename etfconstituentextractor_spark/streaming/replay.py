@@ -297,19 +297,37 @@ def run_to_parquet(
     """Drain the stream into a parquet file sink (append mode — the
     scale-correct sink: nothing collects to the driver) and return the
     sink's contents."""
-    out = work_dir(sf_dir, f"sink_{tag}")
-    ckpt = work_dir(sf_dir, f"ckpt_{tag}")
-    _clean(out)
-    _clean(ckpt)
-    spark = sdf.sparkSession
+    return run_many_to_parquet([(sdf, tag)], sf_dir, shuffle_partitions)[0]
+
+
+def run_many_to_parquet(
+    tagged: list[tuple[DataFrame, str]],
+    sf_dir: str,
+    shuffle_partitions: int | None = None,
+) -> list[DataFrame]:
+    """Drain several independent append-mode streams CONCURRENTLY into
+    parquet file sinks (the run_many_to_memory overlap, for sinks that
+    must not collect): all streams start before any is awaited, so the
+    per-micro-batch fixed costs overlap on the idle pool."""
+    if not tagged:
+        raise ValueError("run_many_to_parquet needs at least one stream")
+    spark = tagged[0][0].sparkSession
+    outs, qs = [], []
     with _replay_shuffle(spark, shuffle_partitions):
-        q = (
-            sdf.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.read.parquet(out)
+        for sdf, tag in tagged:
+            out = work_dir(sf_dir, f"sink_{tag}")
+            ckpt = work_dir(sf_dir, f"ckpt_{tag}")
+            _clean(out)
+            _clean(ckpt)
+            outs.append(out)
+            qs.append(
+                sdf.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+        for q in qs:
+            q.awaitTermination()
+    return [spark.read.parquet(out) for out in outs]

@@ -240,6 +240,77 @@ def test_stream_stream_interval_join_batch_equivalent(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_join_then_agg_watermark_propagation_boundary(spark, tmp_path):
+    """q57's 'ssjoin' leg chains TWO stateful operators (stream-stream
+    join → windowed agg). Spark delays the downstream watermark by the
+    join's event-time range, so the agg's finalization boundary is
+    max_ts − delay − range (2h + 1h here), NOT max_ts − delay. Pin the
+    rule with synthetic streams a minute either side of the cut: a
+    day-window whose end sits at max_ts − 2h59m must NOT emit; at
+    max_ts − 3h30m it MUST. The q57 oracle encodes exactly this
+    boundary — if a Spark upgrade changes propagation, this test and
+    the driver row both go red."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    def run(max_hm: tuple[int, int]) -> list[str]:
+        rows = [
+            (1, dt.datetime(2024, 1, 2, 23, 0), 7, "view"),
+            (2, dt.datetime(2024, 1, 2, 23, 30), 7, "click"),
+            (3, dt.datetime(2024, 1, 3, max_hm[0], 0), 8, "view"),
+            (4, dt.datetime(2024, 1, 3, *max_hm), 8, "click"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        )
+        tag = f"{max_hm[0]}_{max_hm[1]}"
+        src = str(tmp_path / f"src_{tag}")
+        df.coalesce(1).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+        def side(t, pre):
+            return (
+                stream.filter(F.col("event_type") == t)
+                .select(
+                    F.col("ts").alias(f"{pre}_ts"),
+                    F.col("user_id").alias(f"{pre}_user"),
+                )
+                .withWatermark(f"{pre}_ts", "2 hours")
+            )
+
+        j = side("view", "a").join(
+            side("click", "b"),
+            F.expr("a_user = b_user AND b_ts >= a_ts AND b_ts < a_ts + interval 1 hour"),
+        )
+        agg = (
+            j.groupBy(F.window("b_ts", "1 day").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").cast("string").alias("ws"))
+        )
+        out = str(tmp_path / f"out_{tag}")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(r.ws for r in spark.read.parquet(out).collect())
+
+    # max_ts Jan 3 02:59 → propagated wm 23:59 Jan 2 < window end → hold
+    assert run((2, 59)) == []
+    # max_ts Jan 3 03:30 → propagated wm 00:30 Jan 3 ≥ end → emit Jan 2
+    assert run((3, 30)) == ["2024-01-02 00:00:00"]
+
+
 def test_stream_static_dimension_join(spark, sf_dir):
     """Stream-static enrichment: the events stream joins a static
     dimension (per-user tier derived from user_id) without any
