@@ -355,6 +355,10 @@ def q12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'jsonl', o_orderstatus, COUNT(*),
              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,4))), 2) AS DOUBLE)
       FROM orders GROUP BY o_orderstatus
+      UNION ALL
+      SELECT 'zorder', o_orderstatus, COUNT(*),
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,4))), 2) AS DOUBLE)
+      FROM orders GROUP BY o_orderstatus
     )
     """,
 )
@@ -399,6 +403,21 @@ def q15_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("o_orderstatus")
         .json(json_out)
     )
+    # Z-ORDERED parquet sink (operators/zorder.py): clustered on the
+    # (o_orderkey, o_totalprice) Morton curve so row-group stats prune
+    # filters on EITHER column — the lakehouse layout-service write,
+    # under the same roundtrip oracle (the skip-metrics proof lives in
+    # tests/test_zorder.py).
+    from etfconstituentextractor_spark.operators.zorder import write_zordered
+
+    z_out = os.path.join(tempfile.gettempdir(), f"etfce_zorder_roundtrip_{tag}")
+    write_zordered(
+        o.withColumn("o_totalprice", F.col("o_totalprice").cast("double")),
+        z_out,
+        "o_orderkey",
+        "o_totalprice",
+        bits=12,
+    )
     csv_back = spark.read.option("header", True).schema(
         "o_orderkey bigint, o_totalprice decimal(14,4), o_orderstatus string"
     ).csv(csv_out)
@@ -407,6 +426,7 @@ def q15_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     json_back = spark.read.schema(
         "o_orderkey bigint, o_totalprice decimal(14,4), o_orderstatus string"
     ).json(json_out)
+    z_back = spark.read.parquet(z_out)
     def summarize(df: DataFrame, sink: str) -> DataFrame:
         return df.groupBy("o_orderstatus").agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -417,6 +437,7 @@ def q15_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(summarize(pq_back, "parquet"))
         .unionByName(summarize(orc_back, "orc"))
         .unionByName(summarize(json_back, "jsonl"))
+        .unionByName(summarize(z_back, "zorder"))
     )
 
 
