@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from etfconstituentextractor_spark.operators.text import hex_to_long
+from etfconstituentextractor_spark.operators.text import hex_to_long, sql_hex_to_long
 
 
 def _bucket(token_expr: str, r: int, w: int):
@@ -39,9 +39,8 @@ def _bucket(token_expr: str, r: int, w: int):
 
 
 def _sql_bucket(token_expr: str, r: int, w: int) -> str:
-    return (
-        f"(CAST('0x' || substr(md5('{r}:' || {token_expr}), 1, 15) AS BIGINT) % {w})"
-    )
+    hex_prefix = f"substr(md5('{r}:' || {token_expr}), 1, 15)"
+    return f"({sql_hex_to_long(hex_prefix)} % {w})"
 
 
 def cms_token_estimates(

@@ -47,7 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from etfconstituentextractor_spark.operators.text import hex_to_long
+from etfconstituentextractor_spark.operators.text import hex_to_long, sql_hex_to_long
 
 #: Bits taken from the md5 prefix (15 hex chars — BIGINT-safe).
 _W = 60
@@ -141,8 +141,7 @@ def sql_hll_distinct(
                MAX(CASE WHEN (__h >> {p}) = 0 THEN {rmax}
                    ELSE {wbits} - length(bin(__h >> {p})) + 1 END) AS __reg
         FROM (SELECT {group_col},
-                     CAST('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 15)
-                          AS BIGINT) AS __h
+                     {sql_hex_to_long(f"substr(md5(CAST({value_col} AS VARCHAR)), 1, 15)")} AS __h
               FROM {from_sql}
               WHERE {value_col} IS NOT NULL)
         GROUP BY {group_col}, __b

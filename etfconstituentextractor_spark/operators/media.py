@@ -534,7 +534,7 @@ def resize_blobs(
             PNG_SIGNATURE,
             decode_png,
         )
-        from etfconstituentextractor_spark.operators.vp8l import decode_vp8l
+        from etfconstituentextractor_spark.operators.vp8l import decode_vp8l, is_vp8l
 
         for pdf in batches:
             rows = []
@@ -570,11 +570,12 @@ def resize_blobs(
                     except Exception as exc:
                         rows.append((doc_id, f"bad_jpeg: {exc}", None, None, None))
                         continue
-                elif payload[:4] == b"RIFF" or payload[:1] == b"\x2f":
+                elif is_vp8l(payload):
                     # WebP lossless: from-scratch VP8L codec
                     # (operators/vp8l.py — prefix codes + LZ77 + the
-                    # four transforms); lossy VP8 raises inside and
-                    # lands in the error row
+                    # four transforms). Lossy 'VP8 ' and non-WEBP RIFF
+                    # payloads fail the sniff and stay in the declared
+                    # codec_unsupported category below.
                     try:
                         img = decode_vp8l(payload)
                     except Exception as exc:

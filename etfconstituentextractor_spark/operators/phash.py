@@ -106,7 +106,7 @@ def phash_blobs(blobs: DataFrame, blob_col: str = "blob") -> DataFrame:
             PNG_SIGNATURE,
             decode_png,
         )
-        from etfconstituentextractor_spark.operators.vp8l import decode_vp8l
+        from etfconstituentextractor_spark.operators.vp8l import decode_vp8l, is_vp8l
 
         for pdf in batches:
             rows = []
@@ -128,7 +128,7 @@ def phash_blobs(blobs: DataFrame, blob_col: str = "blob") -> DataFrame:
                         _, _, _, img = decode_png(payload)
                     elif payload[:2] == b"\xff\xd8":
                         img = decode_jpeg(payload)
-                    elif payload[:4] == b"RIFF" or payload[:1] == b"\x2f":
+                    elif is_vp8l(payload):
                         img = decode_vp8l(payload)  # VP8L WebP lossless
                     else:
                         rows.append((doc_id, "codec_unsupported", None))

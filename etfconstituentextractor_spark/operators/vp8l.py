@@ -97,19 +97,22 @@ class _BitWriter:
 _CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
 
 #: 2-D short-distance map: first 120 distance codes address a pixel
-#: neighborhood. The table is the window dx∈[-8,8], dy∈[0,8] (dy=0 →
-#: dx>0) ordered by (squared distance, then larger dy, then larger
-#: dx) — this reconstruction matches the table listed in the spec
-#: (its leading entries are pinned in tests/test_vp8l.py).
+#: neighborhood. The window is dx∈[-7,8], dy∈[0,7] (dy=0 → dx>0) —
+#: EXACTLY 120 entries, the range libwebp's nibble encoding can
+#: represent (xoffset = 8 - (code & 0xF) spans -7..8; yoffset =
+#: code >> 4 spans 0..7) — ordered by (squared distance, then larger
+#: dy, then larger dx), which matches the table listed in the spec
+#: (leading entries + window shape pinned in tests/test_vp8l.py).
 _DIST_MAP = sorted(
     (
         (dx, dy)
-        for dy in range(9)
-        for dx in range(-8, 9)
+        for dy in range(8)
+        for dx in range(-7, 9)
         if not (dy == 0 and dx <= 0)
     ),
     key=lambda t: (t[0] * t[0] + t[1] * t[1], -t[1], -t[0]),
-)[:120]
+)
+assert len(_DIST_MAP) == 120
 
 
 class _PrefixCode:
@@ -499,6 +502,29 @@ def _inv_palette(
 _SIGNATURE = 0x2F
 
 
+def is_vp8l(data: bytes) -> bool:
+    """True when ``data`` is a decodable-format candidate: a bare VP8L
+    stream or a RIFF/WEBP container holding a VP8L chunk. False for
+    lossy 'VP8 ' payloads, non-WEBP RIFF (e.g. WAV), and anything
+    else — those stay in the caller's declared ``codec_unsupported``
+    category; only true VP8L candidates that then fail to parse are
+    decode ERRORS."""
+    if data[:1] == bytes([_SIGNATURE]):
+        return True
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        return False
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if tag == b"VP8L":
+            return True
+        if tag == b"VP8 ":
+            return False
+        pos += 8 + size + (size & 1)
+    return False
+
+
 def strip_riff(data: bytes) -> bytes:
     """Extract the VP8L chunk payload from a RIFF/WEBP container (or
     return bare VP8L data unchanged). Lossy 'VP8 ' chunks raise."""
@@ -634,10 +660,11 @@ def _write_code_lengths(bw: _BitWriter, lengths: list[int]) -> None:
     """Transmit one prefix code's symbol lengths: RLE to the
     code-length alphabet (16=repeat prev, 17/18=zero runs), then the
     code-length code itself, then the coded sequence."""
-    # RLE
+    # RLE — a 16-run is only ever emitted immediately after its
+    # literal length, which is what satisfies the decoder's
+    # repeat-previous-nonzero contract without tracking it here
     seq: list[tuple[int, int]] = []  # (symbol, extra_value)
     i = 0
-    prev_nz = 8
     n = len(lengths)
     while i < n:
         l = lengths[i]
@@ -658,7 +685,6 @@ def _write_code_lengths(bw: _BitWriter, lengths: list[int]) -> None:
                 seq.append((0, -1))
         else:
             seq.append((l, -1))
-            prev_nz = l
             r = run - 1
             while r >= 3:
                 take = min(r, 6)

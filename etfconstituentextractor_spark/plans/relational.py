@@ -417,6 +417,7 @@ def q15_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_totalprice",
         bits=12,
+        n_files=4,  # ranged Z-writes in parallel, like the other legs
     )
     csv_back = spark.read.option("header", True).schema(
         "o_orderkey bigint, o_totalprice decimal(14,4), o_orderstatus string"

@@ -177,12 +177,16 @@ def q56_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   (b.ts ∈ [a.ts, a.ts+1h)), then click-day windows. The join holds
 #   both sides in watermarked state; the downstream agg sees a
 #   watermark DELAYED BY THE JOIN'S TIME RANGE (Spark's multi-
-#   stateful watermark propagation), so its finalization boundary is
-#   max ts − 2h − 1h. That rule was pinned empirically with boundary
-#   streams either side of the cut (tests/test_stateful_streaming.py)
-#   — both candidate boundaries were then encoded and only −3h
-#   matched. The late copies are also dropped by the JOIN's input
-#   watermark, extending the late-drop contract to join state.
+#   stateful watermark propagation), and with per-side watermarks
+#   the query watermark is the MIN of the two sides' (each advances
+#   from its own filtered max ts; multipleWatermarkPolicy=min). The
+#   finalization boundary is therefore
+#   min(max view ts, max click ts) − 2h − 1h — both the −3h rule and
+#   the min-of-sides rule pinned empirically with boundary streams a
+#   minute either side of each cut
+#   (tests/test_stateful_streaming.py). The late copies are also
+#   dropped by the JOIN's input watermark, extending the late-drop
+#   contract to join state.
 #
 # The oracle states both legs as batch SQL over the on-time rows with
 # each leg's finalization boundary; a late-row leak, an unfinalized
@@ -210,8 +214,15 @@ def q56_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON a.user_id = b.user_id
      AND a.event_type = 'view' AND b.event_type = 'click'
      AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 1 HOUR
+    -- each side's watermark advances from ITS OWN max event time
+    -- (the withWatermark sits after the event_type filter) and the
+    -- query watermark is their MIN (multipleWatermarkPolicy=min),
+    -- minus the 2h delay and the join's 1h range
     WHERE date_trunc('day', b.ts) + INTERVAL 1 DAY
-          <= (SELECT max(ts) - INTERVAL 3 HOUR FROM events)
+          <= (SELECT least(
+                (SELECT max(ts) FROM events WHERE event_type = 'view'),
+                (SELECT max(ts) FROM events WHERE event_type = 'click'))
+              - INTERVAL 3 HOUR)
     GROUP BY date_trunc('day', b.ts)
     """,
 )

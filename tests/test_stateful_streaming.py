@@ -242,30 +242,37 @@ def test_stream_stream_interval_join_batch_equivalent(spark, sf_dir):
 
 def test_join_then_agg_watermark_propagation_boundary(spark, tmp_path):
     """q57's 'ssjoin' leg chains TWO stateful operators (stream-stream
-    join → windowed agg). Spark delays the downstream watermark by the
-    join's event-time range, so the agg's finalization boundary is
-    max_ts − delay − range (2h + 1h here), NOT max_ts − delay. Pin the
-    rule with synthetic streams a minute either side of the cut: a
-    day-window whose end sits at max_ts − 2h59m must NOT emit; at
-    max_ts − 3h30m it MUST. The q57 oracle encodes exactly this
-    boundary — if a Spark upgrade changes propagation, this test and
-    the driver row both go red."""
+    join → windowed agg). Two propagation rules govern the agg's
+    finalization boundary, both pinned here with synthetic streams a
+    minute either side of each cut:
+
+    1. the join delays the downstream watermark by its event-time
+       range → boundary = wm − delay − range (2h + 1h), NOT −2h;
+    2. with per-side watermarks (each withWatermark sits after its
+       event_type filter), the query watermark is the MIN of the two
+       sides' own maxima (multipleWatermarkPolicy=min) — a lagging
+       side holds windows the leading side alone would release.
+
+    The q57 oracle encodes exactly
+    min(max_view_ts, max_click_ts) − 3h — if a Spark upgrade changes
+    either rule, this test and the driver row both go red."""
     import datetime as dt
     import os
 
     from pyspark.sql import functions as F
 
-    def run(max_hm: tuple[int, int]) -> list[str]:
+    def run(view_hm: tuple[int, int], click_hm: tuple[int, int]) -> list[str]:
         rows = [
             (1, dt.datetime(2024, 1, 2, 23, 0), 7, "view"),
             (2, dt.datetime(2024, 1, 2, 23, 30), 7, "click"),
-            (3, dt.datetime(2024, 1, 3, max_hm[0], 0), 8, "view"),
-            (4, dt.datetime(2024, 1, 3, *max_hm), 8, "click"),
+            # watermark advancers on unmatched users
+            (3, dt.datetime(2024, 1, 3, *view_hm), 8, "view"),
+            (4, dt.datetime(2024, 1, 3, *click_hm), 9, "click"),
         ]
         df = spark.createDataFrame(
             rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
         )
-        tag = f"{max_hm[0]}_{max_hm[1]}"
+        tag = f"{view_hm[0]}_{view_hm[1]}_{click_hm[0]}_{click_hm[1]}"
         src = str(tmp_path / f"src_{tag}")
         df.coalesce(1).write.mode("overwrite").parquet(src)
         stream = (
@@ -305,10 +312,14 @@ def test_join_then_agg_watermark_propagation_boundary(spark, tmp_path):
         q.awaitTermination()
         return sorted(r.ws for r in spark.read.parquet(out).collect())
 
-    # max_ts Jan 3 02:59 → propagated wm 23:59 Jan 2 < window end → hold
-    assert run((2, 59)) == []
-    # max_ts Jan 3 03:30 → propagated wm 00:30 Jan 3 ≥ end → emit Jan 2
-    assert run((3, 30)) == ["2024-01-02 00:00:00"]
+    # both sides at 02:59 → min − 3h = 23:59 Jan 2 < window end → hold
+    assert run((2, 59), (2, 59)) == []
+    # both past the cut → min − 3h = 00:30 Jan 3 ≥ end → emit Jan 2
+    assert run((3, 30), (3, 30)) == ["2024-01-02 00:00:00"]
+    # min-of-sides: the LAGGING side rules, in either direction
+    assert run((2, 30), (4, 0)) == []  # view lags → hold
+    assert run((4, 0), (2, 30)) == []  # click lags → hold
+    assert run((3, 30), (4, 0)) == ["2024-01-02 00:00:00"]
 
 
 def test_stream_static_dimension_join(spark, sf_dir):

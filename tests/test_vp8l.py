@@ -80,6 +80,18 @@ def test_distance_map_matches_spec_prefix():
     ]
     assert len(_DIST_MAP) == 120
     assert len(set(_DIST_MAP)) == 120
+    # the SET is exactly what libwebp's nibble encoding can express:
+    # xoffset = 8 - (code & 0xF) ∈ [-7, 8], yoffset = code >> 4 ∈ [0, 7]
+    want = {
+        (dx, dy)
+        for dy in range(8)
+        for dx in range(-7, 9)
+        if not (dy == 0 and dx <= 0)
+    }
+    assert set(_DIST_MAP) == want
+    # squared distance is non-decreasing along the table
+    d2 = [dx * dx + dy * dy for dx, dy in _DIST_MAP]
+    assert d2 == sorted(d2)
 
 
 def test_canonical_codes_are_prefix_free():
@@ -160,6 +172,71 @@ def test_hand_built_lz77_and_color_cache():
     want = np.full((2, 2, 4), 0, np.uint8)
     want[..., 0], want[..., 1], want[..., 2], want[..., 3] = 1, 2, 3, 255
     assert (out == want).all()
+
+
+def test_hand_built_lz77_tail_distance_code():
+    """Exercise a distance code in the TAIL of the 2-D map (the region
+    the round-6 review found mis-generated): copy from (dx=8, dy=0) on
+    a 16x2 image. The expected table index is reconstructed in the
+    test from the libwebp nibble-window rule independently."""
+    from etfconstituentextractor_spark.operators.vp8l import _lz77_value
+
+    # independent reconstruction: same window + ordering as the spec
+    window = sorted(
+        ((dx, dy) for dy in range(8) for dx in range(-7, 9) if not (dy == 0 and dx <= 0)),
+        key=lambda t: (t[0] * t[0] + t[1] * t[1], -t[1], -t[0]),
+    )
+    dist_code = window.index((8, 0)) + 1
+    assert dist_code > 96  # genuinely in the tail region
+    # distance prefix value v=dist_code: pick prefix symbol + extra bits
+    sym = None
+    for c in range(40):
+        if c < 4:
+            if c + 1 == dist_code:
+                sym, extra_bits, extra_val = c, 0, 0
+                break
+            continue
+        eb = (c - 2) >> 1
+        off = (2 + (c & 1)) << eb
+        if off + 1 <= dist_code <= off + (1 << eb):
+            sym, extra_bits, extra_val = c, eb, dist_code - off - 1
+            break
+    assert sym is not None
+
+    w, h = 23, 1  # 20 literals + one copy of length 3 fills the row
+    greens = list(range(20))
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    # flat 8-bit green code, with literal 255's slot handed to the
+    # length-code symbol 258 so kraft stays exactly 1
+    glens = [8] * 256 + [0] * 24
+    glens[255] = 0
+    glens[258] = 8  # LZ77 length prefix 2 → value 3, no extra bits
+    gcodes = _normal(bw, glens)
+    flat = [8] * 256
+    rcodes = _normal(bw, flat)
+    bcodes = _normal(bw, flat)
+    acodes = _normal(bw, flat)
+    _simple1(bw, sym)  # distance code: single symbol, zero bits
+    for g in greens:
+        bw.write_code(*gcodes[g])
+        bw.write_code(*rcodes[1])
+        bw.write_code(*bcodes[2])
+        bw.write_code(*acodes[255])
+    # copy: length prefix 258-256=2 → value 3 (no extra bits)
+    bw.write_code(*gcodes[258])
+    bw.write(extra_val, extra_bits)  # distance extra bits
+
+    out = decode_vp8l(bw.getvalue())
+    assert out.shape == (1, 23, 4)
+    flat_px = out.reshape(-1, 4)
+    # (8,0) → scan distance 8: pixels 20..22 copy pixels 12..14
+    for i, src in ((20, 12), (21, 13), (22, 14)):
+        assert (flat_px[i] == flat_px[src]).all(), i
+    assert [p[1] for p in flat_px[:20]] == greens
 
 
 def _ref_predict(mode, px, x, y, w):
@@ -463,12 +540,14 @@ def test_resize_and_phash_decode_webp_for_real(spark):
         _resample(decode_vp8l(payload), 10, 8, "bilinear").tobytes()
     ).hexdigest()
     assert rows[1]["payload_md5"] == want
-    assert rows[2]["error"].startswith("bad_webp")
+    # lossy VP8 fails the sniff → stays in the DECLARED stub category
+    # (codec_unsupported), not a decode error
+    assert rows[2]["error"].startswith("codec_unsupported")
 
     ph = {r["doc_id"]: r for r in phash_blobs(df).collect()}
     assert ph[1]["error"] is None
     assert ph[1]["phash"] == phash_of_pixels(decode_vp8l(payload))
-    assert ph[2]["error"] is not None
+    assert ph[2]["error"] == "codec_unsupported"
 
 
 def test_decoder_rejects_malformed():
