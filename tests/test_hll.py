@@ -74,6 +74,44 @@ def test_hll_accuracy_and_null_handling(spark):
     )
 
 
+def test_hll_registers_merge_to_full_corpus_state(spark):
+    """The at-scale claim in the docstring: HLL registers are
+    mergeable by max. Build the sketch over two disjoint halves,
+    merge register-wise in Python, and the merged dyadic sum + zero
+    count must equal the one-pass full-corpus build — which is what
+    makes partial (map-side / per-partition / per-day) sketches
+    combinable without rescanning."""
+    m, _, rmax, _ = _consts(12)
+    vals = [(0, f"v{i}") for i in range(3000)]
+    df = spark.createDataFrame(vals, "g int, v string")
+
+    def regs_of(rows):
+        # reconstruct registers from the pure-Python replay
+        import hashlib as h
+
+        regs: dict[int, int] = {}
+        for _, v in rows:
+            x = int(h.md5(v.encode()).hexdigest()[:15], 16)
+            b = x & (m - 1)
+            w = x >> 12
+            rho = rmax if w == 0 else (60 - 12) - w.bit_length() + 1
+            regs[b] = max(regs.get(b, 0), rho)
+        return regs
+
+    half_a, half_b = vals[:1500], vals[1500:]
+    merged: dict[int, int] = {}
+    for part in (regs_of(half_a), regs_of(half_b)):
+        for b, r in part.items():
+            merged[b] = max(merged.get(b, 0), r)
+    merged_sum = sum(1 << (rmax - r) for r in merged.values()) + (
+        m - len(merged)
+    ) * (1 << rmax)
+
+    full = hll_distinct(df, ["g"], "v", p=12).collect()[0]
+    assert full.hll_sum_dyadic == merged_sum
+    assert full.hll_zero_regs == m - len(merged)
+
+
 def test_hll_rejects_bad_precision(spark):
     df = spark.createDataFrame([(1, "a")], "g int, v string")
     with pytest.raises(ValueError):
