@@ -122,6 +122,33 @@ def test_cms_grids_merge_by_addition(spark):
     assert got == full
 
 
+def test_cms_three_way_on_adversarial_tokens(spark):
+    """Tokens with quotes, unicode, separators and the hash-prefix
+    colon itself must hash identically in Spark, DuckDB and Python —
+    md5 runs over UTF-8 bytes in all three, and the token is a column
+    reference (never a SQL literal), so no quoting can skew it."""
+    toks = [
+        "plain", "it's", 'quo"te', "co:lon", "0:x", "naïve", "日本語",
+        "emoji🚀", " lead", "trail ", "tab\tsep", "back\\slash",
+    ] * 3
+    expected = _py_cms(toks, 2, 8)
+    df = spark.createDataFrame([(t,) for t in toks], "token string")
+    got = {
+        r.token: (r.n_exact, r.cms_est)
+        for r in cms_token_estimates(df, "token", d=2, w=8).collect()
+    }
+    assert got == expected
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"token": toks}))
+    ducked = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(
+            sql_cms_token_estimates("SELECT token FROM t", "token", d=2, w=8)
+        ).fetchall()
+    }
+    assert ducked == expected
+
+
 def test_cms_null_and_bad_params(spark):
     df = spark.createDataFrame([("a",), (None,), ("a",)], "token string")
     rows = cms_token_estimates(df, "token", d=2, w=8).collect()
