@@ -240,6 +240,132 @@ def test_stream_stream_interval_join_batch_equivalent(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_stream_stream_left_outer_join_eviction_semantics(spark, sf_dir, tmp_path):
+    """Stream-stream LEFT OUTER join: the inner pairs stream out as
+    matches arrive, but a null-padded row for an unmatched left row
+    only emits when its join state is EVICTED — i.e. once the query
+    watermark (min of the two sides' own maxima − 2h delay) passes
+    the end of its match window (+1h), so the cut is
+    a_ts <= min(max_view_ts, max_click_ts) − 3h, INCLUSIVE at the
+    boundary. Pinned two ways: synthetic streams either side of the
+    cut, then full equivalence on the real corpus against the batch
+    left join with exactly that null-row filter."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etfconstituentextractor_spark.sources.tables import load
+    from etfconstituentextractor_spark.streaming.replay import (
+        read_stream,
+        run_to_parquet,
+        stage_chunks,
+    )
+
+    def run_synthetic(view_rows, click_rows, tag):
+        rows = [
+            (i + 1, ts, uid, "view") for i, (ts, uid) in enumerate(view_rows)
+        ] + [
+            (100 + i, ts, uid, "click") for i, (ts, uid) in enumerate(click_rows)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        )
+        src = str(tmp_path / f"src_{tag}")
+        df.coalesce(1).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+        def side(t, pre):
+            return (
+                stream.filter(F.col("event_type") == t)
+                .select(
+                    F.col("ts").alias(f"{pre}_ts"),
+                    F.col("user_id").alias(f"{pre}_user"),
+                )
+                .withWatermark(f"{pre}_ts", "2 hours")
+            )
+
+        j = side("view", "a").join(
+            side("click", "b"),
+            F.expr("a_user = b_user AND b_ts >= a_ts AND b_ts < a_ts + interval 1 hour"),
+            "leftOuter",
+        )
+        out = str(tmp_path / f"out_{tag}")
+        q = (
+            j.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r.a_user, str(r.b_ts) if r.b_ts is not None else None)
+            for r in spark.read.parquet(out).collect()
+        )
+
+    D = dt.datetime
+    v_probe = (D(2024, 1, 2, 23, 0), 7)  # match window ends Jan 3 00:00
+    clicks = [(D(2024, 1, 3, 3, 0), 9)]
+    # min(maxes)−3h lands ON the probe's ts → state evicted → null emits
+    got = run_synthetic([v_probe, (D(2024, 1, 3, 2, 0), 8)], clicks, "on_cut")
+    assert (7, None) in got
+    # a minute short of the cut → state still live at end → no row
+    got = run_synthetic([v_probe, (D(2024, 1, 3, 1, 59), 8)], clicks, "short")
+    assert all(u != 7 for u, _ in got)
+
+    # real-corpus equivalence against the batch statement of the rule
+    chunks = stage_chunks(spark, sf_dir, tag="plain4", n_chunks=4, reuse=True)
+
+    def cside(t, pre):
+        return (
+            read_stream(spark, chunks)
+            .filter(F.col("event_type") == t)
+            .select(
+                F.col("ts").cast("timestamp").alias(f"{pre}_ts"),
+                F.col("user_id").alias(f"{pre}_user"),
+                F.col("event_id").alias(f"{pre}_id"),
+            )
+            .withWatermark(f"{pre}_ts", "2 hours")
+        )
+
+    cond = F.expr("a_user = b_user AND b_ts >= a_ts AND b_ts < a_ts + interval 1 hour")
+    got = {
+        (r.a_id, r.b_id)
+        for r in run_to_parquet(
+            cside("view", "a").join(cside("click", "b"), cond, "leftOuter"),
+            "ss_louter_test",
+            sf_dir,
+        ).collect()
+    }
+
+    ev = load(spark, sf_dir, "events")
+    v = ev.filter("event_type = 'view'").select(
+        F.col("ts").alias("a_ts"), F.col("user_id").alias("a_user"),
+        F.col("event_id").alias("a_id"),
+    )
+    c = ev.filter("event_type = 'click'").select(
+        F.col("ts").alias("b_ts"), F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("b_id"),
+    )
+    cut = min(
+        v.agg(F.max("a_ts")).first()[0], c.agg(F.max("b_ts")).first()[0]
+    ) - dt.timedelta(hours=3)
+    batch = v.join(c, cond, "leftOuter")
+    want = {
+        (r.a_id, r.b_id)
+        for r in batch.filter(
+            F.col("b_id").isNotNull() | (F.col("a_ts") <= F.lit(cut))
+        ).collect()
+    }
+    assert got == want and any(b is None for _, b in got)
+
+
 def test_join_then_agg_watermark_propagation_boundary(spark, tmp_path):
     """q57's 'ssjoin' leg chains TWO stateful operators (stream-stream
     join → windowed agg). Two propagation rules govern the agg's
