@@ -523,6 +523,19 @@ def test_q85_packing_single_shuffle_never_moves_text(spark, sf_dir):
     assert "size(split(text#" in plan
 
 
+def test_q81_cms_leg_reuses_checkpointed_counts(spark, sf_dir):
+    """q81's wstats frame feeds three consumers (word leg, CMS
+    read-out, total-occurrence scalar); the localCheckpoint turns all
+    of them into RDD scans. Pin the documents FileScan count at 4
+    (total-docs agg + the bpe leg's two token frames + the word-leg
+    tokenization that SEEDS the checkpoint) so a refactor that drops
+    the checkpoint — re-scanning documents once per consumer — fails
+    here instead of tripling the corpus reads at 100 TB."""
+    plan = _plan(spark, sf_dir, "q81_text_token_counts")
+    assert plan.count("FileScan parquet") == 4, plan.count("FileScan parquet")
+    assert plan.count("Scan ExistingRDD") >= 3  # checkpointed wstats consumers
+
+
 def test_q86_snapshot_diff_shuffles_hashes_only(spark, sf_dir):
     """CDC scale posture, both legs: every snapshot reduces to (key,
     [version,] md5) BEFORE any exchange — hash projections are
