@@ -749,9 +749,98 @@ def _write_prefix_code(bw: _BitWriter, lengths: list[int], counts: list[int]) ->
     return _canonical_codes(lengths)
 
 
-def encode_vp8l(img: np.ndarray, use_subtract_green: bool = True) -> bytes:
-    """Encode an (h, w), (h, w, 3) or (h, w, 4) uint8 image as a
-    RIFF-wrapped VP8L stream (literal-only valid subset)."""
+def _lz77_code(v: int) -> tuple[int, int, int]:
+    """Inverse of :func:`_lz77_value`: (prefix_code, extra_bits,
+    extra_val) for a length/distance value >= 1."""
+    if v <= 4:
+        return v - 1, 0, 0
+    t = v - 1
+    msb = t.bit_length() - 1
+    if t < 3 << (msb - 1):
+        code, extra, off = 2 * msb, msb - 1, 2 << (msb - 1)
+    else:
+        code, extra, off = 2 * msb + 1, msb - 1, 3 << (msb - 1)
+    return code, extra, v - off - 1
+
+
+#: longest LZ77 match the 24 length codes can express.
+_MAX_MATCH = 4096
+#: longest scan distance the 40 distance codes can express (linear
+#: code 1048576 minus the 120 map slots).
+_MAX_DIST = (1 << 20) - 120
+
+
+def _tokenize(
+    px: list[int], use_lz77: bool, cache_bits: int
+) -> list[tuple]:
+    """Greedy LZ77 + color-cache tokenization of an ARGB pixel list:
+    ('lit', argb) | ('copy', length, dist) | ('cache', idx). The
+    encoder replays the decoder's cache updates (every emitted pixel,
+    including copy expansions) so indices always resolve."""
+    n = len(px)
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    cache = [None] * cache_size
+    cache_shift = 32 - cache_bits if cache_bits else 0
+
+    def cache_idx(argb: int) -> int:
+        return ((_CACHE_MULT * argb) & 0xFFFFFFFF) >> cache_shift
+
+    chains: dict[tuple[int, int, int], list[int]] = {}
+    tokens: list[tuple] = []
+    i = 0
+    while i < n:
+        match_len, match_dist = 0, 0
+        if use_lz77 and i + 2 < n:
+            key = (px[i], px[i + 1], px[i + 2])
+            # bounded greedy search: most recent 8 candidates only
+            for j in reversed(chains.get(key, ())[-8:]):
+                dist = i - j
+                if dist > _MAX_DIST:
+                    break
+                length = 0
+                limit = min(_MAX_MATCH, n - i)
+                while length < limit and px[j + length] == px[i + length]:
+                    length += 1
+                if length > match_len:
+                    match_len, match_dist = length, dist
+        if match_len >= 3:
+            tokens.append(("copy", match_len, match_dist))
+            end = i + match_len
+            while i < end:
+                if use_lz77 and i + 2 < n:
+                    chains.setdefault((px[i], px[i + 1], px[i + 2]), []).append(i)
+                if cache_size:
+                    cache[cache_idx(px[i])] = px[i]
+                i += 1
+            continue
+        argb = px[i]
+        if cache_size and cache[cache_idx(argb)] == argb:
+            tokens.append(("cache", cache_idx(argb)))
+        else:
+            tokens.append(("lit", argb))
+        if use_lz77 and i + 2 < n:
+            chains.setdefault((px[i], px[i + 1], px[i + 2]), []).append(i)
+        if cache_size:
+            cache[cache_idx(argb)] = argb
+        i += 1
+    return tokens
+
+
+def encode_vp8l(
+    img: np.ndarray,
+    use_subtract_green: bool = True,
+    use_lz77: bool = True,
+    cache_bits: int = 6,
+) -> bytes:
+    """Encode an (h, w), (h, w, 1/3/4) uint8 image as a RIFF-wrapped
+    VP8L stream: optional subtract-green transform, greedy LZ77
+    backward references (2-D map codes where the offset fits the
+    neighborhood, linear codes otherwise), and a color cache —
+    i.e. every emission kind the decoder supports, which makes each
+    fuzz roundtrip exercise the full decode loop. ``use_lz77=False``
+    + ``cache_bits=0`` gives the literal-only subset."""
+    if not 0 <= cache_bits <= 11:
+        raise ValueError(f"cache_bits must be in [0, 11], got {cache_bits}")
     if img.ndim == 2:
         img = img[..., None]
     if img.shape[2] == 1:
@@ -763,13 +852,48 @@ def encode_vp8l(img: np.ndarray, use_subtract_green: bool = True) -> bytes:
     h, w = img.shape[:2]
     if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
         raise ValueError(f"dimensions {w}x{h} out of VP8L range")
-    r = img[..., 0].astype(np.int32)
-    g = img[..., 1].astype(np.int32)
-    b = img[..., 2].astype(np.int32)
-    a = img[..., 3].astype(np.int32)
+    r = img[..., 0].astype(np.int64)
+    g = img[..., 1].astype(np.int64)
+    b = img[..., 2].astype(np.int64)
+    a = img[..., 3].astype(np.int64)
     if use_subtract_green:
         r = (r - g) & 0xFF
         b = (b - g) & 0xFF
+    px = ((a << 24) | (r << 16) | (g << 8) | b).ravel().tolist()
+
+    tokens = _tokenize(px, use_lz77, cache_bits)
+    # 2-D distance map codes where the offset fits (decoder maps the
+    # plane code back to the identical scan distance by construction)
+    plane = {max(1, dy * w + dx): i + 1 for i, (dx, dy) in enumerate(_DIST_MAP)}
+
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    green_alpha = 256 + _NUM_LENGTH_CODES + cache_size
+    histos = [
+        [0] * green_alpha,
+        [0] * 256,
+        [0] * 256,
+        [0] * 256,
+        [0] * _NUM_DISTANCE_CODES,
+    ]
+    for tok in tokens:
+        if tok[0] == "lit":
+            argb = tok[1]
+            histos[0][(argb >> 8) & 0xFF] += 1
+            histos[1][(argb >> 16) & 0xFF] += 1
+            histos[2][argb & 0xFF] += 1
+            histos[3][(argb >> 24) & 0xFF] += 1
+        elif tok[0] == "copy":
+            length, dist = tok[1], tok[2]
+            histos[0][256 + _lz77_code(length)[0]] += 1
+            dist_code = plane.get(dist, dist + 120)
+            histos[4][_lz77_code(dist_code)[0]] += 1
+        else:
+            histos[0][256 + _NUM_LENGTH_CODES + tok[1]] += 1
+    if not any(histos[4]):
+        histos[4][0] = 1  # unused distance code still needs one symbol
+    for hist in histos[1:4]:
+        if not any(hist):
+            hist[0] = 1  # all-cache/copy streams: give r/b/a a symbol
 
     bw = _BitWriter()
     bw.write(_SIGNATURE, 8)
@@ -781,31 +905,37 @@ def encode_vp8l(img: np.ndarray, use_subtract_green: bool = True) -> bytes:
         bw.write(1, 1)  # transform present
         bw.write(2, 2)  # subtract-green
     bw.write(0, 1)  # no more transforms
-    bw.write(0, 1)  # no color cache
+    if cache_bits:
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
+    else:
+        bw.write(0, 1)  # no color cache
     bw.write(0, 1)  # no meta prefix
 
-    green_alpha = 256 + _NUM_LENGTH_CODES
-    gs = g.ravel().tolist()
-    rs = r.ravel().tolist()
-    bs = b.ravel().tolist()
-    alphas = a.ravel().tolist()
-    histos = [
-        np.bincount(gs, minlength=green_alpha).tolist(),
-        np.bincount(rs, minlength=256).tolist(),
-        np.bincount(bs, minlength=256).tolist(),
-        np.bincount(alphas, minlength=256).tolist(),
-        [1] + [0] * (_NUM_DISTANCE_CODES - 1),  # unused distance code
-    ]
     maps = []
     for counts in histos:
         lengths = _limited_huffman(counts, 15)
         maps.append(_write_prefix_code(bw, lengths, counts))
-    gm, rm, bm, am, _ = maps
-    for i in range(w * h):
-        bw.write_code(*gm[gs[i]])
-        bw.write_code(*rm[rs[i]])
-        bw.write_code(*bm[bs[i]])
-        bw.write_code(*am[alphas[i]])
+    gm, rm, bm, am, dm = maps
+
+    def emit_value(code_map: dict, base: int, value: int) -> None:
+        code, extra, extra_val = _lz77_code(value)
+        bw.write_code(*code_map[base + code])
+        bw.write(extra_val, extra)
+
+    for tok in tokens:
+        if tok[0] == "lit":
+            argb = tok[1]
+            bw.write_code(*gm[(argb >> 8) & 0xFF])
+            bw.write_code(*rm[(argb >> 16) & 0xFF])
+            bw.write_code(*bm[argb & 0xFF])
+            bw.write_code(*am[(argb >> 24) & 0xFF])
+        elif tok[0] == "copy":
+            length, dist = tok[1], tok[2]
+            emit_value(gm, 256, length)
+            emit_value(dm, 0, plane.get(dist, dist + 120))
+        else:
+            bw.write_code(*gm[256 + _NUM_LENGTH_CODES + tok[1]])
 
     payload = bw.getvalue()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
