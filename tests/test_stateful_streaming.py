@@ -240,6 +240,91 @@ def test_stream_stream_interval_join_batch_equivalent(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_checkpoint_recovery_resumes_windowed_agg(spark, sf_dir, tmp_path):
+    """Fault-tolerance pin: stop a windowed streaming aggregation
+    after its FIRST micro-batch, then restart from the same
+    checkpoint with AvailableNow — the restarted query must resume
+    from the committed offsets (not reprocess batch 0 into duplicate
+    appends) and the final sink must equal the one-shot batch answer.
+    This is the recovery contract every q55-q59 result implicitly
+    relies on, exercised explicitly."""
+    from pyspark.sql import functions as F
+
+    from etfconstituentextractor_spark.streaming.replay import (
+        read_stream,
+        stage_chunks,
+    )
+
+    chunks = stage_chunks(spark, sf_dir, tag="plain4", n_chunks=4, reuse=True)
+
+    def build():
+        return (
+            read_stream(spark, chunks)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").cast("string").alias("ws"), "n")
+        )
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # phase 1: run exactly one micro-batch, then stop mid-stream
+    q = (
+        build()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        progress = q.lastProgress
+        if progress and progress["batchId"] >= 1:
+            break  # batch 0 committed (batchId 1 may be in flight)
+        time.sleep(0.05)
+    q.stop()
+    q.awaitTermination()
+    assert q.lastProgress is not None, "no batch committed before stop"
+
+    # phase 2: restart from the SAME checkpoint, drain the rest
+    q2 = (
+        build()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+
+    got = {
+        (r.ws, r.n) for r in spark.read.parquet(out).collect()
+    }
+    import datetime as dt
+
+    ev = load(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    base = ev.select(F.col("ts").cast("timestamp").alias("ts"))
+    want = {
+        (str(r.ws), r.n)
+        for r in (
+            base.groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("w.end") <= F.lit(max_ts - dt.timedelta(hours=2)))
+            .select(F.col("w.start").cast("string").alias("ws"), "n")
+            .collect()
+        )
+    }
+    assert got == want and len(got) > 0
+
+
 def test_stream_stream_left_outer_join_eviction_semantics(spark, sf_dir, tmp_path):
     """Stream-stream LEFT OUTER join: the inner pairs stream out as
     matches arrive, but a null-padded row for an unmatched left row
