@@ -1,15 +1,17 @@
-"""Baseline JPEG codec, from scratch (stdlib + numpy) — closes the
+"""JPEG codec, from scratch (stdlib + numpy) — closes the
 compressed-IMAGE half of the media codec stub for the dominant lossy
 format, the way ``operators/png.py`` closed the lossless half and
 ``operators/adpcm.py`` the compressed-audio half.
 
-Scope (ITU-T T.81 baseline sequential DCT, the profile every decoder
-must support): 8-bit samples, Huffman entropy coding, 1 (grayscale)
-or 3 (YCbCr) components, 4:4:4 and 4:2:0 chroma sampling, arbitrary
-dimensions (right/bottom edge replication), JFIF/APP/COM segments
-skipped. NOT handled, surfaced as ValueError (→ error rows in the
-mapInPandas layer): progressive (SOF2), arithmetic coding, 12-bit,
-restart markers (DRI with nonzero interval), hierarchical.
+Scope: ITU-T T.81 baseline sequential DCT (SOF0/1) AND progressive
+DCT (SOF2, Annex G — spectral selection, successive approximation
+with DC/AC first + refinement scans, cross-block EOB runs): 8-bit
+samples, Huffman entropy coding, 1 (grayscale) or 3 (YCbCr)
+components, 4:4:4 and 4:2:0 chroma sampling, arbitrary dimensions
+(right/bottom edge replication), JFIF/APP/COM segments skipped. NOT
+handled, surfaced as ValueError (→ error rows in the mapInPandas
+layer): arithmetic coding, 12-bit, restart markers (DRI with nonzero
+interval), hierarchical.
 
 The ENCODER exists to make the decoder testable without any external
 image library (the same reason png.py carries one): it writes
@@ -17,6 +19,11 @@ standard Annex-K quantization tables (quality-scaled per the IJG
 formula) and Annex-K Huffman tables, 4:4:4 or 4:2:0, so any
 third-party decoder opens its output — and tests round-trip
 encode→decode with PSNR bounds plus an exact DC-only case.
+``progressive=True`` emits an SOF2 scan script (per-scan OPTIMIZED
+Huffman tables — EOBRUN symbols aren't in the baseline Annex-K set)
+carrying the IDENTICAL quantized coefficients as the baseline
+encoding, which gives the strongest possible oracle: the two decodes
+must be bit-for-bit equal.
 
 Design notes: the DCT is the separable 8×8 orthonormal transform as
 two matrix products (numpy); Huffman decode is a bit-cursor over the
@@ -261,13 +268,21 @@ def _seg(marker: int, payload: bytes) -> bytes:
 
 
 def encode_jpeg(
-    img: np.ndarray, quality: int = 85, subsampling: str = "444"
+    img: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    progressive: bool = False,
 ) -> bytes:
-    """Baseline JPEG bytes for an (h, w) or (h, w, 1|3) uint8 array.
+    """JPEG bytes for an (h, w) or (h, w, 1|3) uint8 array.
 
     Grayscale input → 1-component scan; RGB → YCbCr, 4:4:4 or 4:2:0
     per ``subsampling``. Standard tables throughout, so any conformant
-    decoder opens the output.
+    decoder opens the output. ``progressive=True`` emits an SOF2
+    stream with a spectral-selection + successive-approximation scan
+    script (DC first/refine interleaved, per-component AC bands at
+    Al=1 then refined to Al=0) — the SAME quantized coefficients as
+    the baseline encoding, so both decode to identical pixels (the
+    oracle tests/test_jpeg.py leans on).
     """
     if subsampling not in ("444", "420"):
         raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
@@ -312,7 +327,7 @@ def encode_jpeg(
     sof = struct.pack(">BHHB", 8, h, w, len(planes))
     for i, (sx, sy) in enumerate(samp):
         sof += struct.pack(">BBB", i + 1, (sx << 4) | sy, 0 if i == 0 else 1)
-    out += _seg(0xC0, sof)
+    out += _seg(0xC2 if progressive else 0xC0, sof)
 
     def dht(cls: int, tid: int, spec) -> bytes:
         bits, vals = spec
@@ -321,47 +336,393 @@ def encode_jpeg(
     out += dht(0, 0, DC_LUMA_SPEC) + dht(1, 0, AC_LUMA_SPEC)
     if not gray:
         out += dht(0, 1, DC_CHROMA_SPEC) + dht(1, 1, AC_CHROMA_SPEC)
+
+    dc_c = [_huff_codes(DC_LUMA_SPEC)] + [_huff_codes(DC_CHROMA_SPEC)] * 2
+    ac_c = [_huff_codes(AC_LUMA_SPEC)] + [_huff_codes(AC_CHROMA_SPEC)] * 2
+
+    mcu_w = 8 * hmax
+    mcu_h = 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    # quantized coefficient grids, zigzag order, padded to full MCU
+    # coverage — SHARED by the baseline and progressive scan bodies so
+    # both encodings carry the identical data
+    coefs = []
+    for p, (sx, sy), q in zip(planes, samp, qtabs):
+        p8 = _pad_to(p, 8, 8)
+        need_h, need_w = mcus_y * 8 * sy, mcus_x * 8 * sx
+        p8 = np.pad(
+            p8, ((0, need_h - p8.shape[0]), (0, need_w - p8.shape[1])), mode="edge"
+        )
+        by_n, bx_n = need_h // 8, need_w // 8
+        grid = np.zeros((by_n, bx_n, 64), dtype=np.int64)
+        for by in range(by_n):
+            for bx in range(bx_n):
+                block = p8[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                cq = np.round(_fdct(block) / q).astype(np.int64)
+                grid[by, bx] = cq.flatten()[ZIGZAG]
+        coefs.append(grid)
+
+    if progressive:
+        out += _emit_progressive_scans(
+            coefs, samp, (h, w), (hmax, vmax), (mcus_y, mcus_x), dc_c, ac_c, gray
+        )
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
     sos = bytes([len(planes)])
     for i in range(len(planes)):
         sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
     sos += b"\x00\x3f\x00"
     out += _seg(0xDA, sos)
 
-    dc_c = [_huff_codes(DC_LUMA_SPEC)] + [_huff_codes(DC_CHROMA_SPEC)] * 2
-    ac_c = [_huff_codes(AC_LUMA_SPEC)] + [_huff_codes(AC_CHROMA_SPEC)] * 2
-
-    padded = []
-    for p, (sx, sy) in zip(planes, samp):
-        padded.append(_pad_to(p, 8, 8))
-    mcu_w = 8 * hmax
-    mcu_h = 8 * vmax
-    mcus_x = (w + mcu_w - 1) // mcu_w
-    mcus_y = (h + mcu_h - 1) // mcu_h
-    # re-pad every plane to full MCU coverage
-    full = []
-    for p, (sx, sy) in zip(padded, samp):
-        need_h = mcus_y * 8 * sy
-        need_w = mcus_x * 8 * sx
-        full.append(
-            np.pad(p, ((0, need_h - p.shape[0]), (0, need_w - p.shape[1])), mode="edge")
-        )
-
     wtr = _BitWriter()
     preds = [0] * len(planes)
     for my in range(mcus_y):
         for mx in range(mcus_x):
-            for ci, (p, (sx, sy)) in enumerate(zip(full, samp)):
+            for ci, (sx, sy) in enumerate(samp):
                 for by in range(sy):
                     for bx in range(sx):
-                        y0 = (my * sy + by) * 8
-                        x0 = (mx * sx + bx) * 8
-                        block = p[y0 : y0 + 8, x0 : x0 + 8]
-                        coef = np.round(_fdct(block) / qtabs[ci]).astype(np.int64)
-                        preds[ci] = _encode_block(
-                            wtr, coef, preds[ci], dc_c[ci], ac_c[ci]
+                        zz = coefs[ci][my * sy + by, mx * sx + bx]
+                        preds[ci] = _encode_block_zz(
+                            wtr, zz, preds[ci], dc_c[ci], ac_c[ci]
                         )
     out += wtr.flush()
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _encode_block_zz(
+    w: _BitWriter, zz: np.ndarray, pred: int, dc_codes: dict, ac_codes: dict
+) -> int:
+    """Baseline block encoding from an already-zigzagged coefficient
+    vector (the shared grid `encode_jpeg` builds)."""
+    dc = int(zz[0])
+    cat, bits = _magnitude(dc - pred)
+    code, ln = dc_codes[cat]
+    w.write(code, ln)
+    if cat:
+        w.write(bits, cat)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for i in range(1, 64):
+        v = int(zz[i])
+        if i > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            w.write(code, ln)
+            run -= 16
+        cat, bits = _magnitude(v)
+        code, ln = ac_codes[(run << 4) | cat]
+        w.write(code, ln)
+        w.write(bits, cat)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        w.write(code, ln)
+    return dc
+
+
+# ---------------------------------------------------------------------------
+# progressive scan emission (T.81 Annex G / the libjpeg scan logic)
+# ---------------------------------------------------------------------------
+
+
+class _NullWriter:
+    """Bit sink for the tally pass (symbol frequencies only)."""
+
+    def write(self, value: int, length: int) -> None:
+        pass
+
+
+class _TallyCodes(dict):
+    """Stand-in code map that counts symbol usage during the tally
+    pass; every lookup 'encodes' as a 1-bit placeholder."""
+
+    def __init__(self):
+        super().__init__()
+        self.counts: dict[int, int] = {}
+
+    def __getitem__(self, sym: int):
+        self.counts[sym] = self.counts.get(sym, 0) + 1
+        return (0, 1)
+
+
+def _optimized_spec(counts: dict[int, int]) -> tuple[list[int], list[int]]:
+    """JPEG-legal optimized Huffman table from symbol frequencies:
+    length-limited to 16 (halve-and-retry) with the reserved dummy
+    symbol 256 so no real symbol gets the all-1-bits code (the
+    libjpeg 'optimize coding' construction), returned as the DHT
+    (bits, vals) form."""
+    import heapq
+
+    freqs = dict(counts) or {0x00: 1}
+    freqs[256] = 1  # reserve the all-ones code
+    cur = dict(freqs)
+    while True:
+        if len(cur) == 1:
+            lengths = {next(iter(cur)): 1}
+        else:
+            heap: list[tuple[int, int, object]] = [
+                (c, s, s) for s, c in sorted(cur.items())
+            ]
+            heapq.heapify(heap)
+            tiebreak = 512
+            while len(heap) > 1:
+                c1, _, n1 = heapq.heappop(heap)
+                c2, _, n2 = heapq.heappop(heap)
+                heapq.heappush(heap, (c1 + c2, tiebreak, (n1, n2)))
+                tiebreak += 1
+            lengths = {}
+            stack = [(heap[0][2], 0)]
+            while stack:
+                node, depth = stack.pop()
+                if isinstance(node, int):
+                    lengths[node] = max(depth, 1)
+                else:
+                    stack.append((node[0], depth + 1))
+                    stack.append((node[1], depth + 1))
+        if max(lengths.values()) <= 16:
+            break
+        cur = {s: (c + 1) // 2 for s, c in cur.items()}
+    # canonical order: by (length, symbol) — the dummy 256 sorts last
+    # within the max length, so it owns the all-ones code; drop it
+    # from the transmitted table (the code space it held stays unused)
+    ordered = sorted(lengths.items(), key=lambda kv: (kv[1], kv[0]))
+    bits = [0] * 16
+    vals: list[int] = []
+    for sym, ln in ordered:
+        if sym == 256:
+            continue
+        bits[ln - 1] += 1
+        vals.append(sym)
+    return bits, vals
+
+
+class _AcFirstState:
+    """Cross-block EOBRUN accumulator for an AC 'first' scan."""
+
+    def __init__(self, w: _BitWriter, codes: dict):
+        self.w = w
+        self.codes = codes
+        self.eobrun = 0
+
+    def flush(self) -> None:
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            code, ln = self.codes[r << 4]
+            self.w.write(code, ln)
+            if r:
+                self.w.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+
+
+def _emit_ac_first_block(st: _AcFirstState, zz, ss: int, se: int, al: int) -> None:
+    vals = []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al
+        vals.append(t if v >= 0 else -t)
+    if not any(vals):
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush()
+        return
+    st.flush()
+    run = 0
+    last = max(i for i, v in enumerate(vals) if v)
+    for i, v in enumerate(vals):
+        if i > last:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = st.codes[0xF0]
+            st.w.write(code, ln)
+            run -= 16
+        cat, bits = _magnitude(v)
+        code, ln = st.codes[(run << 4) | cat]
+        st.w.write(code, ln)
+        st.w.write(bits, cat)
+        run = 0
+    if last < len(vals) - 1:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush()
+
+
+class _AcRefineState:
+    """Cross-block EOBRUN + buffered correction bits for an AC
+    refinement scan."""
+
+    def __init__(self, w: _BitWriter, codes: dict):
+        self.w = w
+        self.codes = codes
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def flush(self) -> None:
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            code, ln = self.codes[r << 4]
+            self.w.write(code, ln)
+            if r:
+                self.w.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.pending:
+            self.w.write(b, 1)
+        self.pending = []
+
+
+def _emit_ac_refine_block(st: _AcRefineState, zz, ss: int, se: int, al: int) -> None:
+    temps = []
+    signs = []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        temps.append(abs(v) >> al)
+        signs.append(1 if v >= 0 else 0)
+    eob = -1
+    for i, t in enumerate(temps):
+        if t == 1:
+            eob = i
+    run = 0
+    br: list[int] = []
+    for i, t in enumerate(temps):
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and i <= eob:
+            st.flush()
+            code, ln = st.codes[0xF0]
+            st.w.write(code, ln)
+            run -= 16
+            for b in br:
+                st.w.write(b, 1)
+            br = []
+        if t > 1:  # already significant: buffer its correction bit
+            br.append(t & 1)
+            continue
+        # newly significant at this bit
+        st.flush()
+        code, ln = st.codes[(run << 4) | 1]
+        st.w.write(code, ln)
+        st.w.write(signs[i], 1)
+        for b in br:
+            st.w.write(b, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        st.eobrun += 1
+        st.pending.extend(br)
+        if st.eobrun == 0x7FFF:
+            st.flush()
+
+
+def _comp_block_dims(
+    size: tuple[int, int], samp: tuple[int, int], smax: tuple[int, int]
+) -> tuple[int, int]:
+    """Non-interleaved block grid of a component: ceil over the
+    component's own sample dimensions (NOT the MCU-padded grid)."""
+    h, w = size
+    sx, sy = samp
+    hmax, vmax = smax
+    cw = -(-(w * sx) // hmax)
+    ch = -(-(h * sy) // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _emit_progressive_scans(
+    coefs, samp, size, smax, mcus, dc_c, ac_c, gray: bool
+) -> bytes:
+    """The scan script: interleaved DC first (Al=1) + DC refine, then
+    per-component AC band scans at Al=1 refined to Al=0 (component 0's
+    band split 1-5 / 6-63 for spectral-selection coverage)."""
+    mcus_y, mcus_x = mcus
+    ncomp = len(coefs)
+    out = bytearray()
+
+    def sos_header(comp_ids, ss, se, ah, al) -> bytes:
+        seg = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            td = 0 if ci == 0 else 1
+            seg += bytes([ci + 1, (td << 4) | td])
+        return _seg(0xDA, seg + bytes([ss, se, (ah << 4) | al]))
+
+    # --- DC first, interleaved, Al=1
+    out += sos_header(list(range(ncomp)), 0, 0, 0, 1)
+    w = _BitWriter()
+    preds = [0] * ncomp
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (sx, sy) in enumerate(samp):
+                for by in range(sy):
+                    for bx in range(sx):
+                        dc = int(coefs[ci][my * sy + by, mx * sx + bx][0]) >> 1
+                        cat, bits = _magnitude(dc - preds[ci])
+                        code, ln = dc_c[ci][cat]
+                        w.write(code, ln)
+                        if cat:
+                            w.write(bits, cat)
+                        preds[ci] = dc
+    out += w.flush()
+
+    bands = {0: [(1, 5), (6, 63)]}
+    for ci in range(1, ncomp):
+        bands[ci] = [(1, 63)]
+
+    def ac_scan(ci: int, ss: int, se: int, refine: bool) -> bytes:
+        """Two passes: tally symbol frequencies, build an optimized
+        per-scan Huffman table (EOBRUN symbols aren't in the Annex-K
+        baseline tables), transmit it as a DHT redefinition, then
+        emit the scan for real."""
+        bh, bw_ = _comp_block_dims(size, samp[ci], smax)
+        state_cls = _AcRefineState if refine else _AcFirstState
+        al = 0 if refine else 1
+
+        def run(codes, writer):
+            st = state_cls(writer, codes)
+            emit = _emit_ac_refine_block if refine else _emit_ac_first_block
+            for by in range(bh):
+                for bx in range(bw_):
+                    emit(st, coefs[ci][by, bx], ss, se, al)
+            st.flush()
+
+        tally = _TallyCodes()
+        run(tally, _NullWriter())
+        bits, vals = _optimized_spec(tally.counts)
+        td = 0 if ci == 0 else 1
+        chunk = _seg(0xC4, bytes([(1 << 4) | td] + bits + vals))
+        chunk += sos_header([ci], ss, se, 1 if refine else 0, al)
+        w = _BitWriter()
+        run(_huff_codes((bits, vals)), w)
+        return chunk + w.flush()
+
+    # --- AC first scans, Al=1
+    for ci in range(ncomp):
+        for ss, se in bands[ci]:
+            out += ac_scan(ci, ss, se, refine=False)
+
+    # --- DC refine, interleaved, Ah=1 → Al=0
+    out += sos_header(list(range(ncomp)), 0, 0, 1, 0)
+    w = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (sx, sy) in enumerate(samp):
+                for by in range(sy):
+                    for bx in range(sx):
+                        w.write(int(coefs[ci][my * sy + by, mx * sx + bx][0]) & 1, 1)
+    out += w.flush()
+
+    # --- AC refine scans, Ah=1 → Al=0
+    for ci in range(ncomp):
+        for ss, se in bands[ci]:
+            out += ac_scan(ci, ss, se, refine=True)
+
     return bytes(out)
 
 
@@ -485,8 +846,12 @@ def _decode_jpeg_unchecked(data: bytes) -> np.ndarray:
                 cid, sfac, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, sfac >> 4, sfac & 0x0F, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG is supported")
+        elif marker == 0xC2:  # SOF2: progressive — dedicated decoder
+            return _decode_progressive(data)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline and progressive Huffman JPEG are supported"
+            )
         elif marker == 0xDD:  # DRI
             if struct.unpack(">H", seg[:2])[0] != 0:
                 raise ValueError("restart markers unsupported")
@@ -580,6 +945,294 @@ def _decode_jpeg_unchecked(data: bytes) -> np.ndarray:
         if sx != hmax or sy != vmax:
             p = np.repeat(np.repeat(p, vmax // sy, axis=0), hmax // sx, axis=1)
         out_planes.append(p[:h, :w] + 128)
+    if len(out_planes) == 1:
+        img = out_planes[0][..., None]
+    else:
+        img = _ycbcr_to_rgb(np.stack(out_planes, axis=-1))
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive decoder (SOF2: spectral selection + successive
+# approximation, T.81 Annex G; restart markers unsupported like the
+# baseline path)
+# ---------------------------------------------------------------------------
+
+
+def _scan_segment(data: bytes, pos: int) -> tuple[bytes, int]:
+    """(destuffed entropy bytes, position of the next marker) starting
+    at ``pos`` — entropy data runs to the next non-stuffing, non-RST
+    marker."""
+    body = bytearray()
+    i = pos
+    while i < len(data):
+        b = data[i]
+        if b == 0xFF:
+            nxt = data[i + 1] if i + 1 < len(data) else 0xD9
+            if nxt == 0x00:
+                body.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                raise ValueError("restart markers unsupported")
+            return bytes(body), i
+        body.append(b)
+        i += 1
+    return bytes(body), len(data)
+
+
+def _refine_nonzero(r: _BitReader, coef: np.ndarray, k: int, p1: int) -> None:
+    if r.read_bit():
+        if (int(coef[k]) & p1) == 0:
+            coef[k] += p1 if coef[k] >= 0 else -p1
+
+
+def _decode_dc_scan(r, blocks, order, dc_tables, preds, ah: int, al: int) -> None:
+    for ci, zz in order:
+        if ah == 0:  # first pass: Huffman-coded diffs in the shifted domain
+            cat = _read_symbol(r, dc_tables[ci])
+            preds[ci] += _extend(r.read_bits(cat), cat)
+            zz[0] = preds[ci] << al
+        else:  # refinement: one bit per block
+            zz[0] = int(zz[0]) | (r.read_bit() << al)
+
+
+def _decode_ac_first(r, zz, ac_table, ss, se, al, eobrun: int) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _read_symbol(r, ac_table)
+        run, cat = sym >> 4, sym & 0x0F
+        if cat == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << run) - 1
+            if run:
+                eobrun += r.read_bits(run)
+            break
+        k += run
+        if k > se:
+            raise ValueError("AC index overflow in progressive scan")
+        zz[k] = _extend(r.read_bits(cat), cat) << al
+        k += 1
+    return eobrun
+
+
+def _decode_ac_refine(r, zz, ac_table, ss, se, al, eobrun: int) -> int:
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _read_symbol(r, ac_table)
+            run, cat = sym >> 4, sym & 0x0F
+            if cat == 0:
+                if run != 15:
+                    # NOTE: unlike the first-scan case there is NO -1
+                    # here — the tail below must still read the
+                    # CURRENT block's correction bits (even for EOB0)
+                    # and then consumes one run unit
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += r.read_bits(run)
+                    break
+                newval = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if cat != 1:
+                    raise ValueError("bad newly-significant category in refinement")
+                newval = p1 if r.read_bit() else -p1
+            while k <= se:
+                if zz[k] != 0:
+                    _refine_nonzero(r, zz, k, p1)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if newval and k <= se:
+                zz[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                _refine_nonzero(r, zz, k, p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive(data: bytes) -> np.ndarray:
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    frame = None
+    coefs = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        seg = data[pos + 2 : pos + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated segment")
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                vals = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8).astype(np.int64)
+                if len(vals) != 64:
+                    raise ValueError("short DQT")
+                t = np.zeros(64, dtype=np.int64)
+                t[ZIGZAG] = vals
+                qtables[tq] = t.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                if len(vals) != n:
+                    raise ValueError("short DHT")
+                htables[(cls, tid)] = _huff_lookup((bits, vals))
+                p += 17 + n
+        elif marker == 0xC2:
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError(f"{prec}-bit samples unsupported")
+            if nc not in (1, 3):
+                raise ValueError(f"{nc}-component images unsupported")
+            comps = []
+            for i in range(nc):
+                cid, sfac, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, sfac >> 4, sfac & 0x0F, tq))
+            frame = (h, w, comps)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            coefs = [
+                np.zeros((mcus_y * sy, mcus_x * sx, 64), dtype=np.int64)
+                for _, sx, sy, _ in comps
+            ]
+            dc_preds = [0] * nc
+            eobruns: dict = {}
+            comp_tables: list = [None] * nc
+        elif marker == 0xDD:
+            if struct.unpack(">H", seg[:2])[0] != 0:
+                raise ValueError("restart markers unsupported")
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF2")
+            h, w, comps = frame
+            ns = seg[0]
+            scomps = []
+            for i in range(ns):
+                cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
+                scomps.append((cs, tables >> 4, tables & 0x0F))
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            body, nxt = _scan_segment(data, pos + seglen)
+            r = _BitReader(body)
+            cids = [c[0] for c in comps]
+            sel = [cids.index(cs) for cs, _, _ in scomps]
+            if ss == 0:  # DC scan (interleaved or single-component)
+                if se != 0:
+                    raise ValueError("DC scan must have Se=0")
+                for ci, (cs, td, ta) in zip(sel, scomps):
+                    if (0, td) not in htables and ah == 0:
+                        raise ValueError("missing DC Huffman table")
+                    comp_tables[ci] = htables.get((0, td))
+                if ah == 0:
+                    dc_preds = [0] * len(comps)
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+                mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+                if len(sel) > 1:
+                    for my in range(mcus_y):
+                        for mx in range(mcus_x):
+                            order = []
+                            for ci in sel:
+                                _, sx, sy, _ = comps[ci]
+                                for by in range(sy):
+                                    for bx in range(sx):
+                                        order.append(
+                                            (ci, coefs[ci][my * sy + by, mx * sx + bx])
+                                        )
+                            _decode_dc_scan(
+                                r, None, order, comp_tables, dc_preds, ah, al
+                            )
+                else:
+                    ci = sel[0]
+                    _, sx, sy, _ = comps[ci]
+                    bh, bw_ = _comp_block_dims((h, w), (sx, sy), (hmax, vmax))
+                    for by in range(bh):
+                        for bx in range(bw_):
+                            _decode_dc_scan(
+                                r,
+                                None,
+                                [(ci, coefs[ci][by, bx])],
+                                comp_tables,
+                                dc_preds,
+                                ah,
+                                al,
+                            )
+            else:  # AC scan: single component only
+                if len(sel) != 1:
+                    raise ValueError("AC progressive scan must be non-interleaved")
+                ci = sel[0]
+                _, _, ta = scomps[0]
+                if (1, ta) not in htables:
+                    raise ValueError("missing AC Huffman table")
+                table = htables[(1, ta)]
+                _, sx, sy, _ = comps[ci]
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                bh, bw_ = _comp_block_dims((h, w), (sx, sy), (hmax, vmax))
+                eobrun = 0
+                for by in range(bh):
+                    for bx in range(bw_):
+                        zz = coefs[ci][by, bx]
+                        if ah == 0:
+                            eobrun = _decode_ac_first(r, zz, table, ss, se, al, eobrun)
+                        else:
+                            eobrun = _decode_ac_refine(r, zz, table, ss, se, al, eobrun)
+            pos = nxt
+            continue
+        pos += seglen
+    if frame is None or coefs is None:
+        raise ValueError("missing SOF2/SOS")
+
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    out_planes = []
+    for (cid, sx, sy, tq), grid in zip(comps, coefs):
+        if tq not in qtables:
+            raise ValueError("missing quant table")
+        q = qtables[tq]
+        by_n, bx_n = grid.shape[:2]
+        plane = np.zeros((by_n * 8, bx_n * 8))
+        for by in range(by_n):
+            for bx in range(bx_n):
+                coef = np.zeros(64, dtype=np.int64)
+                coef[ZIGZAG] = grid[by, bx]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _idct(
+                    coef.reshape(8, 8) * q
+                )
+        if sx != hmax or sy != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // sy, axis=0), hmax // sx, axis=1)
+        out_planes.append(plane[:h, :w] + 128)
     if len(out_planes) == 1:
         img = out_planes[0][..., None]
     else:

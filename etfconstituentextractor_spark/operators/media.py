@@ -29,7 +29,7 @@ codecs):
   for REAL. Compressed audio decodes for real too
   (``operators/adpcm.py`` IMA-ADPCM via ``audio_features``). Only
   codecs whose decompression genuinely needs an external library
-  (JPEG-progressive/lossy-VP8/AVIF/mp3) remain declared stubs,
+  (lossy-VP8/AVIF/mp3) remain declared stubs,
   surfaced as ``codec_unsupported`` error rows.
 - ``sample_frames`` is the row-GENERATOR stage (one input blob → one
   row per sampled frame) over a deterministic frame container
@@ -523,7 +523,7 @@ def resize_blobs(
     real, then resamples through the same ``_resample`` math as
     resize_raw — the md5 is then of the RESAMPLED pixel bytes. Only
     payloads in codecs that genuinely need an external library
-    (JPEG-progressive/lossy-VP8/AVIF/mp3...) yield the declared
+    (lossy-VP8/AVIF/mp3...) yield the declared
     ``codec_unsupported`` error row."""
     if method not in ("nearest", "bilinear"):
         raise ValueError(f"unknown method {method!r}")
@@ -585,10 +585,10 @@ def resize_blobs(
                     rows.append(
                         (
                             doc_id,
-                            "codec_unsupported: payload is not PNG, baseline "
-                            "JPEG, or VP8L WebP; perceptual codecs "
-                            "(JPEG-progressive/AVIF/lossy-VP8/...) need an "
-                            "external library (declared stub)",
+                            "codec_unsupported: payload is not PNG, JPEG "
+                            "(baseline or progressive), or VP8L WebP; "
+                            "perceptual codecs (AVIF/lossy-VP8/mp3/...) need "
+                            "an external library (declared stub)",
                             None, None, None,
                         )
                     )

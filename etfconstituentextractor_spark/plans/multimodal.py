@@ -21,7 +21,7 @@ Annex-K Huffman + dequantize + IDCT + chroma upsampling, 4:4:4 and
 independent scalar implementations — and round 6 added WebP-lossless
 (`operators/vp8l.py`), so the remaining stub is scoped to formats
 whose decompression genuinely needs an external library
-(JPEG-progressive/lossy-VP8/AVIF/mp3).
+(lossy-VP8/AVIF/mp3).
 Pixel-level math over raw bitmaps — resampling, byte-histogram
 features — is likewise real (`operators/media.py:resize_raw`,
 numpy nearest/bilinear verified against a pure-Python oracle). The

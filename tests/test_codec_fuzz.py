@@ -76,6 +76,24 @@ def test_jpeg_decodes_whatever_it_encodes(img, quality, sub):
     assert abs(float(out.mean()) - float(img.mean())) < 24.0
 
 
+@settings(max_examples=15, deadline=None)
+@given(
+    _images(max_h=20, max_w=20),
+    st.integers(40, 95),
+    st.sampled_from(["444", "420"]),
+)
+def test_progressive_jpeg_equals_baseline_on_arbitrary_images(img, quality, sub):
+    """Progressive and baseline carry the same quantized coefficients,
+    so their decodes must be EXACTLY equal on any input — the fuzz
+    sweep over ragged dims and both subsamplings hammers the EOBRUN /
+    refinement-bit bookkeeping."""
+    base = decode_jpeg(encode_jpeg(img, quality=quality, subsampling=sub))
+    prog = decode_jpeg(
+        encode_jpeg(img, quality=quality, subsampling=sub, progressive=True)
+    )
+    assert np.array_equal(base, prog)
+
+
 @settings(max_examples=50, deadline=None)
 @given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=400))
 def test_adpcm_structural_invariants(samples):

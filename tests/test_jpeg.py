@@ -78,6 +78,59 @@ def test_grayscale_and_odd_dimensions():
     assert one.shape == (1, 1, 1) and int(one[0, 0, 0]) == 42
 
 
+def test_progressive_decodes_identically_to_baseline():
+    """The strongest oracle a progressive codec can have: the SOF2
+    scan script (DC first/refine + per-component AC bands at Al=1
+    refined to Al=0, per-scan optimized Huffman tables, cross-block
+    EOB runs) carries the IDENTICAL quantized coefficients as the
+    baseline encoding, so both decodes must be bit-for-bit equal —
+    any error in spectral selection, successive approximation,
+    EOBRUN accounting, or refinement bit order breaks the equality."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    cases = [
+        ((8, 8, 1), "444"),     # single block, grayscale
+        ((16, 16, 3), "444"),   # multi-block color
+        ((37, 53, 3), "420"),   # subsampled, ragged dims
+        ((20, 28, 3), "420"),   # luma non-interleaved grid < MCU grid
+        ((1, 1, 1), "444"),     # degenerate
+    ]
+    for shape, sub in cases:
+        for q in (70, 90):
+            img = rng.integers(0, 256, shape, np.uint8)
+            base = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+            prog = decode_jpeg(
+                encode_jpeg(img, quality=q, subsampling=sub, progressive=True)
+            )
+            assert np.array_equal(base, prog), (shape, sub, q)
+    # structured content too (gradients exercise long EOB runs)
+    grad = _gradient(24, 40)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(grad, quality=85)),
+        decode_jpeg(encode_jpeg(grad, quality=85, progressive=True)),
+    )
+
+
+def test_progressive_stream_shape_and_errors():
+    import numpy as np
+
+    img = _gradient(16, 16)
+    b = encode_jpeg(img, quality=80, progressive=True)
+    assert b[:2] == b"\xff\xd8"
+    assert b"\xff\xc2" in b  # SOF2
+    assert b.count(b"\xff\xda") >= 5  # multi-scan script
+    # dimensions probe reads SOF2 like SOF0
+    assert jpeg_dimensions(b)[:2] == (16, 16)
+    # truncated progressive stream is an error, not garbage
+    with pytest.raises(ValueError):
+        decode_jpeg(b[: len(b) // 2])
+    # it still decodes through the generic entry point (the media
+    # dispatch path: payload sniff says JPEG, decoder picks SOF2)
+    out = decode_jpeg(b)
+    assert out.shape == decode_jpeg(encode_jpeg(img, quality=80)).shape
+
+
 def test_dct_matrix_is_orthonormal_and_matches_definition():
     rng_free = np.arange(64, dtype=np.float64).reshape(8, 8) - 31.5
     # independent direct-sum DCT-II
@@ -120,11 +173,13 @@ def test_dimensions_probe_and_error_paths():
         decode_jpeg(b"\x89PNG" + b[4:])
     with pytest.raises(ValueError, match="truncated"):
         decode_jpeg(b[:-30])
-    # fake a progressive SOF2 marker
+    # a baseline body mislabeled SOF2 routes to the progressive
+    # decoder, whose scan validation rejects the baseline full-band
+    # interleaved scan (progressive itself is SUPPORTED since round 6)
     prog = bytearray(b)
     i = prog.find(b"\xff\xc0")
     prog[i + 1] = 0xC2
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg(bytes(prog))
 
 
@@ -150,3 +205,13 @@ def test_resize_blobs_decodes_jpeg_for_real(spark):
     ).hexdigest()
     assert rows[1]["payload_md5"] == want
     assert rows[2]["error"].startswith("codec_unsupported")
+
+    # PROGRESSIVE payloads flow through the same dispatch (the JPEG
+    # sniff routes on FFD8; the decoder picks SOF2) and, carrying the
+    # same coefficients, resample to the identical md5
+    prog_payload = encode_jpeg(img, quality=90, progressive=True)
+    wrapped_prog = b"IMG0" + f"{len(prog_payload):08x}".encode() + prog_payload
+    pdf = spark.createDataFrame([(7, wrapped_prog)], "doc_id bigint, blob binary")
+    prow = resize_blobs(pdf, 10, 8, real_resample=True).collect()[0]
+    assert prow["error"] is None
+    assert prow["payload_md5"] == want
