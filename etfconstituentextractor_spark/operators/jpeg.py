@@ -201,44 +201,6 @@ def _magnitude(v: int) -> tuple[int, int]:
     return cat, bits
 
 
-def _encode_block(
-    w: _BitWriter,
-    coef: np.ndarray,
-    pred: int,
-    dc_codes: dict,
-    ac_codes: dict,
-) -> int:
-    zz = coef.flatten()[ZIGZAG].astype(np.int64)
-    dc = int(zz[0])
-    cat, bits = _magnitude(dc - pred)
-    code, ln = dc_codes[cat]
-    w.write(code, ln)
-    if cat:
-        w.write(bits, cat)
-    run = 0
-    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-    for i in range(1, 64):
-        v = int(zz[i])
-        if i > last_nz:
-            break
-        if v == 0:
-            run += 1
-            continue
-        while run > 15:
-            code, ln = ac_codes[0xF0]  # ZRL
-            w.write(code, ln)
-            run -= 16
-        cat, bits = _magnitude(v)
-        code, ln = ac_codes[(run << 4) | cat]
-        w.write(code, ln)
-        w.write(bits, cat)
-        run = 0
-    if last_nz < 63:
-        code, ln = ac_codes[0x00]  # EOB
-        w.write(code, ln)
-    return dc
-
-
 def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
     r, g, b = img[..., 0].astype(np.float64), img[..., 1].astype(np.float64), img[..., 2].astype(np.float64)
     y = 0.299 * r + 0.587 * g + 0.114 * b
@@ -771,6 +733,38 @@ def _extend(bits: int, cat: int) -> int:
     return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
 
 
+def _parse_dqt(seg: bytes, qtables: dict) -> None:
+    """DQT segment → 8×8 int tables (shared by the baseline and
+    progressive decoders so precision/length validation can't drift)."""
+    p = 0
+    while p < len(seg):
+        pq, tq = seg[p] >> 4, seg[p] & 0x0F
+        if pq != 0:
+            raise ValueError("16-bit quant tables unsupported")
+        vals = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8).astype(np.int64)
+        if len(vals) != 64:
+            raise ValueError("short DQT")
+        t = np.zeros(64, dtype=np.int64)
+        t[ZIGZAG] = vals
+        qtables[tq] = t.reshape(8, 8)
+        p += 65
+
+
+def _parse_dht(seg: bytes, htables: dict) -> None:
+    """DHT segment → (class, id) → decode tables (shared for the same
+    reason; progressive streams redefine tables between scans)."""
+    p = 0
+    while p < len(seg):
+        cls, tid = seg[p] >> 4, seg[p] & 0x0F
+        bits = list(seg[p + 1 : p + 17])
+        n = sum(bits)
+        vals = list(seg[p + 17 : p + 17 + n])
+        if len(vals) != n:
+            raise ValueError("short DHT")
+        htables[(cls, tid)] = _huff_lookup((bits, vals))
+        p += 17 + n
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """(h, w, ncomp) uint8 array from baseline JPEG bytes.
 
@@ -812,29 +806,9 @@ def _decode_jpeg_unchecked(data: bytes) -> np.ndarray:
         if len(seg) != seglen - 2:
             raise ValueError("truncated segment")
         if marker == 0xDB:  # DQT
-            p = 0
-            while p < len(seg):
-                pq, tq = seg[p] >> 4, seg[p] & 0x0F
-                if pq != 0:
-                    raise ValueError("16-bit quant tables unsupported")
-                vals = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8).astype(np.int64)
-                if len(vals) != 64:
-                    raise ValueError("short DQT")
-                t = np.zeros(64, dtype=np.int64)
-                t[ZIGZAG] = vals
-                qtables[tq] = t.reshape(8, 8)
-                p += 65
+            _parse_dqt(seg, qtables)
         elif marker == 0xC4:  # DHT
-            p = 0
-            while p < len(seg):
-                cls, tid = seg[p] >> 4, seg[p] & 0x0F
-                bits = list(seg[p + 1 : p + 17])
-                n = sum(bits)
-                vals = list(seg[p + 17 : p + 17 + n])
-                if len(vals) != n:
-                    raise ValueError("short DHT")
-                htables[(cls, tid)] = _huff_lookup((bits, vals))
-                p += 17 + n
+            _parse_dht(seg, htables)
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline)
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
@@ -1082,29 +1056,9 @@ def _decode_progressive(data: bytes) -> np.ndarray:
         if len(seg) != seglen - 2:
             raise ValueError("truncated segment")
         if marker == 0xDB:
-            p = 0
-            while p < len(seg):
-                pq, tq = seg[p] >> 4, seg[p] & 0x0F
-                if pq != 0:
-                    raise ValueError("16-bit quant tables unsupported")
-                vals = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8).astype(np.int64)
-                if len(vals) != 64:
-                    raise ValueError("short DQT")
-                t = np.zeros(64, dtype=np.int64)
-                t[ZIGZAG] = vals
-                qtables[tq] = t.reshape(8, 8)
-                p += 65
+            _parse_dqt(seg, qtables)
         elif marker == 0xC4:
-            p = 0
-            while p < len(seg):
-                cls, tid = seg[p] >> 4, seg[p] & 0x0F
-                bits = list(seg[p + 1 : p + 17])
-                n = sum(bits)
-                vals = list(seg[p + 17 : p + 17 + n])
-                if len(vals) != n:
-                    raise ValueError("short DHT")
-                htables[(cls, tid)] = _huff_lookup((bits, vals))
-                p += 17 + n
+            _parse_dht(seg, htables)
         elif marker == 0xC2:
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
@@ -1125,7 +1079,6 @@ def _decode_progressive(data: bytes) -> np.ndarray:
                 for _, sx, sy, _ in comps
             ]
             dc_preds = [0] * nc
-            eobruns: dict = {}
             comp_tables: list = [None] * nc
         elif marker == 0xDD:
             if struct.unpack(">H", seg[:2])[0] != 0:

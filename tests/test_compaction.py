@@ -92,3 +92,29 @@ def test_compaction_guards(spark, tmp_path):
         compact_parquet(spark, str(empty))
     with pytest.raises(ValueError, match="target_bytes"):
         compact_parquet(spark, str(empty), target_bytes=0)
+
+
+def test_compaction_refuses_unsafe_layouts(spark, sf_dir, tmp_path):
+    """Scope guards are refusals, not silent damage: streaming-sink
+    manifests, hive partitions, and leftover swap staging are all
+    hard errors."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+
+    sink = tmp_path / "sink"
+    li.limit(10).write.parquet(str(sink))
+    (sink / "_spark_metadata").mkdir()
+    (sink / "_spark_metadata" / "0").write_text("{}")
+    with pytest.raises(ValueError, match="_spark_metadata"):
+        compact_parquet(spark, str(sink))
+
+    parts = tmp_path / "parts"
+    li.write.partitionBy("l_returnflag").parquet(str(parts))
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        compact_parquet(spark, str(parts))
+
+    flat = tmp_path / "flat"
+    li.limit(10).write.parquet(str(flat))
+    stale = tmp_path / "flat.__compact_old"
+    stale.mkdir()
+    with pytest.raises(RuntimeError, match="previous compaction failed"):
+        compact_parquet(spark, str(flat))
