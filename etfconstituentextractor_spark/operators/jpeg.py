@@ -8,10 +8,12 @@ DCT (SOF2, Annex G — spectral selection, successive approximation
 with DC/AC first + refinement scans, cross-block EOB runs): 8-bit
 samples, Huffman entropy coding, 1 (grayscale) or 3 (YCbCr)
 components, 4:4:4 and 4:2:0 chroma sampling, arbitrary dimensions
-(right/bottom edge replication), JFIF/APP/COM segments skipped. NOT
-handled, surfaced as ValueError (→ error rows in the mapInPandas
-layer): arithmetic coding, 12-bit, restart markers (DRI with nonzero
-interval), hierarchical.
+(right/bottom edge replication), JFIF/APP/COM segments skipped, and
+RESTART MARKERS in baseline scans (DRI interval → per-segment DC
+reset, RSTn modulo-8 sequence validated). NOT handled, surfaced as
+ValueError (→ error rows in the mapInPandas layer): arithmetic
+coding, 12-bit, hierarchical, restarts inside progressive scans (the
+rare combination; baseline restarts are the camera-file norm).
 
 The ENCODER exists to make the decoder testable without any external
 image library (the same reason png.py carries one): it writes
@@ -234,6 +236,7 @@ def encode_jpeg(
     quality: int = 85,
     subsampling: str = "444",
     progressive: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """JPEG bytes for an (h, w) or (h, w, 1|3) uint8 array.
 
@@ -332,16 +335,22 @@ def encode_jpeg(
         out += b"\xff\xd9"  # EOI
         return bytes(out)
 
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([len(planes)])
     for i in range(len(planes)):
         sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
     sos += b"\x00\x3f\x00"
     out += _seg(0xDA, sos)
 
-    wtr = _BitWriter()
-    preds = [0] * len(planes)
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
+    mcus = [(my, mx) for my in range(mcus_y) for mx in range(mcus_x)]
+    step = restart_interval or len(mcus)
+    for seg_idx in range(0, len(mcus), step):
+        if seg_idx:  # RSTn between intervals, n cycling 0..7
+            out += bytes([0xFF, 0xD0 + ((seg_idx // step - 1) % 8)])
+        wtr = _BitWriter()
+        preds = [0] * len(planes)  # DC predictors reset per interval
+        for my, mx in mcus[seg_idx : seg_idx + step]:
             for ci, (sx, sy) in enumerate(samp):
                 for by in range(sy):
                     for bx in range(sx):
@@ -349,7 +358,7 @@ def encode_jpeg(
                         preds[ci] = _encode_block_zz(
                             wtr, zz, preds[ci], dc_c[ci], ac_c[ci]
                         )
-    out += wtr.flush()
+        out += wtr.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -790,6 +799,7 @@ def _decode_jpeg_unchecked(data: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict] = {}
     frame = None
     scan = None
+    restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -826,9 +836,8 @@ def _decode_jpeg_unchecked(data: bytes) -> np.ndarray:
             raise ValueError(
                 "only baseline and progressive Huffman JPEG are supported"
             )
-        elif marker == 0xDD:  # DRI
-            if struct.unpack(">H", seg[:2])[0] != 0:
-                raise ValueError("restart markers unsupported")
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             scomps = []
@@ -845,8 +854,12 @@ def _decode_jpeg_unchecked(data: bytes) -> np.ndarray:
     if len(scomps) != len(comps):
         raise ValueError("interleaved scan must cover all components")
 
-    # de-stuff the entropy-coded segment up to EOI
+    # de-stuff the entropy-coded data up to EOI, splitting into
+    # restart segments at RSTn markers (the marker modulo-8 sequence
+    # is validated; each segment decodes with fresh DC predictors)
+    segments: list[bytes] = []
     body = bytearray()
+    expected_rst = 0
     i = 0
     while i < len(ecs):
         b = ecs[i]
@@ -859,10 +872,22 @@ def _decode_jpeg_unchecked(data: bytes) -> np.ndarray:
             if nxt == 0xD9:
                 break
             if 0xD0 <= nxt <= 0xD7:
-                raise ValueError("restart markers unsupported")
+                if restart_interval == 0:
+                    raise ValueError("RST marker without a DRI interval")
+                if nxt - 0xD0 != expected_rst:
+                    raise ValueError(
+                        f"restart marker out of sequence: FF{nxt:02x}, "
+                        f"expected FFD{expected_rst}"
+                    )
+                expected_rst = (expected_rst + 1) % 8
+                segments.append(bytes(body))
+                body = bytearray()
+                i += 2
+                continue
             raise ValueError(f"unexpected marker FF{nxt:02x} in scan")
         body.append(b)
         i += 1
+    segments.append(bytes(body))
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -881,10 +906,21 @@ def _decode_jpeg_unchecked(data: bytes) -> np.ndarray:
         ac_t.append(htables[(1, ta)])
         q_t.append(qtables[tq])
 
-    r = _BitReader(bytes(body))
+    seg_iter = iter(segments)
+    r = _BitReader(next(seg_iter))
     preds = [0] * len(comps)
+    mcu_in_interval = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_in_interval == restart_interval:
+                # interval boundary: fresh entropy segment, reset DC
+                try:
+                    r = _BitReader(next(seg_iter))
+                except StopIteration:
+                    raise ValueError("missing restart segment") from None
+                preds = [0] * len(comps)
+                mcu_in_interval = 0
+            mcu_in_interval += 1
             for ci, (cid, sx, sy, tq) in enumerate(comps):
                 for by in range(sy):
                     for bx in range(sx):

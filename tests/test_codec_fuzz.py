@@ -33,9 +33,9 @@ def _images(draw, max_h=24, max_w=24, channels=(1, 3)):
 
 
 @settings(max_examples=25, deadline=None)
-@given(_images(channels=(1, 2, 3, 4)))
-def test_png_roundtrip_exact_on_arbitrary_images(img):
-    decoded = decode_png(encode_png(img))[3]
+@given(_images(channels=(1, 2, 3, 4)), st.booleans())
+def test_png_roundtrip_exact_on_arbitrary_images(img, interlace):
+    decoded = decode_png(encode_png(img, interlace=interlace))[3]
     assert decoded.shape == img.shape
     assert np.array_equal(decoded, img)
 

@@ -112,6 +112,36 @@ def test_progressive_decodes_identically_to_baseline():
     )
 
 
+def test_restart_markers_decode_identically_and_validate_sequence():
+    """DRI/RSTn support (the camera-file norm): restart-segmented
+    encodings carry the same coefficients as the plain encoding, so
+    decodes must be exactly equal at ANY interval; the RSTn modulo-8
+    sequence is validated and a stray RST without DRI is an error."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (37, 53, 3), np.uint8)
+    plain = decode_jpeg(encode_jpeg(img, quality=80, subsampling="420"))
+    for ri in (1, 3, 7, 1000):
+        b = encode_jpeg(img, quality=80, subsampling="420", restart_interval=ri)
+        assert np.array_equal(plain, decode_jpeg(b)), ri
+        if ri == 1:
+            assert b"\xff\xd0" in b and b"\xff\xdd" in b  # RST0 + DRI
+
+    bad = bytearray(encode_jpeg(img, quality=80, restart_interval=1))
+    i = bad.find(b"\xff\xd0")
+    bad[i + 1] = 0xD5
+    with pytest.raises(ValueError, match="out of sequence"):
+        decode_jpeg(bytes(bad))
+
+    # RST marker in a stream that declared no interval
+    plain_b = bytearray(encode_jpeg(img, quality=80))
+    sos = plain_b.find(b"\xff\xda")
+    plain_b[sos + 20 : sos + 20] = b"\xff\xd0"
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(plain_b))
+
+
 def test_progressive_stream_shape_and_errors():
     import numpy as np
 

@@ -101,8 +101,13 @@ def test_decode_rejects_out_of_profile():
     good = encode_png(img)
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"JFIF" + good[4:])
-    # palette color type (3) is out of profile
+    # palette color type (3) is IN profile since the finish session —
+    # but only with its PLTE chunk; color type 7 stays out of profile
     bad_ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    blob = PNG_SIGNATURE + _chunk(b"IHDR", bad_ihdr) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(blob)
+    bad_ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 7, 0, 0, 0)
     blob = PNG_SIGNATURE + _chunk(b"IHDR", bad_ihdr) + _chunk(b"IEND", b"")
     with pytest.raises(ValueError, match="color type"):
         decode_png(blob)
@@ -123,6 +128,55 @@ def _chunk(ctype: bytes, payload: bytes) -> bytes:
         + payload
         + struct.pack(">I", zlib.crc32(ctype + payload))
     )
+
+
+def test_adam7_and_palette_roundtrips():
+    """The finish-session close of the PNG surface: Adam7-interlaced
+    streams (every filter type, ragged shapes incl. passes that are
+    empty) and color-type-3 palettes (with and without tRNS alpha)
+    decode exactly."""
+    import numpy as np
+
+    from etfconstituentextractor_spark.operators.png import encode_png_paletted
+
+    rng = np.random.default_rng(4)
+    for shape in [(1, 1, 1), (3, 5, 3), (16, 16, 4), (9, 8, 3), (7, 1, 1), (1, 9, 4)]:
+        img = rng.integers(0, 256, shape, np.uint8)
+        for f in range(5):
+            _, _, _, out = decode_png(encode_png(img, row_filters=f, interlace=True))
+            assert np.array_equal(out, img), (shape, f)
+        # interlaced and sequential decode to the same pixels
+        _, _, _, seq = decode_png(encode_png(img))
+        _, _, _, il = decode_png(encode_png(img, interlace=True))
+        assert np.array_equal(seq, il)
+
+    idx = rng.integers(0, 5, (11, 13), np.uint8)
+    pal = rng.integers(0, 256, (5, 3), np.uint8)
+    for interlace in (False, True):
+        w, h, c, out = decode_png(encode_png_paletted(idx, pal, interlace=interlace))
+        assert (w, h, c) == (13, 11, 3)
+        assert np.array_equal(out, pal[idx])
+        w, h, c, out = decode_png(
+            encode_png_paletted(idx, pal, trns=bytes([10, 20, 30]), interlace=interlace)
+        )
+        alpha = np.full(5, 255, np.uint8)
+        alpha[:3] = [10, 20, 30]
+        assert c == 4
+        assert np.array_equal(out[..., :3], pal[idx])
+        assert np.array_equal(out[..., 3], alpha[idx])
+
+    # error paths: missing PLTE, out-of-range index
+    import pytest as _pytest
+
+    from etfconstituentextractor_spark.operators.png import _chunk
+
+    no_plte = encode_png_paletted(idx, pal)
+    plte_at = no_plte.find(b"PLTE") - 4
+    stripped = no_plte[:plte_at] + no_plte[plte_at + 4 + 4 + 15 + 4 :]
+    with _pytest.raises(ValueError, match="PLTE"):
+        decode_png(stripped)
+    with _pytest.raises(ValueError, match="palette range"):
+        encode_png_paletted(np.full((2, 2), 9, np.uint8), pal)
 
 
 def test_real_resize_of_png_payload_matches_python_oracle(spark):
