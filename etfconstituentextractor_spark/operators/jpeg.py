@@ -251,6 +251,15 @@ def encode_jpeg(
     """
     if subsampling not in ("444", "420"):
         raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
+    if not 0 <= restart_interval <= 0xFFFF:
+        raise ValueError(
+            f"restart_interval must be in [0, 65535], got {restart_interval}"
+        )
+    if progressive and restart_interval:
+        raise ValueError(
+            "restart markers inside progressive scans are unsupported "
+            "(baseline restarts only)"
+        )
     if img.ndim == 2:
         img = img[..., None]
     if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] not in (1, 3):
@@ -854,40 +863,10 @@ def _decode_jpeg_unchecked(data: bytes) -> np.ndarray:
     if len(scomps) != len(comps):
         raise ValueError("interleaved scan must cover all components")
 
-    # de-stuff the entropy-coded data up to EOI, splitting into
-    # restart segments at RSTn markers (the marker modulo-8 sequence
-    # is validated; each segment decodes with fresh DC predictors)
-    segments: list[bytes] = []
-    body = bytearray()
-    expected_rst = 0
-    i = 0
-    while i < len(ecs):
-        b = ecs[i]
-        if b == 0xFF:
-            nxt = ecs[i + 1] if i + 1 < len(ecs) else 0xD9
-            if nxt == 0x00:
-                body.append(0xFF)
-                i += 2
-                continue
-            if nxt == 0xD9:
-                break
-            if 0xD0 <= nxt <= 0xD7:
-                if restart_interval == 0:
-                    raise ValueError("RST marker without a DRI interval")
-                if nxt - 0xD0 != expected_rst:
-                    raise ValueError(
-                        f"restart marker out of sequence: FF{nxt:02x}, "
-                        f"expected FFD{expected_rst}"
-                    )
-                expected_rst = (expected_rst + 1) % 8
-                segments.append(bytes(body))
-                body = bytearray()
-                i += 2
-                continue
-            raise ValueError(f"unexpected marker FF{nxt:02x} in scan")
-        body.append(b)
-        i += 1
-    segments.append(bytes(body))
+    # de-stuff the entropy-coded data up to the next marker, splitting
+    # into restart segments at RSTn markers when DRI declared one
+    # (each segment decodes with fresh DC predictors)
+    segments, _ = _destuff(ecs, 0, split_restarts=restart_interval > 0)
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -964,16 +943,22 @@ def _decode_jpeg_unchecked(data: bytes) -> np.ndarray:
 
 # ---------------------------------------------------------------------------
 # progressive decoder (SOF2: spectral selection + successive
-# approximation, T.81 Annex G; restart markers unsupported like the
-# baseline path)
+# approximation, T.81 Annex G; restart markers are supported in
+# BASELINE scans only — inside progressive scans they stay a declared
+# error, the rare combination)
 # ---------------------------------------------------------------------------
 
 
-def _scan_segment(data: bytes, pos: int) -> tuple[bytes, int]:
-    """(destuffed entropy bytes, position of the next marker) starting
-    at ``pos`` — entropy data runs to the next non-stuffing, non-RST
-    marker."""
+def _destuff(
+    data: bytes, pos: int, split_restarts: bool = False
+) -> tuple[list[bytes], int]:
+    """De-stuffed entropy segments + position of the next marker,
+    starting at ``pos``. The ONE FF-stuffing scanner both decoders
+    share: with ``split_restarts`` the data splits at RSTn markers
+    (modulo-8 sequence validated); without it any RST is an error."""
+    segments: list[bytes] = []
     body = bytearray()
+    expected_rst = 0
     i = pos
     while i < len(data):
         b = data[i]
@@ -984,11 +969,33 @@ def _scan_segment(data: bytes, pos: int) -> tuple[bytes, int]:
                 i += 2
                 continue
             if 0xD0 <= nxt <= 0xD7:
-                raise ValueError("restart markers unsupported")
-            return bytes(body), i
+                if not split_restarts:
+                    raise ValueError(
+                        "unexpected RST marker (no DRI interval, or inside "
+                        "a progressive scan)"
+                    )
+                if nxt - 0xD0 != expected_rst:
+                    raise ValueError(
+                        f"restart marker out of sequence: FF{nxt:02x}, "
+                        f"expected FFD{expected_rst}"
+                    )
+                expected_rst = (expected_rst + 1) % 8
+                segments.append(bytes(body))
+                body = bytearray()
+                i += 2
+                continue
+            break
         body.append(b)
         i += 1
-    return bytes(body), len(data)
+    segments.append(bytes(body))
+    return segments, min(i, len(data))
+
+
+def _scan_segment(data: bytes, pos: int) -> tuple[bytes, int]:
+    """Single de-stuffed entropy segment (no restarts allowed) + next
+    marker position — the progressive decoder's per-scan body."""
+    segments, nxt = _destuff(data, pos, split_restarts=False)
+    return segments[0], nxt
 
 
 def _refine_nonzero(r: _BitReader, coef: np.ndarray, k: int, p1: int) -> None:

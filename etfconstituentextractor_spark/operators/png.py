@@ -224,6 +224,10 @@ def _decode_png_unchecked(b: bytes) -> tuple[int, int, int, np.ndarray]:
     rgb = pal[idx]
     if trns is None:
         return width, height, 3, rgb
+    if len(trns) > n_entries:
+        raise ValueError(
+            f"tRNS has {len(trns)} entries for a {n_entries}-entry palette"
+        )
     alpha = np.full(n_entries, 255, dtype=np.uint8)
     alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
     rgba = np.concatenate([rgb, alpha[idx][..., None]], axis=2)
@@ -270,7 +274,7 @@ def _filter_grid(flat: np.ndarray, filters: list[int], bpp: int) -> bytearray:
     """Per-row filter bytes + filtered scanlines for a (rows, stride)
     grid — shared by the sequential body and each Adam7 pass."""
     raw = bytearray()
-    stride = flat.shape[1] if flat.ndim == 2 else 0
+    stride = flat.shape[1]  # flat is always (rows, stride)
     for y in range(flat.shape[0]):
         prev = flat[y - 1] if y > 0 else np.zeros(stride, np.uint8)
         raw.append(filters[y])
@@ -345,8 +349,17 @@ def encode_png_paletted(
     palette = np.asarray(palette, dtype=np.uint8)
     if palette.ndim != 2 or palette.shape[1] != 3 or not len(palette):
         raise ValueError("palette must be (n, 3)")
+    if len(palette) > 256:
+        raise ValueError(
+            f"palette has {len(palette)} entries; PNG palettes hold at "
+            "most 256 (8-bit index stream)"
+        )
     if int(indices.max(initial=0)) >= len(palette):
         raise ValueError("index out of palette range")
+    if trns is not None and len(trns) > len(palette):
+        raise ValueError(
+            f"tRNS has {len(trns)} entries for a {len(palette)}-entry palette"
+        )
     h, w = indices.shape
     body = _png_body(indices[..., None].astype(np.uint8), 0, interlace)
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 1 if interlace else 0)
