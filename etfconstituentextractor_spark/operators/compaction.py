@@ -63,11 +63,18 @@ def _fs_and_path(spark: SparkSession, path: str):
     return fs, hpath, jvm
 
 
-def _scan_tree(fs, hpath):
-    """(parquet files [(path, size)], has_sink_manifest, partition_dirs)."""
+def _scan_tree(fs, hpath, jvm):
+    """(parquet files [(path, size)], has_sink_manifest, partition_dirs).
+
+    The manifest check probes ``fs.exists(path/_spark_metadata)``
+    directly (ADVICE r6): an empty or subdirectory-only manifest dir
+    yields no entries from ``listFiles`` and must still trip the
+    streaming-sink refusal."""
     files = []
-    has_manifest = False
     part_dirs = []
+    has_manifest = bool(
+        fs.exists(jvm.org.apache.hadoop.fs.Path(hpath, "_spark_metadata"))
+    )
     it = fs.listFiles(hpath, True)
     while it.hasNext():
         st = it.next()
@@ -81,8 +88,6 @@ def _scan_tree(fs, hpath):
             files.append((p.toString(), st.getLen()))
             if "=" in parent:
                 part_dirs.append(parent)
-    # listFiles skips empty dirs; also check the direct child for a
-    # manifest dir (it contains files, so usually caught above)
     return files, has_manifest, part_dirs
 
 
@@ -109,7 +114,7 @@ def compact_parquet(
             "directory may hold the only copy of the data; recover it "
             "manually before compacting again"
         )
-    files, has_manifest, part_dirs = _scan_tree(fs, hpath)
+    files, has_manifest, part_dirs = _scan_tree(fs, hpath, jvm)
     if has_manifest:
         raise ValueError(
             f"{path} holds a streaming-sink _spark_metadata manifest; "
@@ -150,7 +155,7 @@ def compact_parquet(
         raise RuntimeError(f"could not move compacted directory into {path}")
     fs.delete(old, True)
 
-    after = len(_scan_tree(fs, hpath)[0])
+    after = len(_scan_tree(fs, hpath, jvm)[0])
     return CompactionStats(
         files_before=len(files), files_after=after, bytes_total=total, rows=rows
     )

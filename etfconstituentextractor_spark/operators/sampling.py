@@ -291,12 +291,34 @@ def epoch_shard_shuffle(
     actually consumed. One window shuffle carrying (key, token
     counts); text never moves. Deterministic across reruns, cluster
     sizes, and engines (md5 + integer arithmetic only).
+
+    NULL keys raise: a NULL key would hash to NULL and land in no
+    shard silently (same contract as the hll/sketch family — the
+    caller decides what a NULL document id means, not this layout).
+    The salt travels as a literal (never spliced into a SQL string),
+    so any characters — quotes included — are safe.
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     _reject_reserved(df, "shard", "shard_rank", "start_offset", "__h")
-    h = F.expr(
-        f"CAST(conv(substring(md5(concat(cast({key_col} as string), ':{salt}')), 1, 8), 16, 10) AS BIGINT)"
+    guard = F.assert_true(
+        F.col(key_col).isNotNull(),
+        F.lit(
+            f"epoch_shard_shuffle: NULL in key column {key_col!r} — it would "
+            "hash to NULL and land in no shard; filter or fill keys first"
+        ),
+    )
+    h = F.when(
+        guard.isNull(),  # always true; evaluating it raises on NULL keys
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
     )
     w = W.partitionBy("shard").orderBy(
         F.col("__h").asc_nulls_last(), F.col(key_col).asc_nulls_last()

@@ -97,21 +97,33 @@ class _BitWriter:
 _CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
 
 #: 2-D short-distance map: first 120 distance codes address a pixel
-#: neighborhood. The window is dx∈[-7,8], dy∈[0,7] (dy=0 → dx>0) —
-#: EXACTLY 120 entries, the range libwebp's nibble encoding can
-#: represent (xoffset = 8 - (code & 0xF) spans -7..8; yoffset =
-#: code >> 4 spans 0..7) — ordered by (squared distance, then larger
-#: dy, then larger dx), which matches the table listed in the spec
-#: (leading entries + window shape pinned in tests/test_vp8l.py).
-_DIST_MAP = sorted(
-    (
-        (dx, dy)
-        for dy in range(8)
-        for dx in range(-7, 9)
-        if not (dy == 0 and dx <= 0)
-    ),
-    key=lambda t: (t[0] * t[0] + t[1] * t[1], -t[1], -t[0]),
-)
+#: neighborhood, (dx, dy) pairs pinned VERBATIM from the published
+#: RFC 9649 distance-mapping table (not generated): the window is
+#: dx∈[-7,8], dy∈[0,7] (dy=0 → dx>0) — exactly 120 entries, the
+#: range the spec's nibble encoding can represent (xoffset =
+#: 8 - (code & 0xF) spans -7..8; yoffset = code >> 4 spans 0..7).
+#: The published order is (squared distance, then larger dy, then
+#: larger dx) EXCEPT the d²=61 tie group, which the spec lists as
+#: (6,5),(-6,5),(5,6),(-5,6) — a pure sort would swap those two
+#: pairs, so the table must be a literal (full-table + window-shape
+#: pins in tests/test_vp8l.py).
+_DIST_MAP = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (6, 5), (-6, 5), (5, 6), (-5, 6),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+]
 assert len(_DIST_MAP) == 120
 
 
@@ -508,9 +520,13 @@ def is_vp8l(data: bytes) -> bool:
     lossy 'VP8 ' payloads, non-WEBP RIFF (e.g. WAV), and anything
     else — those stay in the caller's declared ``codec_unsupported``
     category; only true VP8L candidates that then fail to parse are
-    decode ERRORS."""
+    decode ERRORS. A bare stream is claimed only when the 5-byte
+    header is present AND its 3 version bits (top bits of byte 4,
+    LSB-first layout: 14w+14h+1alpha+3version) are zero — ordinary
+    text/binary blobs that merely start with 0x2F ('/') are not
+    routed to decode."""
     if data[:1] == bytes([_SIGNATURE]):
-        return True
+        return len(data) >= 5 and (data[4] >> 5) == 0
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         return False
     pos = 12

@@ -107,6 +107,21 @@ def test_compaction_refuses_unsafe_layouts(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="_spark_metadata"):
         compact_parquet(spark, str(sink))
 
+    # an EMPTY manifest dir yields no listFiles entries but must still
+    # trip the refusal (ADVICE r6: fs.exists probe, not inference)
+    sink2 = tmp_path / "sink_empty_manifest"
+    li.limit(10).write.parquet(str(sink2))
+    (sink2 / "_spark_metadata").mkdir()
+    with pytest.raises(ValueError, match="_spark_metadata"):
+        compact_parquet(spark, str(sink2))
+
+    # subdirectory-only manifest (compacted-batch layout) likewise
+    sink3 = tmp_path / "sink_subdir_manifest"
+    li.limit(10).write.parquet(str(sink3))
+    (sink3 / "_spark_metadata" / "9.compact.d").mkdir(parents=True)
+    with pytest.raises(ValueError, match="_spark_metadata"):
+        compact_parquet(spark, str(sink3))
+
     parts = tmp_path / "parts"
     li.write.partitionBy("l_returnflag").parquet(str(parts))
     with pytest.raises(ValueError, match="hive-partitioned"):

@@ -1155,6 +1155,24 @@ def test_epoch_shard_shuffle(spark):
     with _pytest.raises(ValueError, match="n_shards"):
         epoch_shard_shuffle(df, "doc_id", "n_tokens", n_shards=0)
 
+    # a quote-bearing salt is just data, not SQL (ADVICE r6) — the
+    # python replay of the same md5 construction still matches
+    qsalt = "ep'--\";drop"
+    got_q = {
+        r.doc_id: r.shard
+        for r in epoch_shard_shuffle(
+            df, "doc_id", "n_tokens", n_shards=4, salt=qsalt
+        ).collect()
+    }
+    assert got_q == {i: h(i, qsalt) % 4 for i, _ in rows}
+
+    # NULL keys raise instead of silently landing in no shard
+    withnull = spark.createDataFrame(
+        [("a", 5), (None, 7)], "doc_id string, n_tokens bigint"
+    )
+    with _pytest.raises(Exception, match="NULL in key column"):
+        epoch_shard_shuffle(withnull, "doc_id", "n_tokens").collect()
+
 
 def test_samplers_reject_reserved_columns(spark):
     """Every sampler materializes internal/output columns via

@@ -107,12 +107,28 @@ def test_riff_container_and_errors():
 
 
 def test_distance_map_matches_spec_prefix():
-    # leading entries of the spec's 120-entry table (RFC 9649 §4.2.2)
-    assert _DIST_MAP[:16] == [
+    # ALL 120 entries of the spec's table (RFC 9649 §4.2.2), pinned
+    # verbatim and independently of the module's literal. Note the
+    # d²=61 tie group at codes 93-96: the published order is
+    # (6,5),(-6,5),(5,6),(-5,6), which a pure (d², larger-dy) sort
+    # would swap — the table cannot be regenerated from a heuristic.
+    assert _DIST_MAP == [
         (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
         (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+        (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+        (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+        (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+        (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+        (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+        (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+        (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+        (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+        (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+        (3, 7), (-3, 7), (7, 3), (-7, 3), (6, 5), (-6, 5), (5, 6), (-5, 6),
+        (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+        (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+        (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
     ]
-    assert len(_DIST_MAP) == 120
     assert len(set(_DIST_MAP)) == 120
     # the SET is exactly what libwebp's nibble encoding can express:
     # xoffset = 8 - (code & 0xF) ∈ [-7, 8], yoffset = code >> 4 ∈ [0, 7]
@@ -609,3 +625,22 @@ def test_decoder_rejects_malformed():
     with pytest.raises(ValueError, match="prefix|kraft|incomplete"):
         _write_code_lengths(bw3, bad)
         decode_vp8l(bw3.getvalue())
+
+
+def test_is_vp8l_rejects_text_starting_with_slash():
+    from etfconstituentextractor_spark.operators.vp8l import is_vp8l
+
+    # ordinary text/binary that merely starts with '/' (0x2F) must not
+    # be claimed as a bare VP8L stream (ADVICE r6): version bits
+    # (top 3 of byte 4) are nonzero for ASCII text
+    assert not is_vp8l(b"/usr/bin/env python")
+    assert not is_vp8l(b"/")  # too short for the 5-byte header
+    assert not is_vp8l(b"/abc")
+    # a REAL bare stream (version bits 0) is still claimed
+    img = np.zeros((2, 2, 4), dtype=np.uint8)
+    img[..., 3] = 255
+    bare = strip_riff(encode_vp8l(img))
+    assert bare[0] == 0x2F and is_vp8l(bare)
+    # container routing unchanged
+    assert is_vp8l(encode_vp8l(img))
+    assert not is_vp8l(b"RIFF\x04\x00\x00\x00WAVE")
