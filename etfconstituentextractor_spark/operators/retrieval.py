@@ -81,3 +81,46 @@ def bm25_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "doc_id", "score", "rn")
     )
+
+
+def rrf_fuse(
+    ranked: Sequence[DataFrame],
+    *,
+    k_rrf: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion over N ranked lists (Cormack/Clarke/
+    Buettcher 2009): fused(d) = Σ_lists 1/(k_rrf + rank_list(d)),
+    the standard way production retrieval fuses lexical (BM25) and
+    vector (cosine) rankings without score calibration — only RANKS
+    cross the fusion boundary, so the two sides' score scales never
+    need reconciling.
+
+    Inputs carry (query_id, doc_id, rn); a document absent from a
+    list simply contributes nothing for it. The fused score is a sum
+    of exact small-integer reciprocals (identical doubles in any
+    engine; IEEE addition is commutative so 2-list sums are
+    order-free), rounded to 9 dp before ranking per the module
+    convention; ties break on doc_id.
+
+    Scale posture: each input is already a per-query top-N (tiny);
+    the union + groupBy shuffles only (query_id, doc_id, rn) rows —
+    fusion cost is O(queries × N × lists) regardless of corpus size.
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    if k_rrf < 1:
+        raise ValueError(f"k_rrf must be >= 1, got {k_rrf}")
+    allr = None
+    for df in ranked:
+        part = df.select("query_id", "doc_id", "rn")
+        allr = part if allr is None else allr.unionByName(part)
+    fused = allr.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum(1.0 / (F.lit(k_rrf) + F.col("rn"))), 9).cast("double").alias("score")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= top_k)
+        .select("query_id", "doc_id", "score", "rn")
+    )

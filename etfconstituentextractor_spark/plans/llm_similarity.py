@@ -439,6 +439,17 @@ BM25_QUERIES: dict[str, tuple[str, ...]] = {
     "stream_agg": ("stream", "window", "agg"),
     "vector_scan": ("vector", "scan", "filter"),
 }
+#: 'rrf' leg: each named query also has a designated query EMBEDDING
+#: (doc_id = vec_id is the corpus pairing); lexical and vector top-20
+#: pools fuse by reciprocal rank — the standard hybrid-retrieval
+#: composition (see operators/retrieval.py:rrf_fuse).
+RRF_QUERY_VECS: dict[str, int] = {
+    "spark_join": 0,
+    "stream_agg": 1,
+    "vector_scan": 2,
+}
+RRF_POOL = 20
+RRF_K = 60
 
 
 def _bm25_oracle() -> str:
@@ -476,12 +487,47 @@ def _bm25_oracle() -> str:
       JOIN d USING (doc_id)
       CROSS JOIN stats
       GROUP BY 1, 2
-    )
-    SELECT query_id, doc_id, score,
-           CAST(rn AS INTEGER) AS rn
-    FROM (
+    ),
+    bm_ranked AS (
       SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
       FROM scored
+    ),
+    qmap(query_id, qvec_id) AS (VALUES {", ".join(f"('{q}', {v})" for q, v in sorted(RRF_QUERY_VECS.items()))}),
+    ev AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    cos_ranked AS (
+      SELECT query_id, doc_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+      FROM (
+        SELECT m.query_id, c.vec_id AS doc_id,
+               ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+                     / (q.nrm * c.nrm), 6) AS score
+        FROM qmap m
+        JOIN ev q ON q.vec_id = m.qvec_id
+        JOIN ev c ON true
+      )
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             CAST(ROUND(SUM(CAST(1 AS DOUBLE) / ({RRF_K} + rn)), 9) AS DOUBLE) AS score
+      FROM (
+        SELECT query_id, doc_id, rn FROM bm_ranked WHERE rn <= {RRF_POOL}
+        UNION ALL
+        SELECT query_id, doc_id, rn FROM cos_ranked WHERE rn <= {RRF_POOL}
+      )
+      GROUP BY 1, 2
+    )
+    SELECT 'bm25' AS leg, query_id, doc_id, score, CAST(rn AS INTEGER) AS rn
+    FROM bm_ranked WHERE rn <= {BM25_TOP_K}
+    UNION ALL
+    SELECT 'rrf', query_id, doc_id, score, CAST(rn AS INTEGER) AS rn
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+      FROM fused
     )
     WHERE rn <= {BM25_TOP_K}
     """
@@ -489,10 +535,46 @@ def _bm25_oracle() -> str:
 
 @query("q73_text_bm25_topk", oracle=_bm25_oracle())
 def q73_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return bm25_topk(
-        load(spark, sf_dir, "documents"),
-        BM25_QUERIES,
-        k=BM25_TOP_K,
-        k1=BM25_K1,
-        b=BM25_B,
+    """Lexical + hybrid retrieval as tagged legs: 'bm25' is the Okapi
+    top-10; 'rrf' fuses the BM25 top-20 pool with a cosine top-20
+    pool (query embeddings per RRF_QUERY_VECS, doc_id = vec_id) by
+    reciprocal rank. ONE BM25 scoring pass feeds both legs (the
+    'bm25' leg is the rn<=10 prefix of the pool)."""
+    from etfconstituentextractor_spark.operators.retrieval import rrf_fuse
+
+    docs = load(spark, sf_dir, "documents")
+    # the pool feeds two branches (bm25-leg prefix + rrf union) —
+    # localCheckpoint the 60-row frame so the corpus-scoring subtree
+    # runs once (per-branch pruning defeats ReuseExchange otherwise)
+    pool = bm25_topk(docs, BM25_QUERIES, k=RRF_POOL, k1=BM25_K1, b=BM25_B).localCheckpoint()
+    bm_leg = pool.filter(F.col("rn") <= BM25_TOP_K).select(
+        F.lit("bm25").alias("leg"), "query_id", "doc_id", "score", "rn"
     )
+
+    e = _vec(load(spark, sf_dir, "embeddings"))
+    qmap = pool.sparkSession.createDataFrame(
+        sorted(RRF_QUERY_VECS.items()), "query_id string, qvec_id bigint"
+    )
+    q = qmap.join(e, qmap.qvec_id == e.vec_id).select(
+        "query_id", F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    dot = F.expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    cos_pool = (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.round(dot / (F.col("qn") * F.col("nrm")), 6).alias("score"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number()
+            .over(W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id")))
+            .cast("int"),
+        )
+        .filter(F.col("rn") <= RRF_POOL)
+    )
+    rrf_leg = rrf_fuse([pool, cos_pool], k_rrf=RRF_K, top_k=BM25_TOP_K).select(
+        F.lit("rrf").alias("leg"), "query_id", "doc_id", "score", "rn"
+    )
+    return bm_leg.unionByName(rrf_leg)

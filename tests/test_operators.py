@@ -1298,3 +1298,40 @@ def test_lsh_incremental_matches_full_rebuild_delta_slice(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_rrf_fuse(spark):
+    """Reciprocal-rank fusion replays a pure-Python walk: docs in both
+    lists sum both reciprocals, single-list docs contribute one, ranks
+    re-break ties on doc_id; degenerate inputs raise."""
+    import pytest as _pytest
+
+    from etfconstituentextractor_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)], "query_id string, doc_id int, rn int"
+    )
+    b = spark.createDataFrame(
+        [("q", 3, 1), ("q", 4, 2), ("q", 1, 3)], "query_id string, doc_id int, rn int"
+    )
+    got = {
+        (r.query_id, r.doc_id): (r.score, r.rn)
+        for r in rrf_fuse([a, b], k_rrf=60, top_k=10).collect()
+    }
+    want_scores = {
+        1: round(1 / 61 + 1 / 63, 9),
+        2: round(1 / 62, 9),
+        3: round(1 / 63 + 1 / 61, 9),
+        4: round(1 / 62, 9),
+    }
+    ranked = sorted(want_scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = {
+        ("q", d): (s, i + 1) for i, (d, s) in enumerate(ranked)
+    }
+    assert got == want
+    # docs 1 and 3 tie exactly (same reciprocal pair) -> doc_id breaks it
+    assert got[("q", 1)][1] == 1 and got[("q", 3)][1] == 2
+    with _pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+    with _pytest.raises(ValueError, match="k_rrf"):
+        rrf_fuse([a], k_rrf=0)

@@ -472,16 +472,39 @@ def test_runtime_bloom_filter_reduces_probe_side(spark, sf_dir):
 
 
 def test_q73_bm25_shape(spark, sf_dir):
-    """BM25 scale posture: corpus stats / document frequencies / query
-    terms all broadcast (the fact side never shuffles to meet them);
-    the per-query top-k gets the same Partial WindowGroupLimit
-    pre-prune as the quota sample; no Python anywhere."""
-    plan = _plan(spark, sf_dir, "q73_text_bm25_topk")
+    """BM25 scale posture, pinned on the operator plan (the registered
+    query localCheckpoints the 60-row pool, which hides this subtree):
+    corpus stats / document frequencies / query terms all broadcast
+    (the fact side never shuffles to meet them); the per-query top-k
+    gets the same Partial WindowGroupLimit pre-prune as the quota
+    sample; no Python anywhere."""
+    from etfconstituentextractor_spark.operators.retrieval import bm25_topk
+    from etfconstituentextractor_spark.plans.llm_similarity import (
+        BM25_QUERIES,
+        RRF_POOL,
+    )
+    from etfconstituentextractor_spark.sources.tables import load as _load
+
+    df = bm25_topk(_load(spark, sf_dir, "documents"), BM25_QUERIES, k=RRF_POOL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 2
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats frame
     i_exchange = plan.find("Exchange hashpartitioning(query_id")
     assert i_exchange != -1
     assert plan.rfind("WindowGroupLimit") > i_exchange, plan[:1200]
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_q73_rrf_fused_shape(spark, sf_dir):
+    """The fused query: exactly ONE documents scan end-to-end (the
+    checkpointed pool feeds both the bm25 leg and the rrf union — a
+    second scan would mean the checkpoint stopped reusing), the cosine
+    side broadcasts the 3-row query frame, and no Python appears."""
+    plan = _plan(spark, sf_dir, "q73_text_bm25_topk")
+    assert plan.count("Scan ExistingRDD") >= 2  # pool reused, not recomputed
+    assert plan.count("documents.parquet") == 0  # corpus scoring ran once, at checkpoint time
+    assert "BroadcastExchange" in plan  # 3-row query frame broadcasts into the cross join
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
 
