@@ -107,38 +107,85 @@ def _filings(spark: SparkSession, sf_dir: str, seqs: int = 1) -> DataFrame:
 @query(
     "q50_doc_extract_holdings",
     oracle="""
-    SELECT CAST(n_nationkey AS BIGINT) * 10 AS filing_id,
-           strftime(DATE '2024-03-31' + n_nationkey, '%Y-%m-%d') AS reporting_date,
-           c_name AS issuer,
-           CASE WHEN c_custkey % 3 = 0
-                THEN 'CUS' || lpad(CAST(c_custkey % 1000000 AS VARCHAR), 6, '0') END AS cusip,
-           CAST(c_custkey % 100000 AS DOUBLE) AS shares,
-           CAST(CAST(c_acctbal AS DECIMAL(14,4)) AS DOUBLE) AS value_usd,
-           CAST(c_custkey % 9999 AS DOUBLE) / 10000 AS pct,
-           CAST(NULL AS VARCHAR) AS error
-    FROM customer JOIN nation ON c_nationkey = n_nationkey
-    WHERE n_nationkey % 7 <> 3
+    WITH base AS (
+      SELECT CAST(n_nationkey AS BIGINT) * 10 AS filing_id,
+             strftime(DATE '2024-03-31' + n_nationkey, '%Y-%m-%d') AS reporting_date,
+             c_name AS issuer,
+             CASE WHEN c_custkey % 3 = 0
+                  THEN 'CUS' || lpad(CAST(c_custkey % 1000000 AS VARCHAR), 6, '0') END AS cusip,
+             CAST(c_custkey % 100000 AS DOUBLE) AS shares,
+             CAST(CAST(c_acctbal AS DECIMAL(14,4)) AS DOUBLE) AS value_usd,
+             CAST(c_custkey % 9999 AS DOUBLE) / 10000 AS pct,
+             CAST(NULL AS VARCHAR) AS error
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE n_nationkey % 7 <> 3
+      UNION ALL
+      SELECT CAST(n_nationkey AS BIGINT) * 10, NULL, NULL, NULL, NULL, NULL, NULL,
+             'missing_reporting_date'
+      FROM nation
+      WHERE n_nationkey % 7 = 3
+        AND EXISTS (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey)
+    )
+    SELECT 'html' AS leg, * FROM base
     UNION ALL
-    SELECT CAST(n_nationkey AS BIGINT) * 10, NULL, NULL, NULL, NULL, NULL, NULL,
-           'missing_reporting_date'
-    FROM nation
-    WHERE n_nationkey % 7 = 3
-      AND EXISTS (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey)
+    SELECT 'warc' AS leg, * FROM base
     """,
 )
 def q50_doc_extract_holdings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    filings = _filings(spark, sf_dir, seqs=1)
-    parsed = parse_filings(filings)
-    return parsed.select(
-        "filing_id",
-        "reporting_date",
-        "issuer",
-        "cusip",
-        parse_money("shares_str").cast("double").alias("shares"),
-        parse_money("value_str").cast("double").alias("value_usd"),
-        parse_money("pct_str").cast("double").alias("pct"),
-        "error",
+    """Document extraction under two ingestion paths, as tagged legs:
+    'html' parses the rendered filings directly; 'warc' first writes
+    them as Common-Crawl-style ``.warc.gz`` shards (sources/warc.py —
+    one gzip member per captured HTTP response), reads them back with
+    the distributed WARC reader, and parses the recovered payloads.
+    Identical extraction either way, so the oracle states the same
+    rows for both legs — the WARC writer, multi-member gzip reader,
+    HTTP payload split, and UTF-8 transport are all under the hash."""
+    import os
+    import tempfile
+
+    from etfconstituentextractor_spark.sources.warc import read_warc, write_warc
+
+    def _extract(parsed: DataFrame, leg: str) -> DataFrame:
+        return parsed.select(
+            F.lit(leg).alias("leg"),
+            "filing_id",
+            "reporting_date",
+            "issuer",
+            "cusip",
+            parse_money("shares_str").cast("double").alias("shares"),
+            parse_money("value_str").cast("double").alias("value_usd"),
+            parse_money("pct_str").cast("double").alias("pct"),
+            "error",
+        )
+
+    # the index feeds two consumers (direct parse + WARC write);
+    # checkpoint so the render's customer/nation scan runs once
+    filings = _filings(spark, sf_dir, seqs=1).localCheckpoint()
+    html_leg = _extract(parse_filings(filings), "html")
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"etfce_warc_filings_{os.path.basename(sf_dir.rstrip('/'))}",
     )
+    write_warc(
+        filings.select(
+            F.concat(F.lit("https://filings.test/"), F.col("filing_id")).alias("url"),
+            "html",
+        ),
+        out,
+        n_files=4,
+    )
+    recovered = (
+        read_warc(spark, os.path.join(out, "*.warc.gz"))
+        .filter(F.col("warc_type") == "response")
+        .select(
+            F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("bigint").alias("filing_id"),
+            F.lit(0).cast("int").alias("filing_seq"),
+            F.col("payload").cast("string").alias("html"),
+        )
+    )
+    warc_leg = _extract(parse_filings(recovered), "warc")
+    return html_leg.unionByName(warc_leg)
 
 
 # ---------------------------------------------------------------------------
