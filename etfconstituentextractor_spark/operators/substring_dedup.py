@@ -119,3 +119,108 @@ def sql_repeated_ngram_stats(from_sql: str, k: int = DEFAULT_K) -> str:
     )
     GROUP BY doc_id
     """
+
+
+def intra_doc_repetition(
+    docs: DataFrame,
+    *,
+    top_n: int = 2,
+    dup_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """INTRA-document repetition signals — the Gopher quality rules
+    (Rae et al. 2021, §A1.1) restated token-wise: `top{n}_cnt` is the
+    occurrence count of the document's most frequent top_n-gram
+    (Gopher's "fraction of characters in the most frequent n-gram",
+    here over tokens — callers divide by n_tokens), and `dup{n}_cov`
+    is the number of token positions covered by dup_n-grams that
+    repeat WITHIN the document (Gopher's "fraction of characters in
+    duplicated n-grams"), by the same fixed-width interval-union walk
+    as `repeated_ngram_stats` — which measures the CROSS-corpus
+    version of the same signal.
+
+    Docs with at least one top_n-gram always get a row (top{n}_cnt
+    >= 1); `dup{n}_cov` is 0 when nothing repeats. Callers left-join
+    on id and coalesce.
+
+    Scale posture: shuffles carry (doc_id, pos, md5) only — never
+    text; counts partition by (doc_id, hash) and the coverage walk by
+    doc_id (bounded per-doc state). Linear in corpus tokens, same as
+    the cross-corpus operator.
+    """
+    if top_n < 1 or dup_n < 2:
+        raise ValueError(f"need top_n >= 1 and dup_n >= 2, got {top_n}, {dup_n}")
+    # tokens_col lets callers reuse an already-tokenized (often
+    # checkpointed) array instead of re-splitting text
+    toks = tokens_col or f"filter(split({text_col}, ' '), x -> x != '')"
+
+    sh_top = docs.select(
+        F.col(id_col),
+        F.explode(F.expr(spark_shingles(toks, top_n))).alias("s"),
+    ).select(id_col, F.md5("s").alias("h"))
+    top = (
+        sh_top.groupBy(id_col, "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").cast("bigint").alias(f"top{top_n}_cnt"))
+    )
+
+    sh_dup = docs.select(
+        F.col(id_col),
+        F.posexplode(F.expr(spark_shingles(toks, dup_n))).alias("pos", "s"),
+    ).select(id_col, "pos", F.md5("s").alias("h"))
+    marked = (
+        sh_dup.withColumn("__n", F.count(F.lit(1)).over(W.partitionBy(id_col, "h")))
+        .filter(F.col("__n") > 1)
+        .select(id_col, "pos")
+    )
+    w = W.partitionBy(id_col).orderBy("pos")
+    gap = F.col("pos") - F.lag("pos").over(w)
+    contrib = F.when(gap.isNull(), F.lit(dup_n)).otherwise(F.least(F.lit(dup_n), gap))
+    cov = (
+        marked.withColumn("contrib", contrib)
+        .groupBy(id_col)
+        .agg(F.sum("contrib").cast("bigint").alias(f"dup{dup_n}_cov"))
+    )
+    return top.join(cov, id_col, "left").na.fill({f"dup{dup_n}_cov": 0})
+
+
+def sql_intra_doc_repetition(from_sql: str, *, top_n: int = 2, dup_n: int = 3) -> str:
+    """DuckDB spelling of `intra_doc_repetition` — a CTE body yielding
+    (doc_id, top{top_n}_cnt, dup{dup_n}_cov)."""
+    toks = "list_filter(string_split(text, ' '), x -> x != '')"
+    return f"""
+    SELECT t.doc_id, t.top{top_n}_cnt, COALESCE(c.dup{dup_n}_cov, 0) AS dup{dup_n}_cov
+    FROM (
+      SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top{top_n}_cnt
+      FROM (
+        SELECT doc_id, h, COUNT(*) AS c
+        FROM (
+          SELECT doc_id, unnest(list_transform({sql_shingles(toks, top_n)}, s -> md5(s))) AS h
+          FROM {from_sql}
+        )
+        GROUP BY 1, 2
+      )
+      GROUP BY doc_id
+    ) t
+    LEFT JOIN (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN prev IS NULL THEN {dup_n}
+                      ELSE LEAST({dup_n}, pos - prev) END) AS BIGINT) AS dup{dup_n}_cov
+      FROM (
+        SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM (
+          SELECT doc_id, pos
+          FROM (
+            SELECT doc_id, unnest(range(len(sh))) AS pos,
+                   unnest(list_transform(sh, s -> md5(s))) AS h
+            FROM (SELECT doc_id, {sql_shingles(toks, dup_n)} AS sh FROM {from_sql})
+          ) s
+          QUALIFY COUNT(*) OVER (PARTITION BY doc_id, h) > 1
+        )
+      )
+      GROUP BY doc_id
+    ) c USING (doc_id)
+    """

@@ -39,6 +39,10 @@ from etfconstituentextractor_spark.operators.cms import sql_cms_from_counts
 from etfconstituentextractor_spark.operators.contamination import ngram_contamination
 from etfconstituentextractor_spark.operators.boilerplate import strip_boilerplate
 from etfconstituentextractor_spark.operators.pii import PII_PATTERNS, scrub
+from etfconstituentextractor_spark.operators.substring_dedup import (
+    intra_doc_repetition,
+    sql_intra_doc_repetition,
+)
 from etfconstituentextractor_spark.operators.quality_model import (
     hashed_linear_margin,
     make_weights,
@@ -72,7 +76,12 @@ _QWEIGHTS = make_weights(64)
 #    margin + band (operators/quality_model.py): learned-filter
 #    INFERENCE as one aggregate HOF riding the same scan; the dyadic
 #    weights make the margin bit-identical across engines.
-# 6. bigram-LM perplexity (operators/lm.py, §2B row 59) — the
+# 6. intra-document repetition — the Gopher rules (Rae et al. 2021
+#    §A1.1) token-wise (operators/substring_dedup.py): most-frequent-
+#    2-gram fraction + duplicated-3-gram coverage fraction; the
+#    drop signals for machine-generated / boilerplate-looping text.
+#    Shuffles carry (doc_id, pos, md5) only, joined back on doc_id.
+# 7. bigram-LM perplexity (operators/lm.py, §2B row 59) — the
 #    CCNet-style fluency pillar: an add-k bigram LM trained on the
 #    corpus itself (counts as DataFrames, never collected) scores each
 #    doc's cross-entropy/perplexity; the per-doc scores left-join back
@@ -134,6 +143,7 @@ def _sql_lang_guess() -> str:
     "q80_text_stats",
     oracle=f"""
     WITH {_SQL_LM},
+    rep AS ({sql_intra_doc_repetition("documents")}),
     feats AS (
       SELECT doc_id, lang, source,
              len(string_split(text, ' ')) AS n_tokens,
@@ -168,8 +178,10 @@ def _sql_lang_guess() -> str:
                 WHEN model_margin >= -0.01 THEN 'mid'
                 ELSE 'low' END AS model_band,
            COUNT(*) OVER (PARTITION BY simhash16) AS simhash_bucket,
+           CAST(ROUND(COALESCE(rep.top2_cnt, 0) * CAST(2 AS DOUBLE) / n_tokens, 4) AS DOUBLE) AS rep_top2_frac,
+           CAST(ROUND(COALESCE(rep.dup3_cov, 0) / CAST(n_tokens AS DOUBLE), 4) AS DOUBLE) AS rep_dup3_frac,
            lm.lm_n_pairs, lm.lm_cross_entropy, lm.lm_ppl
-    FROM feats LEFT JOIN lm USING (doc_id)
+    FROM feats LEFT JOIN rep USING (doc_id) LEFT JOIN lm USING (doc_id)
     """,
 )
 def q80_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,6 +200,7 @@ def q80_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("tk", F.expr("filter(split(text, ' '), x -> x != '')"))
         .localCheckpoint()
     )
+    rep = intra_doc_repetition(d, tokens_col="tk")
     lm = perplexity(
         d, *train_bigram_lm(d, tokens_col="tk"), k=_LM_K, tokens_col="tk"
     ).select(
@@ -267,7 +280,19 @@ def q80_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("low")
         .alias("model_band"),
         F.count(F.lit(1)).over(W.partitionBy("simhash16")).alias("simhash_bucket"),
-    ).join(lm, "doc_id", "left")
+    ).join(rep, "doc_id", "left").select(
+        "*",
+        F.round(
+            F.coalesce(F.col("top2_cnt"), F.lit(0)) * 2 / F.col("n_tokens").cast("double"), 4
+        )
+        .cast("double")
+        .alias("rep_top2_frac"),
+        F.round(
+            F.coalesce(F.col("dup3_cov"), F.lit(0)) / F.col("n_tokens").cast("double"), 4
+        )
+        .cast("double")
+        .alias("rep_dup3_frac"),
+    ).drop("top2_cnt", "dup3_cov").join(lm, "doc_id", "left")
 
 
 # ---------------------------------------------------------------------------

@@ -1335,3 +1335,64 @@ def test_rrf_fuse(spark):
         rrf_fuse([])
     with _pytest.raises(ValueError, match="k_rrf"):
         rrf_fuse([a], k_rrf=0)
+
+
+def test_intra_doc_repetition(spark):
+    """Gopher-rule repetition stats replay a pure-Python walk and the
+    DuckDB SQL twin on hand-built docs covering: no repetition,
+    adjacent self-overlap, disjoint repeats, and short docs."""
+    import duckdb
+    import pytest as _pytest
+
+    from etfconstituentextractor_spark.operators.substring_dedup import (
+        intra_doc_repetition,
+        sql_intra_doc_repetition,
+    )
+
+    docs = [
+        (1, "a b c d e f"),                  # no repeats
+        (2, "a b a b a b"),                  # 'a b' x3 overlapping coverage
+        (3, "x y z q x y z w x y z"),        # 'x y z' repeats disjointly
+        (4, "t"),                            # too short for 2-grams
+        (5, "p q p q r r p q"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.top2_cnt, r.dup3_cov)
+        for r in intra_doc_repetition(df).collect()
+    }
+
+    def py(text, top_n=2, dup_n=3):
+        tk = [t for t in text.split(" ") if t]
+        grams = lambda n: [tuple(tk[i : i + n]) for i in range(len(tk) - n + 1)]
+        top = max(
+            (grams(top_n).count(g) for g in set(grams(top_n))), default=None
+        )
+        g3 = grams(dup_n)
+        flagged = [i for i, g in enumerate(g3) if g3.count(g) >= 2]
+        covered = set()
+        for i in flagged:
+            covered.update(range(i, i + dup_n))
+        return top, len(covered)
+
+    want = {}
+    for did, text in docs:
+        top, cov = py(text)
+        if top is not None:
+            want[did] = (top, cov)
+    assert got == want
+    assert 4 not in got  # no 2-gram -> no row (left-join contract)
+    assert got[2] == (3, 6)  # every position covered by repeated 'a b a'? no: 'a b a'/'b a b' repeat
+
+    con = duckdb.connect()
+    con.register("documents_py", __import__("pandas").DataFrame(docs, columns=["doc_id", "text"]))
+    oracle = {
+        (r[0]): (r[1], r[2])
+        for r in con.execute(
+            sql_intra_doc_repetition("(SELECT doc_id, text FROM documents_py)")
+        ).fetchall()
+    }
+    assert oracle == want
+
+    with _pytest.raises(ValueError, match="top_n"):
+        intra_doc_repetition(df, top_n=0)
