@@ -529,6 +529,7 @@ def resize_blobs(
         raise ValueError(f"unknown method {method!r}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etfconstituentextractor_spark.operators.gif import decode_gif, is_gif
         from etfconstituentextractor_spark.operators.jpeg import decode_jpeg
         from etfconstituentextractor_spark.operators.png import (
             PNG_SIGNATURE,
@@ -581,12 +582,20 @@ def resize_blobs(
                     except Exception as exc:
                         rows.append((doc_id, f"bad_webp: {exc}", None, None, None))
                         continue
+                elif is_gif(payload):
+                    # GIF 87a/89a: from-scratch codec (operators/gif.py
+                    # — LZW + interlace + transparency; first frame)
+                    try:
+                        img = decode_gif(payload)
+                    except Exception as exc:
+                        rows.append((doc_id, f"bad_gif: {exc}", None, None, None))
+                        continue
                 else:
                     rows.append(
                         (
                             doc_id,
                             "codec_unsupported: payload is not PNG, JPEG "
-                            "(baseline or progressive), or VP8L WebP; "
+                            "(baseline or progressive), VP8L WebP, or GIF; "
                             "perceptual codecs (AVIF/lossy-VP8/mp3/...) need "
                             "an external library (declared stub)",
                             None, None, None,

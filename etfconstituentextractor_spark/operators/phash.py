@@ -100,6 +100,7 @@ def phash_blobs(blobs: DataFrame, blob_col: str = "blob") -> DataFrame:
     Corrupt or unsupported payloads yield error rows (R22)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etfconstituentextractor_spark.operators.gif import decode_gif, is_gif
         from etfconstituentextractor_spark.operators.jpeg import decode_jpeg
         from etfconstituentextractor_spark.operators.media import parse_img0
         from etfconstituentextractor_spark.operators.png import (
@@ -130,6 +131,8 @@ def phash_blobs(blobs: DataFrame, blob_col: str = "blob") -> DataFrame:
                         img = decode_jpeg(payload)
                     elif is_vp8l(payload):
                         img = decode_vp8l(payload)  # VP8L WebP lossless
+                    elif is_gif(payload):
+                        img = decode_gif(payload)  # GIF 87a/89a
                     else:
                         rows.append((doc_id, "codec_unsupported", None))
                         continue

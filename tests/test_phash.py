@@ -118,14 +118,18 @@ def test_distributed_phash_and_codegen_pairing(spark):
         (1, _wrap(encode_png(imgs[1]))),
         (2, _wrap(encode_jpeg(imgs[2], quality=80))),
         (3, _wrap(encode_jpeg(imgs[3], quality=80))),
-        (4, _wrap(b"GIF89a\x00\x01")),
+        # AVIF-ish ISO-BMFF box: genuinely unsupported (GIF now decodes
+        # for real — operators/gif.py — so it no longer fits here)
+        (4, _wrap(b"\x00\x00\x00\x1cftypavif\x00\x00\x00\x00avifmif1")),
         (5, None),
+        (6, _wrap(b"GIF89a\x00\x01")),  # truncated GIF: decode ERROR
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, blob binary")
     hashes = phash_blobs(df)
     got = {r["doc_id"]: r for r in hashes.collect()}
     assert got[4]["error"] == "codec_unsupported"
     assert got[5]["error"] == "null_blob"
+    assert got[6]["error"].startswith("bad_image")
     assert all(got[i]["error"] is None for i in (1, 2, 3))
     # python replay of the distributed hash
     assert got[1]["phash"] == phash_of_pixels(imgs[1])
