@@ -1,0 +1,162 @@
+"""URL canonicalization + domain curation (SURVEY.md §2B
+"LLM-pipeline — text analysis" adjunct: the crawl-side hygiene stage
+every web-scale corpus runs BEFORE content dedup — URL-keyed exact
+dedup only works after `http://Example.com:80/a/?utm_source=x#f` and
+`http://example.com/a/` collapse to one key, and domain blocklists
+only work on the registrable domain, not the raw host).
+
+All column algebra — lowercasing, default-port strip, fragment drop,
+tracking-parameter removal (HOF filter over the split query string),
+and trailing-slash normalization are pure codegen; the blocklist
+filter is a broadcast anti-join on the registrable domain. Nothing
+here leaves the JVM and nothing shuffles except the (tiny) blocklist
+broadcast; at 100 TB this stage rides the scan.
+
+Registrable-domain extraction uses an embedded multi-part-suffix
+subset (the structural rule of the public-suffix list: take 2 host
+labels, or 3 when the last 2 are a listed compound like `co.uk`).
+The full Mozilla list is a data file a deployment would broadcast
+through the same code path; the subset keeps this repo dependency-
+free and the rule exact for the listed compounds.
+
+No reference counterpart (the reference fetches two hard-coded SEC
+URLs, `ETFQuarterlyHoldingsExtractor.py:57-66`); this is engine
+surface for the crawl-scale ingest the WARC source (sources/warc.py)
+reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: query parameters that never identify content (analytics/click IDs)
+TRACKING_PARAMS = (
+    "utm_source",
+    "utm_medium",
+    "utm_campaign",
+    "utm_term",
+    "utm_content",
+    "gclid",
+    "fbclid",
+    "msclkid",
+    "ref",
+    "igshid",
+)
+
+#: multi-part public suffixes the registrable-domain rule recognizes
+#: (subset of the public-suffix list; swap in the full list as a
+#: broadcast table for production)
+COMPOUND_SUFFIXES = (
+    "co.uk",
+    "org.uk",
+    "ac.uk",
+    "gov.uk",
+    "com.au",
+    "net.au",
+    "org.au",
+    "co.jp",
+    "co.kr",
+    "com.br",
+    "com.cn",
+    "com.mx",
+    "co.in",
+    "co.nz",
+    "com.sg",
+    "com.tr",
+)
+
+
+def _tracking_pred(var: str) -> str:
+    alts = "|".join(TRACKING_PARAMS)
+    return f"{var} rlike '^({alts})='"
+
+
+def normalize_url(url_col: str = "url") -> Column:
+    """Canonical form of an http(s) URL, as ONE codegen expression:
+
+    - scheme and host lowercase; leading/trailing whitespace trimmed
+    - default ports dropped (:80 for http, :443 for https)
+    - fragment dropped
+    - tracking parameters (TRACKING_PARAMS) removed, other parameters
+      kept IN ORDER (reordering would merge URLs whose servers
+      genuinely distinguish them); an emptied query drops its '?'
+    - trailing slash dropped except on the bare root
+
+    Non-http(s) strings pass through trimmed (data, mailto, relative
+    fragments are not this stage's business — wrong-scheme rows are a
+    FILTER decision, not a rewrite)."""
+    u = f"trim({url_col})"
+    scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*):', 1))"
+    rest = f"regexp_replace({u}, '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
+    hostport = f"regexp_extract({rest}, '^([^/?#]*)', 1)"
+    host = f"lower(regexp_extract({hostport}, '^([^:]*)', 1))"
+    port = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
+    keep_port = (
+        f"CASE WHEN {port} = '' THEN '' "
+        f"WHEN {scheme} = 'http' AND {port} = '80' THEN '' "
+        f"WHEN {scheme} = 'https' AND {port} = '443' THEN '' "
+        f"ELSE concat(':', {port}) END"
+    )
+    tail = f"regexp_replace({rest}, '^[^/?#]*', '')"  # /path?query#frag
+    nofrag = f"regexp_extract({tail}, '^([^#]*)', 1)"
+    path = f"regexp_extract({nofrag}, '^([^?]*)', 1)"
+    norm_path = (
+        f"CASE WHEN {path} = '' THEN '/' "
+        f"WHEN {path} != '/' AND {path} like '%/' "
+        f"THEN substring({path}, 1, length({path}) - 1) "
+        f"ELSE {path} END"
+    )
+    query = f"substring(regexp_extract({nofrag}, '(\\\\?.*)$', 1), 2)"
+    kept = (
+        f"array_join(filter(split({query}, '&'), "
+        f"p -> NOT ({_tracking_pred('p')})), '&')"
+    )
+    norm_query = f"CASE WHEN {query} = '' OR {kept} = '' THEN '' ELSE concat('?', {kept}) END"
+    return F.expr(
+        f"CASE WHEN {scheme} IN ('http', 'https') AND {host} != '' THEN "
+        f"concat({scheme}, '://', {host}, {keep_port}, {norm_path}, {norm_query}) "
+        f"ELSE {u} END"
+    )
+
+
+def host_of(url_col: str = "url") -> Column:
+    """Lowercased host (no port) of an http(s) URL; NULL otherwise."""
+    return F.expr(
+        f"CASE WHEN trim({url_col}) rlike '^[Hh][Tt][Tt][Pp][Ss]?://' THEN "
+        f"lower(regexp_extract(regexp_replace(trim({url_col}), "
+        f"'^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/:?#]*)', 1)) END"
+    )
+
+
+def registrable_domain(host_expr: Column) -> Column:
+    """eTLD+1 under the embedded compound-suffix subset: the last 3
+    host labels when the trailing 2 form a listed compound suffix,
+    else the last 2."""
+    h = host_expr
+    parts = F.split(h, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    return (
+        F.when(h.isNull() | (n < 2), h)
+        .when((n >= 3) & last2.isin(*COMPOUND_SUFFIXES), last3)
+        .otherwise(last2)
+    )
+
+
+def filter_blocked_domains(
+    df: DataFrame, blocklist: DataFrame, *, url_col: str = "url"
+) -> DataFrame:
+    """Drop rows whose REGISTRABLE domain appears in ``blocklist``
+    (one `domain` column) — so `ads.example.com` and `example.com`
+    both fall to a listed `example.com`, the way domain blocklists
+    are meant to apply. Broadcast LEFT ANTI join; non-http(s) rows
+    (NULL host) are kept — scheme filtering is a separate decision."""
+    keyed = df.withColumn("__dom", registrable_domain(host_of(url_col)))
+    # no distinct: LEFT ANTI is duplicate-insensitive on the right,
+    # and dedup would cost the blocklist side an exchange
+    blocked = blocklist.select(F.lower("domain").alias("__dom"))
+    return keyed.join(F.broadcast(blocked), "__dom", "left_anti").drop("__dom")

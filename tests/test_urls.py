@@ -1,0 +1,107 @@
+"""URL canonicalization + domain curation (operators/urls.py): the
+normalizer against a hand-written expectation table (idempotence
+included), registrable-domain rules, blocklist semantics, and the
+zero-shuffle plan contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etfconstituentextractor_spark.operators.urls import (
+    filter_blocked_domains,
+    host_of,
+    normalize_url,
+    registrable_domain,
+)
+
+CASES = [
+    # (input, canonical)
+    ("http://Example.COM/a", "http://example.com/a"),
+    ("  https://x.org/p/  ", "https://x.org/p"),
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("https://example.com:8443/a", "https://example.com:8443/a"),
+    ("http://example.com", "http://example.com/"),
+    ("http://example.com/", "http://example.com/"),
+    ("http://example.com/a#frag", "http://example.com/a"),
+    ("http://example.com/a?utm_source=x&id=7&fbclid=zz", "http://example.com/a?id=7"),
+    ("http://example.com/a?utm_source=x&utm_medium=y", "http://example.com/a"),
+    ("http://example.com/a?b=2&a=1", "http://example.com/a?b=2&a=1"),  # order kept
+    ("http://example.com/a?ref=tw#sec", "http://example.com/a"),
+    ("HTTPS://WWW.Example.com/Path/To?X=1", "https://www.example.com/Path/To?X=1"),
+    ("ftp://example.com/a", "ftp://example.com/a"),        # non-http passthrough
+    ("not a url at all", "not a url at all"),
+    ("http://example.com/a?refresh=1", "http://example.com/a?refresh=1"),  # 'ref' != 'refresh'
+]
+
+
+def test_normalize_url_table(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CASES], "url string")
+    got = [r.n for r in df.select(normalize_url().alias("n")).collect()]
+    assert got == [want for _, want in CASES]
+
+
+def test_normalize_url_idempotent(spark):
+    df = spark.createDataFrame([(w,) for _, w in CASES], "url string")
+    got = [r.n for r in df.select(normalize_url().alias("n")).collect()]
+    assert got == [w for _, w in CASES]
+
+
+def test_host_and_registrable_domain(spark):
+    rows = [
+        ("https://ads.tracker.example.co.uk/x", "ads.tracker.example.co.uk", "example.co.uk"),
+        ("http://example.com/x", "example.com", "example.com"),
+        ("http://a.b.example.com/x", "a.b.example.com", "example.com"),
+        ("https://co.uk/", "co.uk", "co.uk"),          # bare suffix: too few labels
+        ("http://localhost/x", "localhost", "localhost"),
+        ("mailto:x@y.z", None, None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in rows], "url string")
+    got = df.select(
+        host_of().alias("h"), registrable_domain(host_of()).alias("d")
+    ).collect()
+    assert [(r.h, r.d) for r in got] == [(h, d) for _, h, d in rows]
+
+
+def test_filter_blocked_domains(spark):
+    urls = [
+        (1, "http://example.com/keep-me-not"),
+        (2, "http://ads.example.com/sub-falls-with-domain"),
+        (3, "https://fine.org/kept"),
+        (4, "http://spam.co.uk/gone"),
+        (5, "http://notspam.co.uk/kept"),
+        (6, "mailto:no-host@kept"),  # NULL host rows survive
+    ]
+    df = spark.createDataFrame(urls, "id bigint, url string")
+    bl = spark.createDataFrame([("Example.COM",), ("spam.co.uk",)], "domain string")
+    kept = sorted(r.id for r in filter_blocked_domains(df, bl).collect())
+    assert kept == [3, 5, 6]
+
+
+def test_urls_zero_shuffle_plan(spark):
+    """Normalization + domain keying is codegen on the scan; the only
+    exchange in the blocklist filter is the broadcast itself."""
+    df = spark.range(100).select(
+        F.concat(F.lit("http://h"), F.col("id"), F.lit(".example.com/p?utm_source=x")).alias("url")
+    )
+    plan = (
+        df.select(normalize_url().alias("n"), registrable_domain(host_of()).alias("d"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+    bl = spark.createDataFrame([("example.com",)], "domain string")
+    plan2 = (
+        filter_blocked_domains(df, bl)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan2
+    assert "Exchange hashpartitioning" not in plan2
