@@ -321,6 +321,11 @@ def write_warc(
     member per response record). Record IDs derive from md5(url) so
     output is deterministic for a deterministic input frame."""
     os.makedirs(out_dir, exist_ok=True)
+    # overwrite semantics: clear prior part files so a re-run with a
+    # different n_files cannot leave stale shards for the reader's glob
+    for name in os.listdir(out_dir):
+        if name.startswith("part-") and name.endswith(".warc.gz"):
+            os.remove(os.path.join(out_dir, name))
     cols = [F.col(url_col).alias("url"), F.col(html_col).alias("html")]
     cols.append(
         (F.col(date_col) if date_col else F.lit("2024-01-01T00:00:00Z")).alias("date")

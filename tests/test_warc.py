@@ -154,3 +154,18 @@ def test_distributed_roundtrip(spark, tmp_path):
     write_warc(df.repartition(7), str(out), n_files=4)
     second = {p.name: hashlib.md5(p.read_bytes()).hexdigest() for p in out.iterdir()}
     assert first == second
+
+
+def test_write_warc_overwrites_stale_shards(spark, tmp_path):
+    """A re-run with fewer files must remove the extra shards from the
+    previous layout (otherwise the reader's glob resurrects them)."""
+    docs = [(f"https://x.test/{i}", f"<p>{i}</p>") for i in range(20)]
+    df = spark.createDataFrame(docs, "url string, html string")
+    out = tmp_path / "w"
+    write_warc(df, str(out), n_files=8)
+    assert len(list(out.glob("part-*.warc.gz"))) == 8
+    write_warc(df, str(out), n_files=2)
+    assert len(list(out.glob("part-*.warc.gz"))) == 2
+    back = read_warc(spark, str(out / "*.warc.gz"))
+    resp = back.filter("warc_type = 'response'").collect()
+    assert len(resp) == 20  # no resurrected duplicates
