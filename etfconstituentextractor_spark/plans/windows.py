@@ -15,7 +15,11 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from etfconstituentextractor_spark.functions.parity import dec
+from etfconstituentextractor_spark.operators.funnel import funnel, sql_funnel
 from etfconstituentextractor_spark.operators.timeseries import RESOLUTIONS, time_rollup
+
+#: q42 'funnel' leg: the ordered path the events corpus supports
+FUNNEL_STEPS = ("view", "click", "purchase")
 from etfconstituentextractor_spark.plans.registry import query
 from etfconstituentextractor_spark.sources.tables import load
 
@@ -104,9 +108,25 @@ def _rollup_leg_sql(resolution: str) -> str:
            CAST(ROUND(SUM(CAST(value AS DECIMAL(14,4))), 2) AS DOUBLE) AS v_sum,
            MIN(value) AS v_min, MAX(value) AS v_max,
            min_by(value, event_id) AS v_open,
-           max_by(value, event_id) AS v_close
+           max_by(value, event_id) AS v_close,
+           CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS INTEGER) AS stage,
+           CAST(NULL AS BIGINT) AS funnel_sec
     FROM events
     GROUP BY date_trunc('{resolution}', ts)
+    """
+
+
+def _funnel_leg_sql() -> str:
+    return f"""
+    UNION ALL
+    SELECT 'funnel' AS leg, CAST(NULL AS INTEGER) AS day_num,
+           CAST(NULL AS DOUBLE) AS day_rev, CAST(NULL AS DOUBLE) AS trailing_7d,
+           CAST(NULL AS VARCHAR) AS resolution, CAST(NULL AS VARCHAR) AS bucket_start,
+           CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS v_sum,
+           CAST(NULL AS DOUBLE) AS v_min, CAST(NULL AS DOUBLE) AS v_max,
+           CAST(NULL AS DOUBLE) AS v_open, CAST(NULL AS DOUBLE) AS v_close,
+           user_id, stage, funnel_sec
+    FROM ({sql_funnel(FUNNEL_STEPS)})
     """
 
 
@@ -125,11 +145,14 @@ def _rollup_leg_sql(resolution: str) -> str:
            CAST(NULL AS VARCHAR) AS resolution, CAST(NULL AS VARCHAR) AS bucket_start,
            CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS v_sum,
            CAST(NULL AS DOUBLE) AS v_min, CAST(NULL AS DOUBLE) AS v_max,
-           CAST(NULL AS DOUBLE) AS v_open, CAST(NULL AS DOUBLE) AS v_close
+           CAST(NULL AS DOUBLE) AS v_open, CAST(NULL AS DOUBLE) AS v_close,
+           CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS INTEGER) AS stage,
+           CAST(NULL AS BIGINT) AS funnel_sec
     FROM daily
     UNION ALL
     """
-    + "\nUNION ALL\n".join(_rollup_leg_sql(r) for r in RESOLUTIONS),
+    + "\nUNION ALL\n".join(_rollup_leg_sql(r) for r in RESOLUTIONS)
+    + _funnel_leg_sql(),
 )
 def q42_window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
@@ -152,8 +175,12 @@ def q42_window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("v_max"),
         F.lit(None).cast("double").alias("v_open"),
         F.lit(None).cast("double").alias("v_close"),
+        F.lit(None).cast("bigint").alias("user_id"),
+        F.lit(None).cast("int").alias("stage"),
+        F.lit(None).cast("bigint").alias("funnel_sec"),
     )
-    rollup = time_rollup(load(spark, sf_dir, "events")).select(
+    ev = load(spark, sf_dir, "events")
+    rollup = time_rollup(ev).select(
         F.lit("rollup").alias("leg"),
         F.lit(None).cast("int").alias("day_num"),
         F.lit(None).cast("double").alias("day_rev"),
@@ -166,8 +193,32 @@ def q42_window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v_max",
         "v_open",
         "v_close",
+        F.lit(None).cast("bigint").alias("user_id"),
+        F.lit(None).cast("int").alias("stage"),
+        F.lit(None).cast("bigint").alias("funnel_sec"),
     )
-    return trailing.unionByName(rollup)
+    # 'funnel' leg (round 7): the ordered view->click->purchase path
+    # per user (operators/funnel.py) — chained-minimum semantics, one
+    # exchange, MATCH_RECOGNIZE-class behavioral analytics beside the
+    # time-bucket legs on the same events table.
+    fn = funnel(ev, FUNNEL_STEPS).select(
+        F.lit("funnel").alias("leg"),
+        F.lit(None).cast("int").alias("day_num"),
+        F.lit(None).cast("double").alias("day_rev"),
+        F.lit(None).cast("double").alias("trailing_7d"),
+        F.lit(None).cast("string").alias("resolution"),
+        F.lit(None).cast("string").alias("bucket_start"),
+        F.lit(None).cast("bigint").alias("n"),
+        F.lit(None).cast("double").alias("v_sum"),
+        F.lit(None).cast("double").alias("v_min"),
+        F.lit(None).cast("double").alias("v_max"),
+        F.lit(None).cast("double").alias("v_open"),
+        F.lit(None).cast("double").alias("v_close"),
+        "user_id",
+        "stage",
+        "funnel_sec",
+    )
+    return trailing.unionByName(rollup).unionByName(fn)
 
 
 # ---------------------------------------------------------------------------

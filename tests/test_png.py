@@ -198,7 +198,9 @@ def test_real_resize_of_png_payload_matches_python_oracle(spark):
         [
             (1, _img_blob(payload)),
             (2, _img_blob(b"\xff\xd8JPEG")),
-            (3, _img_blob(b"GIF89a\x00\x01")),
+            # GIF decodes for real since round 7 (operators/gif.py)
+            # so an AVIF-ish box is the remaining declared-stub case
+            (3, _img_blob(b"\x00\x00\x00\x1cftypavif\x00\x00\x00\x00avifmif1")),
         ],
     )
     out = {
