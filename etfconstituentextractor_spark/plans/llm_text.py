@@ -78,7 +78,8 @@ _QWEIGHTS = make_weights(64)
 #    weights make the margin bit-identical across engines.
 # 6. intra-document repetition — the Gopher rules (Rae et al. 2021
 #    §A1.1) token-wise (operators/substring_dedup.py): most-frequent-
-#    2-gram fraction + duplicated-3-gram coverage fraction; the
+#    3-gram fraction + duplicated-3-gram coverage fraction (one
+#    shared shingle stream — two exchanges, no windows); the
 #    drop signals for machine-generated / boilerplate-looping text.
 #    Shuffles carry (doc_id, pos, md5) only, joined back on doc_id.
 # 7. bigram-LM perplexity (operators/lm.py, §2B row 59) — the
@@ -178,7 +179,7 @@ def _sql_lang_guess() -> str:
                 WHEN model_margin >= -0.01 THEN 'mid'
                 ELSE 'low' END AS model_band,
            COUNT(*) OVER (PARTITION BY simhash16) AS simhash_bucket,
-           CAST(ROUND(COALESCE(rep.top2_cnt, 0) * CAST(2 AS DOUBLE) / n_tokens, 4) AS DOUBLE) AS rep_top2_frac,
+           CAST(ROUND(COALESCE(rep.top3_cnt, 0) * CAST(3 AS DOUBLE) / n_tokens, 4) AS DOUBLE) AS rep_top3_frac,
            CAST(ROUND(COALESCE(rep.dup3_cov, 0) / CAST(n_tokens AS DOUBLE), 4) AS DOUBLE) AS rep_dup3_frac,
            lm.lm_n_pairs, lm.lm_cross_entropy, lm.lm_ppl
     FROM feats LEFT JOIN rep USING (doc_id) LEFT JOIN lm USING (doc_id)
@@ -283,16 +284,16 @@ def q80_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(rep, "doc_id", "left").select(
         "*",
         F.round(
-            F.coalesce(F.col("top2_cnt"), F.lit(0)) * 2 / F.col("n_tokens").cast("double"), 4
+            F.coalesce(F.col("top3_cnt"), F.lit(0)) * 3 / F.col("n_tokens").cast("double"), 4
         )
         .cast("double")
-        .alias("rep_top2_frac"),
+        .alias("rep_top3_frac"),
         F.round(
             F.coalesce(F.col("dup3_cov"), F.lit(0)) / F.col("n_tokens").cast("double"), 4
         )
         .cast("double")
         .alias("rep_dup3_frac"),
-    ).drop("top2_cnt", "dup3_cov").join(lm, "doc_id", "left")
+    ).drop("top3_cnt", "dup3_cov").join(lm, "doc_id", "left")
 
 
 # ---------------------------------------------------------------------------

@@ -1351,28 +1351,25 @@ def test_intra_doc_repetition(spark):
 
     docs = [
         (1, "a b c d e f"),                  # no repeats
-        (2, "a b a b a b"),                  # 'a b' x3 overlapping coverage
+        (2, "a b a b a b"),                  # 3-grams all repeat; full coverage
         (3, "x y z q x y z w x y z"),        # 'x y z' repeats disjointly
-        (4, "t"),                            # too short for 2-grams
+        (4, "t u"),                          # too short for 3-grams
         (5, "p q p q r r p q"),
     ]
     df = spark.createDataFrame(docs, "doc_id bigint, text string")
     got = {
-        r.doc_id: (r.top2_cnt, r.dup3_cov)
+        r.doc_id: (r.top3_cnt, r.dup3_cov)
         for r in intra_doc_repetition(df).collect()
     }
 
-    def py(text, top_n=2, dup_n=3):
+    def py(text, n=3):
         tk = [t for t in text.split(" ") if t]
-        grams = lambda n: [tuple(tk[i : i + n]) for i in range(len(tk) - n + 1)]
-        top = max(
-            (grams(top_n).count(g) for g in set(grams(top_n))), default=None
-        )
-        g3 = grams(dup_n)
-        flagged = [i for i, g in enumerate(g3) if g3.count(g) >= 2]
+        grams = [tuple(tk[i : i + n]) for i in range(len(tk) - n + 1)]
+        top = max((grams.count(g) for g in set(grams)), default=None)
+        flagged = [i for i, g in enumerate(grams) if grams.count(g) >= 2]
         covered = set()
         for i in flagged:
-            covered.update(range(i, i + dup_n))
+            covered.update(range(i, i + n))
         return top, len(covered)
 
     want = {}
@@ -1381,8 +1378,8 @@ def test_intra_doc_repetition(spark):
         if top is not None:
             want[did] = (top, cov)
     assert got == want
-    assert 4 not in got  # no 2-gram -> no row (left-join contract)
-    assert got[2] == (3, 6)  # every position covered by repeated 'a b a'? no: 'a b a'/'b a b' repeat
+    assert 4 not in got  # no 3-gram -> no row (left-join contract)
+    assert got[2] == (2, 6)  # 'a b a'/'b a b' each x2; every position covered
 
     con = duckdb.connect()
     con.register("documents_py", __import__("pandas").DataFrame(docs, columns=["doc_id", "text"]))
@@ -1394,5 +1391,6 @@ def test_intra_doc_repetition(spark):
     }
     assert oracle == want
 
-    with _pytest.raises(ValueError, match="top_n"):
-        intra_doc_repetition(df, top_n=0)
+    with _pytest.raises(ValueError, match="n >= 2"):
+        intra_doc_repetition(df, n=1)
+
