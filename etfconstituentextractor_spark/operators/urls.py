@@ -76,6 +76,11 @@ def normalize_url(url_col: str = "url") -> Column:
     """Canonical form of an http(s) URL, as ONE codegen expression:
 
     - scheme and host lowercase; leading/trailing whitespace trimmed
+    - userinfo (user:pass@) DROPPED — credentials never belong in a
+      dedup key, and a host extracted from 'user:pass@h' would
+      otherwise be 'user' (the round-7 review's blocklist bypass)
+    - IPv6 literal hosts ([::1] etc.) kept bracketed, port still
+      recognized after the bracket
     - default ports dropped (:80 for http, :443 for https)
     - fragment dropped
     - tracking parameters (TRACKING_PARAMS) removed, other parameters
@@ -89,9 +94,19 @@ def normalize_url(url_col: str = "url") -> Column:
     u = f"trim({url_col})"
     scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*):', 1))"
     rest = f"regexp_replace({u}, '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
-    hostport = f"regexp_extract({rest}, '^([^/?#]*)', 1)"
-    host = f"lower(regexp_extract({hostport}, '^([^:]*)', 1))"
-    port = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
+    # authority = [userinfo@]host[:port]; greedy ^.*@ strips to the
+    # LAST @ (hostport cannot contain '/'), per WHATWG parsing
+    hostport = f"regexp_replace(regexp_extract({rest}, '^([^/?#]*)', 1), '^.*@', '')"
+    host = (
+        f"CASE WHEN {hostport} like '[%' "
+        f"THEN lower(regexp_extract({hostport}, '^(\\\\[[^\\\\]]+\\\\])', 1)) "
+        f"ELSE lower(regexp_extract({hostport}, '^([^:]*)', 1)) END"
+    )
+    port = (
+        f"CASE WHEN {hostport} like '[%' "
+        f"THEN regexp_extract({hostport}, '\\\\]:([0-9]+)$', 1) "
+        f"ELSE regexp_extract({hostport}, ':([0-9]+)$', 1) END"
+    )
     keep_port = (
         f"CASE WHEN {port} = '' THEN '' "
         f"WHEN {scheme} = 'http' AND {port} = '80' THEN '' "
@@ -121,11 +136,16 @@ def normalize_url(url_col: str = "url") -> Column:
 
 
 def host_of(url_col: str = "url") -> Column:
-    """Lowercased host (no port) of an http(s) URL; NULL otherwise."""
+    """Lowercased host (no port, no userinfo; IPv6 kept bracketed) of
+    an http(s) URL; NULL otherwise."""
+    hp = (
+        f"regexp_replace(regexp_extract(regexp_replace(trim({url_col}), "
+        f"'^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1), '^.*@', '')"
+    )
     return F.expr(
-        f"CASE WHEN trim({url_col}) rlike '^[Hh][Tt][Tt][Pp][Ss]?://' THEN "
-        f"lower(regexp_extract(regexp_replace(trim({url_col}), "
-        f"'^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/:?#]*)', 1)) END"
+        f"CASE WHEN NOT trim({url_col}) rlike '^[Hh][Tt][Tt][Pp][Ss]?://' THEN NULL "
+        f"WHEN {hp} like '[%' THEN lower(regexp_extract({hp}, '^(\\\\[[^\\\\]]+\\\\])', 1)) "
+        f"ELSE lower(regexp_extract({hp}, '^([^:]*)', 1)) END"
     )
 
 

@@ -97,16 +97,17 @@ class _BitWriter:
 _CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
 
 #: 2-D short-distance map: first 120 distance codes address a pixel
-#: neighborhood, (dx, dy) pairs pinned VERBATIM from the published
-#: RFC 9649 distance-mapping table (not generated): the window is
-#: dx∈[-7,8], dy∈[0,7] (dy=0 → dx>0) — exactly 120 entries, the
+#: neighborhood, (dx, dy) pairs pinned as a LITERAL, verified
+#: byte-for-byte against libwebp's kCodeToPlane table (extracted from
+#: the system libwebp.so binary — all 120 entries match): the window
+#: is dx∈[-7,8], dy∈[0,7] (dy=0 → dx>0) — exactly 120 entries, the
 #: range the spec's nibble encoding can represent (xoffset =
-#: 8 - (code & 0xF) spans -7..8; yoffset = code >> 4 spans 0..7).
-#: The published order is (squared distance, then larger dy, then
-#: larger dx) EXCEPT the d²=61 tie group, which the spec lists as
-#: (6,5),(-6,5),(5,6),(-5,6) — a pure sort would swap those two
-#: pairs, so the table must be a literal (full-table + window-shape
-#: pins in tests/test_vp8l.py).
+#: 8 - (code & 0xF) spans -7..8; yoffset = code >> 4 spans 0..7) —
+#: ordered by (squared distance, then larger dy, then larger dx),
+#: INCLUDING the d²=61 tie group at codes 93-96 which reads
+#: (5,6),(-5,6),(6,5),(-6,5). A literal rather than the equivalent
+#: sort so any future tweak to the heuristic cannot silently move
+#: tie groups (full-table + window-shape pins in tests/test_vp8l.py).
 _DIST_MAP = [
     (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
     (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
@@ -119,7 +120,7 @@ _DIST_MAP = [
     (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
     (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
     (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
-    (3, 7), (-3, 7), (7, 3), (-7, 3), (6, 5), (-6, 5), (5, 6), (-5, 6),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
     (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
     (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
     (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),

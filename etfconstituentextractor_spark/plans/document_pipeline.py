@@ -163,9 +163,16 @@ def q50_doc_extract_holdings(spark: SparkSession, sf_dir: str) -> DataFrame:
     filings = _filings(spark, sf_dir, seqs=1).localCheckpoint()
     html_leg = _extract(parse_filings(filings), "html")
 
+    # keyed by the FULL sf_dir (distinct datasets with the same
+    # basename must not collide) and the pid (write_warc deletes
+    # before writing, so a concurrent process sharing the directory
+    # would race destructively — review r7)
+    import hashlib
+
     out = os.path.join(
         tempfile.gettempdir(),
-        f"etfce_warc_filings_{os.path.basename(sf_dir.rstrip('/'))}",
+        "etfce_warc_filings_"
+        f"{hashlib.md5(sf_dir.rstrip('/').encode()).hexdigest()[:8]}_{os.getpid()}",
     )
     write_warc(
         filings.select(

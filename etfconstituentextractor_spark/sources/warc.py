@@ -22,8 +22,12 @@ ships ~1 GB files by the tens of thousands; one file is the natural
 work unit because gzip members are not splittable without an external
 index). Malformed bytes NEVER raise: every defect becomes an error
 row carrying the file path and record ordinal (reference R22 — errors
-are data). Memory is bounded by one record at a time, not one file:
-the parser walks the member stream incrementally.
+are data). The record walk is incremental and the reader emits
+fixed-size chunks of parsed rows, so PAYLOAD memory is bounded by the
+chunk; the compressed file bytes themselves stay resident for the
+task — that is binaryFile's unit of work, and the reason WARC corpora
+cap file sizes (~1 GB). Files beyond executor memory need an external
+record-offset index (the scale path, out of scope here).
 
 The sink mirrors the source: ``write_warc`` partitions the frame and
 each task writes one ``part-NNNNN.warc.gz`` with per-record members
@@ -289,15 +293,26 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     for captured responses, the raw record payload otherwise."""
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        CHUNK = 512  # records per emitted frame: payload memory is
+        # bounded by the chunk, not the file (the file BYTES are
+        # resident regardless — binaryFile's unit; the record walk
+        # itself is incremental)
+        empty = {f.name: pd.Series(dtype=object) for f in WARC_SCHEMA.fields}
+        emitted = False
         for pdf in batches:
-            rows = []
             for p, content in zip(pdf["path"], pdf["content"]):
-                rows.extend(parse_warc_bytes(p, bytes(content)))
-            yield pd.DataFrame(
-                rows
-                if rows
-                else {f.name: pd.Series(dtype=object) for f in WARC_SCHEMA.fields}
-            )
+                rows: list[dict] = []
+                for row in parse_warc_bytes(p, bytes(content)):
+                    rows.append(row)
+                    if len(rows) >= CHUNK:
+                        emitted = True
+                        yield pd.DataFrame(rows)
+                        rows = []
+                if rows:
+                    emitted = True
+                    yield pd.DataFrame(rows)
+        if not emitted:
+            yield pd.DataFrame(empty)
 
     return (
         spark.read.format("binaryFile")

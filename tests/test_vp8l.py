@@ -107,11 +107,12 @@ def test_riff_container_and_errors():
 
 
 def test_distance_map_matches_spec_prefix():
-    # ALL 120 entries of the spec's table (RFC 9649 §4.2.2), pinned
-    # verbatim and independently of the module's literal. Note the
-    # d²=61 tie group at codes 93-96: the published order is
-    # (6,5),(-6,5),(5,6),(-5,6), which a pure (d², larger-dy) sort
-    # would swap — the table cannot be regenerated from a heuristic.
+    # ALL 120 entries pinned verbatim and independently of the
+    # module's literal — verified byte-for-byte against libwebp's
+    # kCodeToPlane (extracted from the system libwebp.so; the round-7
+    # review caught a hand-transcription error in the d²=61 tie group
+    # this way). The order equals sorted by (d², larger dy, larger
+    # dx) at every entry, tie groups included.
     assert _DIST_MAP == [
         (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
         (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
@@ -124,7 +125,7 @@ def test_distance_map_matches_spec_prefix():
         (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
         (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
         (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
-        (3, 7), (-3, 7), (7, 3), (-7, 3), (6, 5), (-6, 5), (5, 6), (-5, 6),
+        (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
         (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
         (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
         (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),

@@ -39,7 +39,10 @@ def main() -> None:
 
     ta = sum(qa[n] for n in common)
     tb = sum(qb[n] for n in common)
-    print(f"\ncommon-set total: {ta:.1f}s -> {tb:.1f}s ({tb - ta:+.1f}s, x{tb / ta:.2f})")
+    if common and ta > 0:
+        print(f"\ncommon-set total: {ta:.1f}s -> {tb:.1f}s ({tb - ta:+.1f}s, x{tb / ta:.2f})")
+    else:
+        print("\nno common queries (or zero-time baseline) — totals not comparable")
     print(
         f"calibration: A {a.get('calibration_sec', '?')} (ratio {a.get('calibration_ratio', '?')})"
         f" | B {b.get('calibration_sec', '?')} (ratio {b.get('calibration_ratio', '?')})"
