@@ -22,6 +22,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etfconstituentextractor_spark.operators.incremental_agg import (
+    apply_group_delta,
+    cdc_group_delta,
+)
 from etfconstituentextractor_spark.operators.scd2 import scd2_history
 from etfconstituentextractor_spark.operators.snapshot_diff import snapshot_diff
 from etfconstituentextractor_spark.plans.registry import query
@@ -92,13 +96,27 @@ _H = "md5(coalesce(text, chr(0) || 'null') || chr(31) || coalesce(lang, chr(0) |
                 WHEN new_hash IS NULL THEN 'deleted'
                 WHEN old_hash <> new_hash THEN 'updated' END AS change,
            CAST(NULL AS INTEGER) AS valid_from, CAST(NULL AS INTEGER) AS valid_to,
-           CAST(NULL AS BOOLEAN) AS is_current
+           CAST(NULL AS BOOLEAN) AS is_current,
+           CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS n_docs,
+           CAST(NULL AS BIGINT) AS sum_chars
     FROM j
     WHERE old_hash IS NULL OR new_hash IS NULL OR old_hash <> new_hash
     UNION ALL
     SELECT 'scd2', doc_id, CAST(NULL AS VARCHAR), row_hash,
-           CAST(NULL AS VARCHAR), valid_from, valid_to, is_current
+           CAST(NULL AS VARCHAR), valid_from, valid_to, is_current,
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM scd2
+    UNION ALL
+    -- 'mv' leg: the RECOMPUTE of the per-lang aggregate over v2.
+    -- The Spark side MAINTAINS the same aggregate incrementally
+    -- (agg(v1) + cdc delta), so the hash match proves maintenance
+    -- equals recompute — the materialized-view invariant.
+    SELECT 'mv', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+           CAST(NULL AS BOOLEAN),
+           lang, COUNT(*), CAST(SUM(length(text)) AS BIGINT)
+    FROM new_rows
+    GROUP BY lang
     """,
 )
 def q86_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,6 +147,9 @@ def q86_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("valid_from"),
         F.lit(None).cast("int").alias("valid_to"),
         F.lit(None).cast("boolean").alias("is_current"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("bigint").alias("n_docs"),
+        F.lit(None).cast("bigint").alias("sum_chars"),
     )
     v3 = new.filter(F.col("doc_id") % 19 != 0).withColumn(
         "text",
@@ -147,5 +168,34 @@ def q86_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_from",
         "valid_to",
         "is_current",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("bigint").alias("n_docs"),
+        F.lit(None).cast("bigint").alias("sum_chars"),
     )
-    return diff.unionByName(hist)
+    # 'mv' leg (round 7, operators/incremental_agg.py): MAINTAIN the
+    # per-lang (count, char-sum) aggregate through the v1->v2 delta —
+    # agg(v1) + cdc_group_delta(v1, v2) — while the oracle RECOMPUTES
+    # the same aggregate from v2 directly; the hash match is the
+    # materialized-view invariant (maintenance == recompute), with
+    # cost O(changed keys) instead of O(corpus) on the Spark side.
+    base = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.length("text")).cast("bigint").alias("m"),
+    )
+    delta = cdc_group_delta(
+        d, new, key_col="doc_id", group_col="lang", measure_expr="length(text)"
+    )
+    mv = apply_group_delta(base, delta, group_col="lang").select(
+        F.lit("mv").alias("leg"),
+        F.lit(None).cast("bigint").alias("doc_id"),
+        F.lit(None).cast("string").alias("old_hash"),
+        F.lit(None).cast("string").alias("new_hash"),
+        F.lit(None).cast("string").alias("change"),
+        F.lit(None).cast("int").alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+        F.lit(None).cast("boolean").alias("is_current"),
+        "lang",
+        F.col("n").alias("n_docs"),
+        F.col("m").alias("sum_chars"),
+    )
+    return diff.unionByName(hist).unionByName(mv)
