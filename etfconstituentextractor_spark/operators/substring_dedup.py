@@ -160,10 +160,15 @@ def intra_doc_repetition(
     # checkpointed) array instead of re-splitting text
     toks = tokens_col or f"filter(split({text_col}, ' '), x -> x != '')"
 
+    # xxhash64, not md5: this hash is ONLY an in-engine grouping key —
+    # it never appears in output and never crosses to the oracle (the
+    # DuckDB twin groups by its own md5; any collision-free keying
+    # yields identical counts) — so the 8-byte JVM intrinsic beats the
+    # 32-hex md5 string in both CPU and shuffle width
     sh = docs.select(
         F.col(id_col),
         F.posexplode(F.expr(spark_shingles(toks, n))).alias("pos", "s"),
-    ).select(id_col, "pos", F.md5("s").alias("h"))
+    ).select(id_col, "pos", F.xxhash64("s").alias("h"))
     grp = sh.groupBy(id_col, "h").agg(
         F.count(F.lit(1)).alias("c"), F.collect_list("pos").alias("poss")
     )
