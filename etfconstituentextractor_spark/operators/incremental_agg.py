@@ -109,8 +109,13 @@ def apply_group_delta(
     """Maintained aggregate = base ⊕ delta. Groups whose count falls
     to zero drop (recompute semantics); negative counts raise inside
     the plan (assert_true) — the base disagreed with the snapshot the
-    delta was computed from."""
-    joined = base.join(delta, group_col, "full_outer")
+    delta was computed from. The join is NULL-SAFE on the group: a
+    NULL group is a real group in aggregate semantics, and a plain
+    equi-join would split it into two rows."""
+    b = base.withColumnRenamed(group_col, "__bg")
+    joined = b.join(
+        delta, F.col("__bg").eqNullSafe(F.col(group_col)), "full_outer"
+    ).withColumn(group_col, F.coalesce(F.col(group_col), F.col("__bg")))
     n = F.coalesce(F.col(count_col), F.lit(0)) + F.coalesce(F.col("d_count"), F.lit(0))
     m = F.coalesce(F.col(measure_col), F.lit(0)) + F.coalesce(F.col("d_measure"), F.lit(0))
     guard = F.assert_true(

@@ -545,8 +545,14 @@ def q73_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     # the pool feeds two branches (bm25-leg prefix + rrf union) —
     # localCheckpoint the 60-row frame so the corpus-scoring subtree
-    # runs once (per-branch pruning defeats ReuseExchange otherwise)
-    pool = bm25_topk(docs, BM25_QUERIES, k=RRF_POOL, k1=BM25_K1, b=BM25_B).localCheckpoint()
+    # runs once (per-branch pruning defeats ReuseExchange otherwise);
+    # coalesce(1) first: checkpointing 32 near-empty post-shuffle
+    # partitions costs more than the 60 rows do
+    pool = (
+        bm25_topk(docs, BM25_QUERIES, k=RRF_POOL, k1=BM25_K1, b=BM25_B)
+        .coalesce(1)
+        .localCheckpoint()
+    )
     bm_leg = pool.filter(F.col("rn") <= BM25_TOP_K).select(
         F.lit("bm25").alias("leg"), "query_id", "doc_id", "score", "rn"
     )

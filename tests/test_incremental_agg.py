@@ -120,3 +120,13 @@ def test_maintenance_equals_recompute_on_corpus(spark, sf_dir):
     assert got == want and len(got) > 0
     # the delta is small relative to the corpus — the point of CDC
     assert delta.count() <= d.select("lang").distinct().count()
+
+
+def test_null_group_is_one_group(spark):
+    """A NULL group must maintain as ONE group (null-safe join), not
+    split into a base row and a delta row."""
+    old = [(1, None, "aa"), (2, None, "b"), (3, "en", "ccc")]
+    new = [(1, None, "aaaa"), (3, "en", "ccc"), (4, None, "dd")]
+    got, want = _maintained(spark, old, new)
+    assert got == want
+    assert None in got and got[None] == (2, 6)
