@@ -24,6 +24,10 @@ Two pieces:
   the base aggregate and the old snapshot disagree, and carrying the
   corruption forward silently is how materialized views rot.
 
+Measure semantics: SUM(COALESCE(measure, 0)) — an all-NULL group
+totals 0, not SQL-NULL (the (count, sum) state cannot distinguish
+them; the oracle states the same COALESCE).
+
 The invariant the tests and the q86 'mv' oracle leg pin:
 ``apply_group_delta(agg(v1), cdc_group_delta(v1, v2)) == agg(v2)``
 — maintenance equals recompute, checked by the driver as a value
@@ -40,12 +44,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _hash_payload(cols: Sequence[str]):
-    sentinel = [
-        F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cols
-    ]
-    return F.md5(F.concat_ws("\x1f", *sentinel))
+from etfconstituentextractor_spark.operators.snapshot_diff import payload_hash
 
 
 def cdc_group_delta(
@@ -59,16 +58,26 @@ def cdc_group_delta(
     """(group, d_count, d_measure) over the keys that changed between
     ``old`` and ``new`` (both keyed uniquely by ``key_col``).
     ``measure_expr`` is any SQL expression over a row's columns (e.g.
-    ``length(text)``); the payload hash covers the group and the
-    measure, so a row counts as changed exactly when its contribution
-    to the aggregate changes."""
+    ``length(text)``); a NULL measure counts as 0 — the maintained
+    measure column is SUM(COALESCE(measure, 0)), NOT SQL's
+    null-skipping SUM, because (count, sum) state cannot know whether
+    a group's remaining measures are all NULL (callers wanting other
+    NULL semantics encode them in measure_expr). The payload hash
+    (shared CDC framing — `snapshot_diff.payload_hash`) covers the
+    group and the 0-coalesced measure, so a row counts as changed
+    exactly when its contribution to the aggregate changes.
+
+    One pass over the diff: each changed key EXPLODES into its
+    (old-negative, new-positive) contribution pair from a single
+    full-outer-join result — the join subtree is never consumed
+    twice (the q73/substring-dedup lesson)."""
 
     def side(df: DataFrame, tag: str) -> DataFrame:
         return df.select(
             F.col(key_col).alias("__k"),
             F.col(group_col).alias(f"{tag}_g"),
-            F.expr(measure_expr).cast("bigint").alias(f"{tag}_m"),
-            _hash_payload([group_col]).alias(f"{tag}_gh"),
+            F.coalesce(F.expr(measure_expr).cast("bigint"), F.lit(0)).alias(f"{tag}_m"),
+            payload_hash([group_col]).alias(f"{tag}_gh"),
         ).withColumn(
             f"{tag}_h",
             F.md5(F.concat_ws("\x1f", F.col(f"{tag}_gh"), F.col(f"{tag}_m").cast("string"))),
@@ -80,16 +89,30 @@ def cdc_group_delta(
         F.col("o_h").isNull() | F.col("n_h").isNull() | (F.col("o_h") != F.col("n_h"))
     )
     # old side contributes negatively, new side positively; a
-    # group-moving update emits into BOTH groups
-    neg = changed.filter(F.col("o_h").isNotNull()).select(
-        F.col("o_g").alias("g"), F.lit(-1).alias("dc"), (-F.col("o_m")).alias("dm")
-    )
-    pos = changed.filter(F.col("n_h").isNotNull()).select(
-        F.col("n_g").alias("g"), F.lit(1).alias("dc"), F.col("n_m").alias("dm")
+    # group-moving update emits into BOTH groups. One explode, so the
+    # join runs once; absent sides yield dc=0 rows filtered right out.
+    contrib = (
+        changed.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("o_g").alias("g"),
+                        F.when(F.col("o_h").isNotNull(), F.lit(-1)).otherwise(0).alias("dc"),
+                        F.when(F.col("o_h").isNotNull(), -F.col("o_m")).otherwise(0).alias("dm"),
+                    ),
+                    F.struct(
+                        F.col("n_g").alias("g"),
+                        F.when(F.col("n_h").isNotNull(), F.lit(1)).otherwise(0).alias("dc"),
+                        F.when(F.col("n_h").isNotNull(), F.col("n_m")).otherwise(0).alias("dm"),
+                    ),
+                )
+            ).alias("c")
+        )
+        .select("c.*")
+        .filter(F.col("dc") != 0)
     )
     return (
-        neg.unionByName(pos)
-        .groupBy("g")
+        contrib.groupBy("g")
         .agg(
             F.sum("dc").cast("bigint").alias("d_count"),
             F.sum("dm").cast("bigint").alias("d_measure"),

@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from etfconstituentextractor_spark.operators.snapshot_diff import payload_hash
+
 
 def scd2_history(
     snapshots: Sequence[tuple[int, DataFrame]],
@@ -63,13 +65,10 @@ def scd2_history(
     latest = max(versions)
 
     def hashed(df: DataFrame, version: int) -> DataFrame:
-        sentinel = [
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in compare_cols
-        ]
         return df.select(
             *keys,
             F.lit(version).alias("__version"),
-            F.md5(F.concat_ws("\x1f", *sentinel)).alias("row_hash"),
+            payload_hash(compare_cols).alias("row_hash"),
         )
 
     rows = hashed(snapshots[0][1], snapshots[0][0])

@@ -18,8 +18,21 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def payload_hash(cols: Sequence[str]) -> Column:
+    """THE content-hash framing of the CDC family (snapshot_diff,
+    scd2_history, incremental_agg's cdc_group_delta): md5 over the
+    columns cast to string, null-sentineled (chr(0)+'null') and
+    unit-separator-joined, so ('a', NULL) never collides with
+    (NULL, 'a') or ('a,',). One definition — the engines' CDC
+    operators must never disagree on framing."""
+    sentinel = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cols
+    ]
+    return F.md5(F.concat_ws("\x1f", *sentinel))
 
 
 def snapshot_diff(
@@ -47,10 +60,7 @@ def snapshot_diff(
         raise ValueError("no columns to compare (all shared columns are keys)")
 
     def hashed(df: DataFrame, out: str) -> DataFrame:
-        sentinel = [
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in compare_cols
-        ]
-        return df.select(*keys, F.md5(F.concat_ws("\x1f", *sentinel)).alias(out))
+        return df.select(*keys, payload_hash(compare_cols).alias(out))
 
     o = hashed(old, "old_hash")
     n = hashed(new, "new_hash")

@@ -151,8 +151,10 @@ def intra_doc_repetition(
     an in-aggregate fold over the sorted duplicated positions
     (O(occurrences log occurrences) per doc, bounded by doc length),
     so there are exactly two exchanges, no windows, and no
-    double-consumed subtree. Shuffles carry (doc_id, md5, positions)
-    only — never text.
+    double-consumed subtree. Shuffles carry (doc_id, xxhash64,
+    positions) only — never text (the 8-byte intrinsic, not md5: this
+    hash is a pure in-engine grouping key, absent from output and
+    from the oracle, which groups by its own md5).
     """
     if n < 2:
         raise ValueError(f"need n >= 2, got {n}")

