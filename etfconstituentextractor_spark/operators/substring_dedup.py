@@ -46,7 +46,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from etfconstituentextractor_spark.operators.text import spark_shingles, sql_shingles
+from etfconstituentextractor_spark.operators.text import (
+    nonempty_tokens,
+    spark_shingles,
+    sql_shingles,
+)
 
 #: default shingle width (tokens). 50-token shingles are the paper's
 #: setting for full-scale corpora; the synthetic corpus' repeated
@@ -66,7 +70,7 @@ def repeated_ngram_stats(
     (callers left-join and coalesce to 0 — the LM-leg contract)."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    toks = f"filter(split({text_col}, ' '), x -> x != '')"
+    toks = nonempty_tokens(text_col)
     sh = docs.select(
         F.col(id_col),
         F.posexplode(F.expr(spark_shingles(toks, k))).alias("pos", "s"),
@@ -160,7 +164,7 @@ def intra_doc_repetition(
         raise ValueError(f"need n >= 2, got {n}")
     # tokens_col lets callers reuse an already-tokenized (often
     # checkpointed) array instead of re-splitting text
-    toks = tokens_col or f"filter(split({text_col}, ' '), x -> x != '')"
+    toks = tokens_col or nonempty_tokens(text_col)
 
     # xxhash64, not md5: this hash is ONLY an in-engine grouping key —
     # it never appears in output and never crosses to the oracle (the

@@ -31,6 +31,14 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 STOPWORDS = LANG_STOPWORDS["en"]
 
 
+def nonempty_tokens(col: str = "text") -> str:
+    """THE corpus word-tokenization expression (whitespace split,
+    empties dropped) as a SQL fragment — one definition for every
+    operator that tokenizes this way (substring dedup, unigram, the
+    q80 LM frame): a tokenization change must happen in one place."""
+    return f"filter(split({col}, ' '), x -> x != '')"
+
+
 def tokens(text_col: str = "text") -> Column:
     """Whitespace tokenization (corpus is single-space separated)."""
     return F.split(F.col(text_col), " ")

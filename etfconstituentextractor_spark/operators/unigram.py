@@ -46,12 +46,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etfconstituentextractor_spark.operators.text import nonempty_tokens
+
 
 def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, n) over whitespace tokens — the one corpus shuffle every
     EM round reuses."""
     return (
-        docs.select(F.explode(F.expr(f"filter(split({text_col}, ' '), x -> x != '')")).alias("word"))
+        docs.select(F.explode(F.expr(nonempty_tokens(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
@@ -78,14 +80,18 @@ def seed_vocab(
         .groupBy("piece")
         .agg(F.sum(F.col("n") * F.length("piece")).cast("bigint").alias("score"))
     )
-    chars = {r.piece: r.score for r in subs.filter(F.length("piece") == 1).collect()}
-    top = {
-        r.piece: r.score
-        for r in subs.filter(F.length("piece") > 1)
-        .orderBy(F.col("score").desc(), "piece")
-        .limit(seed_size)
-        .collect()
-    }
+    subs = subs.persist()  # two collects below — one aggregation job
+    try:
+        chars = {r.piece: r.score for r in subs.filter(F.length("piece") == 1).collect()}
+        top = {
+            r.piece: r.score
+            for r in subs.filter(F.length("piece") > 1)
+            .orderBy(F.col("score").desc(), "piece")
+            .limit(seed_size)
+            .collect()
+        }
+    finally:
+        subs.unpersist()
     scores = {**chars, **top}
     total = sum(scores.values())
     return {p: math.log(s / total) for p, s in scores.items()}
@@ -137,7 +143,9 @@ def em_round(
                     out[piece] = out.get(piece, 0) + int(n)
                     ll += lp[piece] * int(n)
             rows = [(p, c, 0.0) for p, c in out.items()]
-            rows.append(("\x00__ll", 0, ll))  # per-partition objective
+            # the objective travels OUT-OF-BAND as a NULL piece — an
+            # in-band sentinel string could collide with a real piece
+            rows.append((None, 0, ll))
             yield pd.DataFrame(rows, columns=["piece", "c", "ll"])
 
     agg = (
@@ -146,8 +154,8 @@ def em_round(
         .agg(F.sum("c").alias("c"), F.sum("ll").alias("ll"))
         .collect()
     )
-    ll_total = sum(r.ll for r in agg if r.piece == "\x00__ll")
-    counts = {r.piece: r.c for r in agg if r.piece != "\x00__ll"}
+    ll_total = sum(r.ll for r in agg if r.piece is None)
+    counts = {r.piece: r.c for r in agg if r.piece is not None}
     total = sum(counts.values())
     if total == 0:
         raise ValueError("no piece was used — empty corpus or vocab")
@@ -206,6 +214,7 @@ def viterbi_encode(
     a dict, documents the parallel unit)."""
     lp = dict(logp)
     ml = max_piece_len
+    id_type = docs.schema[id_col].dataType.simpleString()
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -223,5 +232,5 @@ def viterbi_encode(
             yield pd.DataFrame(rows, columns=[id_col, "pieces", "n_pieces"])
 
     return docs.select(id_col, text_col).mapInPandas(
-        gen, f"{id_col} long, pieces array<string>, n_pieces int"
+        gen, f"{id_col} {id_type}, pieces array<string>, n_pieces int"
     )

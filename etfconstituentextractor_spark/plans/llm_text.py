@@ -16,6 +16,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from etfconstituentextractor_spark.operators.text import (
+    nonempty_tokens,
     LANG_STOPWORDS,
     STOPWORDS,
     hex_to_long,
@@ -198,7 +199,7 @@ def q80_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-executor (MEMORY_AND_DISK), released when the plan is GC'd.
     d = (
         fanout(load(spark, sf_dir, "documents"))
-        .withColumn("tk", F.expr("filter(split(text, ' '), x -> x != '')"))
+        .withColumn("tk", F.expr(nonempty_tokens("text")))
         .localCheckpoint()
     )
     rep = intra_doc_repetition(d, tokens_col="tk")

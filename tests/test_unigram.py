@@ -118,3 +118,16 @@ def test_distributed_matches_pure_python(spark, sf_dir):
     assert set(got_lp) == set(want_lp)
     for p in want_lp:
         assert got_lp[p] == pytest.approx(want_lp[p], rel=1e-12), p
+
+
+def test_viterbi_encode_string_ids(spark):
+    """id_col type is derived from the input schema — string ids (the
+    WARC/crawl pipeline's URLs) must work (review r7)."""
+    from etfconstituentextractor_spark.operators.unigram import viterbi_encode
+
+    df = spark.createDataFrame(
+        [("http://a/x", "ab ab"), ("http://a/y", "ba")], "url string, text string"
+    )
+    logp = {"a": -1.0, "b": -1.0, "ab": -0.5}
+    got = {r.url: r.pieces for r in viterbi_encode(df, logp, id_col="url", text_col="text").collect()}
+    assert got == {"http://a/x": ["ab", "ab"], "http://a/y": ["b", "a"]}
