@@ -219,8 +219,11 @@ def decode_gif(data: bytes) -> np.ndarray:
             if label == 0xF9 and not seen_image:  # GCE for the first frame
                 if len(payload) < 4:
                     raise ValueError("short graphic control extension")
-                if payload[0] & 1:
-                    transparent = payload[3]
+                # a GCE governs only the NEXT graphic block, and the
+                # LAST one before the image wins — a later GCE with
+                # the transparency flag clear must RESET the index
+                # (review r7: sticky state mis-rendered that case)
+                transparent = payload[3] if payload[0] & 1 else None
             continue
         if b == 0x2C:  # image descriptor
             if pos + 9 > len(data):

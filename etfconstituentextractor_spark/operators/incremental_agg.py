@@ -44,7 +44,6 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from etfconstituentextractor_spark.operators.snapshot_diff import payload_hash
 
 
 def cdc_group_delta(
@@ -62,10 +61,12 @@ def cdc_group_delta(
     measure column is SUM(COALESCE(measure, 0)), NOT SQL's
     null-skipping SUM, because (count, sum) state cannot know whether
     a group's remaining measures are all NULL (callers wanting other
-    NULL semantics encode them in measure_expr). The payload hash
-    (shared CDC framing — `snapshot_diff.payload_hash`) covers the
-    group and the 0-coalesced measure, so a row counts as changed
-    exactly when its contribution to the aggregate changes.
+    NULL semantics encode them in measure_expr). The change hash
+    covers the group and the 0-coalesced measure, so a row counts as changed
+    exactly when its contribution to the aggregate changes. The hash
+    uses the family's null-sentinel + unit-separator framing (see
+    `snapshot_diff.payload_hash`) with the measure as a second field,
+    in ONE md5.
 
     One pass over the diff: each changed key EXPLODES into its
     (old-negative, new-positive) contribution pair from a single
@@ -73,15 +74,24 @@ def cdc_group_delta(
     twice (the q73/substring-dedup lesson)."""
 
     def side(df: DataFrame, tag: str) -> DataFrame:
+        m = F.coalesce(F.expr(measure_expr).cast("bigint"), F.lit(0))
+        # ONE md5 over (null-sentineled group, coalesced measure) —
+        # the payload_hash framing with the measure as a second field
+        # (review r7: chaining payload_hash into a second md5 doubled
+        # the hash work on the full-corpus scan)
+        h = F.md5(
+            F.concat_ws(
+                "\x1f",
+                F.coalesce(F.col(group_col).cast("string"), F.lit("\x00null")),
+                m.cast("string"),
+            )
+        )
         return df.select(
             F.col(key_col).alias("__k"),
             F.col(group_col).alias(f"{tag}_g"),
-            F.coalesce(F.expr(measure_expr).cast("bigint"), F.lit(0)).alias(f"{tag}_m"),
-            payload_hash([group_col]).alias(f"{tag}_gh"),
-        ).withColumn(
-            f"{tag}_h",
-            F.md5(F.concat_ws("\x1f", F.col(f"{tag}_gh"), F.col(f"{tag}_m").cast("string"))),
-        ).drop(f"{tag}_gh")
+            m.alias(f"{tag}_m"),
+            h.alias(f"{tag}_h"),
+        )
 
     o = side(old, "o")
     n = side(new, "n")

@@ -12,12 +12,22 @@ filter is a broadcast anti-join on the registrable domain. Nothing
 here leaves the JVM and nothing shuffles except the (tiny) blocklist
 broadcast; at 100 TB this stage rides the scan.
 
+The authority grammar ([userinfo@]host[:port], bracketed IPv6, one
+optional trailing dot on the host) is defined ONCE by the fragment
+builders below and shared by normalize_url and host_of — the round-7
+reviews found each divergence between two hand-rolled copies turned
+into a real bug ('user' or 'http' becoming the host). URLs whose
+authority does not fit the grammar (junk ports, '://'-less scheme
+forms) PASS THROUGH VERBATIM: wrong-shaped rows are a filter
+decision, not a rewrite.
+
 Registrable-domain extraction uses an embedded multi-part-suffix
 subset (the structural rule of the public-suffix list: take 2 host
-labels, or 3 when the last 2 are a listed compound like `co.uk`).
-The full Mozilla list is a data file a deployment would broadcast
-through the same code path; the subset keeps this repo dependency-
-free and the rule exact for the listed compounds.
+labels, or 3 when the last 2 are a listed compound like `co.uk`);
+IPv4 and IPv6 literals key as the WHOLE address. The full Mozilla
+list is a data file a deployment would broadcast through the same
+code path; the subset keeps this repo dependency-free and the rule
+exact for the listed compounds.
 
 No reference counterpart (the reference fetches two hard-coded SEC
 URLs, `ETFQuarterlyHoldingsExtractor.py:57-66`); this is engine
@@ -72,6 +82,39 @@ def _tracking_pred(var: str) -> str:
     return f"{var} rlike '^({alts})='"
 
 
+# ---------------------------------------------------------------------------
+# authority grammar — ONE definition of scheme/hostport/host/port
+# fragments, shared by normalize_url and host_of
+# ---------------------------------------------------------------------------
+
+#: hostport must be bracketed-IPv6 or a colon/bracket-free host, each
+#: with an optional numeric port — anything else is out of grammar
+_HOSTPORT_OK = r"'^(\\[[^\\]]+\\](:[0-9]+)?|[^:\\[\\]]*(:[0-9]+)?)$'"
+
+
+def _auth_fragments(url_col: str) -> dict[str, str]:
+    u = f"trim({url_col})"
+    scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    rest = f"regexp_replace({u}, '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
+    # authority = [userinfo@]host[:port]; greedy ^.*@ strips to the
+    # LAST @ (hostport cannot contain '/'), per WHATWG parsing
+    hostport = f"regexp_replace(regexp_extract({rest}, '^([^/?#]*)', 1), '^.*@', '')"
+    ok = f"({hostport} rlike {_HOSTPORT_OK})"
+    # one trailing dot is the FQDN spelling of the same host — drop it
+    host = (
+        f"CASE WHEN {hostport} like '[%' "
+        f"THEN lower(regexp_extract({hostport}, '^(\\\\[[^\\\\]]+\\\\])', 1)) "
+        f"ELSE regexp_replace(lower(regexp_extract({hostport}, '^([^:]*)', 1)), "
+        f"'\\\\.$', '') END"
+    )
+    port = (
+        f"CASE WHEN {hostport} like '[%' "
+        f"THEN regexp_extract({hostport}, '\\\\]:([0-9]+)$', 1) "
+        f"ELSE regexp_extract({hostport}, ':([0-9]+)$', 1) END"
+    )
+    return {"u": u, "scheme": scheme, "rest": rest, "ok": ok, "host": host, "port": port}
+
+
 def normalize_url(url_col: str = "url") -> Column:
     """Canonical form of an http(s) URL, as ONE codegen expression:
 
@@ -80,7 +123,8 @@ def normalize_url(url_col: str = "url") -> Column:
       dedup key, and a host extracted from 'user:pass@h' would
       otherwise be 'user' (the round-7 review's blocklist bypass)
     - IPv6 literal hosts ([::1] etc.) kept bracketed, port still
-      recognized after the bracket
+      recognized after the bracket; one trailing host dot dropped
+      (FQDN spelling)
     - default ports dropped (:80 for http, :443 for https)
     - fragment dropped
     - tracking parameters (TRACKING_PARAMS) removed, other parameters
@@ -88,24 +132,14 @@ def normalize_url(url_col: str = "url") -> Column:
       genuinely distinguish them); an emptied query drops its '?'
     - trailing slash dropped except on the bare root
 
-    Non-http(s) strings pass through trimmed (data, mailto, relative
-    fragments are not this stage's business — wrong-scheme rows are a
-    FILTER decision, not a rewrite)."""
-    u = f"trim({url_col})"
-    scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*):', 1))"
-    rest = f"regexp_replace({u}, '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
-    # authority = [userinfo@]host[:port]; greedy ^.*@ strips to the
-    # LAST @ (hostport cannot contain '/'), per WHATWG parsing
-    hostport = f"regexp_replace(regexp_extract({rest}, '^([^/?#]*)', 1), '^.*@', '')"
-    host = (
-        f"CASE WHEN {hostport} like '[%' "
-        f"THEN lower(regexp_extract({hostport}, '^(\\\\[[^\\\\]]+\\\\])', 1)) "
-        f"ELSE lower(regexp_extract({hostport}, '^([^:]*)', 1)) END"
-    )
-    port = (
-        f"CASE WHEN {hostport} like '[%' "
-        f"THEN regexp_extract({hostport}, '\\\\]:([0-9]+)$', 1) "
-        f"ELSE regexp_extract({hostport}, ':([0-9]+)$', 1) END"
+    Everything else passes through trimmed: non-http(s) schemes,
+    '://'-less forms like 'http:example.com' (which would otherwise
+    mangle into host 'http'), and junk ports like ':8080x' — a
+    malformed URL must keep its own identity, not merge into a valid
+    one's dedup key."""
+    a = _auth_fragments(url_col)
+    u, scheme, rest, ok, host, port = (
+        a["u"], a["scheme"], a["rest"], a["ok"], a["host"], a["port"],
     )
     keep_port = (
         f"CASE WHEN {port} = '' THEN '' "
@@ -129,30 +163,29 @@ def normalize_url(url_col: str = "url") -> Column:
     )
     norm_query = f"CASE WHEN {query} = '' OR {kept} = '' THEN '' ELSE concat('?', {kept}) END"
     return F.expr(
-        f"CASE WHEN {scheme} IN ('http', 'https') AND {host} != '' THEN "
+        f"CASE WHEN {scheme} IN ('http', 'https') AND {host} != '' AND {ok} THEN "
         f"concat({scheme}, '://', {host}, {keep_port}, {norm_path}, {norm_query}) "
         f"ELSE {u} END"
     )
 
 
 def host_of(url_col: str = "url") -> Column:
-    """Lowercased host (no port, no userinfo; IPv6 kept bracketed) of
-    an http(s) URL; NULL otherwise."""
-    hp = (
-        f"regexp_replace(regexp_extract(regexp_replace(trim({url_col}), "
-        f"'^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1), '^.*@', '')"
-    )
+    """Lowercased host (no port, no userinfo, no trailing dot; IPv6
+    kept bracketed) of a well-formed http(s) URL; NULL otherwise —
+    same grammar, same fragments as normalize_url."""
+    a = _auth_fragments(url_col)
     return F.expr(
-        f"CASE WHEN NOT trim({url_col}) rlike '^[Hh][Tt][Tt][Pp][Ss]?://' THEN NULL "
-        f"WHEN {hp} like '[%' THEN lower(regexp_extract({hp}, '^(\\\\[[^\\\\]]+\\\\])', 1)) "
-        f"ELSE lower(regexp_extract({hp}, '^([^:]*)', 1)) END"
+        f"CASE WHEN {a['scheme']} IN ('http', 'https') AND {a['host']} != '' "
+        f"AND {a['ok']} THEN {a['host']} END"
     )
 
 
 def registrable_domain(host_expr: Column) -> Column:
     """eTLD+1 under the embedded compound-suffix subset: the last 3
     host labels when the trailing 2 form a listed compound suffix,
-    else the last 2."""
+    else the last 2. IP literals (IPv4 dotted quads, bracketed IPv6)
+    key as the WHOLE address — '216.34' is not a domain and a
+    blocklisted IP must match itself."""
     h = host_expr
     parts = F.split(h, r"\.")
     n = F.size(parts)
@@ -160,8 +193,9 @@ def registrable_domain(host_expr: Column) -> Column:
     last3 = F.concat_ws(
         ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
     )
+    is_literal = h.startswith("[") | h.rlike(r"^[0-9]+(\.[0-9]+){3}$")
     return (
-        F.when(h.isNull() | (n < 2), h)
+        F.when(h.isNull() | (n < 2) | is_literal, h)
         .when((n >= 3) & last2.isin(*COMPOUND_SUFFIXES), last3)
         .otherwise(last2)
     )
@@ -173,8 +207,9 @@ def filter_blocked_domains(
     """Drop rows whose REGISTRABLE domain appears in ``blocklist``
     (one `domain` column) — so `ads.example.com` and `example.com`
     both fall to a listed `example.com`, the way domain blocklists
-    are meant to apply. Broadcast LEFT ANTI join; non-http(s) rows
-    (NULL host) are kept — scheme filtering is a separate decision."""
+    are meant to apply (IP entries match their literal). Broadcast
+    LEFT ANTI join; rows with no well-formed http(s) host (NULL key)
+    are kept — scheme/shape filtering is a separate decision."""
     keyed = df.withColumn("__dom", registrable_domain(host_of(url_col)))
     # no distinct: LEFT ANTI is duplicate-insensitive on the right,
     # and dedup would cost the blocklist side an exchange

@@ -166,14 +166,19 @@ def q50_doc_extract_holdings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keyed by the FULL sf_dir (distinct datasets with the same
     # basename must not collide) and the pid (write_warc deletes
     # before writing, so a concurrent process sharing the directory
-    # would race destructively — review r7)
+    # would race destructively — review r7); the pid key also means
+    # every process leaves a fresh dir behind, so register an atexit
+    # sweep — by exit time all lazy reads over it have executed
+    import atexit
     import hashlib
+    import shutil
 
     out = os.path.join(
         tempfile.gettempdir(),
         "etfce_warc_filings_"
         f"{hashlib.md5(sf_dir.rstrip('/').encode()).hexdigest()[:8]}_{os.getpid()}",
     )
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
     write_warc(
         filings.select(
             F.concat(F.lit("https://filings.test/"), F.col("filing_id")).alias("url"),

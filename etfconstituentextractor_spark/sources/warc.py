@@ -39,7 +39,6 @@ the record serialization (the format-bearing part) is identical.
 from __future__ import annotations
 
 import hashlib
-import io
 import os
 import zlib
 from collections.abc import Iterator
@@ -192,14 +191,22 @@ def _parse_records(stream: bytes) -> Iterator[tuple[dict, str | None]]:
             return
         header_lines = stream[pos:head_end].split(_CRLF)
         fields: dict[str, str] = {}
+
+        def _hdr(b: bytes) -> str:
+            # ISO 28500: header values are UTF-8; fall back to the
+            # lossless latin-1 byte map for non-conformant bytes so
+            # the never-raise contract holds
+            try:
+                return b.decode("utf-8")
+            except UnicodeDecodeError:
+                return b.decode("latin-1")
+
         for line in header_lines[1:]:
             k, _, v = line.partition(b":")
             if not _:
                 yield {}, f"malformed_header_line: {line[:40]!r}"
                 return
-            fields[k.strip().decode("latin-1").lower()] = v.strip().decode(
-                "latin-1"
-            )
+            fields[_hdr(k.strip()).lower()] = _hdr(v.strip())
         try:
             clen = int(fields["content-length"])
             if clen < 0:
@@ -232,7 +239,10 @@ def _parse_http_payload(payload: bytes) -> tuple[int | None, str | None, bytes]:
     for line in head[1:]:
         k, _, v = line.partition(b":")
         if k.strip().lower() == b"content-type":
-            ctype = v.strip().decode("latin-1")
+            try:
+                ctype = v.strip().decode("utf-8")
+            except UnicodeDecodeError:
+                ctype = v.strip().decode("latin-1")
     return status, ctype, payload[sep + 4 :]
 
 
@@ -351,28 +361,29 @@ def write_warc(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        buf = io.BytesIO()
         info = build_record(
             "warcinfo",
             b"software: etfconstituentextractor_spark\r\n",
             record_id=f"warcinfo-{pid:05d}",
             content_type="application/warc-fields",
         )
-        buf.write(gzip_member(info))
         n = 0
-        for pdf in batches:
-            for url, html, date in zip(pdf["url"], pdf["html"], pdf["date"]):
-                raw = html.encode() if isinstance(html, str) else bytes(html)
-                rec = build_http_response_record(
-                    url,
-                    raw,
-                    record_id=hashlib.md5(url.encode()).hexdigest(),
-                    date=str(date),
-                )
-                buf.write(gzip_member(rec))
-                n += 1
+        # stream members straight to the part file: the task's memory
+        # is one record, not the whole shard (the reader-side rule,
+        # applied to the writer too — round-7 review)
         with open(os.path.join(out_dir, f"part-{pid:05d}.warc.gz"), "wb") as fh:
-            fh.write(buf.getvalue())
+            fh.write(gzip_member(info))
+            for pdf in batches:
+                for url, html, date in zip(pdf["url"], pdf["html"], pdf["date"]):
+                    raw = html.encode() if isinstance(html, str) else bytes(html)
+                    rec = build_http_response_record(
+                        url,
+                        raw,
+                        record_id=hashlib.md5(url.encode()).hexdigest(),
+                        date=str(date),
+                    )
+                    fh.write(gzip_member(rec))
+                    n += 1
         yield pd.DataFrame({"n": [n]})
 
     # hash-repartition on url (file membership deterministic regardless

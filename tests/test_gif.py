@@ -231,3 +231,24 @@ def test_resize_and_phash_decode_gif_for_real(spark):
     assert ph[1]["error"] is None
     assert ph[1]["phash"] == phash_of_pixels(decode_gif(payload))
     assert ph[2]["error"].startswith("bad_image")
+
+
+def test_gce_scoping_last_one_wins():
+    """Two GCEs before the image: the LAST governs — a clear
+    transparency flag must reset an earlier set index (review r7)."""
+    base = encode_gif(
+        np.concatenate(
+            [np.full((2, 2, 3), 40, np.uint8), np.full((2, 2, 1), 255, np.uint8)], axis=2
+        ),
+        transparent_threshold=None,
+    )
+    # base has no GCE; splice two in before the image descriptor
+    idesc = base.index(b"\x2c")
+    gce_on = b"\x21\xf9\x04" + bytes((1, 0, 0, 0)) + b"\x00"   # transparent idx 0
+    gce_off = b"\x21\xf9\x04" + bytes((0, 0, 0, 0)) + b"\x00"  # flag clear
+    # on -> off: nothing transparent
+    blob = base[:idesc] + gce_on + gce_off + base[idesc:]
+    assert (decode_gif(blob)[..., 3] == 255).all()
+    # off -> on: index 0 transparent (all pixels are palette idx 0)
+    blob = base[:idesc] + gce_off + gce_on + base[idesc:]
+    assert (decode_gif(blob)[..., 3] == 0).all()

@@ -27,10 +27,19 @@ def _py_normalize(u: str) -> str:
     scheme = parts.scheme.lower()
     if scheme not in ("http", "https") or not parts.hostname:
         return t
-    host = parts.hostname  # lowercased, brackets stripped for IPv6
+    import re as _re
+
+    if not _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", t):
+        return t  # '://'-less scheme form passes through
+    host = parts.hostname.rstrip(".")  # FQDN trailing dot drops
+    if not host:
+        return t
     if ":" in host:  # IPv6 literal — re-bracket
         host = f"[{host}]"
-    port = parts.port
+    try:
+        port = parts.port
+    except ValueError:
+        return t  # junk port -> out of grammar, passthrough
     default = 80 if scheme == "http" else 443
     hostport = host if port in (None, default) else f"{host}:{port}"
     path = parts.path or "/"
@@ -47,9 +56,10 @@ def _py_normalize(u: str) -> str:
 
 def test_normalize_url_fuzz_vs_urllib(spark):
     rng = random.Random(77)
-    hosts = ["Example.COM", "a.B.c.org", "x-y.net", "[2001:DB8::1]", "[::1]", "q.co.uk"]
+    hosts = ["Example.COM", "a.B.c.org", "x-y.net", "[2001:DB8::1]", "[::1]", "q.co.uk",
+             "example.com.", "10.1.2.3"]
     users = ["", "bob@", "a:b@", "x%40y@"]
-    ports = ["", ":80", ":443", ":8080", ":1"]
+    ports = ["", ":80", ":443", ":8080", ":1", ":8080x"]
     paths = ["", "/", "/a", "/a/b/", "/A%20B", "/a//b", "/trailing/"]
     params = ["id=7", "utm_source=x", "b=2", "fbclid=q", "a=1", "ref=z", "refresh=1", "utm_medium="]
     frags = ["", "#f", "#a/b?c=1"]

@@ -41,6 +41,14 @@ CASES = [
     ("http://[2001:DB8::1]/x", "http://[2001:db8::1]/x"),
     ("https://[::1]:443/x", "https://[::1]/x"),
     ("https://[::1]:8443/x", "https://[::1]:8443/x"),
+    # out-of-grammar forms pass through VERBATIM (review r7 wave 3):
+    # '://'-less scheme would otherwise mangle into host 'http';
+    # junk ports must not merge with the valid portless URL
+    ("http:example.com/a", "http:example.com/a"),
+    ("http:/path-only", "http:/path-only"),
+    ("http://example.com:8080x/path", "http://example.com:8080x/path"),
+    # FQDN trailing dot is the same host
+    ("http://example.com./x", "http://example.com/x"),
 ]
 
 
@@ -66,6 +74,12 @@ def test_host_and_registrable_domain(spark):
         ("mailto:x@y.z", None, None),
         ("https://admin:pw@ads.blocked.com/x", "ads.blocked.com", "blocked.com"),
         ("http://[2001:db8::1]:8080/x", "[2001:db8::1]", "[2001:db8::1]"),
+        # IP literals key as the whole address; trailing dot drops;
+        # out-of-grammar hosts yield NULL
+        ("http://93.184.216.34/x", "93.184.216.34", "93.184.216.34"),
+        ("http://ads.example.com./x", "ads.example.com", "example.com"),
+        ("http:example.com/x", None, None),
+        ("http://example.com:99x/x", None, None),
     ]
     df = spark.createDataFrame([(u,) for u, _, _ in rows], "url string")
     got = df.select(
@@ -94,6 +108,16 @@ def test_filter_blocked_domains(spark):
         "id bigint, url string",
     )
     assert [r.id for r in filter_blocked_domains(sneaky, bl).collect()] == []
+
+    # IP and trailing-dot spellings cannot dodge the list either
+    dotty = spark.createDataFrame(
+        [(9, "http://example.com./dot"), (10, "http://93.184.216.34/ip")],
+        "id bigint, url string",
+    )
+    bl2 = spark.createDataFrame(
+        [("example.com",), ("93.184.216.34",)], "domain string"
+    )
+    assert [r.id for r in filter_blocked_domains(dotty, bl2).collect()] == []
 
 
 def test_urls_zero_shuffle_plan(spark):

@@ -169,3 +169,19 @@ def test_write_warc_overwrites_stale_shards(spark, tmp_path):
     back = read_warc(spark, str(out / "*.warc.gz"))
     resp = back.filter("warc_type = 'response'").collect()
     assert len(resp) == 20  # no resurrected duplicates
+
+
+def test_utf8_target_uri_roundtrip(spark, tmp_path):
+    """WARC 1.1 headers are UTF-8 (ISO 28500): internationalized URIs
+    must round-trip exactly, not as latin-1 mojibake (review r7)."""
+    docs = [("https://example.com/café/日本", "<p>x</p>")]
+    df = spark.createDataFrame(docs, "url string, html string")
+    out = tmp_path / "w8"
+    write_warc(df, str(out), n_files=1)
+    rows = read_warc(spark, str(out / "*.warc.gz")).filter("warc_type='response'").collect()
+    assert rows[0].target_uri == docs[0][0]
+    # non-UTF-8 header bytes still parse (latin-1 fallback, never raise)
+    raw = build_record("metadata", b"x", record_id="r")
+    raw = raw.replace(b"<urn:uuid:r>", b"<urn:uuid:r\xff>")
+    got = list(parse_warc_bytes("f", raw))
+    assert got[0]["error"] is None and "\xff" in got[0]["record_id"]
