@@ -70,7 +70,7 @@ def funnel(
         .select(
             user_col,
             stage.cast("int").alias("stage"),
-            *[F.col(c) for c in tcols],
+            *tcols,
             F.when(
                 stage >= 2,
                 (

@@ -11,7 +11,11 @@ Usage: python tools/bench_compare.py BENCH_r06.json BENCH_r07.json
 from __future__ import annotations
 
 import json
+import signal
 import sys
+
+# behave like a well-mannered CLI under `| head`
+signal.signal(signal.SIGPIPE, signal.SIG_DFL)
 
 
 def _load(path: str) -> dict:
