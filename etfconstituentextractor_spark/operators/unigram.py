@@ -234,3 +234,96 @@ def viterbi_encode(
     return docs.select(id_col, text_col).mapInPandas(
         gen, f"{id_col} {id_type}, pieces array<string>, n_pieces int"
     )
+
+
+def _forward_backward(
+    word: str, logp: Mapping[str, float], max_len: int
+) -> tuple[dict[str, float], float] | None:
+    """Expected piece counts (posterior over ALL segmentations) and
+    the marginal log-likelihood of one word; None when unencodable."""
+    n = len(word)
+    NEG = float("-inf")
+
+    def lse(a: float, b: float) -> float:
+        if a == NEG:
+            return b
+        if b == NEG:
+            return a
+        m = a if a > b else b
+        return m + math.log(math.exp(a - m) + math.exp(b - m))
+
+    alpha = [NEG] * (n + 1)
+    alpha[0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_len), i):
+            lp = logp.get(word[j:i])
+            if lp is not None and alpha[j] != NEG:
+                alpha[i] = lse(alpha[i], alpha[j] + lp)
+    if alpha[n] == NEG:
+        return None
+    beta = [NEG] * (n + 1)
+    beta[n] = 0.0
+    for j in range(n - 1, -1, -1):
+        for i in range(j + 1, min(n, j + max_len) + 1):
+            lp = logp.get(word[j:i])
+            if lp is not None and beta[i] != NEG:
+                beta[j] = lse(beta[j], lp + beta[i])
+    out: dict[str, float] = {}
+    for j in range(n):
+        for i in range(j + 1, min(n, j + max_len) + 1):
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None or alpha[j] == NEG or beta[i] == NEG:
+                continue
+            e = math.exp(alpha[j] + lp + beta[i] - alpha[n])
+            if e > 0.0:
+                out[piece] = out.get(piece, 0.0) + e
+    return out, alpha[n]
+
+
+def soft_em_round(
+    words: DataFrame, logp: Mapping[str, float], *, max_piece_len: int = 6
+) -> tuple[dict[str, float], float]:
+    """One SOFT-EM round (Kudo 2018 proper): forward-backward expected
+    counts over every segmentation (E) + renormalize (M). Returns
+    (new log-probs, total MARGINAL log-likelihood) — the objective
+    classic EM is guaranteed not to decrease, pinned by tests. Same
+    distributed shape as the hard round: per-word DP in mapInPandas,
+    one vocab-sized collect."""
+    lp = dict(logp)
+    ml = max_piece_len
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, float] = {}
+            ll = 0.0
+            for word, n in zip(pdf["word"], pdf["n"]):
+                fb = _forward_backward(word, lp, ml)
+                if fb is None:
+                    continue
+                exp_counts, word_ll = fb
+                for piece, e in exp_counts.items():
+                    out[piece] = out.get(piece, 0.0) + e * int(n)
+                ll += word_ll * int(n)
+            rows = [(p, c, 0.0) for p, c in out.items()]
+            rows.append((None, 0.0, ll))  # objective, out-of-band
+            yield pd.DataFrame(rows, columns=["piece", "c", "ll"])
+
+    agg = (
+        words.mapInPandas(gen, "piece string, c double, ll double")
+        .groupBy("piece")
+        .agg(F.sum("c").alias("c"), F.sum("ll").alias("ll"))
+        .collect()
+    )
+    ll_total = sum(r.ll for r in agg if r.piece is None)
+    counts = {r.piece: r.c for r in agg if r.piece is not None}
+    total = sum(counts.values())
+    if total == 0:
+        raise ValueError("no piece had posterior mass — empty corpus or vocab")
+    floor = 1e-12
+    new = {}
+    for p in lp:
+        c = counts.get(p, 0.0)
+        if c > floor or len(p) == 1:
+            new[p] = math.log(max(c, floor) / total)
+    return new, ll_total

@@ -215,3 +215,74 @@ def filter_blocked_domains(
     # and dedup would cost the blocklist side an exchange
     blocked = blocklist.select(F.lower("domain").alias("__dom"))
     return keyed.join(F.broadcast(blocked), "__dom", "left_anti").drop("__dom")
+
+
+def registrable_domain_from_table(
+    df: DataFrame,
+    suffixes: DataFrame,
+    *,
+    host_col: str,
+    out_col: str = "domain",
+) -> DataFrame:
+    """Data-driven eTLD+1 — the production form of
+    `registrable_domain`: suffix rules live in a TABLE (one `suffix`
+    column, e.g. the Mozilla public-suffix list, including wildcard
+    rules spelled as '*.suffix'), and each host keys by its LONGEST
+    matching suffix plus one label; hosts matching no rule fall back
+    to last-two-labels; IP literals and single-label hosts key as
+    themselves.
+
+    Construction (zero shuffle of df): every host expands to its
+    label-suffix candidates AS AN ARRAY (a host has < ~10 labels —
+    bounded), the suffix table collapses to ONE broadcast array row,
+    and the longest match is an array intersection inside codegen —
+    df rows never explode and never shuffle; the suffix list rides
+    the same broadcast pattern as the blocklist filter.
+
+    Wildcard semantics (public-suffix list rules): a literal rule
+    makes `label.rule` the registrable domain; a `*.rule` wildcard
+    makes every `x.rule` a suffix, so the registrable domain is
+    `label.x.rule`.
+    """
+    one = suffixes.agg(
+        F.collect_set(F.lower("suffix")).alias("__sfx")
+    )
+    h = F.col(host_col)
+    parts = F.split(h, r"\.")
+    n = F.size(parts)
+    # candidate suffixes of the host, longest first: parts[i:] for i in 1..n-1
+    cands = F.expr(
+        f"transform(sequence(1, size(split({host_col}, '\\\\.')) - 1), "
+        f"i -> array_join(slice(split({host_col}, '\\\\.'), i + 1, "
+        f"size(split({host_col}, '\\\\.'))), '.'))"
+    )
+    # a candidate suffix matches via a literal rule OR a wildcard rule
+    # '*.parent' (candidate's first label stripped); ONE filter over
+    # the longest-first candidates so the longest matching rule wins
+    # regardless of rule kind — PSL semantics
+    matches = F.expr(
+        "filter(__cands, c -> array_contains(__sfx, c) OR "
+        "(size(split(c, '\\\\.')) >= 2 AND "
+        "array_contains(__sfx, concat('*.', array_join(slice(split(c, '\\\\.'), 2, "
+        "size(split(c, '\\\\.'))), '.')))))"
+    )
+    is_literal_ip = h.startswith("[") | h.rlike(r"^[0-9]+(\.[0-9]+){3}$")
+    with_c = df.crossJoin(F.broadcast(one)).withColumn("__cands", cands)
+    # candidates are ordered longest-first; F.get (not element_at —
+    # ANSI mode throws on an empty array) yields NULL for no match;
+    # the registrable domain = one more label than the winning suffix
+    win = F.get(matches, 0)
+    win_labels = F.size(F.split(win, r"\."))
+    dom_from_rule = F.array_join(
+        F.slice(parts, n - win_labels, win_labels + 1), "."
+    )
+    fallback = F.concat_ws(
+        ".", F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    return with_c.withColumn(
+        out_col,
+        F.when(h.isNull() | (n < 2) | is_literal_ip, h)
+        .when(win.isNotNull() & (win_labels < n), dom_from_rule)
+        .when(win.isNotNull(), h)  # host IS a suffix: keys as itself
+        .otherwise(fallback),
+    ).drop("__cands", "__sfx")

@@ -131,3 +131,51 @@ def test_viterbi_encode_string_ids(spark):
     logp = {"a": -1.0, "b": -1.0, "ab": -0.5}
     got = {r.url: r.pieces for r in viterbi_encode(df, logp, id_col="url", text_col="text").collect()}
     assert got == {"http://a/x": ["ab", "ab"], "http://a/y": ["b", "a"]}
+
+
+def test_soft_em_monotone_and_matches_python(spark):
+    """Soft EM: the MARGINAL log-likelihood must be non-decreasing
+    across rounds (the classic EM guarantee, which hard EM only has
+    for the Viterbi objective), and the distributed expected counts
+    must equal a pure-Python forward-backward walk."""
+    import math as _math
+
+    from etfconstituentextractor_spark.operators.unigram import (
+        _forward_backward,
+        soft_em_round,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abab abba aabb ab ab ba"), (2, "ab ba abab bb aa")],
+        "doc_id bigint, text string",
+    )
+    words = word_counts(docs)
+    logp = seed_vocab(words, max_piece_len=3, seed_size=60)
+    lp1, ll1 = soft_em_round(words, logp, max_piece_len=3)
+    lp2, ll2 = soft_em_round(words, lp1, max_piece_len=3)
+    _, ll3 = soft_em_round(words, lp2, max_piece_len=3)
+    assert ll2 >= ll1 - 1e-9
+    assert ll3 >= ll2 - 1e-9
+
+    # distributed == pure python at tight tolerance
+    wc = {r.word: r.n for r in words.collect()}
+    got_lp, got_ll = soft_em_round(words, logp, max_piece_len=3)
+    counts: dict = {}
+    ll = 0.0
+    for w, n in wc.items():
+        exp_counts, word_ll = _forward_backward(w, logp, 3)
+        for p, e in exp_counts.items():
+            counts[p] = counts.get(p, 0.0) + e * n
+        ll += word_ll * n
+    total = sum(counts.values())
+    assert got_ll == pytest.approx(ll, rel=1e-9)
+    for p, c in counts.items():
+        if c > 1e-12:
+            assert got_lp[p] == pytest.approx(_math.log(c / total), rel=1e-9), p
+
+    # per-word sanity: expected counts sum to the expected number of
+    # pieces, which lies between n_chars/max_len and n_chars
+    for w in wc:
+        exp_counts, _ = _forward_backward(w, logp, 3)
+        s = sum(exp_counts.values())
+        assert len(w) / 3 - 1e-9 <= s <= len(w) + 1e-9, (w, s)

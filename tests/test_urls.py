@@ -145,3 +145,38 @@ def test_urls_zero_shuffle_plan(spark):
     )
     assert "BroadcastExchange" in plan2
     assert "Exchange hashpartitioning" not in plan2
+
+
+def test_registrable_domain_from_table(spark):
+    """Data-driven eTLD+1 with PSL semantics: longest rule wins across
+    literal AND wildcard kinds, hosts that ARE a suffix key as
+    themselves, unlisted hosts fall back to last-two, IPs untouched;
+    the frame never shuffles (broadcast suffix array only)."""
+    from etfconstituentextractor_spark.operators.urls import (
+        registrable_domain_from_table,
+    )
+
+    sfx = spark.createDataFrame(
+        [("com",), ("co.uk",), ("ck",), ("*.ck",), ("z",), ("*.z",)],
+        "suffix string",
+    )
+    rows = [
+        ("a.b.example.com", "example.com"),
+        ("example.co.uk", "example.co.uk"),
+        ("deep.example.co.uk", "example.co.uk"),
+        ("a.b.ck", "a.b.ck"),          # '*.ck': 'b.ck' is the suffix
+        ("x.y.z", "x.y.z"),            # wildcard '*.z' beats literal 'z'
+        ("co.uk", "co.uk"),            # host IS a suffix
+        ("unlisted.example.org", "example.org"),  # fallback last-two
+        ("93.184.216.34", "93.184.216.34"),
+        ("localhost", "localhost"),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], "host string")
+    out = registrable_domain_from_table(df, sfx, host_col="host")
+    got = [(r.host, r.domain) for r in out.collect()]
+    assert got == rows
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastExchange" in plan
