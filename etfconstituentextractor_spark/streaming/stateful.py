@@ -34,6 +34,7 @@ from datetime import timedelta
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 #: output schema of the sessionize operator.
@@ -94,6 +95,92 @@ def sessionize(events: DataFrame, gap_minutes: int) -> DataFrame:
         fn,
         outputStructType=SESSION_SCHEMA,
         stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps: tuple[str, ...],
+    *,
+    flush_gap_minutes: int = 60,
+) -> DataFrame:
+    """STREAMING ordered-sequence funnel — the event-time twin of
+    `operators/funnel.py` (q42's 'funnel' leg), on the same
+    applyInPandasWithState pattern as `sessionize`.
+
+    Exactness under out-of-order arrival: chained minima are NOT
+    incrementally maintainable from the running (t1..tK) alone — a
+    late step-1 event earlier than the current t1 can retroactively
+    enable earlier later-step matches — so the state buffers each
+    user's per-step event times and the funnel is computed AT FLUSH
+    (event-time timeout: watermark past last activity + flush_gap).
+    State is bounded by the user's step-event count; a production
+    deployment bounds it further with a retention horizon, exactly
+    like the session operator's gap.
+
+    Same sentinel contract as `sessionize`/q59: under AvailableNow
+    replay, stage a far-future sentinel event so the final watermark
+    passes every user's timeout and all funnels flush. Input should
+    carry (user_id, ts, event_type); non-step types are filtered
+    here, so noise never enters state.
+    """
+    if len(steps) < 2 or len(set(steps)) != len(steps):
+        raise ValueError(f"need >= 2 distinct steps, got {list(steps)}")
+    gap = timedelta(minutes=flush_gap_minutes)
+    step_list = list(steps)
+    out_schema = "user_id bigint, stage int, funnel_sec bigint"
+    state_schema = ", ".join(f"s{k} array<timestamp>" for k in range(len(steps)))
+
+    def _finish(user_id, buf):
+        cur = None
+        hit = []
+        for times in buf:
+            cands = [t for t in times if cur is None or t >= cur]
+            if not cands:
+                break
+            cur = min(cands)
+            hit.append(cur)
+        stage = len(hit)
+        # floor each epoch BEFORE subtracting — unix_timestamp()
+        # semantics, so the batch operator's funnel_sec matches exactly
+        # on sub-second timestamps
+        sec = (
+            int(hit[-1].timestamp()) - int(hit[0].timestamp())
+            if stage >= 2
+            else None
+        )
+        return (user_id, stage, sec)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        cols = ["user_id", "stage", "funnel_sec"]
+        if state.hasTimedOut:
+            buf = [list(x) for x in state.get]
+            state.remove()
+            yield pd.DataFrame([_finish(user_id, buf)], columns=cols)
+            return
+        buf = [list(x) for x in state.get] if state.exists else [[] for _ in steps]
+        for pdf in pdfs:
+            for ts, et in zip(pdf["ts"], pdf["event_type"]):
+                buf[step_list.index(et)].append(ts.to_pydatetime())
+        state.update(tuple(buf))
+        # arm from the BUFFERED maximum: a late batch must not shrink
+        # the timeout below the watermark
+        last = max((t for times in buf for t in times), default=None)
+        if last is not None:
+            state.setTimeoutTimestamp(int((last + gap).timestamp() * 1000))
+        return
+        yield  # pragma: no cover — make fn a generator
+
+    relevant = events.filter(F.col("event_type").isin(step_list))
+    return relevant.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -570,3 +570,54 @@ def test_stream_static_dimension_join(spark, sf_dir):
         for r in ev.join(dim, "user_id").groupBy("tier").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want and set(got) == {"gold", "std"}
+
+
+def test_funnel_stream_matches_batch(spark, sf_dir):
+    """Streaming funnel == batch funnel after a sentinel-flushed
+    replay: per-user stage and duration identical to the one-shot
+    chained-minimum computation over the same (step-filtered)
+    events."""
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from etfconstituentextractor_spark.operators.funnel import funnel
+    from etfconstituentextractor_spark.sources.tables import load
+    from etfconstituentextractor_spark.streaming.stateful import funnel_stream
+
+    steps = ("view", "click", "purchase")
+    ev = load(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel_uid = -424242
+    sentinel = spark.createDataFrame(
+        [(-999_001, max_ts + timedelta(hours=10), sentinel_uid, "view", 0.0, "{}")],
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    chunks = stage_chunks(
+        spark, sf_dir, tag="funnel_stream", n_chunks=2, extra_last_chunk=sentinel
+    )
+    src = (
+        read_stream(spark, chunks)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .select("user_id", "ts", "event_type")
+    )
+    got_df = run_to_parquet(
+        funnel_stream(src, steps, flush_gap_minutes=60), "funnel_stream", sf_dir
+    )
+    got = {
+        r.user_id: (r.stage, r.funnel_sec)
+        for r in got_df.collect()
+        if r.user_id != sentinel_uid
+    }
+
+    # batch twin over the SAME step-filtered events (noise-only users
+    # appear in neither side)
+    want = {
+        r.user_id: (r.stage, r.funnel_sec)
+        for r in funnel(
+            ev.filter(F.col("event_type").isin(*steps)), steps
+        ).collect()
+    }
+    assert got == want and len(got) > 0
