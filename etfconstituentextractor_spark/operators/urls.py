@@ -180,6 +180,12 @@ def host_of(url_col: str = "url") -> Column:
     )
 
 
+def _is_ip_literal(h: Column) -> Column:
+    """Bracketed IPv6 or dotted-quad IPv4 — ONE definition for both
+    registrable-domain implementations."""
+    return h.startswith("[") | h.rlike(r"^[0-9]+(\.[0-9]+){3}$")
+
+
 def registrable_domain(host_expr: Column) -> Column:
     """eTLD+1 under the embedded compound-suffix subset: the last 3
     host labels when the trailing 2 form a listed compound suffix,
@@ -193,9 +199,8 @@ def registrable_domain(host_expr: Column) -> Column:
     last3 = F.concat_ws(
         ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
     )
-    is_literal = h.startswith("[") | h.rlike(r"^[0-9]+(\.[0-9]+){3}$")
     return (
-        F.when(h.isNull() | (n < 2) | is_literal, h)
+        F.when(h.isNull() | (n < 2) | _is_ip_literal(h), h)
         .when((n >= 3) & last2.isin(*COMPOUND_SUFFIXES), last3)
         .otherwise(last2)
     )
@@ -247,14 +252,18 @@ def registrable_domain_from_table(
     one = suffixes.agg(
         F.collect_set(F.lower("suffix")).alias("__sfx")
     )
-    h = F.col(host_col)
+    h = F.lower(F.col(host_col))  # rules are lowercased; match likewise
+    lh = f"lower({host_col})"
     parts = F.split(h, r"\.")
     n = F.size(parts)
-    # candidate suffixes of the host, longest first: parts[i:] for i in 1..n-1
+    # candidate suffixes LONGEST FIRST, i=0 = the FULL host: a host
+    # that itself matches a rule (incl. via a wildcard parent, e.g.
+    # 'city.kawasaki.jp' under '*.kawasaki.jp') IS a public suffix
+    # and keys as itself
     cands = F.expr(
-        f"transform(sequence(1, size(split({host_col}, '\\\\.')) - 1), "
-        f"i -> array_join(slice(split({host_col}, '\\\\.'), i + 1, "
-        f"size(split({host_col}, '\\\\.'))), '.'))"
+        f"transform(sequence(0, size(split({lh}, '\\\\.')) - 1), "
+        f"i -> array_join(slice(split({lh}, '\\\\.'), i + 1, "
+        f"size(split({lh}, '\\\\.'))), '.'))"
     )
     # a candidate suffix matches via a literal rule OR a wildcard rule
     # '*.parent' (candidate's first label stripped); ONE filter over
@@ -266,7 +275,6 @@ def registrable_domain_from_table(
         "array_contains(__sfx, concat('*.', array_join(slice(split(c, '\\\\.'), 2, "
         "size(split(c, '\\\\.'))), '.')))))"
     )
-    is_literal_ip = h.startswith("[") | h.rlike(r"^[0-9]+(\.[0-9]+){3}$")
     with_c = df.crossJoin(F.broadcast(one)).withColumn("__cands", cands)
     # candidates are ordered longest-first; F.get (not element_at —
     # ANSI mode throws on an empty array) yields NULL for no match;
@@ -281,7 +289,7 @@ def registrable_domain_from_table(
     )
     return with_c.withColumn(
         out_col,
-        F.when(h.isNull() | (n < 2) | is_literal_ip, h)
+        F.when(h.isNull() | (n < 2) | _is_ip_literal(h), h)
         .when(win.isNotNull() & (win_labels < n), dom_from_rule)
         .when(win.isNotNull(), h)  # host IS a suffix: keys as itself
         .otherwise(fallback),

@@ -420,7 +420,8 @@ def index_warc_members(spark: SparkSession, paths: list[str]) -> DataFrame:
     """(path, member_ix, offset, comp_len) for every gzip member of
     each ``.warc.gz`` file — built by STREAMING through the file in
     1 MiB reads (decompressed bytes are discarded immediately), so
-    indexing a file costs O(1 MiB) memory regardless of file size.
+    indexing a file costs O(read-chunk) memory regardless of file
+    size (decompression output is bounded per call via max_length).
     This is the external index the module docstring names as the
     scale path: with it, ONE oversized file splits across many tasks
     (`read_warc_ranges`). Indexing errors become rows."""
@@ -447,7 +448,17 @@ def index_warc_members(spark: SparkSession, paths: list[str]) -> DataFrame:
                                 if not pending:
                                     break
                             try:
-                                d.decompress(pending)  # output discarded
+                                # bounded output: without max_length a
+                                # 1 MiB compressed chunk can inflate
+                                # ~1000x in ONE call (review r7 —
+                                # exactly the OOM this API avoids);
+                                # unconsumed_tail re-feeds until the
+                                # chunk is drained or the member ends
+                                d.decompress(pending, _INDEX_READ_CHUNK)
+                                while not d.eof and d.unconsumed_tail:
+                                    d.decompress(
+                                        d.unconsumed_tail, _INDEX_READ_CHUNK
+                                    )
                             except zlib.error as exc:
                                 rows.append(
                                     (path, ix, abs_off, -1, f"bad_gzip_member: {exc}")
@@ -503,12 +514,19 @@ def read_warc_ranges(
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        CHUNK = 512  # same chunked-emission rule as read_warc: payload
+        # memory bounded by the chunk, not the member span
         for pdf in batches:
             for path, off, span in zip(pdf["path"], pdf["offset"], pdf["span_len"]):
                 with open(path, "rb") as fh:
                     fh.seek(int(off))
                     blob = fh.read(int(span))
-                rows = list(parse_warc_bytes(path, blob))
+                rows: list[dict] = []
+                for row in parse_warc_bytes(path, blob):
+                    rows.append(row)
+                    if len(rows) >= CHUNK:
+                        yield pd.DataFrame(rows)
+                        rows = []
                 if rows:
                     yield pd.DataFrame(rows)
 

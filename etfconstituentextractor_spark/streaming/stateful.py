@@ -29,6 +29,7 @@ State machine per user key:
 
 from __future__ import annotations
 
+import calendar
 from collections.abc import Iterator
 from datetime import timedelta
 
@@ -43,6 +44,16 @@ SESSION_SCHEMA = (
     "n bigint, sum_value double"
 )
 _STATE_SCHEMA = "start timestamp, last timestamp, n bigint, sum_value double"
+
+
+def _utc_epoch_ms(ts) -> int:
+    """Naive event-time datetimes are rendered in the SESSION time
+    zone, which this engine pins to UTC — interpret them as UTC
+    explicitly (datetime.timestamp() would use the worker OS zone:
+    on a non-UTC host the armed timeout shifts by the offset and
+    can fall below the watermark, killing the query)."""
+    return calendar.timegm(ts.timetuple()) * 1000 + ts.microsecond // 1000
+
 
 
 def sessionize(events: DataFrame, gap_minutes: int) -> DataFrame:
@@ -84,7 +95,7 @@ def sessionize(events: DataFrame, gap_minutes: int) -> DataFrame:
         state.update((start, last, n, sv))
         # flush the open session if the watermark already passed its
         # close; otherwise arm an event-time timeout at last + gap.
-        state.setTimeoutTimestamp(int((last + gap).timestamp() * 1000))
+        state.setTimeoutTimestamp(_utc_epoch_ms(last + gap))
         if out:
             yield pd.DataFrame(
                 out,
@@ -147,7 +158,7 @@ def funnel_stream(
         # semantics, so the batch operator's funnel_sec matches exactly
         # on sub-second timestamps
         sec = (
-            int(hit[-1].timestamp()) - int(hit[0].timestamp())
+            calendar.timegm(hit[-1].timetuple()) - calendar.timegm(hit[0].timetuple())
             if stage >= 2
             else None
         )
@@ -172,7 +183,7 @@ def funnel_stream(
         # the timeout below the watermark
         last = max((t for times in buf for t in times), default=None)
         if last is not None:
-            state.setTimeoutTimestamp(int((last + gap).timestamp() * 1000))
+            state.setTimeoutTimestamp(_utc_epoch_ms(last + gap))
         return
         yield  # pragma: no cover — make fn a generator
 

@@ -157,7 +157,8 @@ def test_registrable_domain_from_table(spark):
     )
 
     sfx = spark.createDataFrame(
-        [("com",), ("co.uk",), ("ck",), ("*.ck",), ("z",), ("*.z",)],
+        [("com",), ("co.uk",), ("ck",), ("*.ck",), ("z",), ("*.z",),
+         ("jp",), ("*.kawasaki.jp",), ("CO.UK",)],
         "suffix string",
     )
     rows = [
@@ -167,6 +168,14 @@ def test_registrable_domain_from_table(spark):
         ("a.b.ck", "a.b.ck"),          # '*.ck': 'b.ck' is the suffix
         ("x.y.z", "x.y.z"),            # wildcard '*.z' beats literal 'z'
         ("co.uk", "co.uk"),            # host IS a suffix
+        # real-PSL shape: the host itself matches a WILDCARD rule ->
+        # it IS a public suffix and keys as itself, while its child
+        # keys one label deeper (review r7 wave 5)
+        ("city.kawasaki.jp", "city.kawasaki.jp"),
+        ("www.city.kawasaki.jp", "www.city.kawasaki.jp"),
+        ("other.jp", "other.jp"),
+        # mixed-case hosts match the lowercased rules
+        ("deep.example.CO.UK", "example.co.uk"),
         ("unlisted.example.org", "example.org"),  # fallback last-two
         ("93.184.216.34", "93.184.216.34"),
         ("localhost", "localhost"),

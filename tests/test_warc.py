@@ -238,3 +238,21 @@ def test_index_and_ranged_read(spark, tmp_path):
     rows2 = index_warc_members(spark, [p0]).collect()
     assert any(r.error is not None for r in rows2)
     assert sum(1 for r in rows2 if r.error is None) == n_before
+
+
+def test_index_high_ratio_member(spark, tmp_path):
+    """A ~1000x-compressible member (the zlib inflation bomb shape)
+    must index correctly under the bounded-output walk."""
+    from etfconstituentextractor_spark.sources.warc import index_warc_members
+
+    big = build_record("metadata", b"\x00" * (8 << 20), record_id="big")
+    small = build_record("metadata", b"tiny", record_id="s")
+    p = tmp_path / "bomb.warc.gz"
+    p.write_bytes(gzip_member(big) + gzip_member(small))
+    rows = sorted(
+        index_warc_members(spark, [str(p)]).collect(), key=lambda r: r.member_ix
+    )
+    assert [r.error for r in rows] == [None, None]
+    assert rows[0].offset == 0
+    assert rows[1].offset == rows[0].comp_len
+    assert rows[0].comp_len + rows[1].comp_len == p.stat().st_size
