@@ -102,6 +102,100 @@ def _pq_leg_sql() -> str:
     )"""
 
 
+# ---------------------------------------------------------------------------
+# q70 'pqfp' leg — product quantization with DISTRIBUTED, in-plan
+# k-means TRAINING (operators/pq_fixedpoint.py; the 'pq' leg above is
+# the sample-seeded driver-side twin with iters=0). All arithmetic is
+# fixed-point integer, so the DuckDB oracle re-derives the TRAINED
+# index — seeding, 3 Lloyd rounds with floored-mean updates and
+# empty-cluster carry, encode, and ADC ranks — bit-for-bit. Scores
+# surface as -adc_dist (descending rank like every other leg).
+# ---------------------------------------------------------------------------
+_PQFP_M = 8
+_PQFP_DSUB = 8
+_PQFP_K = 16
+_PQFP_ITERS = 3
+_PQFP_SCALE = 1000
+
+
+def _pqfp_sql_sqdist(a: str, b: str, d: int = _PQFP_DSUB) -> str:
+    return (
+        f"CAST(list_sum(list_transform(range(1, {d + 1}), "
+        f"j -> ({a}[j] - {b}[j]) * ({a}[j] - {b}[j]))) AS BIGINT)"
+    )
+
+
+def _pqfp_sql_iter(i: int) -> str:
+    return f"""
+    fp_a{i} AS (
+      SELECT vec_id, sub_id, code, sv FROM (
+        SELECT p.vec_id, p.sub_id, c.code, p.sv,
+               row_number() OVER (PARTITION BY p.vec_id, p.sub_id
+                 ORDER BY {_pqfp_sql_sqdist('p.sv', 'c.cv')}, c.code) AS rn
+        FROM fp_cpts p JOIN fp_c{i - 1} c ON p.sub_id = c.sub_id
+      ) WHERE rn = 1
+    ),
+    fp_m{i} AS (
+      SELECT sub_id, code, pos,
+             CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cvv
+      FROM (SELECT sub_id, code, j AS pos, sv[j] AS v
+            FROM fp_a{i}, UNNEST(range(1, {_PQFP_DSUB + 1})) AS t(j))
+      GROUP BY sub_id, code, pos
+    ),
+    fp_n{i} AS (SELECT sub_id, code, list(cvv ORDER BY pos) AS cv
+                FROM fp_m{i} GROUP BY sub_id, code),
+    fp_c{i} AS (SELECT g.sub_id, g.code, COALESCE(n.cv, g.cv) AS cv
+                FROM fp_c{i - 1} g LEFT JOIN fp_n{i} n
+                  ON g.sub_id = n.sub_id AND g.code = n.code)"""
+
+
+def _pqfp_leg_sql() -> str:
+    """CTE chain re-deriving the trained fixed-point PQ index; ends at
+    fp_scored(query_id, candidate_id, adc)."""
+    return f"""
+    fp_base AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_PQFP_SCALE} + 0.5) AS BIGINT)) AS iv
+      FROM embeddings
+    ),
+    fp_pts AS (
+      SELECT vec_id, m AS sub_id,
+             iv[m * {_PQFP_DSUB} + 1 : m * {_PQFP_DSUB} + {_PQFP_DSUB}] AS sv
+      FROM fp_base, UNNEST(range(0, {_PQFP_M})) AS t(m)
+    ),
+    fp_cpts AS (SELECT * FROM fp_pts WHERE vec_id >= {_N_QUERIES}),
+    fp_seeds AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+      FROM (SELECT DISTINCT vec_id FROM fp_cpts)
+      QUALIFY code < {_PQFP_K}
+    ),
+    fp_c0 AS (SELECT p.sub_id, s.code, p.sv AS cv
+              FROM fp_cpts p JOIN fp_seeds s ON p.vec_id = s.vec_id),
+    {",".join(_pqfp_sql_iter(i) for i in range(1, _PQFP_ITERS + 1))},
+    fp_enc AS (
+      SELECT vec_id, sub_id, code FROM (
+        SELECT p.vec_id, p.sub_id, c.code,
+               row_number() OVER (PARTITION BY p.vec_id, p.sub_id
+                 ORDER BY {_pqfp_sql_sqdist('p.sv', 'c.cv')}, c.code) AS rn
+        FROM fp_cpts p JOIN fp_c{_PQFP_ITERS} c ON p.sub_id = c.sub_id
+      ) WHERE rn = 1
+    ),
+    fp_qsub AS (SELECT vec_id AS qid, sub_id, sv AS qv
+                FROM fp_pts WHERE vec_id < {_N_QUERIES}),
+    fp_dt AS (
+      SELECT q.qid, c.sub_id, c.code, {_pqfp_sql_sqdist('q.qv', 'c.cv')} AS d
+      FROM fp_qsub q JOIN fp_c{_PQFP_ITERS} c ON q.sub_id = c.sub_id
+    ),
+    fp_scored AS (
+      SELECT dt.qid AS query_id, e.vec_id AS candidate_id,
+             CAST(SUM(dt.d) AS BIGINT) AS adc
+      FROM fp_enc e JOIN fp_dt dt ON e.sub_id = dt.sub_id AND e.code = dt.code
+      GROUP BY dt.qid, e.vec_id
+    )"""
+
+
 @query(
     "q70_similarity_topk_cosine",
     oracle=f"""
@@ -133,7 +227,7 @@ def _pq_leg_sql() -> str:
                    9) AS score
       FROM (SELECT * FROM codes WHERE vec_id < {_N_QUERIES}) q
       JOIN (SELECT * FROM codes WHERE vec_id >= {_N_QUERIES}) c ON true
-    ),{_pq_leg_sql()}
+    ),{_pq_leg_sql()},{_pqfp_leg_sql()}
     SELECT 'float' AS leg, query_id, candidate_id, score, rn
     FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
@@ -155,6 +249,15 @@ def _pq_leg_sql() -> str:
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY score DESC, candidate_id) AS rn
       FROM pq_adc
+    )
+    WHERE rn <= {_TOP_K}
+    UNION ALL
+    SELECT 'pqfp', query_id, candidate_id, score, rn
+    FROM (
+      SELECT query_id, candidate_id, CAST(-adc AS DOUBLE) AS score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc, candidate_id) AS rn
+      FROM fp_scored
     )
     WHERE rn <= {_TOP_K}
     """,
@@ -227,7 +330,31 @@ def q70_similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         "rn",
     )
-    return flt.unionByName(i8).unionByName(pq)
+    # pqfp leg: DISTRIBUTED fixed-point training (3 Lloyd rounds in
+    # the plan itself, lineage-truncated per round), integer encode +
+    # ADC — the oracle replays the trained index bit-for-bit
+    from etfconstituentextractor_spark.operators.pq_fixedpoint import (
+        fixed_point_subvectors,
+        pqfp_adc_topk,
+        pqfp_assign,
+        pqfp_train,
+    )
+
+    fpts = fixed_point_subvectors(emb, m=_PQFP_M, dsub=_PQFP_DSUB, scale=_PQFP_SCALE)
+    fcand = fpts.filter(F.col("vec_id") >= _N_QUERIES)
+    fq = fpts.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "sub_id", F.col("sv").alias("qv")
+    )
+    fcb = pqfp_train(fcand, k=_PQFP_K, iters=_PQFP_ITERS, dsub=_PQFP_DSUB)
+    fcodes = pqfp_assign(fcand, fcb).select("vec_id", "sub_id", "code")
+    fp = pqfp_adc_topk(fcodes, fq, fcb, k=_TOP_K).select(
+        F.lit("pqfp").alias("leg"),
+        F.col("qid").alias("query_id"),
+        F.col("vec_id").alias("candidate_id"),
+        (-F.col("adc_dist")).cast("double").alias("score"),
+        "rn",
+    )
+    return flt.unionByName(i8).unionByName(pq).unionByName(fp)
 
 
 # ---------------------------------------------------------------------------
