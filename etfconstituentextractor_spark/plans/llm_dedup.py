@@ -24,6 +24,10 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from etfconstituentextractor_spark.operators.components import connected_components
+from etfconstituentextractor_spark.operators.pagerank import (
+    pagerank_fixed_point,
+    sql_pagerank_ctes,
+)
 from etfconstituentextractor_spark.operators.semdedup import (
     assign_clusters,
     semantic_dedup,
@@ -483,18 +487,30 @@ def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q65 — dedup GROUPS: the clustering stage a real pipeline needs after
 # pair generation. q62's verified candidate pairs become an undirected
-# graph; operators/components.py labels every doc with the smallest
-# doc_id in its connected component (iterative min-label propagation —
-# one shuffle per round, lineage truncated per round, only a scalar
-# convergence count reaches the driver). Output per clustered doc: its
-# component (= the group's keep-first representative), the group size,
-# and the survivor flag — exactly the keep/drop decision an LLM-corpus
-# dedup emits at 100 TB.
+# graph. Tagged family (round 7):
+# - leg='cc'      : operators/components.py labels every doc with the
+#   smallest doc_id in its connected component (iterative min-label
+#   propagation — one shuffle per round, lineage truncated per round,
+#   only a scalar convergence count reaches the driver). The
+#   representative is the min-id survivor; score = group size.
+# - leg='pagerank': operators/pagerank.py runs 4 fixed-point damped
+#   power-iteration rounds over the SAME symmetric pair graph and the
+#   representative becomes the MAX-CENTRALITY doc of each component
+#   (tie → lowest doc_id) — the doc most connected to the rest of its
+#   duplicate cluster, a strictly better keep-choice than min-id when
+#   clusters are chains; score = the fixed-point rank (integer, exact
+#   as DOUBLE). All-integer arithmetic, so the oracle replays the
+#   ITERATED ranks bit-for-bit as unrolled CTEs (the pq_fixedpoint
+#   discipline applied to a graph operator).
 #
 # Oracle: DuckDB WITH RECURSIVE transitive closure over the identical
 # pair set (reach = all nodes reachable via symmetric edges; component
-# = MIN(reached)) — an independent spelling of the same fixpoint.
+# = MIN(reached)) — an independent spelling of the same fixpoint —
+# plus the unrolled PageRank recurrence from sql_pagerank_ctes.
 # ---------------------------------------------------------------------------
+_Q65_PR_ITERS = 4
+
+
 @query(
     "q65_dedup_groups",
     oracle=f"""
@@ -509,13 +525,25 @@ def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a, a FROM sym
       UNION
       SELECT sym.b, reach.r FROM reach JOIN sym ON reach.node = sym.a
-    )
-    SELECT node AS doc_id,
-           MIN(r) AS component,
-           COUNT(*) OVER (PARTITION BY MIN(r)) AS group_size,
-           (node = MIN(r)) AS is_representative
-    FROM reach
-    GROUP BY node
+    ),
+    cc AS (
+      SELECT node AS doc_id,
+             MIN(r) AS component,
+             COUNT(*) OVER (PARTITION BY MIN(r)) AS group_size,
+             (node = MIN(r)) AS is_representative
+      FROM reach
+      GROUP BY node
+    ),
+    {sql_pagerank_ctes("sym", iters=_Q65_PR_ITERS)}
+    SELECT 'cc' AS leg, doc_id, component, group_size, is_representative,
+           CAST(group_size AS DOUBLE) AS score
+    FROM cc
+    UNION ALL
+    SELECT 'pagerank', cc.doc_id, cc.component, cc.group_size,
+           (row_number() OVER (PARTITION BY cc.component
+                               ORDER BY pr.rank DESC, cc.doc_id) = 1),
+           CAST(pr.rank AS DOUBLE)
+    FROM cc JOIN pr_r{_Q65_PR_ITERS} pr ON cc.doc_id = pr.node
     """,
 )
 def q65_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -524,12 +552,40 @@ def q65_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle partitions for the propagation loop (components.py)
     labels = connected_components(pairs, src="doc_a", dst="doc_b", shuffle_partitions=8)
     w = W.partitionBy("component")
-    return labels.select(
+    cc_core = labels.select(
         F.col("node").alias("doc_id"),
         "component",
         F.count(F.lit(1)).over(w).alias("group_size"),
         (F.col("node") == F.col("component")).alias("is_representative"),
     )
+    cc_leg = cc_core.select(
+        F.lit("cc").alias("leg"),
+        "doc_id",
+        "component",
+        "group_size",
+        "is_representative",
+        F.col("group_size").cast("double").alias("score"),
+    )
+    sym = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .distinct()
+    )
+    pr = pagerank_fixed_point(sym, src="a", dst="b", iters=_Q65_PR_ITERS)
+    w_pr = W.partitionBy("component").orderBy(F.col("rank").desc(), "doc_id")
+    pr_leg = (
+        cc_core.select("doc_id", "component", "group_size")
+        .join(pr, cc_core["doc_id"] == pr["node"])
+        .select(
+            F.lit("pagerank").alias("leg"),
+            "doc_id",
+            "component",
+            "group_size",
+            (F.row_number().over(w_pr) == 1).alias("is_representative"),
+            F.col("rank").cast("double").alias("score"),
+        )
+    )
+    return cc_leg.unionByName(pr_leg)
 
 
 # ---------------------------------------------------------------------------
