@@ -37,6 +37,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    ExpiredTimerInfo,
+    StatefulProcessor,
+    StatefulProcessorHandle,
+    TimerValues,
+)
 
 #: output schema of the sessionize operator.
 SESSION_SCHEMA = (
@@ -108,6 +114,103 @@ def sessionize(events: DataFrame, gap_minutes: int) -> DataFrame:
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+class _TwsSessionizer(StatefulProcessor):
+    """`transformWithState` implementation of the SAME gap-session
+    state machine as :func:`sessionize` — Spark 4's successor API to
+    ``applyInPandasWithState`` (SPARK-46815, "arbitrary stateful
+    processing v2"). Differences the port has to absorb:
+
+    - state is a named handle (`getValueState`) instead of one
+      implicit per-key blob — composable (a processor can hold many
+      value/list/map states), and each state is schema'd;
+    - timers are EXPLICIT and multiple per key: re-arming means
+      delete-then-register (`listTimers`/`deleteTimer`), where the
+      v1 API's `setTimeoutTimestamp` replaced implicitly;
+    - expiry is delivered to `handleExpiredTimer` with the fired
+      timestamp, not as a boolean flag on the next input batch.
+
+    Requires the RocksDB state-store provider
+    (`spark.sql.streaming.stateStore.providerClass` =
+    ...state.RocksDBStateStoreProvider); the bundled HDFS-backed
+    provider does not implement the v2 state API.
+    """
+
+    _COLS = ["user_id", "session_start", "session_end", "n", "sum_value"]
+
+    def __init__(self, gap: timedelta) -> None:
+        self._gap = gap
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._session = handle.getValueState("session", _STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        pdf = pd.concat(list(rows)).sort_values(["ts"])
+        cur = self._session.get()
+        if cur is not None:
+            start, last, n, sv = cur
+        else:
+            start = last = None
+            n, sv = 0, 0.0
+        out = []
+        for ts, value in zip(pdf["ts"], pdf["value"]):
+            ts = ts.to_pydatetime()
+            if last is not None and (ts - last) >= self._gap:
+                out.append((user_id, start, last + self._gap, n, sv))
+                start, n, sv = ts, 0, 0.0
+            if start is None:
+                start = ts
+            last = ts
+            n += 1
+            sv += float(value)
+        self._session.update((start, last, n, sv))
+        # exactly one live timer per key: clear any earlier arm, then
+        # arm at the open session's close (v1's setTimeoutTimestamp)
+        for expiry in list(self._handle.listTimers()):
+            self._handle.deleteTimer(expiry)
+        self._handle.registerTimer(_utc_epoch_ms(last + self._gap))
+        if out:
+            yield pd.DataFrame(out, columns=self._COLS)
+
+    def handleExpiredTimer(
+        self, key: tuple, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        cur = self._session.get()
+        if cur is None:
+            return
+        start, last, n, sv = cur
+        # a stale timer (session extended after arming) must not flush
+        # the still-open session early
+        if _utc_epoch_ms(last + self._gap) > expiredTimerInfo.getExpiryTimeInMs():
+            return
+        self._session.clear()
+        yield pd.DataFrame(
+            [(user_id, start, last + self._gap, n, sv)], columns=self._COLS
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def sessionize_tws(events: DataFrame, gap_minutes: int) -> DataFrame:
+    """:func:`sessionize` on the transformWithState v2 API — identical
+    output contract (append-mode, data-closed sessions emit when
+    observed, the open session flushes on event-time timer, sessions
+    whose timeout lies beyond the final watermark stay in state).
+    The unit test replays the same events through BOTH state APIs and
+    the batch islands oracle and requires exact agreement."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_TwsSessionizer(timedelta(minutes=gap_minutes)),
+        outputStructType=SESSION_SCHEMA,
+        outputMode="append",
+        timeMode="eventTime",
     )
 
 
