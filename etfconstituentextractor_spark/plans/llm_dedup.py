@@ -28,6 +28,10 @@ from etfconstituentextractor_spark.operators.pagerank import (
     pagerank_fixed_point,
     sql_pagerank_ctes,
 )
+from etfconstituentextractor_spark.operators.splits import (
+    leakage_safe_split,
+    sql_split_bucket,
+)
 from etfconstituentextractor_spark.operators.semdedup import (
     assign_clusters,
     semantic_dedup,
@@ -502,11 +506,19 @@ def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   as DOUBLE). All-integer arithmetic, so the oracle replays the
 #   ITERATED ranks bit-for-bit as unrolled CTEs (the pq_fixedpoint
 #   discipline applied to a graph operator).
+# - leg='split'   : operators/splits.py leakage-safe 80/10/10
+#   train/val/test assignment hashed at the COMPONENT level — every
+#   near-dup cluster lands wholly in one split, so no known-duplicate
+#   pair ever straddles train/test (hashing doc_id would leak).
+#   score = the split id (0=train, 1=val, 2=test);
+#   is_representative keeps the cc definition. Pure codegen on rows
+#   already labeled — zero added shuffle.
 #
 # Oracle: DuckDB WITH RECURSIVE transitive closure over the identical
 # pair set (reach = all nodes reachable via symmetric edges; component
 # = MIN(reached)) — an independent spelling of the same fixpoint —
-# plus the unrolled PageRank recurrence from sql_pagerank_ctes.
+# plus the unrolled PageRank recurrence from sql_pagerank_ctes and the
+# md5-bucket split from sql_split_bucket.
 # ---------------------------------------------------------------------------
 _Q65_PR_ITERS = 4
 
@@ -544,6 +556,10 @@ _Q65_PR_ITERS = 4
                                ORDER BY pr.rank DESC, cc.doc_id) = 1),
            CAST(pr.rank AS DOUBLE)
     FROM cc JOIN pr_r{_Q65_PR_ITERS} pr ON cc.doc_id = pr.node
+    UNION ALL
+    SELECT 'split', doc_id, component, group_size, is_representative,
+           CAST(CASE WHEN b < 80 THEN 0 WHEN b < 90 THEN 1 ELSE 2 END AS DOUBLE)
+    FROM (SELECT cc.*, {sql_split_bucket("component", "q65")} AS b FROM cc)
     """,
 )
 def q65_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -585,7 +601,15 @@ def q65_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("double").alias("score"),
         )
     )
-    return cc_leg.unionByName(pr_leg)
+    split_leg = leakage_safe_split(cc_core, "component", salt="q65").select(
+        F.lit("split").alias("leg"),
+        "doc_id",
+        "component",
+        "group_size",
+        "is_representative",
+        F.col("split_id").cast("double").alias("score"),
+    )
+    return cc_leg.unionByName(pr_leg).unionByName(split_leg)
 
 
 # ---------------------------------------------------------------------------
