@@ -56,6 +56,7 @@ def pagerank_fixed_point(
     iters: int = 4,
     scale: int = 10**12,
     truncate_lineage: bool = True,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """(node, rank: bigint) — fixed-point PageRank after ``iters``
     damped power-iteration rounds over the directed edge list.
@@ -66,10 +67,26 @@ def pagerank_fixed_point(
     ``scale // N`` for every node; teleport is
     ``15 * scale // (100 * N)`` and the damping factor 85/100, all in
     integer arithmetic so any engine replays the exact bigints.
+
+    ``shuffle_partitions`` pins the session's shuffle partitioning for
+    the iteration loop (the components.py convention): per-round cost
+    on small graphs is dominated by fixed per-partition overhead
+    (each round materializes an eager localCheckpoint), so a pair
+    graph tiny relative to its corpus wants FEW partitions — size it
+    to pair volume, not corpus volume.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     spark = edges.sparkSession
+    if shuffle_partitions is not None:
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        try:
+            return pagerank_fixed_point(
+                edges, src, dst, iters, scale, truncate_lineage, None
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
     e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
     nodes = (
@@ -85,15 +102,20 @@ def pagerank_fixed_point(
     # every round joins the edge frame on __src: lay it out by that key
     # once so the per-round join is exchange-free on the edge side
     e = e.repartition(F.col("__src"))
+    # the static per-node frame carries __n (tiny: one bigint) so no
+    # round needs a second broadcast of the count aggregate
+    nodes_n = nodes.crossJoin(F.broadcast(n_frame))
     if truncate_lineage:
         e = e.persist()
         deg = deg.persist()
+        nodes_n = nodes_n.persist()
 
-    # carry __n on every rank row (tiny: one bigint) so no round needs
-    # a second broadcast of the count aggregate
-    r = (
-        nodes.crossJoin(F.broadcast(n_frame))
-        .select("node", F.expr(f"CAST({scale} AS BIGINT) DIV __n").alias("rank"), "__n")
+    # every frame in the round references its predecessor exactly ONCE
+    # (contrib reads r; the next r reads the STATIC nodes_n, not r), so
+    # the lazy plan grows linearly in iters — truncate_lineage=False is
+    # a single linear-depth job, no per-round materialization needed
+    r = nodes_n.select(
+        "node", F.expr(f"CAST({scale} AS BIGINT) DIV __n").alias("rank")
     )
     if truncate_lineage:
         r = r.localCheckpoint(eager=True)
@@ -110,15 +132,13 @@ def pagerank_fixed_point(
             .agg(F.sum("__c").alias("__inflow"))
         )
         r = (
-            r.select("node", "__n")
-            .join(inflow, "node", "left")
+            nodes_n.join(inflow, "node", "left")
             .select(
                 "node",
                 (
                     teleport
                     + F.expr("CAST(85 AS BIGINT) * COALESCE(__inflow, 0) DIV 100")
                 ).alias("rank"),
-                "__n",
             )
         )
         if truncate_lineage:
@@ -126,6 +146,7 @@ def pagerank_fixed_point(
     if truncate_lineage:
         e.unpersist()
         deg.unpersist()
+        nodes_n.unpersist()
     return r.select("node", "rank")
 
 

@@ -563,7 +563,10 @@ _Q65_PR_ITERS = 4
     """,
 )
 def q65_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = lsh_candidate_pairs(spark, sf_dir)
+    # pairs feeds BOTH the components loop and the pagerank edge list:
+    # checkpoint it (coalesce first — it is tiny) so the LSH pair
+    # pipeline materializes exactly once
+    pairs = lsh_candidate_pairs(spark, sf_dir).coalesce(1).localCheckpoint()
     # near-dup pair graphs are tiny relative to the corpus: pin few
     # shuffle partitions for the propagation loop (components.py)
     labels = connected_components(pairs, src="doc_a", dst="doc_b", shuffle_partitions=8)
@@ -582,12 +585,20 @@ def q65_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_representative",
         F.col("group_size").cast("double").alias("score"),
     )
+    # one tiny job to pin the symmetric edge list; the pagerank rounds
+    # then run LAZY (truncate_lineage=False — the loop's plan is linear
+    # in iters) as part of the single final action, with AQE collapsing
+    # the small shuffles, instead of 4+ eager checkpoint jobs
     sym = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
         .distinct()
+        .coalesce(1)
+        .localCheckpoint()
     )
-    pr = pagerank_fixed_point(sym, src="a", dst="b", iters=_Q65_PR_ITERS)
+    pr = pagerank_fixed_point(
+        sym, src="a", dst="b", iters=_Q65_PR_ITERS, truncate_lineage=False
+    )
     w_pr = W.partitionBy("component").orderBy(F.col("rank").desc(), "doc_id")
     pr_leg = (
         cc_core.select("doc_id", "component", "group_size")
