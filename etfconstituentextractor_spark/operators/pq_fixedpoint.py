@@ -164,9 +164,17 @@ def pqfp_train(
     # each Lloyd round is its own checkpoint job re-reading the points
     # frame — cache it for the duration of training (at 100 TB you
     # train on a TABLESAMPLE, which is exactly what you'd cache);
-    # skipped in the fully-lazy mode, where no per-round jobs run
+    # skipped in the fully-lazy mode, where no per-round jobs run.
+    # The training rounds reduce to an M*K-row codebook: pin FEW
+    # shuffle partitions for the loop (the components.py convention —
+    # per-round cost is fixed per-partition overhead, and the round's
+    # output is 128 rows) and restore the session setting after.
+    spark = points.sparkSession
+    old_sp: str | None = None
     if truncate_lineage:
         points = points.persist()
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
     seeds = (
         points.select("vec_id")
         .distinct()
@@ -211,9 +219,12 @@ def pqfp_train(
             )
         )
         if truncate_lineage:
-            cb = cb.localCheckpoint(eager=True)
+            # the codebook is M*K rows: one partition, one tiny job
+            cb = cb.coalesce(1).localCheckpoint(eager=True)
     if truncate_lineage:
         points.unpersist()
+        if old_sp is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return cb
 
 

@@ -9,9 +9,11 @@ what makes a mixture auditable (and oracle-checkable).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from etfconstituentextractor_spark.operators.chunking import chunk_documents
+from etfconstituentextractor_spark.operators.dsir import dsir_scores, sql_dsir_ctes
 from etfconstituentextractor_spark.operators.packing import pack_sequences
 from etfconstituentextractor_spark.operators.sampling import (
     BUCKETS,
@@ -55,6 +57,15 @@ TOKEN_BUDGETS = {"en": 40_000, "es": 25_000, "de": 15_000, "fr": 10_000, "zh": 5
 #: corpus (the standard multilingual rebalancing scheme)
 TEMP_ALPHA = 0.3
 TEMP_KEEP = 0.5
+
+#: DSIR (Xie et al. 2023) targeted-selection leg: the "curated target
+#: domain" is three sources; every raw doc is scored by hashed-unigram
+#: importance weight against that target and the top K per language
+#: survive (stratified so the window rank stays parallel — and so one
+#: dominant language can't crowd out the mixture)
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2")
+DSIR_K = 30
+_DSIR_PRED = "source IN ('src0', 'src1', 'src2')"
 
 
 def _sql_rate_case() -> str:
@@ -126,6 +137,15 @@ def _sql_budget_case() -> str:
 #   derive the SAME thresholds from their own pow() (the 6dp-ln
 #   precedent, one notch coarser because the value feeds an integer
 #   round).
+# - 'dsir' leg (round 7): DSIR targeted selection (Xie et al. 2023,
+#   operators/dsir.py) — hashed-unigram importance weights of a
+#   curated target slice vs the raw pool, add-1 smoothed, mean
+#   per-token log ratio rounded at 6 dp BEFORE the rank (the lm.py
+#   float discipline); top DSIR_K raw docs per language survive.
+#   Content-aware where every other leg is content-blind: this is the
+#   "select data that looks like my target domain" stage of a
+#   pretraining pipeline. rn carries the rank; bucket is NULL (the
+#   draw is the importance weight, not the mix bucket).
 # The `bucket` column is part of the contract so the selection is
 # auditable row-by-row; both engines derive it identically
 # (md5 hex prefix → bigint → mod).
@@ -138,7 +158,8 @@ def _sql_budget_case() -> str:
              CAST('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), ':mix')), 1, 8) AS BIGINT)
                % {BUCKETS} AS bucket
       FROM documents
-    )
+    ),
+    {sql_dsir_ctes(_DSIR_PRED)}
     SELECT 'rate' AS leg, doc_id, lang, source, bucket, CAST(NULL AS INTEGER) AS rn,
            CAST(NULL AS BIGINT) AS cum_before
     FROM h
@@ -196,6 +217,16 @@ def _sql_budget_case() -> str:
             FROM documents GROUP BY lang)
     ) r USING (lang)
     WHERE bucket < r.thresh
+    UNION ALL
+    SELECT 'dsir' AS leg, doc_id, lang, source, CAST(NULL AS BIGINT) AS bucket, rn,
+           CAST(NULL AS BIGINT) AS cum_before
+    FROM (
+      SELECT s.doc_id, d.lang, d.source,
+             CAST(row_number() OVER (PARTITION BY d.lang
+                                     ORDER BY s.dsir_score DESC, s.doc_id) AS INTEGER) AS rn
+      FROM dsir_scores s JOIN documents d USING (doc_id)
+    )
+    WHERE rn <= {DSIR_K}
     """,
 )
 def q83_sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,12 +307,34 @@ def q83_sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("rn"),
         no_cum,
     )
+    scores = dsir_scores(full, F.col("source").isin(*DSIR_TARGET_SOURCES))
+    w_dsir = W.partitionBy("lang").orderBy(F.col("dsir_score").desc(), "doc_id")
+    dsir_leg = (
+        scores.join(d, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.row_number().over(w_dsir).alias("rn"),
+        )
+        .filter(F.col("rn") <= DSIR_K)
+        .select(
+            F.lit("dsir").alias("leg"),
+            "doc_id",
+            "lang",
+            "source",
+            F.lit(None).cast("bigint").alias("bucket"),
+            F.col("rn").cast("int").alias("rn"),
+            no_cum,
+        )
+    )
     return (
         rate_leg.unionByName(quota_leg)
         .unionByName(over_leg)
         .unionByName(weighted_leg)
         .unionByName(budget_leg)
         .unionByName(temp_leg)
+        .unionByName(dsir_leg)
     )
 
 

@@ -341,11 +341,31 @@ def q70_similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     fpts = fixed_point_subvectors(emb, m=_PQFP_M, dsub=_PQFP_DSUB, scale=_PQFP_SCALE)
-    fcand = fpts.filter(F.col("vec_id") >= _N_QUERIES)
+    # candidate subvectors feed training (8 references in the lazy
+    # plan) plus encode: checkpoint them once so each reference is an
+    # in-memory scan, then run the THREE Lloyd rounds fully LAZY
+    # (truncate_lineage=False) — at this frame size the per-round
+    # eager-checkpoint jobs cost 4-6x more than the 2^iters plan
+    # copies, measured — and checkpoint only the final 128-row
+    # codebook for its two consumers (encode + distance table). At
+    # 100 TB flip truncate_lineage back on: the rounds then reduce a
+    # corpus-sized frame and per-round materialization is what bounds
+    # lineage and recompute.
+    fcand = fpts.filter(F.col("vec_id") >= _N_QUERIES).coalesce(8).localCheckpoint()
     fq = fpts.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"), "sub_id", F.col("sv").alias("qv")
     )
-    fcb = pqfp_train(fcand, k=_PQFP_K, iters=_PQFP_ITERS, dsub=_PQFP_DSUB)
+    # persist-and-count, NOT localCheckpoint: checkpointing compiles
+    # the plan through the non-adaptive toRdd path, where the tiny
+    # per-round joins stay sort-merge (measured 6x slower); a count()
+    # materializes the cache through the AQE action path (runtime
+    # broadcast conversion) and both downstream consumers (encode +
+    # distance table) read the 128 cached rows
+    fcb = pqfp_train(
+        fcand, k=_PQFP_K, iters=_PQFP_ITERS, dsub=_PQFP_DSUB,
+        truncate_lineage=False,
+    ).persist()
+    fcb.count()
     fcodes = pqfp_assign(fcand, fcb).select("vec_id", "sub_id", "code")
     fp = pqfp_adc_topk(fcodes, fq, fcb, k=_TOP_K).select(
         F.lit("pqfp").alias("leg"),
