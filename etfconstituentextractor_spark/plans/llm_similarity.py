@@ -273,7 +273,16 @@ def q70_similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize_int8,
     )
 
-    emb = load(spark, sf_dir, "embeddings")
+    # One hash repartition of the embeddings feeds every leg: the
+    # corpus parquet arrives as a single split at bench SF, and all
+    # four legs' real compute is HOF lambdas (CodegenFallback —
+    # interpreted), which must not run as one task. Identical child
+    # exchanges across the four union branches collapse to one via
+    # ReuseExchange; at 100 TB the scan's natural splits make this a
+    # cheap rebalance of (id, vector) rows.
+    emb = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
     e = _vec(emb)
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
@@ -330,8 +339,8 @@ def q70_similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         "rn",
     )
-    # pqfp leg: DISTRIBUTED fixed-point training (3 Lloyd rounds in
-    # the plan itself, lineage-truncated per round), integer encode +
+    # pqfp leg: DISTRIBUTED fixed-point training (3 driver-synced
+    # Lloyd rounds, each one map-combinable job), integer encode +
     # ADC — the oracle replays the trained index bit-for-bit
     from etfconstituentextractor_spark.operators.pq_fixedpoint import (
         fixed_point_subvectors,
@@ -341,33 +350,25 @@ def q70_similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     fpts = fixed_point_subvectors(emb, m=_PQFP_M, dsub=_PQFP_DSUB, scale=_PQFP_SCALE)
-    # candidate subvectors feed training (8 references in the lazy
-    # plan) plus encode: checkpoint them once so each reference is an
-    # in-memory scan, then run the THREE Lloyd rounds fully LAZY
-    # (truncate_lineage=False) — at this frame size the per-round
-    # eager-checkpoint jobs cost 4-6x more than the 2^iters plan
-    # copies, measured — and checkpoint only the final 128-row
-    # codebook for its two consumers (encode + distance table). At
-    # 100 TB flip truncate_lineage back on: the rounds then reduce a
-    # corpus-sized frame and per-round materialization is what bounds
-    # lineage and recompute.
-    fcand = fpts.filter(F.col("vec_id") >= _N_QUERIES).coalesce(8).localCheckpoint()
+    # mode="sync" (default): each Lloyd round is one distributed job
+    # whose M*K-row count/sum result syncs to the driver and re-enters
+    # as a literal LocalRelation — constant plan shape, no lineage
+    # growth, no truncate-vs-lazy tuning knob, and the identical
+    # codebook at any data size (the MLlib-KMeans discipline; measured
+    # ~3x faster here than either the per-round-checkpoint or the
+    # fully-lazy 2^iters-plan alternatives, both of which this leg
+    # cycled through in rounds 6-7). pqfp_train persists fcand for the
+    # duration of its rounds; encode below re-derives it from the
+    # parquet scan — a cheap re-read, the repo's re-scan-beats-
+    # checkpoint doctrine. fpts inherits the query-level hash
+    # repartition above, so the argmin work is already spread.
+    fcand = fpts.filter(F.col("vec_id") >= _N_QUERIES)
     fq = fpts.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"), "sub_id", F.col("sv").alias("qv")
     )
-    # persist-and-count, NOT localCheckpoint: checkpointing compiles
-    # the plan through the non-adaptive toRdd path, where the tiny
-    # per-round joins stay sort-merge (measured 6x slower); a count()
-    # materializes the cache through the AQE action path (runtime
-    # broadcast conversion) and both downstream consumers (encode +
-    # distance table) read the 128 cached rows
-    fcb = pqfp_train(
-        fcand, k=_PQFP_K, iters=_PQFP_ITERS, dsub=_PQFP_DSUB,
-        truncate_lineage=False,
-    ).persist()
-    fcb.count()
-    fcodes = pqfp_assign(fcand, fcb).select("vec_id", "sub_id", "code")
-    fp = pqfp_adc_topk(fcodes, fq, fcb, k=_TOP_K).select(
+    fcb = pqfp_train(fcand, k=_PQFP_K, iters=_PQFP_ITERS, dsub=_PQFP_DSUB)
+    fcodes = pqfp_assign(fcand, fcb, dsub=_PQFP_DSUB).select("vec_id", "sub_id", "code")
+    fp = pqfp_adc_topk(fcodes, fq, fcb, k=_TOP_K, dsub=_PQFP_DSUB).select(
         F.lit("pqfp").alias("leg"),
         F.col("qid").alias("query_id"),
         F.col("vec_id").alias("candidate_id"),
