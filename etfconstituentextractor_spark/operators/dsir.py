@@ -20,12 +20,26 @@ Method, exactly the paper's estimator restricted to unigrams:
   rank order, keeping the result hash-checkable cross-engine).
 
 Determinism contract (the lm.py discipline): counts are exact
-integers; ln/avg are IEEE doubles ROUNDED at 6 dp BEFORE the ranking
-decision, ties broken on doc_id, so both engines rank identically.
+integers; the per-token mean is computed as the count-weighted form
+``sum(n_b · lr_b) / sum(n_b)`` over per-(doc, bucket) token counts —
+identical expression shape in both engines — and ln/avg are IEEE
+doubles ROUNDED at 6 dp BEFORE the ranking decision, ties broken on
+doc_id. This leg is rounding-TOLERANT rather than bit-exact: it
+relies on JVM Math.log and DuckDB ln agreeing to well under the 6 dp
+rounding grain (they are both correctly-rounded-to-≤1ulp libm logs;
+a score sitting within ~1e-7 of a rounding boundary could in
+principle flip a rank between engines — accepted and documented, the
+same posture as every ln-scored leg).
 
-Scale posture: one (doc_id, bucket) token shuffle for the counts and
-one for the per-doc mean — text never shuffles; the log-ratio table
-is ``n_buckets`` rows and broadcasts; zero Python, all codegen.
+Scale posture: text is tokenized ONCE — the token stream reduces
+immediately to a per-(doc, bucket) count frame (≤ docs × n_buckets
+rows, ~2-3 orders smaller than token grain), which is
+localCheckpoint-materialized and feeds BOTH the global bucket counts
+and the per-doc scoring; text never shuffles; the log-ratio table is
+``n_buckets`` rows and broadcasts; zero Python, all codegen. The
+materialized frame is the operator's only state — the classic
+token-count index, linear in corpus size, freed by the
+ContextCleaner on GC.
 """
 
 from __future__ import annotations
@@ -65,9 +79,21 @@ def dsir_scores(
         ).alias("__tok"),
     ).select(id_col, "__t", _bucket(F.col("__tok"), n_buckets).alias("__b"))
 
-    counts = toks.groupBy("__b").agg(
-        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("__ct"),
-        F.sum(F.when(F.col("__t"), 0).otherwise(1)).alias("__cr"),
+    # ONE tokenize pass: the token stream reduces to per-(doc, bucket)
+    # counts and materializes; both consumers below (global bucket
+    # counts + per-doc scoring) read this frame, not the text. Without
+    # the checkpoint Spark would re-execute the tokenize per branch
+    # (plan DAGs re-derive shared subtrees) — the round-7 double-scan
+    # this replaces.
+    per_doc = (
+        toks.groupBy(id_col, "__t", "__b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint()
+    )
+
+    counts = per_doc.groupBy("__b").agg(
+        F.sum(F.when(F.col("__t"), F.col("__n")).otherwise(0)).alias("__ct"),
+        F.sum(F.when(F.col("__t"), 0).otherwise(F.col("__n"))).alias("__cr"),
     )
     totals = counts.agg(
         F.sum("__ct").alias("__tt"), F.sum("__cr").alias("__tr")
@@ -82,11 +108,18 @@ def dsir_scores(
             ).alias("__lr"),
         )
     )
+    # count-weighted mean == the per-token mean; the weighted shape is
+    # what both engines compute (sum(n·lr)/sum(n)) so the float
+    # summation structure matches across engines.
     return (
-        toks.filter(~F.col("__t"))
+        per_doc.filter(~F.col("__t"))
         .join(F.broadcast(ratios), "__b")
         .groupBy(id_col)
-        .agg(F.round(F.avg("__lr"), 6).alias("dsir_score"))
+        .agg(
+            F.round(
+                F.sum(F.col("__n") * F.col("__lr")) / F.sum("__n"), 6
+            ).alias("dsir_score")
+        )
     )
 
 
@@ -108,11 +141,15 @@ def sql_dsir_ctes(
                    unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS tok
             FROM documents)
     ),
+    {prefix}_perdoc AS (
+      SELECT doc_id, t, b, COUNT(*) AS n
+      FROM {prefix}_toks GROUP BY doc_id, t, b
+    ),
     {prefix}_counts AS (
       SELECT b,
-             SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
-             SUM(CASE WHEN t THEN 0 ELSE 1 END) AS cr
-      FROM {prefix}_toks GROUP BY b
+             SUM(CASE WHEN t THEN n ELSE 0 END) AS ct,
+             SUM(CASE WHEN t THEN 0 ELSE n END) AS cr
+      FROM {prefix}_perdoc GROUP BY b
     ),
     {prefix}_tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM {prefix}_counts),
     {prefix}_ratio AS (
@@ -120,8 +157,10 @@ def sql_dsir_ctes(
       FROM {prefix}_counts, {prefix}_tot
     ),
     {prefix}_scores AS (
-      SELECT doc_id, ROUND(AVG(lr), 6) AS dsir_score
-      FROM {prefix}_toks JOIN {prefix}_ratio USING (b)
+      SELECT doc_id,
+             ROUND(SUM(CAST(n AS DOUBLE) * lr) / SUM(CAST(n AS DOUBLE)), 6)
+               AS dsir_score
+      FROM {prefix}_perdoc JOIN {prefix}_ratio USING (b)
       WHERE NOT t
       GROUP BY doc_id
     )"""

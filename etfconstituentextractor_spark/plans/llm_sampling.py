@@ -27,7 +27,7 @@ from etfconstituentextractor_spark.operators.sampling import (
     weighted_reservoir_sample,
 )
 from etfconstituentextractor_spark.plans.registry import query
-from etfconstituentextractor_spark.sources.tables import load
+from etfconstituentextractor_spark.sources.tables import fanout, load
 
 #: per-language mixture weights (keep-rate per stratum) — the
 #: data-mixing step of a pretraining pipeline: oversample the scarce
@@ -65,7 +65,9 @@ TEMP_KEEP = 0.5
 #: dominant language can't crowd out the mixture)
 DSIR_TARGET_SOURCES = ("src0", "src1", "src2")
 DSIR_K = 30
-_DSIR_PRED = "source IN ('src0', 'src1', 'src2')"
+# derived from the tuple so the Spark leg and the oracle can never
+# silently desynchronize
+_DSIR_PRED = "source IN (%s)" % ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
 
 
 def _sql_rate_case() -> str:
@@ -307,7 +309,9 @@ def q83_sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("rn"),
         no_cum,
     )
-    scores = dsir_scores(full, F.col("source").isin(*DSIR_TARGET_SOURCES))
+    # fanout: the tokenize pass must not run on the scan's single
+    # small-SF split (sources/tables.py:fanout — no-op at scale)
+    scores = dsir_scores(fanout(full), F.col("source").isin(*DSIR_TARGET_SOURCES))
     w_dsir = W.partitionBy("lang").orderBy(F.col("dsir_score").desc(), "doc_id")
     dsir_leg = (
         scores.join(d, "doc_id")
