@@ -46,7 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank_fixed_point"]
+__all__ = ["pagerank_fixed_point", "sql_pagerank_ctes"]
 
 
 def pagerank_fixed_point(

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["split_bucket", "leakage_safe_split"]
+__all__ = ["split_bucket", "leakage_safe_split", "sql_split_bucket"]
 
 #: percent buckets, matching the DuckDB replay's `% 100`.
 _BUCKETS = 100

@@ -21,13 +21,20 @@ authority does not fit the grammar (junk ports, '://'-less scheme
 forms) PASS THROUGH VERBATIM: wrong-shaped rows are a filter
 decision, not a rewrite.
 
-Registrable-domain extraction uses an embedded multi-part-suffix
-subset (the structural rule of the public-suffix list: take 2 host
-labels, or 3 when the last 2 are a listed compound like `co.uk`);
-IPv4 and IPv6 literals key as the WHOLE address. The full Mozilla
-list is a data file a deployment would broadcast through the same
-code path; the subset keeps this repo dependency-free and the rule
-exact for the listed compounds.
+Registrable-domain extraction comes in two forms: an embedded
+multi-part-suffix subset (the structural rule of the public-suffix
+list: take 2 host labels, or 3 when the last 2 are a listed compound
+like `co.uk`) for dependency-free use, and the data-driven
+`registrable_domain_from_table`, whose production rule table is the
+REAL Mozilla public-suffix list — a committed snapshot ships in
+``etfconstituentextractor_spark/data/public_suffix_list.dat``
+(public data, MPL 2.0, the Debian `publicsuffix` package's copy;
+md5 pinned in ``PSL_SNAPSHOT_MD5``) and loads via ``psl_rules``.
+Full PSL rule semantics are implemented: literal rules, ``*.``
+wildcard rules, and ``!`` exception rules (exception beats wildcard:
+under ``*.kawasaki.jp`` + ``!city.kawasaki.jp`` the host
+``www.city.kawasaki.jp`` keys as ``city.kawasaki.jp``). IPv4 and
+IPv6 literals key as the WHOLE address in both forms.
 
 No reference counterpart (the reference fetches two hard-coded SEC
 URLs, `ETFQuarterlyHoldingsExtractor.py:57-66`); this is engine
@@ -37,8 +44,42 @@ reads.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: committed Mozilla public-suffix list snapshot (public data, MPL
+#: 2.0; see the module docstring) + its pinned md5 — a test asserts
+#: the file on disk still hashes to this, so a silent edit of the
+#: rule data cannot slip through.
+PSL_SNAPSHOT_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data",
+    "public_suffix_list.dat",
+)
+PSL_SNAPSHOT_MD5 = "1742c1d36244c282c8296c0341ebf716"
+
+
+def psl_rules(spark: SparkSession, path: str | None = None) -> DataFrame:
+    """The public-suffix list as a one-column ``suffix`` DataFrame —
+    the rule table ``registrable_domain_from_table`` broadcasts.
+
+    Parses the committed snapshot (or ``path``): comment (``//``) and
+    blank lines drop, each rule is the line's first token, and BOTH
+    the ICANN and PRIVATE sections load (browser behavior — a private
+    registry like a hosting platform's shared domain is exactly what
+    crawl-side dedup keys must respect). Rules keep their ``*.`` and
+    ``!`` spellings; the consumer implements their semantics. ~14k
+    rules — driver-parsed, LocalRelation, broadcast-sized."""
+    rules = []
+    with open(path or PSL_SNAPSHOT_PATH, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("//"):
+                continue
+            rules.append((line.split()[0],))
+    return spark.createDataFrame(rules, "suffix string")
 
 #: query parameters that never identify content (analytics/click IDs)
 TRACKING_PARAMS = (
@@ -247,10 +288,21 @@ def registrable_domain_from_table(
     Wildcard semantics (public-suffix list rules): a literal rule
     makes `label.rule` the registrable domain; a `*.rule` wildcard
     makes every `x.rule` a suffix, so the registrable domain is
-    `label.x.rule`.
+    `label.x.rule`. Exception rules (`!rule`) beat wildcards: `rule`
+    is NOT a public suffix — its parent is — so any host at or under
+    `rule` keys as `rule` itself (PSL: the prevailing exception rule
+    minus its leftmost label is the public suffix). In the
+    longest-first candidate scan this is: a candidate is a suffix iff
+    it is not exception-listed AND (literal-listed OR
+    wildcard-covered OR its one-label-longer child candidate is
+    exception-listed).
     """
+    s = F.lower(F.col("suffix"))
     one = suffixes.agg(
-        F.collect_set(F.lower("suffix")).alias("__sfx")
+        F.collect_set(F.when(~s.startswith("!"), s)).alias("__sfx"),
+        F.collect_set(
+            F.when(s.startswith("!"), F.substring(s, 2, 2_000_000))
+        ).alias("__exc"),
     )
     h = F.lower(F.col(host_col))  # rules are lowercased; match likewise
     lh = f"lower({host_col})"
@@ -265,15 +317,22 @@ def registrable_domain_from_table(
         f"i -> array_join(slice(split({lh}, '\\\\.'), i + 1, "
         f"size(split({lh}, '\\\\.'))), '.'))"
     )
-    # a candidate suffix matches via a literal rule OR a wildcard rule
-    # '*.parent' (candidate's first label stripped); ONE filter over
-    # the longest-first candidates so the longest matching rule wins
-    # regardless of rule kind — PSL semantics
+    # a candidate suffix matches via a literal rule, a wildcard rule
+    # '*.parent' (candidate's first label stripped), or by having its
+    # one-label-longer child candidate exception-listed (the PSL
+    # "exception rule minus leftmost label is the public suffix");
+    # exception-listed candidates are themselves never suffixes. ONE
+    # filter over the longest-first candidates so the longest
+    # applicable rule wins regardless of rule kind — PSL semantics.
+    # (filter's 2-arg lambda gives the 0-based index i; candidate i's
+    # longer child is element_at(__cands, i), 1-based.)
     matches = F.expr(
-        "filter(__cands, c -> array_contains(__sfx, c) OR "
+        "filter(__cands, (c, i) -> NOT array_contains(__exc, c) AND ("
+        "array_contains(__sfx, c) OR "
         "(size(split(c, '\\\\.')) >= 2 AND "
         "array_contains(__sfx, concat('*.', array_join(slice(split(c, '\\\\.'), 2, "
-        "size(split(c, '\\\\.'))), '.')))))"
+        "size(split(c, '\\\\.'))), '.')))) OR "
+        "if(i > 0, array_contains(__exc, element_at(__cands, i)), false)))"
     )
     with_c = df.crossJoin(F.broadcast(one)).withColumn("__cands", cands)
     # candidates are ordered longest-first; F.get (not element_at —
@@ -293,4 +352,4 @@ def registrable_domain_from_table(
         .when(win.isNotNull() & (win_labels < n), dom_from_rule)
         .when(win.isNotNull(), h)  # host IS a suffix: keys as itself
         .otherwise(fallback),
-    ).drop("__cands", "__sfx")
+    ).drop("__cands", "__sfx", "__exc")

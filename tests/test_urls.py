@@ -189,3 +189,127 @@ def test_registrable_domain_from_table(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_psl_snapshot_pinned_and_loads(spark):
+    """The committed Mozilla PSL snapshot still hashes to the pinned
+    md5 (a silent edit of the rule data must fail loudly) and loads
+    into a broadcast-sized one-column rule table with all three rule
+    kinds present."""
+    import hashlib
+
+    from etfconstituentextractor_spark.operators.urls import (
+        PSL_SNAPSHOT_MD5,
+        PSL_SNAPSHOT_PATH,
+        psl_rules,
+    )
+
+    with open(PSL_SNAPSHOT_PATH, "rb") as f:
+        assert hashlib.md5(f.read()).hexdigest() == PSL_SNAPSHOT_MD5
+    rules = psl_rules(spark)
+    vals = {r.suffix for r in rules.collect()}
+    assert len(vals) > 5_000
+    assert "com" in vals and "co.uk" in vals          # literals
+    assert "*.kawasaki.jp" in vals                    # wildcard
+    assert "!city.kawasaki.jp" in vals                # exception
+    assert not any(v.startswith("//") or v == "" for v in vals)
+
+
+def test_registrable_domain_real_psl(spark):
+    """Full PSL semantics on the REAL committed list — literal,
+    wildcard, and exception rules, including the canonical tricky
+    cases the list itself documents (`*.kawasaki.jp` +
+    `!city.kawasaki.jp`, `*.ck` + `!www.ck`), plus the private
+    section (github.io) and the IP/fallback edges."""
+    from etfconstituentextractor_spark.operators.urls import (
+        psl_rules,
+        registrable_domain_from_table,
+    )
+
+    rows = [
+        ("a.b.example.com", "example.com"),
+        ("deep.example.co.uk", "example.co.uk"),
+        # wildcard: any x.kawasaki.jp is a suffix...
+        ("site.other.kawasaki.jp", "site.other.kawasaki.jp"),
+        ("other.kawasaki.jp", "other.kawasaki.jp"),  # IS a suffix
+        # ...except the exception rule: city.kawasaki.jp is NOT a
+        # suffix — everything at or under it keys as city.kawasaki.jp
+        ("city.kawasaki.jp", "city.kawasaki.jp"),
+        ("www.city.kawasaki.jp", "city.kawasaki.jp"),
+        ("deep.www.city.kawasaki.jp", "city.kawasaki.jp"),
+        # the other canonical exception pair
+        ("www.ck", "www.ck"),
+        ("anything.www.ck", "www.ck"),
+        ("shop.some.ck", "shop.some.ck"),  # '*.ck' wildcard
+        # PRIVATE section rules load too (browser behavior)
+        ("user.github.io", "user.github.io"),
+        ("page.user.github.io", "user.github.io"),
+        # unlisted TLD falls back to last-two; IPs key whole
+        ("x.y.unlistedtld", "y.unlistedtld"),
+        ("93.184.216.34", "93.184.216.34"),
+        ("localhost", "localhost"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], "host string")
+    out = registrable_domain_from_table(df, psl_rules(spark), host_col="host")
+    got = [(r.host, r.domain) for r in out.collect()]
+    assert got == rows
+
+
+def test_warc_canonicalize_blocklist_composition_real_psl(spark):
+    """The crawl-ingest composition on the REAL rule table: WARC
+    archive -> response rows -> normalize target URI -> registrable
+    domain under the full PSL -> blocklist anti-join. The blocklist
+    lists `city.kawasaki.jp` and `example.com`; a deep host under the
+    kawasaki exception rule and an ads subdomain of example.com must
+    both fall, while a sibling wildcard suffix host survives."""
+    import os
+    import tempfile
+
+    from etfconstituentextractor_spark.operators.urls import (
+        host_of,
+        normalize_url,
+        psl_rules,
+        registrable_domain_from_table,
+    )
+    from etfconstituentextractor_spark.sources.warc import (
+        build_http_response_record,
+        gzip_member,
+        read_warc,
+    )
+
+    urls = [
+        "http://WWW.City.Kawasaki.JP:80/page?utm_source=x",  # blocked (exception rule)
+        "https://ads.Example.com/banner",                    # blocked (subdomain)
+        "https://keep.other.kawasaki.jp/ok",                 # kept (wildcard suffix host)
+        "https://news.example.org/a",                        # kept
+    ]
+    blob = b"".join(
+        gzip_member(build_http_response_record(u, f"body-{i}".encode(), record_id=f"r{i}"))
+        for i, u in enumerate(urls)
+    )
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "crawl.warc.gz")
+        with open(p, "wb") as f:
+            f.write(blob)
+        rows = read_warc(spark, p).filter(F.col("error").isNull())
+        keyed = registrable_domain_from_table(
+            rows.select(
+                normalize_url("target_uri").alias("url"),
+                host_of("target_uri").alias("host"),
+            ),
+            psl_rules(spark),
+            host_col="host",
+        )
+        blocked = spark.createDataFrame(
+            [("city.kawasaki.jp",), ("example.com",)], "domain string"
+        )
+        kept = keyed.join(
+            F.broadcast(blocked.select(F.lower("domain").alias("domain"))),
+            "domain",
+            "left_anti",
+        )
+        got = sorted(r.url for r in kept.collect())
+    assert got == [
+        "https://keep.other.kawasaki.jp/ok",
+        "https://news.example.org/a",
+    ]
