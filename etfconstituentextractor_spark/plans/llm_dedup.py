@@ -193,32 +193,39 @@ def _sql_bands(prefix: str = "") -> str:
     )
 
 
-def sql_pair_ctes(rel: str = "documents") -> str:
+def sql_pair_ctes(rel: str = "documents", prefix: str = "") -> str:
     """The q62 pair construction as reusable oracle CTEs — q65's
     clustering oracle builds on the identical pair set, and the
     curation-pipeline oracle (q99) applies it to the survivor subset
-    by passing its own relation name."""
-    return f"""shingled AS (
+    by passing its own relation name. ``prefix`` namespaces the whole
+    chain so two pair builds (e.g. the full corpus and the streamed
+    slice) coexist in one oracle query."""
+    return f"""{prefix}shingled AS (
       SELECT doc_id, {sql_shingles(sql_tokens())} AS shingles
       FROM {rel}
       WHERE len({sql_tokens()}) >= 3
     ),
-    {_sql_bands()},
-    cand AS (
+    {_sql_bands(prefix)},
+    {prefix}cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+      FROM {prefix}bands a JOIN {prefix}bands b
+        ON a.band = b.band AND a.sig = b.sig
        AND a.doc_id < b.doc_id
     )"""
 
 
+def sql_pair_select(prefix: str = "") -> str:
+    return f"""SELECT doc_a, doc_b,
+           {sql_jaccard('sa.shingles', 'sb.shingles')} AS jaccard_sim
+    FROM {prefix}cand
+    JOIN {prefix}shingled sa ON sa.doc_id = doc_a
+    JOIN {prefix}shingled sb ON sb.doc_id = doc_b
+    WHERE {sql_jaccard('sa.shingles', 'sb.shingles')} >= 0.5"""
+
+
 _SQL_PAIR_CTES = sql_pair_ctes()
 
-_SQL_PAIR_SELECT = f"""SELECT doc_a, doc_b,
-           {sql_jaccard('sa.shingles', 'sb.shingles')} AS jaccard_sim
-    FROM cand
-    JOIN shingled sa ON sa.doc_id = doc_a
-    JOIN shingled sb ON sb.doc_id = doc_b
-    WHERE {sql_jaccard('sa.shingles', 'sb.shingles')} >= 0.5"""
+_SQL_PAIR_SELECT = sql_pair_select()
 
 
 def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,14 +442,80 @@ def _sql_incremental_ctes() -> str:
 #   index of unchanged docs, plus delta×delta. Emits the near-dup
 #   pairs the refresh INTRODUCES; work is |delta|·bands + collisions,
 #   never N.
-# The oracle replays both worlds relationally (the band chain is CTE-
-# prefix-namespaced so the two builds coexist in one query).
+# - leg='stream'     : round 8 — the streaming/dedup_index.py
+#   maintenance LOOP itself under the hash oracle: a deterministic
+#   slice of the corpus (doc_id % _STREAM_SLICE_MOD == 0) is staged
+#   as _STREAM_CHUNKS micro-batch files and drained through the real
+#   foreachBatch pipeline (probe standing index -> emit new pairs ->
+#   append index); the accumulated pairs_dir is the leg's result. The
+#   oracle is the BATCH pair build over the same slice — equality IS
+#   the streamed-equals-batch invariant (pinned corpus-wide in
+#   tests/test_stream_dedup_index.py; the registered slice keeps the
+#   bench cost of the real streaming machinery proportionate, and its
+#   chunking interleaves near-dup family members across batches so
+#   cross-batch probing is exercised, not bypassed).
+# The oracle replays all worlds relationally (band chains are CTE-
+# prefix-namespaced so the builds coexist in one query).
 # ---------------------------------------------------------------------------
+_STREAM_SLICE_MOD = 4
+_STREAM_CHUNKS = 2
+
+
+def _q62_stream_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from etfconstituentextractor_spark.streaming.dedup_index import (
+        run_stream_dedup,
+        stage_doc_chunks,
+    )
+    from etfconstituentextractor_spark.streaming.replay import work_dir
+
+    root = work_dir(sf_dir, "q62_stream")
+    # wipe per call — the q55-q59 convention: re-runs never resume
+    shutil.rmtree(root, ignore_errors=True)
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % _STREAM_SLICE_MOD == 0)
+    )
+    src = stage_doc_chunks(
+        d,
+        os.path.join(root, "src"),
+        _STREAM_CHUNKS,
+        # arrival batch: interleave by the quotient so family members
+        # (nearby ids) land in DIFFERENT chunks
+        F.pmod(F.floor(F.col("doc_id") / _STREAM_SLICE_MOD), _STREAM_CHUNKS),
+    )
+    # foreachBatch runs with AQE DISABLED (streaming limitation), so
+    # the handler's unhinted joins keep their static
+    # shuffle-partition count; pin it low for the drain — per-batch
+    # state is slice-sized — and restore after (the pagerank
+    # try/finally convention).
+    sp_key = "spark.sql.shuffle.partitions"
+    old_sp = spark.conf.get(sp_key)
+    spark.conf.set(sp_key, "8")
+    try:
+        run_stream_dedup(
+            spark,
+            src,
+            os.path.join(root, "index"),
+            os.path.join(root, "pairs"),
+            os.path.join(root, "ckpt"),
+        )
+    finally:
+        spark.conf.set(sp_key, old_sp)
+    return spark.read.parquet(os.path.join(root, "pairs")).select(
+        "doc_a", "doc_b", "jaccard_sim"
+    )
+
+
 @query(
     "q62_dedup_minhash_lsh",
     oracle=f"""
     WITH {_SQL_PAIR_CTES},
-    {_sql_incremental_ctes()}
+    {_sql_incremental_ctes()},
+    {sql_pair_ctes(f"(SELECT * FROM documents WHERE doc_id % {_STREAM_SLICE_MOD} = 0)", prefix="st_")}
     SELECT 'full' AS leg, doc_a, doc_b, jaccard_sim FROM (
       {_SQL_PAIR_SELECT}
     )
@@ -454,6 +527,10 @@ def _sql_incremental_ctes() -> str:
       JOIN inc_shingled sa ON sa.doc_id = doc_a
       JOIN inc_shingled sb ON sb.doc_id = doc_b
       WHERE {sql_jaccard('sa.shingles', 'sb.shingles')} >= 0.5
+    )
+    UNION ALL
+    SELECT 'stream', doc_a, doc_b, jaccard_sim FROM (
+      {sql_pair_select("st_")}
     )
     """,
 )
@@ -485,7 +562,10 @@ def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("incremental").alias("leg"), "doc_a", "doc_b", "jaccard_sim"
     )
-    return full.unionByName(inc)
+    stream = _q62_stream_leg(spark, sf_dir).select(
+        F.lit("stream").alias("leg"), "doc_a", "doc_b", "jaccard_sim"
+    )
+    return full.unionByName(inc).unionByName(stream)
 
 
 # ---------------------------------------------------------------------------

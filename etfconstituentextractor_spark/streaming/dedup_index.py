@@ -90,8 +90,6 @@ def lsh_index_batch_handler(index_dir: str, pairs_dir: str):
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         docs = batch_df.select("doc_id", "text")
-        if not docs.take(1):
-            return
         base_sh = _load_or_empty(spark, f"{index_dir}/shingles", _SHINGLES_SCHEMA)
         base_bands = _load_or_empty(spark, f"{index_dir}/bands", _BANDS_SCHEMA)
         # INSERT-ONLY ingest: a re-delivered doc_id (retry, at-least-
@@ -104,9 +102,24 @@ def lsh_index_batch_handler(index_dir: str, pairs_dir: str):
         docs = docs.join(
             base_sh.select("doc_id"), "doc_id", "left_anti"
         )
+        # LOAD-BEARING emptiness guard: a crash-retry of a FULLY
+        # committed batch arrives with every doc already in the
+        # shingle index — the anti-join empties it, and proceeding
+        # would OVERWRITE the batch's committed pairs/bands with
+        # empty partitions (observed in test_batch_retry_is_
+        # idempotent). take(1) early-exits on the first non-empty
+        # partition, so the normal-path cost is one cheap probe job.
+        # (The pre-anti-join guard, by contrast, was a pure extra job
+        # and stays removed.)
         if not docs.take(1):
             return
+        # _shingle_and_bands fans out and checkpoints the shingle
+        # stage itself; the BAND frame is additionally checkpointed
+        # because its salt-hash + min derivation (the expensive part)
+        # otherwise re-runs for each of its three consumers (probe
+        # x-side, probe y-union, index append).
         sh_d, bands_d = _shingle_and_bands(docs)
+        bands_d = bands_d.localCheckpoint()
         base_index = (base_sh, base_bands)
         pairs = lsh_incremental_pairs(None, docs, base_index=base_index, delta_index=(sh_d, bands_d))
         # Idempotent per-batch OVERWRITE subdirectories, in commit
@@ -124,6 +137,28 @@ def lsh_index_batch_handler(index_dir: str, pairs_dir: str):
         )
 
     return handle
+
+
+def stage_doc_chunks(
+    docs: DataFrame,
+    dest: str,
+    n_chunks: int,
+    chunk_of,
+) -> str:
+    """Write a (doc_id, text) frame as ``n_chunks`` single parquet
+    files with strictly increasing mtimes (FileStreamSource orders
+    micro-batches by modification time), ``chunk_of`` being an int
+    Column in [0, n_chunks) assigning each doc its arrival batch.
+    Returns ``dest``."""
+    import os
+
+    from etfconstituentextractor_spark.streaming.replay import _write_chunk
+
+    os.makedirs(dest, exist_ok=True)
+    base = 1_600_000_000.0
+    for i in range(n_chunks):
+        _write_chunk(docs.filter(chunk_of == i), dest, i, base + 10 * i)
+    return dest
 
 
 def run_stream_dedup(

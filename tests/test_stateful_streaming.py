@@ -119,7 +119,24 @@ def test_tws_sessionize_matches_v1_and_batch(spark, sf_dir):
     -harness replay test below)."""
     import pytest
 
-    pytest.importorskip("google.protobuf")
+    # Runtime-detect, not permanent: the day this environment gains
+    # the protobuf package, this test starts executing sessionize_tws
+    # against the REAL transformWithStateInPandas runtime and the
+    # suite tightens itself. The reason string keeps the skip loud in
+    # CI output (VERDICT r7 #5) — it is the ONE verification gap on
+    # the v2 sessionizer; the fake-harness replay below still pins the
+    # state machine.
+    pytest.importorskip(
+        "google.protobuf",
+        reason=(
+            "transformWithStateInPandas v2 state API needs the "
+            "protobuf python package (its state-server wire format); "
+            "not shipped in this container — sessionize_tws has NOT "
+            "been executed against the real TWS runtime here, only "
+            "against the in-memory harness (test_tws_state_machine_"
+            "fake_harness)"
+        ),
+    )
     from pyspark.sql import functions as F
 
     from etfconstituentextractor_spark.streaming.stateful import sessionize_tws
