@@ -938,7 +938,14 @@ def embedding_cosine_pairs(e: DataFrame, cap: int = _Q64_MAX_BLOCK) -> DataFrame
         .select("label")
     )
     n = n.join(F.broadcast(kept), "label")
-    a = n.alias("a")
+    # The cap-bounded b-side broadcasts (AQE picks BHJ), so the pair
+    # fanout and the per-pair cosine — an interpreted HOF, the leg's
+    # dominant cost — execute on the PROBE side's partitions; the
+    # probe side is the corpus scan, a single split at small SF.
+    # fanout spreads it (measured: the entire join+cosine ran as one
+    # task without this — the broadcast join preserves the probe
+    # side's partitioning, so no join key salting can help).
+    a = fanout(n, "vec_id").alias("a")
     b = n.alias("b")
     dot = F.expr(
         "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
@@ -1024,7 +1031,10 @@ def q64_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_close"),
         F.lit(None).cast("boolean").alias("is_kept"),
     )
-    ev = e.drop("label").withColumn(
+    # fanout: the embeddings scan is one split at small SF, and the
+    # nearest-seed assignment (2000×SEEDS interpreted HOF dots) would
+    # otherwise run — and checkpoint-materialize — as a single task
+    ev = fanout(e.drop("label"), "vec_id").withColumn(
         "nrm",
         F.sqrt(F.expr("aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x)")),
     )
