@@ -77,6 +77,18 @@ HEADLINE = [
 #: round-over-round comparisons.
 _REF_CALIBRATION_SEC = 0.16
 
+#: Quiet-host reference for the PARALLEL contention probe (round 8,
+#: min over a near-quiet window — probe1 read 0.158 ≈ its own quiet
+#: reference in the same session). The 30M-row probe above finishes
+#: before all 32 threads saturate, so it tracks single-core host
+#: speed but not cross-core contention — the gap that made round 7's
+#: normalized figure soft (SURVEY §6). This probe runs the same
+#: fixed arithmetic over 400M rows / 32 partitions, saturating every
+#: core for ~0.5s; under whole-host contention its ratio moves when
+#: probe1's does not. Both ratios are emitted; read the one that
+#: better explains a run's drift.
+_REF_CALIBRATION32_SEC = 0.44
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -109,14 +121,25 @@ def main() -> None:
     # discount value_normalized when the probe itself was unstable;
     # raw totals ACROSS runs remain the most trustworthy signal.
     calib_runs = []
+    calib32_runs = []
     for _ in range(3):
         t0 = time.perf_counter()
         spark.range(30_000_000).selectExpr(
             "sum(sin(id * 1e-6))", "max(sqrt(id))"
         ).collect()
         calib_runs.append(round(time.perf_counter() - t0, 3))
+        t0 = time.perf_counter()
+        spark.range(400_000_000).selectExpr(
+            "sum(sin(id * 1e-6))", "max(sqrt(id))"
+        ).collect()
+        calib32_runs.append(round(time.perf_counter() - t0, 3))
     calibration = min(calib_runs)
+    calibration32 = min(calib32_runs)
     print(f"# calibration probe: {calibration}s (runs: {calib_runs})", file=sys.stderr)
+    print(
+        f"# contention probe (32-way): {calibration32}s (runs: {calib32_runs})",
+        file=sys.stderr,
+    )
 
     # Each query runs at least TWICE and reports the fastest run: the
     # first execution pays one-time costs a long-running cluster
@@ -159,6 +182,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     ratio = round(calibration / _REF_CALIBRATION_SEC, 3)
+    ratio32 = round(calibration32 / _REF_CALIBRATION32_SEC, 3)
     print(
         json.dumps(
             {
@@ -171,6 +195,12 @@ def main() -> None:
                 "calibration_spread_sec": round(max(calib_runs) - min(calib_runs), 3),
                 "calibration_ratio": ratio,
                 "value_normalized": round(total / ratio, 3),
+                "calibration32_sec": calibration32,
+                "calibration32_spread_sec": round(
+                    max(calib32_runs) - min(calib32_runs), 3
+                ),
+                "calibration32_ratio": ratio32,
+                "value_normalized32": round(total / ratio32, 3),
             }
         )
     )

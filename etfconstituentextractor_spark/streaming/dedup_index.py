@@ -88,6 +88,13 @@ def lsh_index_batch_handler(index_dir: str, pairs_dir: str):
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        # The standing index reloads from parquet each batch — an
+        # in-memory union-of-checkpoints cache was MEASURED SLOWER
+        # here (4.4s vs 3.6s per 2-batch drain): the state files are
+        # tiny, OS-page-cached, and carry parquet stats, while the
+        # growing union plan costs more to analyze and scan than the
+        # re-read saves. Revisit only if state reads show up hot at
+        # real index sizes.
         spark = batch_df.sparkSession
         docs = batch_df.select("doc_id", "text")
         base_sh = _load_or_empty(spark, f"{index_dir}/shingles", _SHINGLES_SCHEMA)
@@ -102,23 +109,24 @@ def lsh_index_batch_handler(index_dir: str, pairs_dir: str):
         docs = docs.join(
             base_sh.select("doc_id"), "doc_id", "left_anti"
         )
-        # LOAD-BEARING emptiness guard: a crash-retry of a FULLY
-        # committed batch arrives with every doc already in the
-        # shingle index — the anti-join empties it, and proceeding
-        # would OVERWRITE the batch's committed pairs/bands with
-        # empty partitions (observed in test_batch_retry_is_
-        # idempotent). take(1) early-exits on the first non-empty
-        # partition, so the normal-path cost is one cheap probe job.
-        # (The pre-anti-join guard, by contrast, was a pure extra job
-        # and stays removed.)
-        if not docs.take(1):
-            return
         # _shingle_and_bands fans out and checkpoints the shingle
         # stage itself; the BAND frame is additionally checkpointed
         # because its salt-hash + min derivation (the expensive part)
         # otherwise re-runs for each of its three consumers (probe
         # x-side, probe y-union, index append).
         sh_d, bands_d = _shingle_and_bands(docs)
+        # LOAD-BEARING emptiness guard: a crash-retry of a FULLY
+        # committed batch arrives with every doc already in the
+        # shingle index — the anti-join empties it, and proceeding
+        # would OVERWRITE the batch's committed pairs/bands with
+        # empty partitions (observed in test_batch_retry_is_
+        # idempotent). Checking the CHECKPOINTED shingle frame makes
+        # the guard read materialized blocks instead of re-running
+        # the anti-join the way a pre-build take(1) did. (A batch
+        # whose every doc is sub-shingle-length also returns here:
+        # with no shingles there is nothing to probe or append.)
+        if not sh_d.take(1):
+            return
         bands_d = bands_d.localCheckpoint()
         base_index = (base_sh, base_bands)
         pairs = lsh_incremental_pairs(None, docs, base_index=base_index, delta_index=(sh_d, bands_d))
