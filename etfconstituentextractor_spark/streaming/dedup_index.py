@@ -136,13 +136,30 @@ def lsh_index_batch_handler(index_dir: str, pairs_dir: str):
         # leaves the batch fully re-processable and the retry
         # overwrites (never doubles) whatever did land. batch_id /
         # ingest_batch come back as partition columns on read.
-        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch_id={batch_id}")
-        bands_d.select("doc_id", "band", "sig").write.mode("overwrite").parquet(
-            f"{index_dir}/bands/ingest_batch={batch_id}"
+        # One file per state dir per batch: the frames carry the
+        # fanout/checkpoint partitioning (up to a core-count of
+        # near-empty partitions), and writing that width costs ~32
+        # task commits per dir while making every later batch's base
+        # read list dozens of KB-sized files (measured ~1s/drain).
+        # A micro-batch delta is one file's worth of state by
+        # construction; a deployment whose deltas outgrow that sizes
+        # this by delta volume or runs the compaction operator
+        # (operators/compaction.py) over the state dirs. pairs must
+        # use repartition(1), NOT coalesce: its plan still contains
+        # the probe + verify joins, and coalesce(1) would collapse
+        # that whole computation into the single write task (the
+        # replay.py:_write_chunk lesson — measured 3-4x on batch 0);
+        # the two index frames are already checkpointed, so coalesce
+        # there merely merges materialized partitions at write time.
+        pairs.repartition(1).write.mode("overwrite").parquet(
+            f"{pairs_dir}/batch_id={batch_id}"
         )
-        sh_d.select("doc_id", "shingles").write.mode("overwrite").parquet(
-            f"{index_dir}/shingles/ingest_batch={batch_id}"
-        )
+        bands_d.select("doc_id", "band", "sig").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/bands/ingest_batch={batch_id}")
+        sh_d.select("doc_id", "shingles").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/shingles/ingest_batch={batch_id}")
 
     return handle
 
