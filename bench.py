@@ -78,16 +78,17 @@ HEADLINE = [
 _REF_CALIBRATION_SEC = 0.16
 
 #: Quiet-host reference for the PARALLEL contention probe (round 8,
-#: min over a near-quiet window — probe1 read 0.158 ≈ its own quiet
-#: reference in the same session). The 30M-row probe above finishes
-#: before all 32 threads saturate, so it tracks single-core host
-#: speed but not cross-core contention — the gap that made round 7's
-#: normalized figure soft (SURVEY §6). This probe runs the same
-#: fixed arithmetic over 400M rows / 32 partitions, saturating every
-#: core for ~0.5s; under whole-host contention its ratio moves when
+#: min-of-3 on the round's quietest window — the same full-bench run
+#: read probe1 at 0.15 vs its 0.16 quiet reference, so the window is
+#: genuinely quiet). The 30M-row probe above finishes before all 32
+#: threads saturate, so it tracks single-core host speed but not
+#: cross-core contention — the gap that made round 7's normalized
+#: figure soft (SURVEY §6). This probe runs the same fixed
+#: arithmetic over 400M rows / 32 partitions, saturating every core
+#: for ~0.5s; under whole-host contention its ratio moves when
 #: probe1's does not. Both ratios are emitted; read the one that
 #: better explains a run's drift.
-_REF_CALIBRATION32_SEC = 0.44
+_REF_CALIBRATION32_SEC = 0.395
 
 
 def main() -> None:
