@@ -149,12 +149,15 @@ def main() -> None:
     # engine throughput — the quantity that scales to the 100 TB
     # deployment — while staying honest about cold cost via the
     # per-run stderr log. Queries whose best run is under
-    # _EXTRA_RUN_UNDER_SEC get a THIRD run: at sub-5s scale host
-    # variance dominates min-of-2 (measured across rounds: q01 swung
-    # 1.3s -> 4.0s with zero code change), and one more sample pins
-    # the floor. The stderr line logs every run so round-over-round
-    # spread is auditable.
-    _EXTRA_RUN_UNDER_SEC = 5.0
+    # _EXTRA_RUN_UNDER_SEC get a THIRD run: host variance dominates
+    # min-of-2 (measured across rounds: q01 swung 1.3s -> 4.0s with
+    # zero code change; round 8's in-suite q62/q99 carried 4s spreads
+    # at min-of-2), and one more sample pins the floor. The threshold
+    # sits above every current query so in practice everything gets
+    # three runs — the stderr line logs each so round-over-round
+    # spread stays auditable; the cap exists so a future pathological
+    # regression doesn't triple its own cost.
+    _EXTRA_RUN_UNDER_SEC = 12.0
     timings: dict[str, float] = {}
     for name in names:
         runs: list[float] = []
@@ -183,7 +186,15 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     ratio = round(calibration / _REF_CALIBRATION_SEC, 3)
-    ratio32 = round(calibration32 / _REF_CALIBRATION32_SEC, 3)
+    # The contention probe's quiet reference was measured on local[32];
+    # on a smaller --cpus session its 32 partitions run in waves and the
+    # ratio reads ~cores/32 slower regardless of host state. Emit the
+    # raw seconds always (auditable), but the ratio/normalized pair
+    # only where the reference applies.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    ratio32 = (
+        round(calibration32 / _REF_CALIBRATION32_SEC, 3) if cpus == 32 else None
+    )
     print(
         json.dumps(
             {
@@ -201,7 +212,9 @@ def main() -> None:
                     max(calib32_runs) - min(calib32_runs), 3
                 ),
                 "calibration32_ratio": ratio32,
-                "value_normalized32": round(total / ratio32, 3),
+                "value_normalized32": (
+                    round(total / ratio32, 3) if ratio32 else None
+                ),
             }
         )
     )
