@@ -65,33 +65,122 @@ def q20_join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q22 — shuffle (sort-merge) fact-fact join, no broadcast possible at
-# scale: both sides hash-partition on the key; AQE coalesces the
-# post-shuffle partitions.
+# q22 — the fact-fact join-STRATEGY family, tagged legs (round-8): the
+# same lineitem⋈orders aggregate computed under each of the shuffle
+# disciplines a 1000-executor cluster actually chooses between —
+#   'plain'    sort-merge shuffle join, AQE re-plans (skew split, SMJ↔SHJ);
+#   'salted'   explicit key salting (operators/skew.py) for the hot-key
+#              case AQE can't fix (build side replicated factor×);
+#   'bloom'    semi-join reduction (operators/bloom.py): build-side key
+#              set broadcast as a Bloom filter, probe rows that cannot
+#              match dropped BEFORE the shuffle — the move when the
+#              build side exceeds broadcast size but its keys fit KBs;
+#   'bucketed' co-located bucketBy tables: both sides pre-hashed into
+#              the same 8 buckets at write time, the join reads
+#              bucket-aligned and needs NO exchange at all (pinned in
+#              tests/test_plans.py) — the amortize-the-shuffle-once
+#              answer for a fact table joined every day at 100 TB.
+# Every leg must hash-match the one plain-SQL join under the oracle:
+# salting, Bloom false positives, and bucketing are all result-
+# invariant by construction, and this leg family is what pins that.
 # ---------------------------------------------------------------------------
 @query(
     "q22_join_shuffle_factfact",
     oracle="""
-    SELECT o_orderpriority,
-           COUNT(*) AS n_lines,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,4))), 2) AS DOUBLE) AS sum_price
-    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    WHERE l_shipdate > o_orderdate
-    GROUP BY o_orderpriority
+    WITH j AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n_lines,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,4))), 2) AS DOUBLE) AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate > o_orderdate
+      GROUP BY o_orderpriority
+    )
+    SELECT 'plain' AS leg, o_orderpriority, n_lines, sum_price FROM j
+    UNION ALL
+    SELECT 'salted' AS leg, o_orderpriority, n_lines, sum_price FROM j
+    UNION ALL
+    SELECT 'bucketed' AS leg, o_orderpriority, n_lines, sum_price FROM j
+    UNION ALL
+    SELECT 'bloom' AS leg, o_orderpriority, n_lines, sum_price
+    FROM j WHERE o_orderpriority = '1-URGENT'
     """,
 )
 def q22_join_shuffle_factfact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from etfconstituentextractor_spark.operators.bloom import bloom_reduced_join
+    from etfconstituentextractor_spark.operators.skew import salted_join
+
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            dsum(dec("l_extendedprice"), "sum_price"),
+
+    def agg_leg(joined: DataFrame, leg: str) -> DataFrame:
+        return (
+            joined.filter(F.col("l_shipdate") > F.col("o_orderdate"))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                dsum(dec("l_extendedprice"), "sum_price"),
+            )
+            .select(F.lit(leg).alias("leg"), "o_orderpriority", "n_lines", "sum_price")
         )
+
+    plain = agg_leg(li.join(o, li.l_orderkey == o.o_orderkey), "plain")
+
+    # Salted: orders' key renamed to the probe's so (key, salt) is the
+    # equi-join tuple; salt from l_linenumber (NOT the key — salting
+    # the key's own hash would undo the spread).
+    o_k = o.withColumnRenamed("o_orderkey", "l_orderkey")
+    salted = agg_leg(
+        salted_join(li, o_k, ["l_orderkey"], salt_from=F.col("l_linenumber"), factor=8),
+        "salted",
     )
+
+    # Bloom: the selective-build case — only urgent orders can match,
+    # so ~80% of lineitem is provably joinless and never shuffles. The
+    # sizing hint is a static overestimate (urgent orders at sf1 ≈
+    # 300k; a real deployment reads it from table stats) — an
+    # overestimate costs filter bytes, never rows.
+    bloom = agg_leg(
+        bloom_reduced_join(
+            li,
+            o_k.filter(F.col("o_orderpriority") == "1-URGENT"),
+            ["l_orderkey"],
+            n_items_hint=200_000,
+        ),
+        "bloom",
+    )
+
+    # Bucketed: write both sides bucketBy(8, key) as external tables
+    # (projected to the columns the query needs — at scale the write is
+    # the once-a-day cost the daily joins amortize), then join the
+    # catalog tables; bucket-aligned scans make the join exchange-free.
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"etfce_bucketed_{tag}")
+    li_t, o_t = f"etfce_bkt_li_{tag}", f"etfce_bkt_o_{tag}"
+    (
+        li.select("l_orderkey", "l_shipdate", "l_extendedprice")
+        .write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", os.path.join(base, "lineitem"))
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(li_t)
+    )
+    (
+        o.select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", os.path.join(base, "orders"))
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(o_t)
+    )
+    li_b, o_b = spark.table(li_t), spark.table(o_t)
+    bucketed = agg_leg(li_b.join(o_b, li_b.l_orderkey == o_b.o_orderkey), "bucketed")
+
+    return plain.unionByName(salted).unionByName(bucketed).unionByName(bloom)
 
 
 # ---------------------------------------------------------------------------

@@ -360,7 +360,18 @@ def test_aqe_splits_skewed_join(spark):
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
     }
-    old = {k: spark.conf.get(k, None) for k in confs}
+    # Effective-value capture so the finally restore is unconditional
+    # (get(k, None) would skip never-explicitly-set keys and leak the
+    # test's -1 thresholds into later tests — see the runtime-bloom
+    # test's comment). adaptive.autoBroadcastJoinThreshold has no
+    # default value at all, so an unset read throws: restore that one
+    # by unset.
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
     try:
         for k, v in confs.items():
             spark.conf.set(k, v)
@@ -380,6 +391,8 @@ def test_aqe_splits_skewed_join(spark):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
 
 
 def test_sorted_layout_enables_rowgroup_skipping(spark, sf_dir, tmp_path):
@@ -445,7 +458,14 @@ def test_runtime_bloom_filter_reduces_probe_side(spark, sf_dir):
         "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
     }
-    old = {k: spark.conf.get(k, None) for k in confs}
+    # get WITHOUT a default reads the EFFECTIVE value (conf default
+    # included) so the finally restores unconditionally — get(k, None)
+    # returns None for never-explicitly-set keys and a conditional
+    # restore would leak the test's settings into later tests (found
+    # when this test ran alone before the catalog hygiene sweep: the
+    # leaked -1 broadcast threshold turned q26's broadcast-NLJ leg
+    # into a CartesianProduct).
+    old = {k: spark.conf.get(k) for k in confs}
 
     def run():
         li = load(spark, sf_dir, "lineitem")
@@ -467,8 +487,7 @@ def test_runtime_bloom_filter_reduces_probe_side(spark, sf_dir):
         assert with_bloom == without
     finally:
         for k, v in old.items():
-            if v is not None:
-                spark.conf.set(k, v)
+            spark.conf.set(k, v)
 
 
 def test_q73_bm25_shape(spark, sf_dir):
