@@ -120,6 +120,33 @@ def test_q71_bucket_expr_contains_no_md5(spark, sf_dir):
     assert "md5" not in plan.lower()
 
 
+def test_q22_bucketed_fingerprint_cache(spark, sf_dir):
+    """q22's bucketed leg amortizes its table writes behind a corpus
+    fingerprint. The cache must be correctness-neutral: a cached
+    second call returns the same rows, and a fingerprint whose DATA
+    was deleted (tmp cleanup) must trigger a rewrite, never an empty
+    bucketed scan."""
+    import os
+    import shutil
+    import tempfile
+
+    from etfconstituentextractor_spark.plans.joins import q22_join_shuffle_factfact
+
+    def rows():
+        return sorted(
+            map(tuple, q22_join_shuffle_factfact(spark, sf_dir).collect())
+        )
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"etfce_bucketed_{tag}")
+    first = rows()
+    assert os.path.exists(os.path.join(base, "_fingerprint.json"))
+    assert rows() == first  # cached-path call, same result
+    # stale marker with deleted data: must rewrite, not go empty
+    shutil.rmtree(os.path.join(base, "lineitem"))
+    assert rows() == first
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     """Bucketing is the co-located-join tool at 100 TB: both sides
     bucketed by the join key -> sort-merge join with NO Exchange on
