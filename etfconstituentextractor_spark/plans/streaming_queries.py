@@ -161,7 +161,7 @@ def q56_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q57 — watermark semantics in append mode, two tagged legs over the
+# q57 — watermark semantics in append mode, three tagged legs over the
 # SAME chunk layout (late-row injection included):
 #
 # - leg='window': watermark + late-data drop. Copies of the 5
@@ -187,10 +187,23 @@ def q56_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   (tests/test_stateful_streaming.py). The late copies are also
 #   dropped by the JOIN's input watermark, extending the late-drop
 #   contract to join state.
+# - leg='enrich' (round 8): STREAM-STATIC join — the production
+#   enrichment pattern (micro-batches joined against a slowly-
+#   changing dimension held broadcast on the executors). The events
+#   stream joins customer⋈nation on user_id = c_custkey (the corpus's
+#   natural FK), then aggregates value per (click-day, nation) in
+#   append mode. The static side is STATELESS for the stream — no
+#   join state, no watermark interaction; at 100 TB/day the dim
+#   broadcast is rebuilt per trigger from the table snapshot, which
+#   is exactly Spark's contract for static sides. The watermark
+#   cutoff is the plain single-input rule (max ts − 2h), and the
+#   late copies must still drop at the AGG's finalized windows —
+#   pinning that a stateless join does NOT delay watermark
+#   propagation (contrast with ssjoin's −3h).
 #
-# The oracle states both legs as batch SQL over the on-time rows with
+# The oracle states all legs as batch SQL over the on-time rows with
 # each leg's finalization boundary; a late-row leak, an unfinalized
-# emission, or a mis-propagated watermark all hash-mismatch. Both
+# emission, or a mis-propagated watermark all hash-mismatch. All
 # streams drain CONCURRENTLY (run_many_to_parquet — overlapped
 # micro-batch fixed costs, the q55 pattern).
 # ---------------------------------------------------------------------------
@@ -199,6 +212,7 @@ def q56_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT 'window' AS leg,
            strftime(date_trunc('day', ts), '{_SQL_FMT}') AS window_start,
+           CAST(NULL AS VARCHAR) AS nation,
            COUNT(*) AS n,
            CAST(ROUND(SUM(CAST(value AS DECIMAL(14,4))), 2) AS DOUBLE) AS sum_value
     FROM events
@@ -208,6 +222,7 @@ def q56_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'ssjoin',
            strftime(date_trunc('day', b.ts), '{_SQL_FMT}'),
+           CAST(NULL AS VARCHAR),
            COUNT(*),
            CAST(ROUND(SUM(CAST(b.value AS DECIMAL(14,4))), 2) AS DOUBLE)
     FROM events a JOIN events b
@@ -224,6 +239,20 @@ def q56_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (SELECT max(ts) FROM events WHERE event_type = 'click'))
               - INTERVAL 3 HOUR)
     GROUP BY date_trunc('day', b.ts)
+    UNION ALL
+    SELECT 'enrich',
+           strftime(date_trunc('day', e.ts), '{_SQL_FMT}'),
+           n_name,
+           COUNT(*),
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(14,4))), 2) AS DOUBLE)
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    -- stream-static join is stateless: plain single-input watermark
+    -- cutoff, no join-range delay
+    WHERE date_trunc('day', e.ts) + INTERVAL 1 DAY
+          <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+    GROUP BY date_trunc('day', e.ts), n_name
     """,
 )
 def q57_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,11 +310,44 @@ def q57_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    window_out, conv_out = run_many_to_parquet(
-        [(agg, "q57"), (conv, "q57_ssjoin")], sf_dir
+
+    # 'enrich': the static dimension is an ordinary batch frame —
+    # Spark re-binds it per micro-batch; broadcast keeps the join
+    # shuffle-free on the stream side.
+    dim = (
+        load(spark, sf_dir, "customer")
+        .join(load(spark, sf_dir, "nation"), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("c_custkey").alias("user_id"), F.col("n_name").alias("nation"))
     )
-    return window_out.select(F.lit("window").alias("leg"), "*").unionByName(
-        conv_out.select(F.lit("ssjoin").alias("leg"), "*")
+    enrich = (
+        read_stream(spark, chunks)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+        .join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "1 day").alias("w"), "nation")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(dec("value"), "sum_value"))
+        .select(
+            F.date_format("w.start", _FMT).alias("window_start"),
+            "nation",
+            "n",
+            "sum_value",
+        )
+    )
+
+    window_out, conv_out, enrich_out = run_many_to_parquet(
+        [(agg, "q57"), (conv, "q57_ssjoin"), (enrich, "q57_enrich")], sf_dir
+    )
+    null_nation = F.lit(None).cast("string").alias("nation")
+    return (
+        window_out.select(
+            F.lit("window").alias("leg"), "window_start", null_nation, "n", "sum_value"
+        )
+        .unionByName(
+            conv_out.select(
+                F.lit("ssjoin").alias("leg"), "window_start", null_nation, "n", "sum_value"
+            )
+        )
+        .unionByName(enrich_out.select(F.lit("enrich").alias("leg"), "*"))
     )
 
 
