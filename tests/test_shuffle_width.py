@@ -116,6 +116,57 @@ def test_pii_scrub_truly_shuffles_nothing(spark, sf_dir):
     assert stats == []
 
 
+def test_bloom_prefilter_reduces_shuffled_probe_records(spark, sf_dir):
+    """q22 'bloom' leg's scale claim, proven on executed-plan shuffle
+    metrics: with broadcast off (the fact-fact regime the operator
+    exists for), pre-filtering the probe through the build side's
+    Bloom filter cuts the probe-side shuffleRecordsWritten to the
+    survivor count — the rows that provably cannot match never enter
+    the exchange."""
+    from etfconstituentextractor_spark.operators.bloom import (
+        bloom_build,
+        bloom_params,
+        bloom_prefilter,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    )
+    n_build = o.count()
+    m, k = bloom_params(max(64, n_build), 1e-2)
+    blob = bloom_build(o, "l_orderkey", m_bits=m, k=k)
+
+    def probe_shuffled(probe) -> int:
+        j = (
+            probe.join(o, ["l_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("q"))  # keeps l_quantity un-pruned
+        )
+        # the probe-side exchange is the one carrying l_quantity
+        recs = [
+            rec for _, output, _, rec in _shuffle_stats(j) if "l_quantity#" in output
+        ]
+        assert recs, "expected a probe-side exchange with broadcast off"
+        return sum(recs)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plain = probe_shuffled(li)
+        reduced = probe_shuffled(bloom_prefilter(li, blob, "l_orderkey", m_bits=m, k=k))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    survivors = li.join(o, ["l_orderkey"], "left_semi").count()
+    assert plain == li.count()  # every probe row shuffles without the filter
+    assert survivors <= reduced  # no false negatives at the exchange either
+    # ~20% true match rate + 1% fp headroom: the shuffle really shrank
+    assert reduced < 0.5 * plain, (reduced, plain)
+
+
 def test_fanout_is_the_only_text_exchange_in_q87(spark, sf_dir):
     """The registered q87 DOES repartition (doc_id, text) once — the
     documented fanout work-spreader, a no-op at real scale — and
