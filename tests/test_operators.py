@@ -550,6 +550,41 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert merged.count() == 4
 
 
+def test_dynamic_partition_overwrite_backfill(spark, tmp_path):
+    """The backfill pattern at 100 TB: re-running ONE day's pipeline
+    must replace exactly that day's partition of the sink and leave
+    every other partition byte-untouched — partitionOverwriteMode=
+    dynamic scoped to the write (STATIC overwrite, the default, would
+    silently drop the whole table down to the day being backfilled)."""
+    path = str(tmp_path / "daily")
+    full = spark.createDataFrame(
+        [("2026-08-01", 1, 10.0), ("2026-08-01", 2, 20.0), ("2026-08-02", 3, 30.0)],
+        "day string, id bigint, v double",
+    )
+    full.write.partitionBy("day").parquet(path)
+
+    # corrected re-run of 2026-08-01 only
+    backfill = spark.createDataFrame(
+        [("2026-08-01", 1, 11.0), ("2026-08-01", 9, 99.0)],
+        "day string, id bigint, v double",
+    )
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        backfill.write.mode("overwrite").partitionBy("day").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+
+    # partition-column type inference reads `day` back as DateType —
+    # compare on the ISO string
+    got = {(str(r.day), r.id): r.v for r in spark.read.parquet(path).collect()}
+    assert got == {
+        ("2026-08-01", 1): 11.0,  # replaced
+        ("2026-08-01", 9): 99.0,  # replaced
+        ("2026-08-02", 3): 30.0,  # untouched by the backfill
+    }
+
+
 def test_pack_sequences_matches_python(spark, sf_dir):
     """Sequence packing must equal a sequential Python fill in the
     same deterministic (md5 bucket, key) order: bin = floor(start
