@@ -8,6 +8,8 @@ keys, garbage strings), not volume.
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
@@ -16,8 +18,10 @@ from hypothesis import strategies as st
 from etfconstituentextractor_spark.functions.boundary import parse_money
 from etfconstituentextractor_spark.operators.asof import asof_join
 
+# ETFCE_FUZZ_EXAMPLES raises the per-test example budget for one-off
+# deep hunts (CI default stays small: each example runs Spark jobs)
 _SETTINGS = dict(
-    max_examples=10,
+    max_examples=int(os.environ.get("ETFCE_FUZZ_EXAMPLES", "10")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
