@@ -29,6 +29,10 @@ from etfconstituentextractor_spark.operators.incremental_agg import (
 from etfconstituentextractor_spark.operators.scd2 import scd2_history
 from etfconstituentextractor_spark.operators.snapshot_diff import snapshot_diff
 from etfconstituentextractor_spark.plans.registry import query
+from etfconstituentextractor_spark.sources.snapshot_table import (
+    snapshot_commit,
+    snapshot_read,
+)
 from etfconstituentextractor_spark.sources.tables import load
 
 #: key shift for re-inserted docs — far beyond any real doc_id.
@@ -117,6 +121,35 @@ _H = "md5(coalesce(text, chr(0) || 'null') || chr(31) || coalesce(lang, chr(0) |
            lang, COUNT(*), CAST(SUM(COALESCE(length(text), 0)) AS BIGINT)
     FROM new_rows
     GROUP BY lang
+    UNION ALL
+    -- 'timetravel' leg (round 8, sources/snapshot_table.py): the
+    -- Spark side commits v0=overwrite(base), v1=overwrite(new),
+    -- v2=append(late) to a manifest-committed snapshot table and
+    -- aggregates each snapshot_read(version); the oracle restates
+    -- each version from the fixtures directly, so the hash match is
+    -- version isolation itself (valid_from carries the version).
+    SELECT 'timetravel', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(0 AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS BOOLEAN),
+           lang, COUNT(*), CAST(SUM(COALESCE(length(text), 0)) AS BIGINT)
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'timetravel', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(1 AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS BOOLEAN),
+           lang, COUNT(*), CAST(SUM(COALESCE(length(text), 0)) AS BIGINT)
+    FROM new_rows GROUP BY lang
+    UNION ALL
+    SELECT 'timetravel', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(2 AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS BOOLEAN),
+           lang, COUNT(*), CAST(SUM(COALESCE(length(text), 0)) AS BIGINT)
+    FROM (
+      SELECT * FROM new_rows
+      UNION ALL
+      SELECT doc_id + {2 * _INSERT_SHIFT}, 'late ' || text, lang
+      FROM documents WHERE doc_id % 23 = 0
+    ) GROUP BY lang
     """,
 )
 def q86_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,4 +231,81 @@ def q86_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_docs"),
         F.col("m").alias("sum_chars"),
     )
-    return diff.unionByName(hist).unionByName(mv)
+
+    # 'timetravel' leg (round 8, sources/snapshot_table.py): commit
+    # the version chain to a manifest-committed snapshot table —
+    # v0=overwrite(base), v1=overwrite(new), v2=append(late arrivals)
+    # — then aggregate each snapshot_read(version). Old versions stay
+    # readable after later commits, appends extend the parent's file
+    # list, and nothing re-reads the corpus: the hash match against
+    # the oracle's per-version restatement IS version isolation. The
+    # table build is corpus-fingerprinted like q22's bucketed tables
+    # (commits are the amortized once-per-refresh cost; steady-state
+    # reads are manifest-planned scans).
+    late = d.filter(F.col("doc_id") % 23 == 0).select(
+        (F.col("doc_id") + F.lit(2 * _INSERT_SHIFT)).alias("doc_id"),
+        F.concat(F.lit("late "), F.col("text")).alias("text"),
+        "lang",
+    )
+    tbl = _timetravel_table(spark, sf_dir, [(d, "overwrite"), (new, "overwrite"), (late, "append")])
+    tt_legs = [
+        snapshot_read(spark, tbl, v)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce(F.length("text"), F.lit(0))).cast("bigint").alias("sum_chars"),
+        )
+        .select(
+            F.lit("timetravel").alias("leg"),
+            F.lit(None).cast("bigint").alias("doc_id"),
+            F.lit(None).cast("string").alias("old_hash"),
+            F.lit(None).cast("string").alias("new_hash"),
+            F.lit(None).cast("string").alias("change"),
+            F.lit(v).cast("int").alias("valid_from"),
+            F.lit(None).cast("int").alias("valid_to"),
+            F.lit(None).cast("boolean").alias("is_current"),
+            "lang",
+            "n_docs",
+            "sum_chars",
+        )
+        for v in (0, 1, 2)
+    ]
+    out = diff.unionByName(hist).unionByName(mv)
+    for leg in tt_legs:
+        out = out.unionByName(leg)
+    return out
+
+
+def _timetravel_table(spark, sf_dir, commits):
+    """Build (or reuse) the q86 snapshot table: one commit per
+    (frame, mode) in order. Corpus-fingerprinted — a refresh of
+    documents.parquet invalidates and rebuilds; a marker without its
+    manifests rebuilds too (never a stale or partial read)."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"etfce_snaptable_{tag}")
+    fp = {"documents": os.path.getmtime(os.path.join(sf_dir, "documents.parquet")), "recipe": 1}
+    marker = os.path.join(base, "_fingerprint.json")
+    fresh = False
+    if os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                fresh = _json.load(fh) == fp
+        except (OSError, ValueError):
+            fresh = False
+    if fresh:
+        mdir = os.path.join(base, "table", "_manifests")
+        have = os.path.isdir(mdir) and len(os.listdir(mdir)) >= len(commits)
+        fresh = have
+    if not fresh:
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base)
+        for frame, mode in commits:
+            snapshot_commit(frame, os.path.join(base, "table"), mode=mode)
+        with open(marker, "w") as fh:
+            _json.dump(fp, fh)
+    return os.path.join(base, "table")

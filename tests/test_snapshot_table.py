@@ -1,0 +1,111 @@
+"""Versioned snapshot tables (sources/snapshot_table.py): commit
+protocol, snapshot isolation, time travel, and the concurrent-commit
+race — the manifest-indirection layer compaction.py's consistency
+contract points at."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etfconstituentextractor_spark.sources.snapshot_table import (
+    ConcurrentCommitError,
+    snapshot_commit,
+    snapshot_read,
+    snapshot_versions,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, v string")
+
+
+def test_versions_are_immutable_and_time_travelable(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    v0 = snapshot_commit(_df(spark, [(1, "a"), (2, "b")]), t, mode="overwrite")
+    v1 = snapshot_commit(_df(spark, [(3, "c")]), t, mode="append")
+    v2 = snapshot_commit(_df(spark, [(9, "z")]), t, mode="overwrite")
+    assert (v0, v1, v2) == (0, 1, 2)
+
+    def ids(version=None):
+        return sorted(r.id for r in snapshot_read(spark, t, version).collect())
+
+    assert ids(0) == [1, 2]  # still readable after two later commits
+    assert ids(1) == [1, 2, 3]  # append extended the parent
+    assert ids(2) == [9]  # overwrite started fresh
+    assert ids() == [9]  # latest == v2
+
+    meta = snapshot_versions(spark, t)
+    assert [m["version"] for m in meta] == [0, 1, 2]
+    assert [m["op"] for m in meta] == ["overwrite", "append", "overwrite"]
+    assert meta[1]["parent"] == 0
+
+
+def test_first_append_is_a_plain_write_and_missing_version_raises(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, [(1, "a")]), t, mode="append")
+    assert snapshot_versions(spark, t)[0]["op"] == "overwrite"
+    with pytest.raises(FileNotFoundError):
+        snapshot_read(spark, t, version=7)
+    with pytest.raises(FileNotFoundError):
+        snapshot_read(spark, str(tmp_path / "nope"))
+    with pytest.raises(ValueError):
+        snapshot_commit(_df(spark, [(1, "a")]), t, mode="merge")
+
+
+def test_concurrent_commit_loser_raises_and_table_stays_consistent(spark, tmp_path):
+    """Simulate the race: a second committer publishes version 1 while
+    the first is mid-commit (data written, manifest not yet renamed).
+    The protocol's loser must raise, and the winner's version must be
+    what readers see."""
+    import etfconstituentextractor_spark.sources.snapshot_table as st
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, [(1, "a")]), t)
+
+    real_read = st._read_manifest
+    raced = {"done": False}
+
+    def racing_read(fs, jvm, table, version):
+        m = real_read(fs, jvm, table, version)
+        # the loser reads its parent manifest AFTER picking its
+        # version number and BEFORE publishing — exactly the race
+        # window; sneak in the competing commit ONCE here
+        if not raced["done"]:
+            raced["done"] = True
+            snapshot_commit(_df(spark, [(7, "w")]), t, mode="append")
+        return m
+
+    st._read_manifest = racing_read
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            snapshot_commit(_df(spark, [(2, "l")]), t, mode="append")
+    finally:
+        st._read_manifest = real_read
+
+    # the winner's commit is version 1; the loser left no manifest
+    assert [m["version"] for m in snapshot_versions(spark, t)] == [0, 1]
+    assert sorted(r.id for r in snapshot_read(spark, t).collect()) == [1, 7]
+
+
+def test_reader_ignores_uncommitted_writer_garbage(spark, tmp_path):
+    """A crashed committer's orphaned data dir must be invisible: the
+    manifest, not the directory listing, is the table."""
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, [(1, "a")]), t)
+    # orphan: data written, no manifest published (simulated crash)
+    _df(spark, [(666, "orphan")]).write.parquet(os.path.join(t, "data/v00000001-dead"))
+    assert sorted(r.id for r in snapshot_read(spark, t).collect()) == [1]
+
+
+def test_schema_evolution_across_appends(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, [(1, "a")]), t)
+    wide = spark.createDataFrame([(2, "b", 9.5)], "id bigint, v string, score double")
+    snapshot_commit(wide, t, mode="append")
+    merged = snapshot_read(spark, t, merge_schema=True)
+    assert set(merged.columns) == {"id", "v", "score"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
