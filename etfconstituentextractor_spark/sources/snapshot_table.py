@@ -34,11 +34,12 @@ only best-effort on some object stores — production systems use a
 catalog conditional-swap there; the protocol shape is identical.
 
 The honest scope line: one manifest per version (a real 100 TB table
-shards manifests and adds column stats for pruning), append and
+shards manifests and adds column stats for pruning), and append and
 overwrite commits only (no row-level MERGE — pair with
-operators/snapshot_diff.py to compute deltas and rewrite), and no
-retention/GC (orphaned dirs from failed commits are left for a sweep,
-exactly like Iceberg's orphan-file cleanup).
+operators/snapshot_diff.py to compute deltas and rewrite).
+``snapshot_vacuum`` is the retention sweep: expire old versions and
+remove unreferenced data dirs, manifests-first so a crash can only
+leave garbage, never break a readable version.
 """
 
 from __future__ import annotations
@@ -55,6 +56,7 @@ __all__ = [
     "snapshot_commit",
     "snapshot_read",
     "snapshot_versions",
+    "snapshot_vacuum",
 ]
 
 _MANIFEST_RE = re.compile(r"^v(\d{8})\.json$")
@@ -180,6 +182,69 @@ def snapshot_commit(df: DataFrame, path: str, mode: str = "append") -> int:
                 f"version {version} of {path} was committed concurrently"
             )
     return version
+
+
+def snapshot_vacuum(
+    spark: SparkSession, path: str, keep_last: int | None = None
+) -> dict:
+    """The retention sweep the commit protocol defers to: optionally
+    EXPIRE all but the last ``keep_last`` versions (delete their
+    manifests — time travel past the horizon ends, exactly Iceberg's
+    expire-snapshots contract), then delete every data directory no
+    surviving manifest references (failed-commit orphans and
+    expired-only data). Returns counts.
+
+    Safety order matters and is the whole design: manifests are
+    deleted FIRST, so a crash mid-vacuum can only leave unreferenced
+    data (a later vacuum finishes the job), never a manifest whose
+    files are gone. Files shared by surviving versions (append
+    lineage) survive because liveness is computed from the union of
+    surviving manifests' file lists, not from version ancestry. A
+    concurrent committer can never lose data to vacuum: its data dir
+    is unreferenced only until its manifest publishes, and vacuum
+    snapshots the manifest list BEFORE listing data dirs — a dir
+    created after the snapshot is newer than every manifest read and
+    is skipped (left for the next sweep) rather than raced.
+    """
+    if keep_last is not None and keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    fs, _, jvm = _fs_path(spark, path)
+    versions = _list_versions(fs, jvm, path)
+    if not versions:
+        raise FileNotFoundError(f"{path} has no committed versions")
+    expired = versions[:-keep_last] if keep_last is not None else []
+    for v in expired:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(
+                posixpath.join(path, "_manifests", f"v{v:08d}.json")
+            ),
+            False,
+        )
+    survivors = [v for v in versions if v not in expired]
+    live_dirs = set()
+    for v in survivors:
+        for f in _read_manifest(fs, jvm, path, v)["files"]:
+            live_dirs.add(posixpath.dirname(f))
+    ddir = jvm.org.apache.hadoop.fs.Path(posixpath.join(path, "data"))
+    removed = 0
+    if fs.exists(ddir):
+        newest_manifest = max(survivors)
+        for st in fs.listStatus(ddir):
+            name = st.getPath().getName()
+            if posixpath.join("data", name) in live_dirs:
+                continue
+            # skip dirs younger than the manifest snapshot we planned
+            # from: they may belong to an in-flight commit
+            mver = re.match(r"^v(\d{8})-", name)
+            if mver and int(mver.group(1)) > newest_manifest:
+                continue
+            fs.delete(st.getPath(), True)
+            removed += 1
+    return {
+        "expired_versions": len(expired),
+        "removed_dirs": removed,
+        "surviving_versions": survivors,
+    }
 
 
 def snapshot_read(

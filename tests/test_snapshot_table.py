@@ -100,6 +100,56 @@ def test_reader_ignores_uncommitted_writer_garbage(spark, tmp_path):
     assert sorted(r.id for r in snapshot_read(spark, t).collect()) == [1]
 
 
+def test_vacuum_removes_orphans_keeps_shared_lineage(spark, tmp_path):
+    """Vacuum with no expiry: failed-commit orphans go, every file any
+    version references stays — including v0's files that v1 (append)
+    shares."""
+    from etfconstituentextractor_spark.sources.snapshot_table import snapshot_vacuum
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, [(1, "a")]), t)
+    snapshot_commit(_df(spark, [(2, "b")]), t, mode="append")
+    # a failed commit's orphan for an already-decided version
+    _df(spark, [(666, "x")]).write.parquet(os.path.join(t, "data/v00000001-dead"))
+    # an in-flight commit's dir for the NEXT version: must be left alone
+    _df(spark, [(777, "y")]).write.parquet(os.path.join(t, "data/v00000002-wip"))
+
+    stats = snapshot_vacuum(spark, t)
+    assert stats["expired_versions"] == 0 and stats["removed_dirs"] == 1
+    assert not os.path.exists(os.path.join(t, "data/v00000001-dead"))
+    assert os.path.exists(os.path.join(t, "data/v00000002-wip"))
+    assert sorted(r.id for r in snapshot_read(spark, t, 0).collect()) == [1]
+    assert sorted(r.id for r in snapshot_read(spark, t, 1).collect()) == [1, 2]
+
+
+def test_vacuum_expiry_ends_time_travel_but_keeps_shared_files(spark, tmp_path):
+    """keep_last=1 expires v0's manifest; v1 (append) still reads its
+    inherited v0 files — expiry deletes history, never live data."""
+    from etfconstituentextractor_spark.sources.snapshot_table import snapshot_vacuum
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, [(1, "a")]), t)
+    snapshot_commit(_df(spark, [(2, "b")]), t, mode="append")
+    snapshot_commit(_df(spark, [(9, "z")]), t, mode="overwrite")
+
+    stats = snapshot_vacuum(spark, t, keep_last=2)
+    assert stats["expired_versions"] == 1
+    assert stats["surviving_versions"] == [1, 2]
+    # v0 is gone from history...
+    with pytest.raises(FileNotFoundError):
+        snapshot_read(spark, t, 0)
+    # ...but v1 still reads the files it shared with v0
+    assert sorted(r.id for r in snapshot_read(spark, t, 1).collect()) == [1, 2]
+    assert sorted(r.id for r in snapshot_read(spark, t).collect()) == [9]
+    # second sweep with keep_last=1 drops v1 AND the now-dead v0 files
+    stats2 = snapshot_vacuum(spark, t, keep_last=1)
+    assert stats2["surviving_versions"] == [2]
+    assert stats2["removed_dirs"] == 2  # v0's and v1's data dirs
+    assert sorted(r.id for r in snapshot_read(spark, t).collect()) == [9]
+    with pytest.raises(ValueError):
+        snapshot_vacuum(spark, t, keep_last=0)
+
+
 def test_schema_evolution_across_appends(spark, tmp_path):
     t = str(tmp_path / "tbl")
     snapshot_commit(_df(spark, [(1, "a")]), t)
