@@ -150,6 +150,25 @@ def test_vacuum_expiry_ends_time_travel_but_keeps_shared_files(spark, tmp_path):
         snapshot_vacuum(spark, t, keep_last=0)
 
 
+def test_cdc_between_snapshot_versions(spark, tmp_path):
+    """The composition the module docstring points at: row-level
+    change capture between two VERSIONS of a snapshot table is just
+    operators/snapshot_diff.py over two snapshot_read frames."""
+    from etfconstituentextractor_spark.operators.snapshot_diff import snapshot_diff
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), t)
+    snapshot_commit(_df(spark, [(1, "a"), (2, "B"), (4, "d")]), t, mode="overwrite")
+    diff = snapshot_diff(
+        snapshot_read(spark, t, 0),
+        snapshot_read(spark, t, 1),
+        keys=["id"],
+        compare_cols=["v"],
+    )
+    got = {r.id: r.change for r in diff.collect()}
+    assert got == {2: "updated", 3: "deleted", 4: "inserted"}
+
+
 def test_schema_evolution_across_appends(spark, tmp_path):
     t = str(tmp_path / "tbl")
     snapshot_commit(_df(spark, [(1, "a")]), t)
