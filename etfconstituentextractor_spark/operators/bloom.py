@@ -13,9 +13,13 @@ always-on spelling).
 
 Correctness is unconditional: a Bloom filter has no false negatives,
 so every probe row that would survive the real join passes the
-pre-filter; false positives are dropped by the join itself. The
-registered q22 'bloom' leg pins result equality under the DuckDB
-oracle; ``tests/test_bloom.py`` pins the row-level reduction property.
+pre-filter; false positives are dropped by the join itself. The one
+precondition is that both key columns share a TYPE — xxhash64 hashes
+int-vs-bigint differently where the join would implicitly cast, so
+``bloom_reduced_join`` rejects mismatched key types rather than
+silently dropping every match. The registered q22 'bloom' leg pins
+result equality under the DuckDB oracle; ``tests/test_bloom.py`` pins
+the row-level reduction property.
 
 Plan shape, and why the filter is a LITERAL: the build side aggregates
 bit masks per 64-bit word (map-side combinable, at most m/64 rows
@@ -181,6 +185,21 @@ def bloom_reduced_join(
             f"bloom_reduced_join supports {sorted(allowed)}; got {how!r} "
             "(outer/anti types would null-extend or keep the rows the "
             "pre-filter exists to drop)"
+        )
+    # xxhash64 is TYPE-sensitive where the equi-join is not: the join
+    # would implicitly cast int-vs-bigint keys, but their hashes
+    # differ, and every true match would silently fail the pre-filter
+    # (confirmed empirically — zero rows out). Mismatched key types
+    # must therefore be an error, never a wrong answer; the caller
+    # casts one side explicitly.
+    pt = probe.schema[on[0]].dataType
+    bt = build.schema[on[0]].dataType
+    if pt != bt:
+        raise ValueError(
+            f"probe and build key {on[0]!r} differ in type "
+            f"({pt.simpleString()} vs {bt.simpleString()}); xxhash64 hashes "
+            "these differently even where the join would cast, which would "
+            "silently drop every match — cast one side first"
         )
     m_bits, k = bloom_params(n_items_hint, fpp)
     blob = bloom_build(build, on[0], m_bits=m_bits, k=k)

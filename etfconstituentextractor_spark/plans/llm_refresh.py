@@ -278,17 +278,24 @@ def q86_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _timetravel_table(spark, sf_dir, commits):
     """Build (or reuse) the q86 snapshot table: one commit per
-    (frame, mode) in order. Corpus-fingerprinted — a refresh of
-    documents.parquet invalidates and rebuilds; a marker without its
-    manifests rebuilds too (never a stale or partial read)."""
+    (frame, mode) in order. Corpus-fingerprinted with the shared
+    sources/fingerprint.py identity (per-file name+size+mtime_ns —
+    the replay.py postmortem's rule); a refresh of documents.parquet
+    invalidates and rebuilds, and so does ANY missing manifest or
+    data file (tmp cleanup can eat the large data files while keeping
+    the small marker — that must rebuild, never serve a partial or
+    permanently-crashing read)."""
     import json as _json
     import os
     import shutil
     import tempfile
 
+    from etfconstituentextractor_spark.sources.fingerprint import table_fingerprint
+
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     base = os.path.join(tempfile.gettempdir(), f"etfce_snaptable_{tag}")
-    fp = {"documents": os.path.getmtime(os.path.join(sf_dir, "documents.parquet")), "recipe": 1}
+    table = os.path.join(base, "table")
+    fp = {"documents": table_fingerprint(sf_dir, "documents"), "recipe": 2}
     marker = os.path.join(base, "_fingerprint.json")
     fresh = False
     if os.path.exists(marker):
@@ -298,14 +305,28 @@ def _timetravel_table(spark, sf_dir, commits):
         except (OSError, ValueError):
             fresh = False
     if fresh:
-        mdir = os.path.join(base, "table", "_manifests")
-        have = os.path.isdir(mdir) and len(os.listdir(mdir)) >= len(commits)
-        fresh = have
+        # every version must be READABLE: all manifests present and
+        # every file each manifest references on disk
+        try:
+            import json as _j
+
+            mdir = os.path.join(table, "_manifests")
+            names = sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []
+            manifests = [n for n in names if n.endswith(".json")]
+            fresh = len(manifests) == len(commits)
+            for n in manifests if fresh else []:
+                with open(os.path.join(mdir, n)) as fh:
+                    m = _j.load(fh)
+                if not all(os.path.exists(os.path.join(table, f)) for f in m["files"]):
+                    fresh = False
+                    break
+        except (OSError, ValueError, KeyError):
+            fresh = False
     if not fresh:
         shutil.rmtree(base, ignore_errors=True)
         os.makedirs(base)
         for frame, mode in commits:
-            snapshot_commit(frame, os.path.join(base, "table"), mode=mode)
+            snapshot_commit(frame, table, mode=mode)
         with open(marker, "w") as fh:
             _json.dump(fp, fh)
-    return os.path.join(base, "table")
+    return table

@@ -29,7 +29,6 @@ test-local.
 
 from __future__ import annotations
 
-import glob
 import os
 import shutil
 import tempfile
@@ -38,6 +37,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etfconstituentextractor_spark.sources.fingerprint import table_fingerprint
 from etfconstituentextractor_spark.sources.tables import load
 
 #: schema of the staged chunk files (ts already normalized to
@@ -65,18 +65,7 @@ def _corpus_fingerprint(sf_dir: str) -> str:
     dirs) is a deterministic function of (tag, corpus), so tag +
     corpus identity is a COMPLETE cache key.
     """
-    p = os.path.join(sf_dir, "events.parquet")
-    if os.path.isfile(p):
-        paths = [p]
-    elif os.path.isdir(p):  # directory-partitioned layout
-        paths = sorted(glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
-    else:
-        paths = []
-    parts = []
-    for f in paths:
-        st = os.stat(f)
-        parts.append(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}")
-    return ";".join(parts) or "missing"
+    return table_fingerprint(sf_dir, "events")
 
 
 def work_dir(sf_dir: str, tag: str) -> str:

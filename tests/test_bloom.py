@@ -95,6 +95,22 @@ def test_bloom_null_probe_key_never_crashes_or_matches(spark):
     assert [r.k for r in out.collect()] == [1]
 
 
+def test_bloom_rejects_mismatched_key_types(spark):
+    """xxhash64 hashes int-vs-bigint differently where the equi-join
+    would cast, so a type mismatch would silently drop EVERY true
+    match (confirmed empirically before the guard existed) — it must
+    be an error, never a wrong answer."""
+    build = spark.createDataFrame([(3,), (6,)], "k int")
+    probe = spark.createDataFrame([(3,), (6,), (12,)], "k bigint")
+    with pytest.raises(ValueError, match="differ in type"):
+        bloom_reduced_join(probe, build, ["k"], n_items_hint=10)
+    # cast makes it legal and correct
+    out = bloom_reduced_join(
+        probe, build.select(F.col("k").cast("bigint").alias("k")), ["k"], n_items_hint=10
+    )
+    assert sorted(r.k for r in out.collect()) == [3, 6]
+
+
 def test_bloom_rejects_probe_keeping_join_types(spark):
     build = spark.createDataFrame([(1,)], "k bigint")
     probe = spark.createDataFrame([(1,), (2,)], "k bigint")
