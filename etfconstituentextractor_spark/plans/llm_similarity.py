@@ -26,12 +26,15 @@ from pyspark.sql import functions as F
 from etfconstituentextractor_spark.operators.ann import ivf_index, ivf_topk
 from etfconstituentextractor_spark.operators.retrieval import bm25_topk
 from etfconstituentextractor_spark.plans.registry import query
-from etfconstituentextractor_spark.sources.tables import load
+from etfconstituentextractor_spark.sources.tables import fanout, load
 
 _HI = "'8','9','a','b','c','d','e','f'"
 _N_QUERIES = 10
 _TOP_K = 5
-_N_PLANES = 8
+#: q71 SRP-LSH layout: L tables of r planes (see the q71 block
+#: comment for the measured recall/scan-fraction math behind 12×5).
+_LSH_TABLES = 12
+_LSH_PLANES_PER_TABLE = 5
 
 
 def _vec(df: DataFrame) -> DataFrame:
@@ -379,12 +382,32 @@ def q70_similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q71 — LSH-bucketed ANN: sign-of-projection onto md5-derived ±1
-# hyperplanes → 8-bit bucket; exact cosine rerank within the bucket.
+# q71 — multi-table SRP-LSH ANN (Charikar 2002 sign-random-projection,
+# the standard L-tables-of-r-planes layout): each vector gets ONE
+# 60-sign signature against md5-derived ±1 hyperplanes; table t's
+# bucket is signs[t*r : t*r+r], a candidate is any vector sharing ANY
+# table's bucket with the query, candidates dedup, exact cosine
+# reranks, top-k.
+#
+# Why L×r and not one wide bucket (the round-8 rework): a single
+# 8-plane table is structurally blind on this corpus — the best true
+# neighbors sit at cos≈0.3 (p_agree≈0.6/plane), so the probability of
+# sharing all 8 signs is 0.6^8≈2%, and MEASURED recall@5 was 0.0.
+# With L=12 tables of r=5: P(neighbor candidates) = 1-(1-0.6^5)^12 ≈
+# 0.62 while a random pair passes at 1-(1-0.5^5)^12 ≈ 0.32 — the
+# classic recall/scan-fraction dial, and BOTH sides of it are pinned
+# as runtime measurements in tests/test_operators.py. (16×6 was also
+# measured: recall 0.42/0.58 at sf0.001/0.01 at scan 0.22, but 50%
+# more signature flops — the plane dots, interpreted HOF lambdas,
+# dominate the leg's cost, so fewer planes with HIGHER recall wins.)
+# At 100 TB the same plan shape holds: signatures are one
+# literal-matrix projection pass, per-table buckets explode L×
+# (fixed-width rows), the bucket-equi-join shuffles hash-sized keys
+# only, and the scan fraction is the tunable cost.
 #
 # The plane matrix is PRECOMPUTED once on the driver (hashlib.md5 —
 # byte-identical to both engines' md5()) and embedded as a literal
-# 8×64 ±1 array: zero hash calls per row instead of the 512
+# 60×64 ±1 array: zero hash calls per row instead of the 3840
 # md5-per-(row,plane,dim) the oracle spells out. Same signs, same
 # buckets — the oracle keeps the md5 form as the independent spec.
 # ---------------------------------------------------------------------------
@@ -396,11 +419,11 @@ def _plane_matrix() -> list[list[float]]:
             1.0 if hashlib.md5(f"{i}_{j}".encode()).hexdigest()[0] in "89abcdef" else -1.0
             for j in range(1, 65)
         ]
-        for i in range(_N_PLANES)
+        for i in range(_LSH_TABLES * _LSH_PLANES_PER_TABLE)
     ]
 
 
-def _spark_bucket(v: str) -> str:
+def _spark_signs(v: str) -> str:
     planes = ", ".join(
         "array(" + ", ".join(f"{s}D" for s in row) + ")" for row in _plane_matrix()
     )
@@ -411,9 +434,10 @@ def _spark_bucket(v: str) -> str:
     )
 
 
-def _sql_bucket(v: str) -> str:
+def _sql_signs(v: str) -> str:
+    n = _LSH_TABLES * _LSH_PLANES_PER_TABLE
     return (
-        f"array_to_string(list_transform(range(0, {_N_PLANES}), i -> "
+        f"array_to_string(list_transform(range(0, {n}), i -> "
         f"CASE WHEN round(list_sum(list_transform(range(1, 65), j -> "
         f"{v}[j] * (CASE WHEN substr(md5(concat(CAST(i AS VARCHAR), '_', "
         f"CAST(j AS VARCHAR))), 1, 1) IN ({_HI}) THEN 1.0 ELSE -1.0 END))), 9) >= 0 "
@@ -429,15 +453,27 @@ def _sql_bucket(v: str) -> str:
              sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
       FROM embeddings
     ),
-    h AS (SELECT vec_id, v, nrm, {_sql_bucket('v')} AS bucket FROM e),
+    h AS (SELECT vec_id, v, nrm, {_sql_signs('v')} AS sig FROM e),
+    tb AS (
+      SELECT vec_id, v, nrm, t,
+             substr(sig, t * {_LSH_PLANES_PER_TABLE} + 1, {_LSH_PLANES_PER_TABLE}) AS b
+      FROM h, (SELECT unnest(range(0, {_LSH_TABLES})) AS t)
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS candidate_id
+      FROM (SELECT * FROM tb WHERE vec_id < {_N_QUERIES}) q
+      JOIN (SELECT * FROM tb WHERE vec_id >= {_N_QUERIES}) c
+        ON q.t = c.t AND q.b = c.b
+    ),
     scored AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS candidate_id, q.bucket AS bucket,
-             ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
-                   / (q.nrm * c.nrm), 6) AS cos_sim
-      FROM (SELECT * FROM h WHERE vec_id < {_N_QUERIES}) q
-      JOIN (SELECT * FROM h WHERE vec_id >= {_N_QUERIES}) c ON q.bucket = c.bucket
+      SELECT query_id, candidate_id,
+             ROUND(list_sum(list_transform(range(1, 65), i -> qe.v[i] * ce.v[i]))
+                   / (qe.nrm * ce.nrm), 6) AS cos_sim
+      FROM cand
+      JOIN h qe ON qe.vec_id = query_id
+      JOIN h ce ON ce.vec_id = candidate_id
     )
-    SELECT query_id, candidate_id, bucket, cos_sim, rn
+    SELECT query_id, candidate_id, cos_sim, rn
     FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cos_sim DESC, candidate_id) AS rn
@@ -447,33 +483,59 @@ def _sql_bucket(v: str) -> str:
     """,
 )
 def q71_similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _vec(load(spark, sf_dir, "embeddings")).withColumn(
-        "bucket", F.expr(_spark_bucket("v"))
+    # fanout BEFORE the signature pass: the embeddings scan is one
+    # split at small SF, and the 60-plane HOF projection is exactly
+    # the expensive-per-row work the spreader exists for
+    e = _vec(fanout(load(spark, sf_dir, "embeddings"), key="vec_id")).withColumn(
+        "sig", F.expr(_spark_signs("v"))
     )
-    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-        "bucket",
+    # the 96-sign signature computes ONCE per vector (multi-reference
+    # column, survives CollapseProject); per-table buckets explode to
+    # (vec_id, t, b) — fixed-width rows, the only thing that shuffles
+    r = _LSH_PLANES_PER_TABLE
+    tb = e.select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_LSH_TABLES - 1}), "
+                f"t -> struct(t AS t, substring(sig, t * {r} + 1, {r}) AS b))"
+            )
+        ).alias("tb"),
+    ).select("vec_id", "v", "nrm", "tb.t", "tb.b")
+    q = tb.filter(F.col("vec_id") < _N_QUERIES)
+    c = tb.filter(F.col("vec_id") >= _N_QUERIES)
+    cand = (
+        q.select(F.col("vec_id").alias("query_id"), "t", "b")
+        .join(c.select(F.col("vec_id").alias("candidate_id"), "t", "b"), ["t", "b"])
+        .select("query_id", "candidate_id")
+        .distinct()
     )
-    c = e.filter(F.col("vec_id") >= _N_QUERIES).select(
+    vecs = _vec(load(spark, sf_dir, "embeddings"))
+    qv = vecs.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cv = vecs.select(
         F.col("vec_id").alias("candidate_id"),
         F.col("v").alias("cv"),
         F.col("nrm").alias("cn"),
-        F.col("bucket").alias("c_bucket"),
     )
     dot = F.expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
-    scored = q.join(c, F.col("bucket") == F.col("c_bucket")).select(
-        "query_id",
-        "candidate_id",
-        "bucket",
-        F.round(dot / (F.col("qn") * F.col("cn")), 6).alias("cos_sim"),
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "candidate_id")
+        .select(
+            "query_id",
+            "candidate_id",
+            F.round(dot / (F.col("qn") * F.col("cn")), 6).alias("cos_sim"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("candidate_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TOP_K)
-        .select("query_id", "candidate_id", "bucket", "cos_sim", "rn")
+        .select("query_id", "candidate_id", "cos_sim", "rn")
     )
 
 

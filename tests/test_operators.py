@@ -293,6 +293,69 @@ def test_ivf_pruned_probe_recall(spark, sf_dir):
     assert recall >= 0.5, recall
 
 
+def test_q71_multitable_lsh_recall_and_scan_fraction(spark, sf_dir):
+    """The registered SRP-LSH config's BOTH dials, measured against
+    brute force (deterministic corpus + deterministic planes, so
+    these are fixed numbers with slack, not flaky statistics):
+    recall@5 must clear a floor AND the candidate set must stay a
+    fraction of all pairs — the single-table predecessor was
+    oracle-green yet measured recall 0.0, which is the failure mode
+    this test exists to catch."""
+    import numpy as np
+
+    import etfconstituentextractor_spark.plans.llm_similarity as ls
+    from etfconstituentextractor_spark.sources.tables import load
+
+    load_catalog()
+    approx = {
+        (r.query_id, r.candidate_id)
+        for r in QUERIES["q71_similarity_lsh_ann"](spark, sf_dir).collect()
+    }
+    rows = load(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=float) for r in rows}
+    nq, k = ls._N_QUERIES, ls._TOP_K
+    qs = sorted(v for v in vecs if v < nq)
+    cs = sorted(v for v in vecs if v >= nq)
+    exact = set()
+    for q in qs:
+        top = sorted(
+            (
+                (float(vecs[q] @ vecs[c] / (np.linalg.norm(vecs[q]) * np.linalg.norm(vecs[c]))), -c)
+                for c in cs
+            ),
+            reverse=True,
+        )[:k]
+        exact |= {(q, -c) for _, c in top}
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.3, recall  # measured 0.76 at sf0.001, 0.58 at sf0.01 (12x5)
+
+    # scan fraction: candidates the bucket join actually surfaces
+    sig = ls._spark_signs("v")
+    r_ = ls._LSH_PLANES_PER_TABLE
+    e = ls._vec(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.expr(sig).alias("sig")
+    )
+    tb = e.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {ls._LSH_TABLES - 1}), "
+                f"t -> struct(t AS t, substring(sig, t * {r_} + 1, {r_}) AS b))"
+            )
+        ).alias("tb"),
+    ).select("vec_id", "tb.t", "tb.b")
+    n_cand = (
+        tb.filter(F.col("vec_id") < nq)
+        .select(F.col("vec_id").alias("q"), "t", "b")
+        .join(tb.filter(F.col("vec_id") >= nq).select(F.col("vec_id").alias("c"), "t", "b"), ["t", "b"])
+        .select("q", "c")
+        .distinct()
+        .count()
+    )
+    frac = n_cand / (len(qs) * len(cs))
+    assert frac <= 0.4, frac  # predicted 0.22 for random pairs at 16x6
+
+
 def test_xml_path_extraction(spark, sf_dir):
     """§2B 'Scans — HTML/XML docs', XML leg: for well-formed XML the
     engine uses built-in from_xml / xpath (JVM-side) instead of the

@@ -618,8 +618,10 @@ def test_q86_snapshot_diff_shuffles_hashes_only(spark, sf_dir):
     # diff leg: 2 exchanges into the full-outer join; scd2 leg: the
     # keyed window + interval-collapse exchanges over narrow rows;
     # mv leg (round 7): the base aggregate + delta join + apply join,
-    # all on (lang | doc_id, hash, one bigint) rows
-    assert 2 <= plan.count("Exchange") <= 9, plan[:1200]
+    # all on (lang | doc_id, hash, one bigint) rows; timetravel legs
+    # (round 8): one per-lang aggregate exchange per snapshot version
+    # (3), each over (lang, count, chars) rows only
+    assert 2 <= plan.count("Exchange") <= 12, plan[:1200]
     for m in re.finditer(r"Exchange hashpartitioning[^\n]*", plan):
         assert "text#" not in m.group(0), m.group(0)
     hash_projects = re.findall(r"Project \[[^\n]*md5\(", plan)
