@@ -356,6 +356,89 @@ def test_q71_multitable_lsh_recall_and_scan_fraction(spark, sf_dir):
     assert frac <= 0.4, frac  # predicted 0.22 for random pairs at 16x6
 
 
+def test_q62_banded_minhash_recall_vs_true_jaccard(spark, sf_dir):
+    """The q71 lesson applied to MinHash LSH: the oracle restates the
+    same banded construction, so only a ground-truth comparison can
+    say whether the b=6×r=2 bands actually FIND the near-duplicates.
+    Ground truth = exact Jaccard >= 0.5 over the same 3-shingle sets,
+    brute-forced in Python; the leg's emitted pairs must (a) all be
+    true pairs (the exact verify join guarantees it — pin it anyway)
+    and (b) cover most of them (theory floor at J=0.5 exactly:
+    1-(1-J^2)^6 = 0.82; planted families sit higher)."""
+    from etfconstituentextractor_spark.operators.text import spark_shingles
+    from etfconstituentextractor_spark.sources.tables import load
+
+    load_catalog()
+    d = load(spark, sf_dir, "documents")
+    rows = (
+        d.select(
+            "doc_id", F.expr(spark_shingles("split(text, ' ')")).alias("sh")
+        )
+        .filter(F.expr("size(split(text, ' '))") >= 3)
+        .collect()
+    )
+    sets = {r.doc_id: set(r.sh) for r in rows}
+    ids = sorted(sets)
+    true_pairs = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter and inter / len(sets[a] | sets[b]) >= 0.5:
+                true_pairs.add((a, b))
+    assert true_pairs, "fixture must contain planted near-dup families"
+
+    out = QUERIES["q62_dedup_minhash_lsh"](spark, sf_dir)
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in out.filter(F.col("leg") == "full").collect()
+    }
+    assert got <= true_pairs  # no false positives past the verify join
+    recall = len(got & true_pairs) / len(true_pairs)
+    assert recall >= 0.7, (recall, len(true_pairs))
+
+
+def test_q64_semdedup_blocking_beats_chance(spark, sf_dir):
+    """SemDeDup can only deduplicate pairs its learned clusters
+    CO-BLOCK, so the quality question is whether the k-means
+    assignment concentrates true high-cosine pairs into shared cells.
+    On this corpus the embeddings are near-random (no real cluster
+    structure — the method's worst case), so the honest pin is LIFT
+    over chance, not an absolute recall floor: the co-cluster rate of
+    true cos>=0.3 pairs must beat the co-cluster rate of arbitrary
+    pairs by >=3x (measured ~6.5x: 0.20 vs 0.031)."""
+    import numpy as np
+
+    import etfconstituentextractor_spark.plans.llm_similarity as ls
+    from etfconstituentextractor_spark.operators.semdedup import (
+        assign_clusters,
+        semantic_seeds,
+    )
+    from etfconstituentextractor_spark.sources.tables import load
+
+    ev = ls._vec(load(spark, sf_dir, "embeddings"))
+    assigned = assign_clusters(ev, semantic_seeds(ev, 32))
+    cells = {r.vec_id: r.cell for r in assigned.collect()}
+    rows = load(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=float) for r in rows}
+    ids = sorted(vecs)
+    nrm = {i: np.linalg.norm(vecs[i]) for i in ids}
+    true_pairs = [
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if float(vecs[a] @ vecs[b] / (nrm[a] * nrm[b])) >= 0.3
+    ]
+    assert true_pairs
+    co = sum(1 for a, b in true_pairs if cells[a] == cells[b]) / len(true_pairs)
+    # chance rate: probability an arbitrary pair shares a cell
+    from collections import Counter
+
+    sizes = Counter(cells.values())
+    n = len(ids)
+    chance = sum(s * (s - 1) for s in sizes.values()) / (n * (n - 1))
+    assert co >= 3 * chance, (co, chance)
+
+
 def test_xml_path_extraction(spark, sf_dir):
     """§2B 'Scans — HTML/XML docs', XML leg: for well-formed XML the
     engine uses built-in from_xml / xpath (JVM-side) instead of the
