@@ -397,6 +397,66 @@ def test_q62_banded_minhash_recall_vs_true_jaccard(spark, sf_dir):
     assert recall >= 0.7, (recall, len(true_pairs))
 
 
+def test_multiprobe_srp_lsh_beats_single_probe_at_equal_index(spark, sf_dir):
+    """Multi-probe LSH's whole claim (operators/ann.py): flipping the
+    least-confident sign per table raises recall WITHOUT growing the
+    stored index. Measured head-to-head on the same 6-table×5-plane
+    index: 2-probe recall must strictly beat 1-probe recall, every
+    1-probe candidate must also be a 2-probe candidate (probes are a
+    superset), and the probe-side cost is exactly 2 buckets per table
+    per query."""
+    import numpy as np
+
+    import etfconstituentextractor_spark.plans.llm_similarity as ls
+    from etfconstituentextractor_spark.operators.ann import (
+        srp_index_buckets,
+        srp_plane_dots,
+        srp_query_probes,
+    )
+    from etfconstituentextractor_spark.sources.tables import load
+
+    n_tables, r = 6, 5
+    planes = ls._plane_matrix()[: n_tables * r]
+    ev = srp_plane_dots(ls._vec(load(spark, sf_dir, "embeddings")), planes)
+    nq = ls._N_QUERIES
+    idx = srp_index_buckets(ev.filter(F.col("vec_id") >= nq), n_tables, r)
+    q1 = srp_index_buckets(ev.filter(F.col("vec_id") < nq), n_tables, r)
+    q2 = srp_query_probes(ev.filter(F.col("vec_id") < nq), n_tables, r)
+    assert q2.count() == 2 * q1.count()
+
+    def cands(qb):
+        return {
+            (r_.q, r_.c)
+            for r_ in qb.select(F.col("vec_id").alias("q"), "t", "b")
+            .join(idx.select(F.col("vec_id").alias("c"), "t", "b"), ["t", "b"])
+            .select("q", "c")
+            .distinct()
+            .collect()
+        }
+
+    c1, c2 = cands(q1), cands(q2)
+    assert c1 <= c2  # base probes are contained in multi-probe
+
+    rows = load(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    vecs = {x.vec_id: np.array(x.embedding, dtype=float) for x in rows}
+    ids = sorted(vecs)
+    qs = [v for v in ids if v < nq]
+    cs = [v for v in ids if v >= nq]
+    exact = set()
+    for q in qs:
+        top = sorted(
+            (
+                (float(vecs[q] @ vecs[c] / (np.linalg.norm(vecs[q]) * np.linalg.norm(vecs[c]))), -c)
+                for c in cs
+            ),
+            reverse=True,
+        )[:5]
+        exact |= {(q, -c) for _, c in top}
+    r1 = len(c1 & exact) / len(exact)
+    r2 = len(c2 & exact) / len(exact)
+    assert r2 > r1, (r1, r2)
+
+
 def test_q64_semdedup_blocking_beats_chance(spark, sf_dir):
     """SemDeDup can only deduplicate pairs its learned clusters
     CO-BLOCK, so the quality question is whether the k-means
