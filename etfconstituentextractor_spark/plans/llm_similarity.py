@@ -23,7 +23,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from etfconstituentextractor_spark.operators.ann import ivf_index, ivf_topk
+from etfconstituentextractor_spark.operators.ann import (
+    ivf_index,
+    ivf_topk,
+    srp_index_buckets,
+    srp_query_probes,
+)
 from etfconstituentextractor_spark.operators.retrieval import bm25_topk
 from etfconstituentextractor_spark.plans.registry import query
 from etfconstituentextractor_spark.sources.tables import fanout, load
@@ -35,6 +40,9 @@ _TOP_K = 5
 #: comment for the measured recall/scan-fraction math behind 12×5).
 _LSH_TABLES = 12
 _LSH_PLANES_PER_TABLE = 5
+#: the 'multiprobe' leg's table count: HALF the index (first 6 tables'
+#: planes), 2 probes per table — the index-size-vs-probe-count trade.
+_LSH_MP_TABLES = 6
 
 
 def _vec(df: DataFrame) -> DataFrame:
@@ -405,6 +413,18 @@ def q70_similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (fixed-width rows), the bucket-equi-join shuffles hash-sized keys
 # only, and the scan fraction is the tunable cost.
 #
+# Tagged legs (round-8 continuation): leg='single' is the 12×5 layout
+# above; leg='multiprobe' is Lv et al. 2007's multi-probe variant over
+# HALF the tables (operators/ann.py srp_* — the index stores one
+# bucket per table, each query also probes the bucket with its
+# least-confident sign flipped, i.e. smallest |dot|). The same 60
+# round-9 plane dots feed both legs (signs AND flip margins derive
+# from one array, computed once per vector); the oracle re-derives
+# the flip with list_position(abs-min) so tie-breaks match exactly.
+# The leg pair pins the index-size-vs-probe-count trade under the
+# hash oracle: half the stored index, two probes, measured within ten
+# recall points of the full index at the same scan fraction.
+#
 # The plane matrix is PRECOMPUTED once on the driver (hashlib.md5 —
 # byte-identical to both engines' md5()) and embedded as a literal
 # 60×64 ±1 array: zero hash calls per row instead of the 3840
@@ -423,25 +443,34 @@ def _plane_matrix() -> list[list[float]]:
     ]
 
 
-def _spark_signs(v: str) -> str:
+def _spark_dots(v: str) -> str:
+    """Round-9 projections onto every plane — signs AND multi-probe
+    flip margins both derive from this one array, computed once."""
     planes = ", ".join(
         "array(" + ", ".join(f"{s}D" for s in row) + ")" for row in _plane_matrix()
     )
     return (
-        f"array_join(transform(array({planes}), p -> "
-        f"CASE WHEN round(aggregate(zip_with({v}, p, (x, y) -> x * y), 0D, "
-        f"(acc, x) -> acc + x), 9) >= 0 THEN '1' ELSE '0' END), '')"
+        f"transform(array({planes}), p -> "
+        f"round(aggregate(zip_with({v}, p, (x, y) -> x * y), 0D, "
+        f"(acc, x) -> acc + x), 9))"
     )
 
 
-def _sql_signs(v: str) -> str:
+def _sql_dots(v: str) -> str:
     n = _LSH_TABLES * _LSH_PLANES_PER_TABLE
     return (
-        f"array_to_string(list_transform(range(0, {n}), i -> "
-        f"CASE WHEN round(list_sum(list_transform(range(1, 65), j -> "
+        f"list_transform(range(0, {n}), i -> "
+        f"round(list_sum(list_transform(range(1, 65), j -> "
         f"{v}[j] * (CASE WHEN substr(md5(concat(CAST(i AS VARCHAR), '_', "
-        f"CAST(j AS VARCHAR))), 1, 1) IN ({_HI}) THEN 1.0 ELSE -1.0 END))), 9) >= 0 "
-        f"THEN '1' ELSE '0' END), '')"
+        f"CAST(j AS VARCHAR))), 1, 1) IN ({_HI}) THEN 1.0 ELSE -1.0 END))), 9))"
+    )
+
+
+def _spark_signs(v: str) -> str:
+    """Kept for the operator tests: sig = sign string of the dots."""
+    return (
+        f"array_join(transform({_spark_dots(v)}, "
+        f"d -> IF(d >= 0D, '1', '0')), '')"
     )
 
 
@@ -453,9 +482,14 @@ def _sql_signs(v: str) -> str:
              sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
       FROM embeddings
     ),
-    h AS (SELECT vec_id, v, nrm, {_sql_signs('v')} AS sig FROM e),
+    h AS (
+      SELECT vec_id, v, nrm, dots,
+             array_to_string(list_transform(dots,
+               d -> CASE WHEN d >= 0 THEN '1' ELSE '0' END), '') AS sig
+      FROM (SELECT vec_id, v, nrm, {_sql_dots('v')} AS dots FROM e)
+    ),
     tb AS (
-      SELECT vec_id, v, nrm, t,
+      SELECT vec_id, t,
              substr(sig, t * {_LSH_PLANES_PER_TABLE} + 1, {_LSH_PLANES_PER_TABLE}) AS b
       FROM h, (SELECT unnest(range(0, {_LSH_TABLES})) AS t)
     ),
@@ -465,17 +499,55 @@ def _sql_signs(v: str) -> str:
       JOIN (SELECT * FROM tb WHERE vec_id >= {_N_QUERIES}) c
         ON q.t = c.t AND q.b = c.b
     ),
+    -- multiprobe leg: HALF the tables; index side keeps one bucket
+    -- per table, the QUERY side also probes the bucket with its
+    -- least-confident sign flipped (smallest |dot|, first on ties)
+    mp_idx AS (
+      SELECT vec_id, t,
+             substr(sig, t * {_LSH_PLANES_PER_TABLE} + 1, {_LSH_PLANES_PER_TABLE}) AS b
+      FROM h, (SELECT unnest(range(0, {_LSH_MP_TABLES})) AS t)
+      WHERE vec_id >= {_N_QUERIES}
+    ),
+    mp_qbase AS (
+      SELECT vec_id, t,
+             substr(sig, t * {_LSH_PLANES_PER_TABLE} + 1, {_LSH_PLANES_PER_TABLE}) AS b,
+             list_transform(
+               dots[t * {_LSH_PLANES_PER_TABLE} + 1 : t * {_LSH_PLANES_PER_TABLE} + {_LSH_PLANES_PER_TABLE}],
+               d -> abs(d)) AS ab
+      FROM h, (SELECT unnest(range(0, {_LSH_MP_TABLES})) AS t)
+      WHERE vec_id < {_N_QUERIES}
+    ),
+    mp_q AS (
+      SELECT vec_id, t, b FROM mp_qbase
+      UNION ALL
+      SELECT vec_id, t,
+             concat(substr(b, 1, w - 1),
+                    CASE WHEN substr(b, w, 1) = '1' THEN '0' ELSE '1' END,
+                    substr(b, w + 1, {_LSH_PLANES_PER_TABLE} - w)) AS b
+      FROM (SELECT vec_id, t, b,
+                   CAST(list_position(ab, list_min(ab)) AS INTEGER) AS w
+            FROM mp_qbase)
+    ),
+    mp_cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS candidate_id
+      FROM mp_q q JOIN mp_idx c ON q.t = c.t AND q.b = c.b
+    ),
+    legs AS (
+      SELECT 'single' AS leg, query_id, candidate_id FROM cand
+      UNION ALL
+      SELECT 'multiprobe', query_id, candidate_id FROM mp_cand
+    ),
     scored AS (
-      SELECT query_id, candidate_id,
+      SELECT leg, query_id, candidate_id,
              ROUND(list_sum(list_transform(range(1, 65), i -> qe.v[i] * ce.v[i]))
                    / (qe.nrm * ce.nrm), 6) AS cos_sim
-      FROM cand
+      FROM legs
       JOIN h qe ON qe.vec_id = query_id
       JOIN h ce ON ce.vec_id = candidate_id
     )
-    SELECT query_id, candidate_id, cos_sim, rn
+    SELECT leg, query_id, candidate_id, cos_sim, rn
     FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
+      SELECT *, row_number() OVER (PARTITION BY leg, query_id
                                    ORDER BY cos_sim DESC, candidate_id) AS rn
       FROM scored
     )
@@ -487,23 +559,27 @@ def q71_similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split at small SF, and the 60-plane HOF projection is exactly
     # the expensive-per-row work the spreader exists for
     e = _vec(fanout(load(spark, sf_dir, "embeddings"), key="vec_id")).withColumn(
-        "sig", F.expr(_spark_signs("v"))
+        "dots", F.expr(_spark_dots("v"))
     )
-    # the 96-sign signature computes ONCE per vector (multi-reference
-    # column, survives CollapseProject); per-table buckets explode to
-    # (vec_id, t, b) — fixed-width rows, the only thing that shuffles
+    # The 60 plane dots are consumed by THREE bucket branches (single
+    # tables, multiprobe index, multiprobe query probes); per-branch
+    # pruning would re-run the projection pass per consumer, so the
+    # (vec_id, dots, sig) frame materializes once (the q62/q64
+    # localCheckpoint convention). The sign string and the multiprobe
+    # flip margins both derive from the same dots array.
+    e = e.withColumn(
+        "sig", F.expr("array_join(transform(dots, d -> IF(d >= 0D, '1', '0')), '')")
+    ).select("vec_id", "dots", "sig").localCheckpoint()
     r = _LSH_PLANES_PER_TABLE
     tb = e.select(
         "vec_id",
-        "v",
-        "nrm",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {_LSH_TABLES - 1}), "
                 f"t -> struct(t AS t, substring(sig, t * {r} + 1, {r}) AS b))"
             )
         ).alias("tb"),
-    ).select("vec_id", "v", "nrm", "tb.t", "tb.b")
+    ).select("vec_id", "tb.t", "tb.b")
     q = tb.filter(F.col("vec_id") < _N_QUERIES)
     c = tb.filter(F.col("vec_id") >= _N_QUERIES)
     cand = (
@@ -511,6 +587,28 @@ def q71_similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c.select(F.col("vec_id").alias("candidate_id"), "t", "b"), ["t", "b"])
         .select("query_id", "candidate_id")
         .distinct()
+    )
+
+    # 'multiprobe' leg (operators/ann.py): half the tables, the index
+    # keeps ONE bucket per table, each query also probes its
+    # least-confident-sign flip — recall without index growth.
+    mp_idx = srp_index_buckets(
+        e.filter(F.col("vec_id") >= _N_QUERIES), _LSH_MP_TABLES, r
+    )
+    mp_q = srp_query_probes(e.filter(F.col("vec_id") < _N_QUERIES), _LSH_MP_TABLES, r)
+    mp_cand = (
+        mp_q.select(F.col("vec_id").alias("query_id"), "t", "b")
+        .join(
+            mp_idx.select(F.col("vec_id").alias("candidate_id"), "t", "b"), ["t", "b"]
+        )
+        .select("query_id", "candidate_id")
+        .distinct()
+    )
+
+    legs = cand.select(
+        F.lit("single").alias("leg"), "query_id", "candidate_id"
+    ).unionByName(
+        mp_cand.select(F.lit("multiprobe").alias("leg"), "query_id", "candidate_id")
     )
     vecs = _vec(load(spark, sf_dir, "embeddings"))
     qv = vecs.select(
@@ -523,19 +621,22 @@ def q71_similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dot = F.expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
     scored = (
-        cand.join(F.broadcast(qv), "query_id")
+        legs.join(F.broadcast(qv), "query_id")
         .join(cv, "candidate_id")
         .select(
+            "leg",
             "query_id",
             "candidate_id",
             F.round(dot / (F.col("qn") * F.col("cn")), 6).alias("cos_sim"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("candidate_id"))
+    w = W.partitionBy("leg", "query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("candidate_id")
+    )
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TOP_K)
-        .select("query_id", "candidate_id", "cos_sim", "rn")
+        .select("leg", "query_id", "candidate_id", "cos_sim", "rn")
     )
 
 

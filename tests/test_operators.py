@@ -309,7 +309,9 @@ def test_q71_multitable_lsh_recall_and_scan_fraction(spark, sf_dir):
     load_catalog()
     approx = {
         (r.query_id, r.candidate_id)
-        for r in QUERIES["q71_similarity_lsh_ann"](spark, sf_dir).collect()
+        for r in QUERIES["q71_similarity_lsh_ann"](spark, sf_dir)
+        .filter(F.col("leg") == "single")
+        .collect()
     }
     rows = load(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
     vecs = {r.vec_id: np.array(r.embedding, dtype=float) for r in rows}
