@@ -138,15 +138,23 @@ def srp_plane_dots(vectors: DataFrame, planes: list[list[float]], v_col: str = "
     )
 
 
-def srp_index_buckets(dots_df: DataFrame, n_tables: int, r: int, id_col: str = "vec_id") -> DataFrame:
-    """(id, t, b): ONE bucket per table per vector — the stored index."""
-    structs = (
+def _srp_bucket_structs(n_tables: int, r: int) -> str:
+    """THE bucket derivation, in one place: table t's bucket is the
+    sign string of dots[t*r : t*r+r]. The index side, the query side,
+    and any measurement must all call this — two drifting copies of
+    the slice math would silently divergence-kill recall with no
+    error."""
+    return (
         f"transform(sequence(0, {n_tables - 1}), t -> "
         f"struct(t AS t, array_join(transform(slice(dots, t * {r} + 1, {r}), "
         f"d -> IF(d >= 0, '1', '0')), '') AS b))"
     )
+
+
+def srp_index_buckets(dots_df: DataFrame, n_tables: int, r: int, id_col: str = "vec_id") -> DataFrame:
+    """(id, t, b): ONE bucket per table per vector — the stored index."""
     return dots_df.select(
-        id_col, F.explode(F.expr(structs)).alias("tb")
+        id_col, F.explode(F.expr(_srp_bucket_structs(n_tables, r))).alias("tb")
     ).select(id_col, "tb.t", "tb.b")
 
 
@@ -154,14 +162,9 @@ def srp_query_probes(dots_df: DataFrame, n_tables: int, r: int, id_col: str = "v
     """(id, t, b): TWO probes per table per query — the base bucket
     and the least-confident-sign flip. Ties on |dot| break to the
     first plane (array_position semantics), deterministic."""
-    base = (
-        f"transform(sequence(0, {n_tables - 1}), t -> "
-        f"struct(t AS t, array_join(transform(slice(dots, t * {r} + 1, {r}), "
-        f"d -> IF(d >= 0, '1', '0')), '') AS b))"
-    )
     probes = dots_df.select(
         id_col,
-        F.explode(F.expr(base)).alias("tb"),
+        F.explode(F.expr(_srp_bucket_structs(n_tables, r))).alias("tb"),
         F.col("dots"),
     ).select(
         id_col,

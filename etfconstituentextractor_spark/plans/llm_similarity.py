@@ -5,12 +5,15 @@ Two paths, as a 100 TB design requires:
 - q70: exact brute-force cosine top-k — the small-query-set baseline.
   The query vectors broadcast (they are the tiny side); candidates
   never shuffle; the per-query rank window runs on the scored rows.
-- q71: LSH-bucketed ANN — random-hyperplane signatures shrink the
-  candidate set to same-bucket vectors before exact rerank. The
-  hyperplane signs derive from md5 (portable, deterministic, seedless)
-  so the *same* construction is expressible in the DuckDB oracle; a
-  production variant would precompute the plane matrix once and
-  broadcast it instead of recomputing hashes per row.
+- q71: multi-table SRP-LSH ANN — each vector's 60 hyperplane
+  projections derive per-table sign buckets; a candidate shares ANY
+  table's bucket with the query ('single' leg, 12×5), and the
+  'multiprobe' leg halves the stored index by also probing each
+  query's least-confident-sign flip. The hyperplane signs derive from
+  md5 (portable, deterministic, seedless) so the *same* construction
+  is expressible in the DuckDB oracle; the Spark side embeds the
+  precomputed plane matrix as literals (zero hash calls per row —
+  pinned by test_q71_bucket_expr_contains_no_md5).
 
 Scores are rounded (6 dp) *before* ranking/thresholding in both
 engines so keep/drop and rank decisions are identical despite
@@ -466,12 +469,6 @@ def _sql_dots(v: str) -> str:
     )
 
 
-def _spark_signs(v: str) -> str:
-    """Kept for the operator tests: sig = sign string of the dots."""
-    return (
-        f"array_join(transform({_spark_dots(v)}, "
-        f"d -> IF(d >= 0D, '1', '0')), '')"
-    )
 
 
 @query(
@@ -564,22 +561,13 @@ def q71_similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The 60 plane dots are consumed by THREE bucket branches (single
     # tables, multiprobe index, multiprobe query probes); per-branch
     # pruning would re-run the projection pass per consumer, so the
-    # (vec_id, dots, sig) frame materializes once (the q62/q64
-    # localCheckpoint convention). The sign string and the multiprobe
-    # flip margins both derive from the same dots array.
-    e = e.withColumn(
-        "sig", F.expr("array_join(transform(dots, d -> IF(d >= 0D, '1', '0')), '')")
-    ).select("vec_id", "dots", "sig").localCheckpoint()
+    # (vec_id, dots) frame materializes once (the q62/q64
+    # localCheckpoint convention). Every bucket derivation below goes
+    # through operators/ann.py's ONE _srp_bucket_structs expression —
+    # the sign-slice math must never exist in two copies.
+    e = e.select("vec_id", "dots").localCheckpoint()
     r = _LSH_PLANES_PER_TABLE
-    tb = e.select(
-        "vec_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {_LSH_TABLES - 1}), "
-                f"t -> struct(t AS t, substring(sig, t * {r} + 1, {r}) AS b))"
-            )
-        ).alias("tb"),
-    ).select("vec_id", "tb.t", "tb.b")
+    tb = srp_index_buckets(e, _LSH_TABLES, r)
     q = tb.filter(F.col("vec_id") < _N_QUERIES)
     c = tb.filter(F.col("vec_id") >= _N_QUERIES)
     cand = (

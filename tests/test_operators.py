@@ -331,21 +331,16 @@ def test_q71_multitable_lsh_recall_and_scan_fraction(spark, sf_dir):
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.3, recall  # measured 0.76 at sf0.001, 0.58 at sf0.01 (12x5)
 
-    # scan fraction: candidates the bucket join actually surfaces
-    sig = ls._spark_signs("v")
-    r_ = ls._LSH_PLANES_PER_TABLE
-    e = ls._vec(load(spark, sf_dir, "embeddings")).select(
-        "vec_id", F.expr(sig).alias("sig")
+    # scan fraction: candidates the bucket join actually surfaces —
+    # derived through the SAME operators/ann.py bucket expression the
+    # registered query uses, so this measures q71's construction, not
+    # a re-implementation of it
+    from etfconstituentextractor_spark.operators.ann import srp_index_buckets
+
+    e = ls._vec(load(spark, sf_dir, "embeddings")).withColumn(
+        "dots", F.expr(ls._spark_dots("v"))
     )
-    tb = e.select(
-        "vec_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {ls._LSH_TABLES - 1}), "
-                f"t -> struct(t AS t, substring(sig, t * {r_} + 1, {r_}) AS b))"
-            )
-        ).alias("tb"),
-    ).select("vec_id", "tb.t", "tb.b")
+    tb = srp_index_buckets(e, ls._LSH_TABLES, ls._LSH_PLANES_PER_TABLE)
     n_cand = (
         tb.filter(F.col("vec_id") < nq)
         .select(F.col("vec_id").alias("q"), "t", "b")
@@ -355,7 +350,7 @@ def test_q71_multitable_lsh_recall_and_scan_fraction(spark, sf_dir):
         .count()
     )
     frac = n_cand / (len(qs) * len(cs))
-    assert frac <= 0.4, frac  # predicted 0.22 for random pairs at 16x6
+    assert frac <= 0.4, frac  # 12x5 predicts/measures ~0.32 for random pairs
 
 
 def test_q62_banded_minhash_recall_vs_true_jaccard(spark, sf_dir):
