@@ -79,7 +79,15 @@ def q20_join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 #              the same 8 buckets at write time, the join reads
 #              bucket-aligned and needs NO exchange at all (pinned in
 #              tests/test_plans.py) — the amortize-the-shuffle-once
-#              answer for a fact table joined every day at 100 TB.
+#              answer for a fact table joined every day at 100 TB;
+#   'dpp'      dynamic partition pruning (round-8 continuation):
+#              orders laid out partitionBy(o_orderpriority), joined to
+#              a dim filtered on a NON-partition attribute — the
+#              runtime subquery prunes the fact scan to the surviving
+#              partitions (1 of 5 here), which static pruning cannot
+#              do because the kept keys exist only after the dim
+#              filter runs. At 100 TB this is the difference between
+#              scanning one day-partition and scanning the table.
 # Every leg must hash-match the one plain-SQL join under the oracle:
 # salting, Bloom false positives, and bucketing are all result-
 # invariant by construction, and this leg family is what pins that.
@@ -103,6 +111,9 @@ def q20_join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'bloom' AS leg, o_orderpriority, n_lines, sum_price
     FROM j WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT 'dpp' AS leg, o_orderpriority, n_lines, sum_price
+    FROM j WHERE o_orderpriority = '2-HIGH'
     """,
 )
 def q22_join_shuffle_factfact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -245,7 +256,70 @@ def q22_join_shuffle_factfact(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_b, o_b = spark.table(li_t), spark.table(o_t)
     bucketed = agg_leg(li_b.join(o_b, li_b.l_orderkey == o_b.o_orderkey), "bucketed")
 
-    return plain.unionByName(salted).unionByName(bucketed).unionByName(bloom)
+    # DPP: orders partitioned by o_orderpriority on disk, dim filtered
+    # on its NON-partition tag column — only the runtime subquery can
+    # prune the fact scan. Same fingerprint discipline as the bucketed
+    # tables (full recursive file-list equality; partial loss rewrites).
+    part_dir = os.path.join(base, "orders_part")
+    dim_dir = os.path.join(base, "prio_dim")
+
+    def _tree_files(d: str) -> list[str]:
+        out = []
+        for root, _, names in os.walk(d):
+            for n in names:
+                if n.endswith(".parquet"):
+                    out.append(os.path.relpath(os.path.join(root, n), d))
+        return sorted(out)
+
+    fp2 = {"src": table_fingerprint(sf_dir, "orders")}
+    marker2 = os.path.join(base, "_fingerprint_dpp.json")
+    fresh2 = False
+    if os.path.exists(marker2):
+        try:
+            with open(marker2) as fh:
+                saved2 = json.load(fh)
+            fresh2 = saved2.get("src") == fp2["src"] and all(
+                _tree_files(d) == saved2.get("files", {}).get(key)
+                for key, d in (("part", part_dir), ("dim", dim_dir))
+            )
+        except (OSError, ValueError):
+            fresh2 = False
+    if not fresh2:
+        o.write.partitionBy("o_orderpriority").mode("overwrite").parquet(part_dir)
+        (
+            o.select("o_orderpriority")
+            .distinct()
+            .select(
+                "o_orderpriority",
+                F.when(F.col("o_orderpriority") == "2-HIGH", "keep")
+                .otherwise("drop")
+                .alias("tag"),
+            )
+            .write.mode("overwrite")
+            .parquet(dim_dir)
+        )
+        fp2["files"] = {"part": _tree_files(part_dir), "dim": _tree_files(dim_dir)}
+        with open(marker2, "w") as fh:
+            json.dump(fp2, fh)
+    fact = spark.read.parquet(part_dir).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate", "o_orderpriority"
+    )
+    dim = (
+        spark.read.parquet(dim_dir)
+        .filter(F.col("tag") == "keep")
+        .select("o_orderpriority")
+    )
+    dpp = agg_leg(
+        li.join(fact, ["l_orderkey"]).join(F.broadcast(dim), ["o_orderpriority"]),
+        "dpp",
+    )
+
+    return (
+        plain.unionByName(salted)
+        .unionByName(bucketed)
+        .unionByName(bloom)
+        .unionByName(dpp)
+    )
 
 
 # ---------------------------------------------------------------------------

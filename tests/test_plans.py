@@ -120,6 +120,18 @@ def test_q71_bucket_expr_contains_no_md5(spark, sf_dir):
     assert "md5" not in plan.lower()
 
 
+def test_q22_dpp_leg_injects_runtime_partition_filter(spark, sf_dir):
+    """The registered 'dpp' leg must actually fire dynamic partition
+    pruning — a runtime subquery filter on the partitioned orders
+    scan — not just happen to compute the right rows (the whole point
+    of registering the technique under the oracle)."""
+    from etfconstituentextractor_spark.plans.joins import q22_join_shuffle_factfact
+
+    df = q22_join_shuffle_factfact(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:1500]
+
+
 def test_q22_bucketed_fingerprint_cache(spark, sf_dir):
     """q22's bucketed leg amortizes its table writes behind a corpus
     fingerprint. The cache must be correctness-neutral: a cached
