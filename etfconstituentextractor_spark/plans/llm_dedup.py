@@ -234,6 +234,43 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_pairs(load(spark, sf_dir, "documents"))
 
 
+def _shingle_mins(d: DataFrame, width: int | None = None) -> DataFrame:
+    """(doc_id, shingles, mins) for a (doc_id, text) frame — the
+    per-document half of the LSH index build, UN-materialized so the
+    caller decides the checkpoint discipline: the batch path
+    (``_shingle_and_bands``) checkpoints shingles and bands separately
+    because its consumers span several large jobs; the streaming
+    maintenance loop (streaming/dedup_index.py) checkpoints THIS frame
+    once per micro-batch and derives everything else in-plan.
+
+    fanout: the documents scan is one split at small SF — without it
+    the whole md5-shingle stage (the dominant cost) runs on one core.
+    ``width`` caps the fanout for micro-batch callers (see
+    sources.tables.fanout).
+    """
+    shingled = (
+        fanout(d.select("doc_id", "text"), n=width)
+        .select("doc_id", F.expr(spark_shingles("split(text, ' ')")).alias("shingles"))
+        .filter(F.expr("size(split(text, ' '))") >= 3)
+    )
+    return _with_mins(shingled, keep_shingles=True)
+
+
+def _bands_from_mins(mins: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) derived from a (doc_id, ..., mins) frame —
+    a cheap explode, so deriving it repeatedly from a materialized
+    mins frame costs nothing beyond the scan."""
+    return mins.select(
+        "doc_id", F.explode(F.expr(f"sequence(0, {_N_BANDS - 1})")).alias("band"), "mins"
+    ).select(
+        "doc_id",
+        "band",
+        F.expr("concat(element_at(mins, band * 2 + 1), '#', element_at(mins, band * 2 + 2))").alias(
+            "sig"
+        ),
+    )
+
+
 def _shingle_and_bands(d: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(shingled, bands) for a (doc_id, text) frame — the LSH index
     build, shared by the full-corpus and incremental paths."""
@@ -242,25 +279,32 @@ def _shingle_and_bands(d: DataFrame) -> tuple[DataFrame, DataFrame]:
     # localCheckpoint (not persist): blocks are released by the
     # ContextCleaner once the frame is garbage-collected, so a 50-query
     # harness run doesn't accumulate pinned cache entries.
-    # fanout: the documents scan is one split at small SF — without it
-    # the whole md5-shingle stage (the query's dominant cost) runs on
-    # one core and the checkpoint serializes everything downstream.
     shingled = (
         fanout(d.select("doc_id", "text"))
         .select("doc_id", F.expr(spark_shingles("split(text, ' ')")).alias("shingles"))
         .filter(F.expr("size(split(text, ' '))") >= 3)
         .localCheckpoint()
     )
+    bands = _bands_from_mins(_with_mins(shingled)).localCheckpoint()
+    return shingled, bands
 
+
+def _with_mins(shingled: DataFrame, keep_shingles: bool = False) -> DataFrame:
+    """ONE definition of the salted-md5 → 8-hex-segment → array_min
+    construction (the 12 one-permutation-hashing-style minhashes),
+    shared by the batch path (which drops shingles here — it keeps
+    them in a separate checkpoint) and the streaming path (which
+    carries shingles alongside mins in its single checkpoint)."""
+    keep = ["doc_id"] + (["shingles"] if keep_shingles else [])
     hashed = shingled.select(
-        "doc_id",
+        *keep,
         *[
             F.expr(f"transform(shingles, s -> md5(concat('{i}|', s)))").alias(f"h{i}")
             for i in range(_N_SALTS)
         ],
     )
-    mins = hashed.select(
-        "doc_id",
+    return hashed.select(
+        *keep,
         F.array(
             *[
                 F.expr(
@@ -270,20 +314,6 @@ def _shingle_and_bands(d: DataFrame) -> tuple[DataFrame, DataFrame]:
             ]
         ).alias("mins"),
     )
-    bands = (
-        mins.select(
-            "doc_id", F.explode(F.expr(f"sequence(0, {_N_BANDS - 1})")).alias("band"), "mins"
-        )
-        .select(
-            "doc_id",
-            "band",
-            F.expr("concat(element_at(mins, band * 2 + 1), '#', element_at(mins, band * 2 + 2))").alias(
-                "sig"
-            ),
-        )
-        .localCheckpoint()
-    )
-    return shingled, bands
 
 
 def lsh_pairs(d: DataFrame) -> DataFrame:
@@ -466,27 +496,46 @@ def _q62_stream_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from etfconstituentextractor_spark.streaming.dedup_index import (
+        read_pairs,
         run_stream_dedup,
         stage_doc_chunks,
     )
     from etfconstituentextractor_spark.streaming.replay import work_dir
 
+    from etfconstituentextractor_spark.sources.fingerprint import table_fingerprint
+
     root = work_dir(sf_dir, "q62_stream")
-    # wipe per call — the q55-q59 convention: re-runs never resume
-    shutil.rmtree(root, ignore_errors=True)
-    d = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .filter(F.col("doc_id") % _STREAM_SLICE_MOD == 0)
+    # STATE and CHECKPOINT wipe per call — the q55-q59 convention:
+    # re-runs never resume. The staged SOURCE chunks are reused across
+    # runs under the replay.py marker discipline (a deterministic
+    # function of the corpus; fingerprint invalidates on refresh) —
+    # re-staging them per run cost ~0.5s of the leg's fixed budget.
+    for sub in ("state", "ckpt"):
+        shutil.rmtree(os.path.join(root, sub), ignore_errors=True)
+    src = os.path.join(root, "src")
+    marker = os.path.join(src, "_STAGED_OK")
+    sig = (
+        f"q62src|{_STREAM_SLICE_MOD}|{_STREAM_CHUNKS}|{sf_dir}|"
+        f"{table_fingerprint(sf_dir, 'documents')}"
     )
-    src = stage_doc_chunks(
-        d,
-        os.path.join(root, "src"),
-        _STREAM_CHUNKS,
-        # arrival batch: interleave by the quotient so family members
-        # (nearby ids) land in DIFFERENT chunks
-        F.pmod(F.floor(F.col("doc_id") / _STREAM_SLICE_MOD), _STREAM_CHUNKS),
-    )
+    if not (os.path.isfile(marker) and open(marker).read() == sig):
+        shutil.rmtree(src, ignore_errors=True)
+        d = (
+            load(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .filter(F.col("doc_id") % _STREAM_SLICE_MOD == 0)
+        )
+        stage_doc_chunks(
+            d,
+            src,
+            _STREAM_CHUNKS,
+            # arrival batch: interleave by the quotient so family
+            # members (nearby ids) land in DIFFERENT chunks
+            F.pmod(F.floor(F.col("doc_id") / _STREAM_SLICE_MOD), _STREAM_CHUNKS),
+        )
+        # marker last: an interrupted staging has no marker, re-stages
+        with open(marker, "w") as fh:
+            fh.write(sig)
     # foreachBatch runs with AQE DISABLED (streaming limitation), so
     # the handler's unhinted joins keep their static
     # shuffle-partition count; pin it low for the drain — per-batch
@@ -499,13 +548,12 @@ def _q62_stream_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_stream_dedup(
             spark,
             src,
-            os.path.join(root, "index"),
-            os.path.join(root, "pairs"),
+            os.path.join(root, "state"),
             os.path.join(root, "ckpt"),
         )
     finally:
         spark.conf.set(sp_key, old_sp)
-    return spark.read.parquet(os.path.join(root, "pairs")).select(
+    return read_pairs(spark, os.path.join(root, "state")).select(
         "doc_a", "doc_b", "jaccard_sim"
     )
 

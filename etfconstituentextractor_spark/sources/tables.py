@@ -125,7 +125,7 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(schemas.EVENTS).parquet(path)
 
 
-def fanout(df: DataFrame, key: str = "doc_id") -> DataFrame:
+def fanout(df: DataFrame, key: str = "doc_id", n: int | None = None) -> DataFrame:
     """Pin COMPUTE parallelism ahead of expensive per-row work (heavy
     HOF chains, hashing, shingling).
 
@@ -133,12 +133,21 @@ def fanout(df: DataFrame, key: str = "doc_id") -> DataFrame:
     so everything between the scan and the first shuffle runs on ONE
     core no matter how wide the cluster is (the same failure mode as
     the UDTF boundary, documents.py:parse_filings). Repartition only
-    when the plan has FEWER partitions than the cluster's parallelism:
-    at real scale the scan already has thousands of splits and this is
-    a no-op, so we never *reduce* parallelism or add a shuffle where
-    one isn't needed. Accessing ``df.rdd`` here only builds the RDD
-    lineage to read its partition count — no job runs."""
-    n = df.sparkSession.sparkContext.defaultParallelism
+    when the plan has FEWER partitions than the target width: at real
+    scale the scan already has thousands of splits and this is a
+    no-op, so we never *reduce* parallelism or add a shuffle where one
+    isn't needed. Accessing ``df.rdd`` here only builds the RDD
+    lineage to read its partition count — no job runs.
+
+    ``n`` defaults to the cluster's full parallelism — right for the
+    batch queries, where the fanned-out stage IS the dominant cost.
+    Micro-batch callers (streaming/dedup_index.py) pass their pinned
+    shuffle width instead: a slice-sized batch fanned to 32 spends
+    more on empty-task scheduling in every downstream stage than the
+    extra cores return (round-9 measurement: per-batch write job
+    dominated by tiny-task overhead at width 32 vs 8)."""
+    if n is None:
+        n = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n, key)
     return df

@@ -3,7 +3,10 @@ draining a chunked document stream, the accumulated pair set must
 EQUAL the full-corpus batch build's pairs — every near-dup found
 exactly once, at the arrival of its later member, however the corpus
 was chunked — and the standing index must equal the batch band
-build."""
+build. Round 9 folded the per-batch state into ONE
+partitionBy("kind") commit; the retry test exercises the new
+invariant (a batch derives only from ingest_batch < batch_id, then
+statically overwrites its own directory)."""
 
 from __future__ import annotations
 
@@ -12,7 +15,11 @@ from pyspark.sql import functions as F
 
 from etfconstituentextractor_spark.plans.llm_dedup import lsh_pairs
 from etfconstituentextractor_spark.sources.tables import load
-from etfconstituentextractor_spark.streaming.dedup_index import run_stream_dedup
+from etfconstituentextractor_spark.streaming.dedup_index import (
+    read_bands,
+    read_pairs,
+    run_stream_dedup,
+)
 
 N_CHUNKS = 3
 
@@ -46,15 +53,14 @@ def drained(spark, sf_dir, tmp_path_factory):
         dst = f"{src}/chunk_{i}.parquet"
         shutil.copy(part, dst)
         os.utime(dst, times=(base + i * 10, base + i * 10))
-    index_dir = str(root / "index")
-    pairs_dir = str(root / "pairs")
-    run_stream_dedup(spark, src, index_dir, pairs_dir, str(root / "ckpt"))
-    return docs, index_dir, pairs_dir
+    state_dir = str(root / "state")
+    run_stream_dedup(spark, src, state_dir, str(root / "ckpt"))
+    return docs, state_dir
 
 
 def test_streamed_pairs_equal_full_batch_build(spark, drained):
-    docs, _, pairs_dir = drained
-    got_rows = spark.read.parquet(pairs_dir).collect()
+    docs, state_dir = drained
+    got_rows = read_pairs(spark, state_dir).collect()
     got = {(r["doc_a"], r["doc_b"]): r["jaccard_sim"] for r in got_rows}
     assert len(got) == len(got_rows), "a pair was emitted twice"
     want = {
@@ -68,8 +74,8 @@ def test_streamed_pairs_equal_full_batch_build(spark, drained):
 def test_pairs_found_at_later_members_batch(spark, drained):
     """Each pair's batch_id is the arrival batch of its LATER member
     under the doc_id%N chunking (batches arrive in chunk order)."""
-    docs, _, pairs_dir = drained
-    rows = spark.read.parquet(pairs_dir).collect()
+    docs, state_dir = drained
+    rows = read_pairs(spark, state_dir).collect()
     order = {}  # doc_id -> chunk index
     for r in docs.select("doc_id").collect():
         order[r["doc_id"]] = r["doc_id"] % N_CHUNKS
@@ -80,22 +86,48 @@ def test_pairs_found_at_later_members_batch(spark, drained):
 def test_standing_index_matches_batch_band_build(spark, drained):
     from etfconstituentextractor_spark.plans.llm_dedup import _shingle_and_bands
 
-    docs, index_dir, _ = drained
+    docs, state_dir = drained
     _, bands = _shingle_and_bands(docs)
     want = {(r["doc_id"], r["band"], r["sig"]) for r in bands.collect()}
     got = {
         (r["doc_id"], r["band"], r["sig"])
-        for r in spark.read.parquet(f"{index_dir}/bands").collect()
+        for r in read_bands(spark, state_dir).collect()
     }
     assert got == want
+
+
+def test_one_commit_per_batch_layout(spark, drained):
+    """The round-9 fold: each batch commits exactly one parquet file
+    per kind under its own ingest_batch=N/kind=... directory (one
+    write job, three partition dirs), and _SUCCESS markers sit at the
+    batch level — not three independent job commits."""
+    import glob
+    import os
+
+    _, state_dir = drained
+    batch_dirs = sorted(glob.glob(f"{state_dir}/ingest_batch=*"))
+    assert len(batch_dirs) == N_CHUNKS
+    for b in batch_dirs:
+        kinds = sorted(
+            e.name for e in os.scandir(b) if e.name.startswith("kind=")
+        )
+        # pairs kind may be absent for a batch that introduced none —
+        # but bands+shingles always land, and batch 0 has no pairs dir
+        # only if the first chunk contains no intra-chunk near-dups
+        assert "kind=bands" in kinds and "kind=shingles" in kinds
+        for k in kinds:
+            files = glob.glob(f"{b}/{k}/part-*.parquet")
+            assert len(files) == 1, (b, k, files)
+        # ONE job commit per batch: a single _SUCCESS at the batch root
+        assert os.path.exists(f"{b}/_SUCCESS")
 
 
 def test_batch_retry_is_idempotent(spark, sf_dir, tmp_path):
     """foreachBatch may re-run a batch after a crash: re-invoking the
     handler with the same (batch_df, batch_id) must leave pairs and
-    index state EXACTLY as a single run would — per-batch overwrite
-    subdirectories, with the re-delivery anti-join dropping docs whose
-    shingles already committed."""
+    index state EXACTLY as a single run would — the batch derives
+    only from ingest_batch < batch_id, so the retry recomputes the
+    identical output and statically overwrites its own directory."""
     from etfconstituentextractor_spark.streaming.dedup_index import (
         lsh_index_batch_handler,
     )
@@ -103,17 +135,41 @@ def test_batch_retry_is_idempotent(spark, sf_dir, tmp_path):
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     b0 = docs.filter(F.col("doc_id") % 2 == 0)
     b1 = docs.filter(F.col("doc_id") % 2 == 1)
-    index_dir, pairs_dir = str(tmp_path / "idx"), str(tmp_path / "pairs")
-    handle = lsh_index_batch_handler(index_dir, pairs_dir)
+    state_dir = str(tmp_path / "state")
+    handle = lsh_index_batch_handler(state_dir)
     handle(b0, 0)
     handle(b0, 0)  # crash-retry of the SAME batch
     handle(b1, 1)
     handle(b1, 1)
 
-    got_rows = spark.read.parquet(pairs_dir).collect()
+    got_rows = read_pairs(spark, state_dir).collect()
     got = {(r["doc_a"], r["doc_b"]) for r in got_rows}
     assert len(got) == len(got_rows), "retry doubled a pair"
     want = {(r["doc_a"], r["doc_b"]) for r in lsh_pairs(docs).collect()}
     assert got == want
-    bands = spark.read.parquet(f"{index_dir}/bands").collect()
+    bands = read_bands(spark, state_dir).collect()
+    assert len({(r["doc_id"], r["band"]) for r in bands}) == len(bands)
+
+
+def test_redelivery_under_new_batch_id_is_dropped(spark, sf_dir, tmp_path):
+    """An at-least-once source may re-deliver committed docs under a
+    NEW batch_id: the anti-join against earlier batches' shingles must
+    drop them (no doubled index rows, no duplicate pairs), and the
+    empty remainder must NOT truncate anything."""
+    from etfconstituentextractor_spark.streaming.dedup_index import (
+        lsh_index_batch_handler,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    state_dir = str(tmp_path / "state")
+    handle = lsh_index_batch_handler(state_dir)
+    handle(b0, 0)
+    before = {(r["doc_a"], r["doc_b"]) for r in read_pairs(spark, state_dir).collect()}
+    handle(b0, 1)  # full re-delivery as a new batch
+    after_rows = read_pairs(spark, state_dir).collect()
+    after = {(r["doc_a"], r["doc_b"]) for r in after_rows}
+    assert len(after) == len(after_rows), "re-delivery doubled a pair"
+    assert after == before
+    bands = read_bands(spark, state_dir).collect()
     assert len({(r["doc_id"], r["band"]) for r in bands}) == len(bands)
