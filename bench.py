@@ -91,11 +91,53 @@ _REF_CALIBRATION_SEC = 0.16
 _REF_CALIBRATION32_SEC = 0.395
 
 
+def _meminfo_kb(key: str) -> int | None:
+    """One field from /proc/meminfo (kB), or None off-Linux."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith(key + ":"):
+                    return int(line.split()[1])
+    except OSError:
+        pass
+    return None
+
+
+def _settle() -> dict:
+    """Pre-run settle step (round-8 postmortem, SURVEY §6): two
+    back-to-back benches read +8-15% apart from dirty-page writeback
+    that NEITHER probe sees — the pages belong to the previous run.
+    sync() forces the writeback now (outside the timed region), then
+    wait $SPARK_GRAFT_SETTLE_SEC (default 0 — the driver's cadence
+    usually provides idle time; set 300 for a by-the-book quiet run).
+    The Dirty/Writeback readouts land in the bench JSON so a reader
+    can see whether the run STARTED settled, instead of inferring it
+    from probe entrails afterwards."""
+    before_dirty = _meminfo_kb("Dirty")
+    t0 = time.perf_counter()
+    if hasattr(os, "sync"):
+        os.sync()
+    idle = float(os.environ.get("SPARK_GRAFT_SETTLE_SEC", "0"))
+    if idle > 0:
+        time.sleep(idle)
+    return {
+        "settle_dirty_kb_before": before_dirty,
+        "settle_dirty_kb_after": _meminfo_kb("Dirty"),
+        "settle_writeback_kb": _meminfo_kb("Writeback"),
+        "settle_idle_sec": idle,
+        "settle_sync_sec": round(time.perf_counter() - t0 - idle, 3),
+        "settle_load1": round(os.getloadavg()[0], 2) if hasattr(os, "getloadavg") else None,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     load_catalog()
     names = [n for n in HEADLINE if n in QUERIES]
+
+    settle = _settle()
+    print(f"# settle: {settle}", file=sys.stderr)
 
     spark = get_session(app_name="etfce-bench")
     # Warm the JVM codegen paths and each table's parquet footer with a
@@ -187,13 +229,18 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     ratio = round(calibration / _REF_CALIBRATION_SEC, 3)
     # The contention probe's quiet reference was measured on local[32];
-    # on a smaller --cpus session its 32 partitions run in waves and the
-    # ratio reads ~cores/32 slower regardless of host state. Emit the
-    # raw seconds always (auditable), but the ratio/normalized pair
-    # only where the reference applies.
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    # on a narrower session its 32 partitions run in waves and the
+    # ratio reads ~cores/32 slower regardless of host state. The wave
+    # behavior is governed by the SESSION's actual parallelism, not
+    # the host's core count (round-8 advice: an env/cpu_count gate
+    # mis-fires whenever the session master differs from the host) —
+    # gate on defaultParallelism. Emit the raw seconds always
+    # (auditable); the ratio/normalized pair only where the reference
+    # applies.
     ratio32 = (
-        round(calibration32 / _REF_CALIBRATION32_SEC, 3) if cpus == 32 else None
+        round(calibration32 / _REF_CALIBRATION32_SEC, 3)
+        if spark.sparkContext.defaultParallelism == 32
+        else None
     )
     print(
         json.dumps(
@@ -215,6 +262,7 @@ def main() -> None:
                 "value_normalized32": (
                     round(total / ratio32, 3) if ratio32 else None
                 ),
+                **settle,
             }
         )
     )

@@ -70,15 +70,47 @@ def psl_rules(spark: SparkSession, path: str | None = None) -> DataFrame:
     the ICANN and PRIVATE sections load (browser behavior — a private
     registry like a hosting platform's shared domain is exactly what
     crawl-side dedup keys must respect). Rules keep their ``*.`` and
-    ``!`` spellings; the consumer implements their semantics. ~14k
-    rules — driver-parsed, LocalRelation, broadcast-sized."""
+    ``!`` spellings; the consumer implements their semantics.
+
+    The list spells IDN rules in UNICODE (``公司.cn``), but crawl
+    hosts usually arrive in their DNS (punycode/ACE) form
+    (``xn--55qx5d.cn``) — matching by string equality alone would
+    silently drop every such rule for ACE hosts (round-8 advice). So
+    each non-ASCII rule ALSO emits its ACE twin, derived label-wise
+    as ``'xn--' + label.encode('punycode')`` — verified against the
+    punycode annotations the PSL file itself carries (e.g. its
+    comments name ``xn--p1ai``/``xn--55qx5d`` for the rules this
+    transform produces them from). Unicode-spelled hosts still match
+    the original rule; fully ASCII-normalizing unicode HOSTS (UTS46
+    mapping) is out of scope and documented as such — hosts are
+    expected pre-ACE (the DNS wire form) or raw-unicode-lowercase.
+    ~9.5k rules + ~0.5k twins — driver-parsed, LocalRelation,
+    broadcast-sized."""
+
+    def _ace(rule: str) -> str | None:
+        neg = rule.startswith("!")
+        body = rule[1:] if neg else rule
+        try:
+            labs = [
+                lab if lab.isascii() else "xn--" + lab.encode("punycode").decode("ascii")
+                for lab in body.split(".")
+            ]
+        except UnicodeError:  # pathological label: keep unicode form only
+            return None
+        return ("!" if neg else "") + ".".join(labs)
+
     rules = []
     with open(path or PSL_SNAPSHOT_PATH, encoding="utf-8") as f:
         for line in f:
             line = line.strip()
             if not line or line.startswith("//"):
                 continue
-            rules.append((line.split()[0],))
+            rule = line.split()[0]
+            rules.append((rule,))
+            if not rule.isascii():
+                ace = _ace(rule)
+                if ace is not None:
+                    rules.append((ace,))
     return spark.createDataFrame(rules, "suffix string")
 
 #: query parameters that never identify content (analytics/click IDs)

@@ -22,7 +22,7 @@ are integers scaled by powers of ten).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -103,10 +103,92 @@ def _filings(spark: SparkSession, sf_dir: str, seqs: int = 1) -> DataFrame:
 # strings. Failed filings surface as exactly one error row (R22 as
 # data, not prints). Oracle states the expected extraction directly
 # from customer/nation — hash-matched.
+#
+# Round 9: the 'warc' leg additionally carries the crawl-hygiene
+# stage every real pipeline runs FIRST — each filing's WARC capture
+# is written under a deliberately MESSY target URI (one of the
+# _URL_VARIANTS shapes below, chosen by nation), and the read-back
+# normalizes it with the REAL operators (operators/urls.py:
+# normalize_url, host_of, registrable_domain_from_table over the
+# committed Mozilla PSL snapshot). url_raw round-trips the WARC
+# header; url_norm and url_domain are the operator outputs; the
+# oracle states the EXPECTED strings per variant (the house fixture
+# pattern — the oracle never re-runs the algorithm). This closes the
+# round-8 verdict's last un-oracled LLM-pipeline family.
+# ---------------------------------------------------------------------------
+
+#: (raw_prefix, raw_suffix, expected_norm_prefix, expected_norm_suffix,
+#: expected_registrable_domain) — raw target URI = prefix || filing_id
+#: || suffix; variant = nationkey % len. Shapes cover: case folding,
+#: default/non-default ports, fragments, tracking-vs-kept query
+#: params, userinfo strip, FQDN trailing dot, trailing slash, PSL
+#: fallback (.test is unlisted), a compound literal rule (co.uk), an
+#: IPv6 literal, a wildcard rule (*.kawasaki.jp) and its exception
+#: (!city.kawasaki.jp).
+_URL_VARIANTS = [
+    ("https://www.filings.test/holdings/", "",
+     "https://www.filings.test/holdings/", "", "filings.test"),
+    ("HTTPS://WWW.Filings.TEST:443/holdings/", "#top",
+     "https://www.filings.test/holdings/", "", "filings.test"),
+    ("https://www.filings.test/holdings/", "?utm_source=feed&page=2&fbclid=xx",
+     "https://www.filings.test/holdings/", "?page=2", "filings.test"),
+    ("https://bot:pw@www.filings.test./holdings/", "",
+     "https://www.filings.test/holdings/", "", "filings.test"),
+    ("http://filings.test:80/holdings/", "/",
+     "http://filings.test/holdings/", "", "filings.test"),
+    ("https://archive.example.co.uk/holdings/", "",
+     "https://archive.example.co.uk/holdings/", "", "example.co.uk"),
+    ("https://[2001:db8::1]:8443/holdings/", "",
+     "https://[2001:db8::1]:8443/holdings/", "", "[2001:db8::1]"),
+    ("http://crawl.filings.test:8080/holdings/", "?a=1&utm_medium=x",
+     "http://crawl.filings.test:8080/holdings/", "?a=1", "filings.test"),
+    ("https://www.city.kawasaki.jp/holdings/", "",
+     "https://www.city.kawasaki.jp/holdings/", "", "city.kawasaki.jp"),
+    ("https://archive.foo.kawasaki.jp/holdings/", "",
+     "https://archive.foo.kawasaki.jp/holdings/", "", "archive.foo.kawasaki.jp"),
+]
+
+
+def _messy_url(fid: Column) -> Column:
+    """The variant-shaped raw target URI for a filing (variant =
+    nationkey % len; filing_id = nationkey*10 in q50's seqs=1 index)."""
+    v = F.pmod((fid / 10).cast("bigint"), F.lit(len(_URL_VARIANTS)))
+    out = None
+    for i, (rp, rs, *_rest) in enumerate(_URL_VARIANTS):
+        branch = F.concat(F.lit(rp), fid.cast("string"), F.lit(rs))
+        out = F.when(v == i, branch) if out is None else out.when(v == i, branch)
+    return out
+
+
+def _sql_url_expect() -> str:
+    """Oracle CTE: per-filing expected (url_raw, url_norm,
+    url_domain) — raw restates the construction, norm/domain state
+    the EXPECTED operator outputs per variant."""
+    raw = " ".join(
+        f"WHEN {i} THEN '{rp}' || filing_id || '{rs}'"
+        for i, (rp, rs, *_r) in enumerate(_URL_VARIANTS)
+    )
+    norm = " ".join(
+        f"WHEN {i} THEN '{np}' || filing_id || '{ns}'"
+        for i, (_rp, _rs, np, ns, _d) in enumerate(_URL_VARIANTS)
+    )
+    dom = " ".join(
+        f"WHEN {i} THEN '{d}'"
+        for i, (*_x, d) in enumerate(_URL_VARIANTS)
+    )
+    return f"""urlcols AS (
+      SELECT CAST(n_nationkey AS BIGINT) * 10 AS filing_id,
+             CASE n_nationkey % {len(_URL_VARIANTS)} {raw} END AS url_raw,
+             CASE n_nationkey % {len(_URL_VARIANTS)} {norm} END AS url_norm,
+             CASE n_nationkey % {len(_URL_VARIANTS)} {dom} END AS url_domain
+      FROM nation
+    )"""
+
+
 # ---------------------------------------------------------------------------
 @query(
     "q50_doc_extract_holdings",
-    oracle="""
+    oracle=f"""
     WITH base AS (
       SELECT CAST(n_nationkey AS BIGINT) * 10 AS filing_id,
              strftime(DATE '2024-03-31' + n_nationkey, '%Y-%m-%d') AS reporting_date,
@@ -125,10 +207,16 @@ def _filings(spark: SparkSession, sf_dir: str, seqs: int = 1) -> DataFrame:
       FROM nation
       WHERE n_nationkey % 7 = 3
         AND EXISTS (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey)
-    )
-    SELECT 'html' AS leg, * FROM base
+    ),
+    {_sql_url_expect()}
+    SELECT 'html' AS leg, base.*,
+           CAST(NULL AS VARCHAR) AS url_raw,
+           CAST(NULL AS VARCHAR) AS url_norm,
+           CAST(NULL AS VARCHAR) AS url_domain
+    FROM base
     UNION ALL
-    SELECT 'warc' AS leg, * FROM base
+    SELECT 'warc' AS leg, base.*, u.url_raw, u.url_norm, u.url_domain
+    FROM base JOIN urlcols u USING (filing_id)
     """,
 )
 def q50_doc_extract_holdings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,6 +231,12 @@ def q50_doc_extract_holdings(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    from etfconstituentextractor_spark.operators.urls import (
+        host_of,
+        normalize_url,
+        psl_rules,
+        registrable_domain_from_table,
+    )
     from etfconstituentextractor_spark.sources.warc import read_warc, write_warc
 
     def _extract(parsed: DataFrame, leg: str) -> DataFrame:
@@ -161,7 +255,12 @@ def q50_doc_extract_holdings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the index feeds two consumers (direct parse + WARC write);
     # checkpoint so the render's customer/nation scan runs once
     filings = _filings(spark, sf_dir, seqs=1).localCheckpoint()
-    html_leg = _extract(parse_filings(filings), "html")
+    html_leg = _extract(parse_filings(filings), "html").select(
+        "*",
+        F.lit(None).cast("string").alias("url_raw"),
+        F.lit(None).cast("string").alias("url_norm"),
+        F.lit(None).cast("string").alias("url_domain"),
+    )
 
     # keyed by the FULL sf_dir (distinct datasets with the same
     # basename must not collide) and the pid (write_warc deletes
@@ -180,23 +279,41 @@ def q50_doc_extract_holdings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     atexit.register(shutil.rmtree, out, ignore_errors=True)
     write_warc(
-        filings.select(
-            F.concat(F.lit("https://filings.test/"), F.col("filing_id")).alias("url"),
-            "html",
-        ),
+        filings.select(_messy_url(F.col("filing_id")).alias("url"), "html"),
         out,
         n_files=4,
     )
-    recovered = (
+    # ONE WARC scan serves both consumers: records carry the raw
+    # target URI alongside the payload, and the per-record crawl-
+    # hygiene columns (normalize_url / host_of / PSL registrable
+    # domain — all codegen + one broadcast of the rule table) ride
+    # that scan. The per-FILING url frame is then a projection of the
+    # parse input's lineage, not a second pass over the shards.
+    records = (
         read_warc(spark, os.path.join(out, "*.warc.gz"))
         .filter(F.col("warc_type") == "response")
         .select(
-            F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("bigint").alias("filing_id"),
+            # the path segment is variant-invariant: every raw shape
+            # keeps /holdings/<id> intact (suffixes start ?, #, or /)
+            F.regexp_extract("target_uri", r"/holdings/(\d+)", 1)
+            .cast("bigint")
+            .alias("filing_id"),
             F.lit(0).cast("int").alias("filing_seq"),
             F.col("payload").cast("string").alias("html"),
+            F.col("target_uri").alias("url_raw"),
         )
+        .withColumn("url_norm", normalize_url("url_raw"))
+        .withColumn("__host", host_of("url_raw"))
     )
-    warc_leg = _extract(parse_filings(recovered), "warc")
+    urlcols = registrable_domain_from_table(
+        records.select("filing_id", "url_raw", "url_norm", "__host"),
+        psl_rules(spark),
+        host_col="__host",
+        out_col="url_domain",
+    ).drop("__host")
+    warc_leg = _extract(
+        parse_filings(records.select("filing_id", "filing_seq", "html")), "warc"
+    ).join(F.broadcast(urlcols), "filing_id")
     return html_leg.unionByName(warc_leg)
 
 

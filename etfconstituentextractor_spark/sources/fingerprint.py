@@ -21,8 +21,16 @@ __all__ = ["table_fingerprint"]
 
 def table_fingerprint(sf_dir: str, table: str) -> str:
     """Identity string for ``<sf_dir>/<table>.parquet`` (single file
-    or directory-partitioned layout): per-file (name, size, mtime_ns),
-    order-stable. 'missing' if the table does not exist."""
+    or directory-partitioned layout): per-file (root-relative path,
+    size, mtime_ns), order-stable. 'missing' if the table does not
+    exist.
+
+    ROOT-RELATIVE path, not basename (round-8 advice): in a
+    partitioned layout, partition membership is part of the data —
+    a file moved between partition subdirectories with size+mtime
+    preserved (rsync -a reshuffle) changes every row's partition
+    column, and a basename-keyed fingerprint would keep serving the
+    stale derived caches built before the move."""
     p = os.path.join(sf_dir, f"{table}.parquet")
     if os.path.isfile(p):
         paths = [p]
@@ -33,5 +41,5 @@ def table_fingerprint(sf_dir: str, table: str) -> str:
     parts = []
     for f in paths:
         st = os.stat(f)
-        parts.append(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}")
+        parts.append(f"{os.path.relpath(f, p)}:{st.st_size}:{st.st_mtime_ns}")
     return ";".join(parts) or "missing"

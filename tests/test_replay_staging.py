@@ -53,6 +53,29 @@ def _corpus_stats(sf_dir: str):
         con.close()
 
 
+def test_fingerprint_sees_partition_moves(tmp_path):
+    """A file moved BETWEEN partition subdirectories with size+mtime
+    preserved (rsync -a reshuffle) changes every row's partition
+    column — the fingerprint must change (round-8 advice: basename
+    keying was blind to this)."""
+    import shutil
+
+    from etfconstituentextractor_spark.sources.fingerprint import table_fingerprint
+
+    root = tmp_path / "t.parquet"
+    (root / "lang=en").mkdir(parents=True)
+    (root / "lang=de").mkdir()
+    f = root / "lang=en" / "part-0.parquet"
+    f.write_bytes(b"x" * 64)
+    before = table_fingerprint(str(tmp_path), "t")
+    st = f.stat()
+    dst = root / "lang=de" / "part-0.parquet"
+    shutil.move(str(f), str(dst))
+    os.utime(dst, ns=(st.st_atime_ns, st.st_mtime_ns))  # mtime preserved
+    after = table_fingerprint(str(tmp_path), "t")
+    assert before != after
+
+
 def test_reuse_marker_invalidates_on_corpus_change(spark, sf_dir):
     chunks = stage_chunks(spark, sf_dir, tag="plain2", n_chunks=2, reuse=True)
     marker = os.path.join(chunks, "_STAGED_OK")

@@ -255,6 +255,36 @@ def test_registrable_domain_real_psl(spark):
     assert got == rows
 
 
+def test_registrable_domain_psl_ace_twins(spark):
+    """IDN rules match in BOTH spellings: the PSL writes 公司.cn in
+    unicode, but DNS-form hosts arrive as xn--55qx5d.cn — the loader
+    emits an ACE twin per non-ASCII rule (round-8 advice), so an ACE
+    host under a COMPOUND unicode rule keys by the rule, not the
+    last-two-labels fallback (the discriminating case: fallback would
+    yield 'xn--55qx5d.cn' — a public suffix — as the domain)."""
+    from etfconstituentextractor_spark.operators.urls import (
+        psl_rules,
+        registrable_domain_from_table,
+    )
+
+    rules = psl_rules(spark)
+    vals = {r.suffix for r in rules.collect()}
+    assert "公司.cn" in vals and "xn--55qx5d.cn" in vals
+    assert "рф" in vals and "xn--p1ai" in vals
+
+    rows = [
+        ("a.b.xn--55qx5d.cn", "b.xn--55qx5d.cn"),  # ACE compound rule
+        ("b.xn--55qx5d.cn", "b.xn--55qx5d.cn"),
+        ("a.b.公司.cn", "b.公司.cn"),               # unicode spelling still works
+        ("shop.example.xn--p1ai", "example.xn--p1ai"),
+        ("Shop.Example.XN--P1AI".lower(), "example.xn--p1ai"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], "host string")
+    out = registrable_domain_from_table(df, rules, host_col="host")
+    got = [(r.host, r.domain) for r in out.collect()]
+    assert got == rows
+
+
 def test_warc_canonicalize_blocklist_composition_real_psl(spark):
     """The crawl-ingest composition on the REAL rule table: WARC
     archive -> response rows -> normalize target URI -> registrable
