@@ -328,8 +328,13 @@ def test_q71_multitable_lsh_recall_and_scan_fraction(spark, sf_dir):
             reverse=True,
         )[:k]
         exact |= {(q, -c) for _, c in top}
+    # floor within ~25% of the worst measured value (round-8 verdict:
+    # the old 0.3 floor was half the worst measurement — a recall
+    # halving would have passed). Measured r9: 0.76 @sf0.001,
+    # 0.58 @sf0.01, 0.72 @sf0.1 (12x5); sf0.1 pinned separately in
+    # test_approx_quality_sf01.py.
     recall = len(approx & exact) / len(exact)
-    assert recall >= 0.3, recall  # measured 0.76 at sf0.001, 0.58 at sf0.01 (12x5)
+    assert recall >= 0.5, recall
 
     # scan fraction: candidates the bucket join actually surfaces —
     # derived through the SAME operators/ann.py bucket expression the
