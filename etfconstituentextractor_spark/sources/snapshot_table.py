@@ -33,13 +33,25 @@ solve harder: rename-without-overwrite is atomic on HDFS/local but
 only best-effort on some object stores — production systems use a
 catalog conditional-swap there; the protocol shape is identical.
 
+Round 9 adds the pruning half of the Iceberg shape: a commit can
+record per-file min/max COLUMN STATS in the manifest
+(``stats_cols=``), and ``snapshot_read(where=(col, op, value))``
+plans only the files whose stat range can satisfy the predicate —
+file skipping from metadata, before any scan task launches. Files or
+columns without stats are conservatively kept, and the predicate is
+ALSO applied to the returned frame, so pruning is a pure optimization
+that cannot change results.
+
 The honest scope line: one manifest per version (a real 100 TB table
-shards manifests and adds column stats for pruning), and append and
-overwrite commits only (no row-level MERGE — pair with
-operators/snapshot_diff.py to compute deltas and rewrite).
-``snapshot_vacuum`` is the retention sweep: expire old versions and
-remove unreferenced data dirs, manifests-first so a crash can only
-leave garbage, never break a readable version.
+shards manifests), stats are gathered by a post-write single-column
+aggregate over the fresh files (a production format lifts them from
+the task-level parquet footers the write already produced — same
+numbers, zero extra read), and append and overwrite commits only (no
+row-level MERGE — pair with operators/snapshot_diff.py to compute
+deltas and rewrite). ``snapshot_vacuum`` is the retention sweep:
+expire old versions and remove unreferenced data dirs,
+manifests-first so a crash can only leave garbage, never break a
+readable version.
 """
 
 from __future__ import annotations
@@ -105,7 +117,21 @@ def snapshot_versions(spark: SparkSession, path: str) -> list[dict]:
     ]
 
 
-def snapshot_commit(df: DataFrame, path: str, mode: str = "append") -> int:
+def _stat_val(v):
+    """JSON-safe stat value: primitives pass through, everything else
+    (dates, decimals) serializes as its string form — comparisons then
+    happen in that string domain, which is why ``stats_cols`` should
+    be numeric or string columns (ISO dates compare correctly as
+    strings; arbitrary types may not)."""
+    return v if isinstance(v, (int, float, str, bool)) or v is None else str(v)
+
+
+def snapshot_commit(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    stats_cols: list[str] | None = None,
+) -> int:
     """Write ``df`` as the table's next version; returns the version.
 
     mode='append' extends the parent version's file list; 'overwrite'
@@ -114,7 +140,14 @@ def snapshot_commit(df: DataFrame, path: str, mode: str = "append") -> int:
     the same version first: data files are already written (orphaned,
     harmless), so the retry is cheap only in metadata — callers that
     expect contention should re-derive against the new latest before
-    retrying, which is the table-format contract too."""
+    retrying, which is the table-format contract too.
+
+    ``stats_cols`` records per-file [min, max] for those columns in
+    the manifest (the Iceberg pruning shape): one column-pruned
+    aggregate over the fresh files, grouped by input_file_name — O(1)
+    rows per file to the driver. Appends merge the parent's stats, so
+    per-commit choices may differ; readers treat missing stats as
+    "keep the file"."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     spark = df.sparkSession
@@ -133,8 +166,29 @@ def snapshot_commit(df: DataFrame, path: str, mode: str = "append") -> int:
         for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(datadir))
         if st.getPath().getName().endswith(".parquet")
     ]
+    stats: dict[str, dict] = {}
+    if stats_cols:
+        from pyspark.sql import functions as F
+
+        aggs = []
+        for c in stats_cols:
+            aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+        per_file = (
+            spark.read.parquet(datadir)
+            .groupBy(F.input_file_name().alias("__f"))
+            .agg(*aggs)
+            .collect()
+        )
+        for r in per_file:
+            rel = posixpath.join(reldir, posixpath.basename(r["__f"]))
+            stats[rel] = {
+                c: [_stat_val(r[f"__lo_{c}"]), _stat_val(r[f"__hi_{c}"])]
+                for c in stats_cols
+            }
     if mode == "append":
-        files = _read_manifest(fs, jvm, path, parent)["files"] + files
+        pm = _read_manifest(fs, jvm, path, parent)
+        files = pm["files"] + files
+        stats = {**pm.get("stats", {}), **stats}
 
     manifest = {
         "version": version,
@@ -142,6 +196,7 @@ def snapshot_commit(df: DataFrame, path: str, mode: str = "append") -> int:
         "parent": parent,
         "n_files": len(files),
         "files": sorted(files),
+        "stats": stats,
     }
     mdir = posixpath.join(path, "_manifests")
     tmp = jvm.org.apache.hadoop.fs.Path(
@@ -247,12 +302,36 @@ def snapshot_vacuum(
     }
 
 
+#: file-skip rules per predicate op: skip when the file's [lo, hi]
+#: range PROVES no row can satisfy `col <op> value`. None bounds
+#: (all-null file, or a stat type that didn't serialize) never skip.
+_PRUNE_SKIP = {
+    "=": lambda lo, hi, v: v < lo or v > hi,
+    ">=": lambda lo, hi, v: hi < v,
+    ">": lambda lo, hi, v: hi <= v,
+    "<=": lambda lo, hi, v: lo > v,
+    "<": lambda lo, hi, v: lo >= v,
+}
+
+
 def snapshot_read(
-    spark: SparkSession, path: str, version: int | None = None, merge_schema: bool = False
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    merge_schema: bool = False,
+    where: tuple | None = None,
 ) -> DataFrame:
     """The table at ``version`` (default: latest) — exactly that
     manifest's files, immune to concurrent commits and uncommitted
-    writer garbage in the directory."""
+    writer garbage in the directory.
+
+    ``where=(col, op, value)`` (op in =, >=, >, <=, <) prunes the
+    PLANNED FILE LIST by the manifest's column stats before Spark
+    sees a path — the metadata-skip a real table format does — and
+    ALSO applies the same predicate as a filter on the returned
+    frame, so files without stats (older commits, uncovered columns)
+    stay correct and pruning can never change results, only skip I/O.
+    Inspect ``df.inputFiles()`` to see the effect."""
     fs, _, jvm = _fs_path(spark, path)
     if version is None:
         versions = _list_versions(fs, jvm, path)
@@ -260,7 +339,39 @@ def snapshot_read(
             raise FileNotFoundError(f"{path} has no committed versions")
         version = versions[-1]
     m = _read_manifest(fs, jvm, path, version)
+    files = m["files"]
+    if where is not None:
+        col, op, val = where
+        if op not in _PRUNE_SKIP:
+            raise ValueError(f"op must be one of {sorted(_PRUNE_SKIP)}, got {op!r}")
+        skip = _PRUNE_SKIP[op]
+        stats = m.get("stats", {})
+
+        def keep(f: str) -> bool:
+            st = stats.get(f, {}).get(col)
+            if not st or st[0] is None or st[1] is None:
+                return True  # no usable stats: conservatively keep
+            try:
+                return not skip(st[0], st[1], val)
+            except TypeError:  # stat/value domain mismatch: keep
+                return True
+
+        files = [f for f in files if keep(f)]
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*[posixpath.join(path, f) for f in m["files"]])
+    if not files:
+        # everything pruned: an empty frame with the table's schema
+        # (planned from one manifest file, zero rows read)
+        df = reader.parquet(posixpath.join(path, m["files"][0])).limit(0)
+    else:
+        df = reader.parquet(*[posixpath.join(path, f) for f in files])
+    if where is not None:
+        from pyspark.sql import functions as F
+
+        col, op, val = where
+        c = F.col(col)
+        df = df.filter(
+            {"=": c == val, ">=": c >= val, ">": c > val, "<=": c <= val, "<": c < val}[op]
+        )
+    return df

@@ -178,3 +178,61 @@ def test_schema_evolution_across_appends(spark, tmp_path):
     assert set(merged.columns) == {"id", "v", "score"}
     rows = {r.id: r for r in merged.collect()}
     assert rows[1].score is None and rows[2].score == 9.5
+
+
+def test_stats_pruning_plans_fewer_files(spark, tmp_path):
+    """Column-stats pruning (round-9): a commit with stats_cols
+    records per-file [min,max] in the manifest, and snapshot_read's
+    `where` plans ONLY the files whose range can satisfy the
+    predicate — verified via df.inputFiles() — while returning
+    exactly the rows a full-scan filter would."""
+    t = str(tmp_path / "tbl")
+    df = (
+        spark.range(0, 1000)
+        .select(F.col("id"), (F.col("id") % 7).alias("v"))
+        .repartitionByRange(8, "id")  # disjoint id ranges per file
+    )
+    snapshot_commit(df, t, mode="overwrite", stats_cols=["id"])
+
+    full = snapshot_read(spark, t)
+    assert len(full.inputFiles()) == 8
+
+    pr = snapshot_read(spark, t, where=("id", ">=", 900))
+    assert len(pr.inputFiles()) < 8
+    assert sorted(r.id for r in pr.collect()) == list(range(900, 1000))
+
+    eq = snapshot_read(spark, t, where=("id", "=", 123))
+    assert len(eq.inputFiles()) == 1
+    assert [r.id for r in eq.collect()] == [123]
+
+    # everything pruned: empty frame, correct schema, zero files read
+    none = snapshot_read(spark, t, where=("id", ">", 10_000))
+    assert none.count() == 0
+    assert none.columns == full.columns
+
+
+def test_stats_pruning_is_conservative_without_stats(spark, tmp_path):
+    """Files from commits WITHOUT stats (or columns never covered)
+    are kept and filtered in-plan — pruning can never change results,
+    appends merge parent stats, and a mistyped probe value degrades
+    to keep-everything rather than wrong answers."""
+    t = str(tmp_path / "tbl")
+    lo = spark.range(0, 100).select(F.col("id")).coalesce(1)
+    hi = spark.range(100, 200).select(F.col("id")).coalesce(1)
+    snapshot_commit(lo, t, mode="overwrite")                      # no stats
+    snapshot_commit(hi, t, mode="append", stats_cols=["id"])      # stats
+
+    pr = snapshot_read(spark, t, where=("id", "<", 50))
+    # the stats-covered hi file is provably empty for id<50 and is
+    # pruned; the stat-less lo file must survive
+    assert len(pr.inputFiles()) == 1
+    assert sorted(r.id for r in pr.collect()) == list(range(0, 50))
+
+    # uncovered column: no pruning, plain filter correctness
+    both = snapshot_read(spark, t, where=("id", ">=", 150))
+    assert sorted(r.id for r in both.collect()) == list(range(150, 200))
+
+    # domain-mismatched probe value: conservative keep + Spark's own
+    # cast semantics decide the filter
+    odd = snapshot_read(spark, t, where=("id", ">=", "150"))
+    assert sorted(int(r.id) for r in odd.collect()) == list(range(150, 200))
