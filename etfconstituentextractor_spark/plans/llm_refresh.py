@@ -150,6 +150,16 @@ _H = "md5(coalesce(text, chr(0) || 'null') || chr(31) || coalesce(lang, chr(0) |
       SELECT doc_id + {2 * _INSERT_SHIFT}, 'late ' || text, lang
       FROM documents WHERE doc_id % 23 = 0
     ) GROUP BY lang
+    UNION ALL
+    -- 'prune' leg: v2 filtered to doc_id >= 2*shift == exactly the
+    -- late append (the Spark side plans it via manifest column
+    -- stats; the result must equal the plain filtered aggregate)
+    SELECT 'prune', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(2 AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS BOOLEAN),
+           lang, COUNT(*), CAST(SUM(COALESCE(length('late ' || text), 0)) AS BIGINT)
+    FROM documents WHERE doc_id % 23 = 0
+    GROUP BY lang
     """,
 )
 def q86_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,7 +280,35 @@ def q86_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for v in (0, 1, 2)
     ]
-    out = diff.unionByName(hist).unionByName(mv)
+    # 'prune' leg (round 9): the SAME snapshot table read through the
+    # manifest's column stats — where=(doc_id >= 2*shift) proves every
+    # v0/v1 data file empty (their per-file doc_id max < 2*shift) and
+    # plans ONLY v2's appended late files; the oracle restates the
+    # late fixture directly, so the hash match is pruned-read ≡
+    # full-scan-filter. The file-skipping itself is pinned by
+    # tests/test_plans.py::test_q86_prune_leg_plans_fewer_files.
+    prune = (
+        snapshot_read(spark, tbl, 2, where=("doc_id", ">=", 2 * _INSERT_SHIFT))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce(F.length("text"), F.lit(0))).cast("bigint").alias("sum_chars"),
+        )
+        .select(
+            F.lit("prune").alias("leg"),
+            F.lit(None).cast("bigint").alias("doc_id"),
+            F.lit(None).cast("string").alias("old_hash"),
+            F.lit(None).cast("string").alias("new_hash"),
+            F.lit(None).cast("string").alias("change"),
+            F.lit(2).cast("int").alias("valid_from"),
+            F.lit(None).cast("int").alias("valid_to"),
+            F.lit(None).cast("boolean").alias("is_current"),
+            "lang",
+            "n_docs",
+            "sum_chars",
+        )
+    )
+    out = diff.unionByName(hist).unionByName(mv).unionByName(prune)
     for leg in tt_legs:
         out = out.unionByName(leg)
     return out
@@ -295,7 +333,7 @@ def _timetravel_table(spark, sf_dir, commits):
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     base = os.path.join(tempfile.gettempdir(), f"etfce_snaptable_{tag}")
     table = os.path.join(base, "table")
-    fp = {"documents": table_fingerprint(sf_dir, "documents"), "recipe": 2}
+    fp = {"documents": table_fingerprint(sf_dir, "documents"), "recipe": 3}
     marker = os.path.join(base, "_fingerprint.json")
     fresh = False
     if os.path.exists(marker):
@@ -326,7 +364,7 @@ def _timetravel_table(spark, sf_dir, commits):
         shutil.rmtree(base, ignore_errors=True)
         os.makedirs(base)
         for frame, mode in commits:
-            snapshot_commit(frame, table, mode=mode)
+            snapshot_commit(frame, table, mode=mode, stats_cols=["doc_id"])
         with open(marker, "w") as fh:
             _json.dump(fp, fh)
     return table

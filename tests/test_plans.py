@@ -632,8 +632,10 @@ def test_q86_snapshot_diff_shuffles_hashes_only(spark, sf_dir):
     # mv leg (round 7): the base aggregate + delta join + apply join,
     # all on (lang | doc_id, hash, one bigint) rows; timetravel legs
     # (round 8): one per-lang aggregate exchange per snapshot version
-    # (3), each over (lang, count, chars) rows only
-    assert 2 <= plan.count("Exchange") <= 12, plan[:1200]
+    # (3), each over (lang, count, chars) rows only; prune leg
+    # (round 9): one more per-lang aggregate exchange over the
+    # stats-pruned read — same narrow (lang, count, chars) shape
+    assert 2 <= plan.count("Exchange") <= 13, plan[:1200]
     for m in re.finditer(r"Exchange hashpartitioning[^\n]*", plan):
         assert "text#" not in m.group(0), m.group(0)
     hash_projects = re.findall(r"Project \[[^\n]*md5\(", plan)
@@ -789,3 +791,35 @@ def test_q44_rank_trio_adds_no_exchange(spark, sf_dir):
     ONE exchange for the whole query."""
     plan = _plan(spark, sf_dir, "q44_window_frames")
     assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+
+
+def test_q86_prune_leg_plans_fewer_files(spark, sf_dir):
+    """q86's 'prune' leg must actually SKIP files via the manifest's
+    doc_id stats: v0/v1 data files are provably empty for
+    doc_id >= 2*shift (hash-partitioned writes span the whole base
+    range, so their max < 2*shift), leaving only v2's appended late
+    files in the plan."""
+    from etfconstituentextractor_spark.plans.llm_refresh import (
+        _INSERT_SHIFT,
+        q86_snapshot_diff,
+    )
+    from etfconstituentextractor_spark.sources.snapshot_table import snapshot_read
+
+    # building the table is a side effect of the query (fingerprint-
+    # cached, so this is cheap when q86 already ran this session)
+    q86_snapshot_diff(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    import glob
+    import os
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    tbl = os.path.join(tempfile.gettempdir(), f"etfce_snaptable_{tag}", "table")
+    assert glob.glob(os.path.join(tbl, "_manifests", "*.json"))
+    full = snapshot_read(spark, tbl, 2)
+    pruned = snapshot_read(spark, tbl, 2, where=("doc_id", ">=", 2 * _INSERT_SHIFT))
+    assert len(pruned.inputFiles()) < len(full.inputFiles()), (
+        len(pruned.inputFiles()),
+        len(full.inputFiles()),
+    )
+    # and the pruned read is exactly the late slice
+    assert pruned.count() == full.filter(f"doc_id >= {2 * _INSERT_SHIFT}").count()
