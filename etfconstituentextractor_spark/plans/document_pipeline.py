@@ -283,12 +283,12 @@ def q50_doc_extract_holdings(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         n_files=4,
     )
-    # ONE WARC scan serves both consumers: records carry the raw
-    # target URI alongside the payload, and the per-record crawl-
-    # hygiene columns (normalize_url / host_of / PSL registrable
-    # domain — all codegen + one broadcast of the rule table) ride
-    # that scan. The per-FILING url frame is then a projection of the
-    # parse input's lineage, not a second pass over the shards.
+    # ONE WARC scan serves both consumers — made true by the
+    # localCheckpoint below (the filings discipline 20 lines up):
+    # without it the urlcols broadcast job and the parse job each
+    # re-read and re-gunzip every shard (round-9 review finding). The
+    # crawl-hygiene columns (normalize_url / host_of — pure codegen)
+    # ride the single scan.
     records = (
         read_warc(spark, os.path.join(out, "*.warc.gz"))
         .filter(F.col("warc_type") == "response")
@@ -304,6 +304,7 @@ def q50_doc_extract_holdings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("url_norm", normalize_url("url_raw"))
         .withColumn("__host", host_of("url_raw"))
+        .localCheckpoint()
     )
     urlcols = registrable_domain_from_table(
         records.select("filing_id", "url_raw", "url_norm", "__host"),

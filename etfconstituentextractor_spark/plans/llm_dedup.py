@@ -500,7 +500,11 @@ def _q62_stream_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_stream_dedup,
         stage_doc_chunks,
     )
-    from etfconstituentextractor_spark.streaming.replay import work_dir
+    from etfconstituentextractor_spark.streaming.replay import (
+        marker_ok,
+        work_dir,
+        write_marker,
+    )
 
     from etfconstituentextractor_spark.sources.fingerprint import table_fingerprint
 
@@ -513,12 +517,11 @@ def _q62_stream_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     for sub in ("state", "ckpt"):
         shutil.rmtree(os.path.join(root, sub), ignore_errors=True)
     src = os.path.join(root, "src")
-    marker = os.path.join(src, "_STAGED_OK")
     sig = (
         f"q62src|{_STREAM_SLICE_MOD}|{_STREAM_CHUNKS}|{sf_dir}|"
         f"{table_fingerprint(sf_dir, 'documents')}"
     )
-    if not (os.path.isfile(marker) and open(marker).read() == sig):
+    if not marker_ok(src, sig):
         shutil.rmtree(src, ignore_errors=True)
         d = (
             load(spark, sf_dir, "documents")
@@ -534,8 +537,7 @@ def _q62_stream_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pmod(F.floor(F.col("doc_id") / _STREAM_SLICE_MOD), _STREAM_CHUNKS),
         )
         # marker last: an interrupted staging has no marker, re-stages
-        with open(marker, "w") as fh:
-            fh.write(sig)
+        write_marker(src, sig)
     # foreachBatch runs with AQE DISABLED (streaming limitation), so
     # the handler's unhinted joins keep their static
     # shuffle-partition count; pin it low for the drain — per-batch

@@ -241,6 +241,12 @@ def _pqfp_codebook_cached(spark, sf_dir: str, fcand, train) -> DataFrame:
             "dsub": _PQFP_DSUB,
             "scale": _PQFP_SCALE,
             "nq": _N_QUERIES,
+            # bump on ANY pqfp_train algorithm change (the llm_refresh
+            # fp['recipe'] discipline): params + corpus identify the
+            # INPUT, not the training code — without this, a changed
+            # trainer would keep serving the old algorithm's codebook
+            # from /tmp and never execute (round-9 review finding)
+            "recipe": 1,
         },
         sort_keys=True,
     )

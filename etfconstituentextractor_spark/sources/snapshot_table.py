@@ -340,6 +340,11 @@ def snapshot_read(
         version = versions[-1]
     m = _read_manifest(fs, jvm, path, version)
     files = m["files"]
+    if not files:
+        # a zero-output-partition commit can list no files; surface it
+        # rather than letting spark.read.parquet() fail obscurely (or
+        # the pruning fallback index past an empty list)
+        raise FileNotFoundError(f"version {version} of {path} has no data files")
     if where is not None:
         col, op, val = where
         if op not in _PRUNE_SKIP:
@@ -361,9 +366,12 @@ def snapshot_read(
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
     if not files:
-        # everything pruned: an empty frame with the table's schema
-        # (planned from one manifest file, zero rows read)
-        df = reader.parquet(posixpath.join(path, m["files"][0])).limit(0)
+        # everything pruned: an empty frame with the table's FULL
+        # schema — planned from every manifest file (footer reads
+        # only, zero data rows), so merge_schema evolution survives;
+        # planning from just one file silently dropped later-added
+        # columns (round-9 review finding)
+        df = reader.parquet(*[posixpath.join(path, f) for f in m["files"]]).limit(0)
     else:
         df = reader.parquet(*[posixpath.join(path, f) for f in files])
     if where is not None:

@@ -93,6 +93,26 @@ def _write_chunk(df: DataFrame, base: str, idx: int, mtime: float) -> None:
     os.utime(dst, (mtime, mtime))
 
 
+
+def marker_ok(dir_: str, sig: str) -> bool:
+    """True iff ``dir_``'s reuse marker exists and matches ``sig`` —
+    ONE implementation of the staged-layout staleness check (the
+    round-4 postmortem's rule lives here and only here; q62's stream
+    staging and stage_chunks both call it)."""
+    try:
+        with open(os.path.join(dir_, "_STAGED_OK")) as fh:
+            return fh.read() == sig
+    except OSError:
+        return False
+
+
+def write_marker(dir_: str, sig: str) -> None:
+    """Publish ``dir_``'s reuse marker — written LAST by callers, so
+    an interrupted staging has no marker and re-stages."""
+    with open(os.path.join(dir_, "_STAGED_OK"), "w") as fh:
+        fh.write(sig)
+
+
 def stage_chunks(
     spark: SparkSession,
     sf_dir: str,
@@ -141,10 +161,8 @@ def stage_chunks(
     base = work_dir(sf_dir, tag)
     marker = os.path.join(base, "_STAGED_OK")
     sig = f"{tag}|{n_chunks}|{sf_dir}|{_corpus_fingerprint(sf_dir)}"
-    if reuse and extra_last_chunk is None and os.path.isfile(marker):
-        with open(marker) as fh:
-            if fh.read() == sig:
-                return base
+    if reuse and extra_last_chunk is None and marker_ok(base, sig):
+        return base
 
     if source is None and extra_last_chunk is not None:
         # data chunks == the shared plain layout: link, don't re-stage
@@ -182,15 +200,14 @@ def stage_chunks(
         _write_chunk(ev.filter(cond), build, i, t0 + i * 10)
     if not reuse:
         return base
-    with open(os.path.join(build, "_STAGED_OK"), "w") as fh:
-        fh.write(sig)
+    write_marker(build, sig)
     try:
         _clean(base)
         os.rename(build, base)
     except OSError:
         # lost the race: keep the winner's layout if its marker is
         # valid, else fall back to our scratch build
-        if os.path.isfile(marker) and open(marker).read() == sig:
+        if marker_ok(base, sig):
             _clean(build)
         else:
             return build
