@@ -236,3 +236,132 @@ def test_stats_pruning_is_conservative_without_stats(spark, tmp_path):
     # cast semantics decide the filter
     odd = snapshot_read(spark, t, where=("id", ">=", "150"))
     assert sorted(int(r.id) for r in odd.collect()) == list(range(150, 200))
+
+
+def test_merge_rewrites_only_touched_files(spark, tmp_path):
+    """Copy-on-write MERGE (round-9): rows replace by key, inserts
+    land, and — the contract worth the name — files whose key range
+    the stats prove untouched carry over BY RELPATH, never rewritten;
+    the exact membership probe also spares a stats-candidate file
+    whose rows don't actually hit a source key."""
+    import json
+
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_merge,
+    )
+
+    t = str(tmp_path / "tbl")
+    base = (
+        spark.range(0, 800)
+        .select(F.col("id"), (F.col("id") % 5).cast("string").alias("v"))
+        .repartitionByRange(8, "id")  # disjoint id ranges per file
+    )
+    snapshot_commit(base, t, mode="overwrite", stats_cols=["id"])
+    m0 = json.load(open(f"{t}/_manifests/v00000000.json"))
+    assert len(m0["files"]) == 8
+
+    # updates hit ids 700..749 (one range file) + insert 900..909
+    src = spark.range(700, 750).union(spark.range(900, 910)).select(
+        F.col("id"), F.lit("NEW").alias("v")
+    )
+    v1 = snapshot_merge(src, t, key="id", stats_cols=["id"])
+    m1 = json.load(open(f"{t}/_manifests/v{v1:08d}.json"))
+
+    carried = set(m0["files"]) & set(m1["files"])
+    rewritten = set(m0["files"]) - set(m1["files"])
+    assert len(rewritten) == 1, rewritten  # only the 700-799 range file
+    assert len(carried) == 7
+    # carried files keep their stats entries
+    for f in carried:
+        assert m1["stats"][f] == m0["stats"][f]
+
+    got = {r.id: r.v for r in snapshot_read(spark, t, v1).collect()}
+    want = {i: str(i % 5) for i in range(0, 800)}
+    want.update({i: "NEW" for i in range(700, 750)})
+    want.update({i: "NEW" for i in range(900, 910)})
+    assert got == want
+    # v0 still time-travels to the pre-merge state
+    assert {r.id: r.v for r in snapshot_read(spark, t, 0).collect()} == {
+        i: str(i % 5) for i in range(0, 800)
+    }
+
+
+def test_merge_exact_probe_spares_range_straddlers(spark, tmp_path):
+    """A file whose [min,max] straddles the source keys but contains
+    NONE of them must survive unrewritten — the exact key probe, not
+    just the stats range, decides the rewrite set."""
+    import json
+
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_merge,
+    )
+
+    t = str(tmp_path / "tbl")
+    evens = spark.range(0, 100).select((F.col("id") * 2).alias("id")).coalesce(1)
+    snapshot_commit(evens, t, mode="overwrite", stats_cols=["id"])
+    m0 = json.load(open(f"{t}/_manifests/v00000000.json"))
+
+    odds = spark.range(0, 10).select((F.col("id") * 2 + 1).alias("id"))
+    v1 = snapshot_merge(odds, t, key="id", stats_cols=["id"])
+    m1 = json.load(open(f"{t}/_manifests/v{v1:08d}.json"))
+    # the evens file range [0,198] straddles the odd keys but holds
+    # none: carried over, only the insert file is new
+    assert set(m0["files"]) <= set(m1["files"])
+    assert sorted(r.id for r in snapshot_read(spark, t, v1).collect()) == sorted(
+        list(range(0, 200, 2)) + list(range(1, 20, 2))
+    )
+
+
+def test_merge_matches_full_recompute_property(spark, tmp_path):
+    """MERGE == the relational spelling (target anti-join source keys,
+    union source), across a few deterministic shapes incl. duplicate
+    target keys (all replaced) and a full-overlap source."""
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_merge,
+    )
+
+    t = str(tmp_path / "tbl")
+    tgt = spark.createDataFrame(
+        [(i % 40, f"t{i}") for i in range(80)], "id bigint, v string"
+    ).repartition(4)
+    snapshot_commit(tgt, t, mode="overwrite", stats_cols=["id"])
+    src = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(20, 60)], "id bigint, v string"
+    )
+    v1 = snapshot_merge(src, t, key="id", stats_cols=["id"])
+    got = sorted(map(tuple, snapshot_read(spark, t, v1).collect()))
+    want = sorted(
+        map(
+            tuple,
+            tgt.join(src.select("id"), "id", "left_anti").unionByName(src).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_vacuum_after_merge_keeps_carried_files(spark, tmp_path):
+    """Vacuuming away the pre-merge version must not remove data dirs
+    the merged version still references (liveness is per-FILE-LIST
+    union, not version ancestry), and the merged table stays fully
+    readable afterwards."""
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_merge,
+        snapshot_vacuum,
+    )
+
+    t = str(tmp_path / "tbl")
+    base = (
+        spark.range(0, 400)
+        .select(F.col("id"), F.lit("old").alias("v"))
+        .repartitionByRange(4, "id")
+    )
+    snapshot_commit(base, t, mode="overwrite", stats_cols=["id"])
+    src = spark.range(0, 50).select(F.col("id"), F.lit("new").alias("v"))
+    v1 = snapshot_merge(src, t, key="id", stats_cols=["id"])
+    out = snapshot_vacuum(spark, t, keep_last=1)
+    assert out["surviving_versions"] == [v1]
+    got = {r.id: r.v for r in snapshot_read(spark, t).collect()}
+    want = {i: ("new" if i < 50 else "old") for i in range(400)}
+    assert got == want
+    with pytest.raises(FileNotFoundError):
+        snapshot_read(spark, t, 0)
