@@ -139,6 +139,7 @@ def snapshot_commit(
     path: str,
     mode: str = "append",
     stats_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Write ``df`` as the table's next version; returns the version.
 
@@ -155,7 +156,16 @@ def snapshot_commit(
     aggregate over the fresh files, grouped by input_file_name — O(1)
     rows per file to the driver. Appends merge the parent's stats, so
     per-commit choices may differ; readers treat missing stats as
-    "keep the file"."""
+    "keep the file".
+
+    ``partition_by`` writes hive-style value directories inside the
+    version's data dir and records the spec in the manifest; readers
+    reconstruct the columns via basePath and PRUNE files by the
+    partition values already encoded in the manifest's relpaths (no
+    extra metadata). The spec is per-TABLE: appends must repeat the
+    parent's spec (mixed layouts would poison partition discovery),
+    enforced here. Partition values should be simple scalars — hive
+    path escaping is not round-tripped for exotic strings."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     spark = df.sparkSession
@@ -166,7 +176,17 @@ def snapshot_commit(
     if mode == "append" and parent is None:
         mode = "overwrite"  # first commit of a table is a plain write
 
-    files, stats = _write_data(df, path, version, stats_cols)
+    pby = list(partition_by or [])
+    if mode == "append":
+        parent_pby = _read_manifest(fs, jvm, path, parent).get("partition_by", [])
+        if pby != parent_pby:
+            raise ValueError(
+                f"append partition_by {pby} != table spec {parent_pby}"
+            )
+    ptypes = {
+        f.name: f.dataType.simpleString() for f in df.schema.fields if f.name in pby
+    }
+    files, stats = _write_data(df, path, version, stats_cols, partition_by=pby)
     if mode == "append":
         pm = _read_manifest(fs, jvm, path, parent)
         files = pm["files"] + files
@@ -184,45 +204,69 @@ def snapshot_commit(
             "n_files": len(files),
             "files": sorted(files),
             "stats": stats,
+            "partition_by": pby,
+            "partition_types": ptypes,
         },
     )
     return version
 
 
 def _write_data(
-    df: DataFrame, path: str, version: int, stats_cols: list[str] | None
+    df: DataFrame,
+    path: str,
+    version: int,
+    stats_cols: list[str] | None,
+    partition_by: list[str] | None = None,
 ) -> tuple[list[str], dict]:
     """Write ``df`` into a fresh immutable data dir for ``version``;
-    returns (relative file list, per-file stats for ``stats_cols``)."""
+    returns (relative file list, per-file stats for ``stats_cols``).
+    With ``partition_by``, files land under hive-style value
+    directories (``lang=en/part-*.parquet``) INSIDE the version's data
+    dir — the partition values ride the relpaths the manifest already
+    stores, which is exactly what the reader's partition pruning
+    parses (no extra metadata)."""
     spark = df.sparkSession
     fs, _, jvm = _fs_path(spark, path)
     reldir = f"data/v{version:08d}-{uuid.uuid4().hex[:8]}"
     datadir = posixpath.join(path, reldir)
-    df.write.parquet(datadir)
-    files = [
-        posixpath.join(reldir, st.getPath().getName())
-        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(datadir))
-        if st.getPath().getName().endswith(".parquet")
-    ]
+    writer = df.write
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(datadir)
+    droot = jvm.org.apache.hadoop.fs.Path(datadir)
+    it = fs.listFiles(droot, True)  # recursive: partition subdirs too
+    files = []
+    prefix = fs.getFileStatus(droot).getPath().toUri().getPath()
+    while it.hasNext():
+        p = it.next().getPath()
+        if p.getName().endswith(".parquet"):
+            rel_in_dir = p.toUri().getPath()[len(prefix) :].lstrip("/")
+            files.append(posixpath.join(reldir, rel_in_dir))
     stats: dict[str, dict] = {}
     if stats_cols:
         from pyspark.sql import functions as F
 
+        # partition columns are directory-encoded, not in the data
+        # files — their pruning comes from the relpath, so stats only
+        # cover the remaining columns
+        data_stat_cols = [c for c in stats_cols if c not in (partition_by or [])]
         aggs = []
-        for c in stats_cols:
+        for c in data_stat_cols:
             aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
-        per_file = (
-            spark.read.parquet(datadir)
-            .groupBy(F.input_file_name().alias("__f"))
-            .agg(*aggs)
-            .collect()
-        )
-        for r in per_file:
-            rel = posixpath.join(reldir, posixpath.basename(r["__f"]))
-            stats[rel] = {
-                c: [_stat_val(r[f"__lo_{c}"]), _stat_val(r[f"__hi_{c}"])]
-                for c in stats_cols
-            }
+        if aggs:
+            per_file = (
+                spark.read.parquet(datadir)
+                .groupBy(F.input_file_name().alias("__f"))
+                .agg(*aggs)
+                .collect()
+            )
+            by_name = {posixpath.basename(f): f for f in files}
+            for r in per_file:
+                rel = by_name[posixpath.basename(r["__f"])]
+                stats[rel] = {
+                    c: [_stat_val(r[f"__lo_{c}"]), _stat_val(r[f"__hi_{c}"])]
+                    for c in data_stat_cols
+                }
     return files, stats
 
 
@@ -322,6 +366,8 @@ def snapshot_merge(
     version = parent + 1
     m = _read_manifest(fs, jvm, path, parent)
     stats = m.get("stats", {})
+    pby = m.get("partition_by") or []
+    ptypes = m.get("partition_types")
 
     # source keys: bounds for stat pruning + a broadcast frame for the
     # exact membership probe (keys only — never source payloads)
@@ -341,7 +387,7 @@ def snapshot_merge(
     touched: list[str] = []
     if cand:
         hits = (
-            spark.read.parquet(*[posixpath.join(path, f) for f in cand])
+            _read_files(spark, path, cand, pby, ptypes)
             .select(F.col(key).alias("__k"), F.input_file_name().alias("__f"))
             .join(F.broadcast(skeys), "__k")
             .select("__f")
@@ -353,13 +399,15 @@ def snapshot_merge(
 
     if touched:
         kept_rows = (
-            spark.read.parquet(*[posixpath.join(path, f) for f in touched])
+            _read_files(spark, path, touched, pby, ptypes)
             .join(F.broadcast(skeys), F.col(key) == F.col("__k"), "left_anti")
         )
         fresh_df = kept_rows.unionByName(source.select(*kept_rows.columns))
     else:
         fresh_df = source
-    new_files, new_stats = _write_data(fresh_df, path, version, stats_cols)
+    new_files, new_stats = _write_data(
+        fresh_df, path, version, stats_cols, partition_by=pby
+    )
 
     untouched = [f for f in m["files"] if f not in set(touched)]
     files = untouched + new_files
@@ -378,6 +426,8 @@ def snapshot_merge(
                 **{f: stats[f] for f in untouched if f in stats},
                 **new_stats,
             },
+            "partition_by": pby,
+            "partition_types": ptypes or {},
         },
     )
     return version
@@ -446,6 +496,67 @@ def snapshot_vacuum(
     }
 
 
+def _read_files(
+    spark: SparkSession,
+    path: str,
+    files: list[str],
+    pby: list[str],
+    ptypes: dict | None = None,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Plan exactly ``files``. Unpartitioned tables are one reader
+    call. Partitioned tables need one reader PER VERSION DATA DIR —
+    partition discovery walks up from each leaf collecting k=v
+    segments and stops at the first non-k=v segment, so a single
+    basePath cannot span two ``data/vN-uuid`` dirs (measured:
+    CONFLICTING_DIRECTORY_STRUCTURES) — unioned by name. Partition
+    VALUE type inference is disabled for the read and the manifest's
+    recorded ``partition_types`` are cast back instead: inference is
+    per-read (a dir holding only '1','2' infers int while a sibling
+    holding 'en' infers string), which would make the union's schema
+    depend on which files survived pruning."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    if not pby:
+        return reader.parquet(*[posixpath.join(path, f) for f in files])
+    by_dir: dict[str, list[str]] = defaultdict(list)
+    for f in files:
+        by_dir["/".join(f.split("/")[:2])].append(f)
+    conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    old = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "false")
+    try:
+        parts = [
+            reader.option("basePath", posixpath.join(path, d)).parquet(
+                *[posixpath.join(path, f) for f in fl]
+            )
+            for d, fl in sorted(by_dir.items())
+        ]
+    finally:
+        spark.conf.set(conf_key, old)
+    df = parts[0]
+    for q in parts[1:]:
+        df = df.unionByName(q, allowMissingColumns=merge_schema)
+    for c, t in (ptypes or {}).items():
+        if c in df.columns:
+            df = df.withColumn(c, F.col(c).cast(t))
+    return df
+
+
+def _partition_value(relpath: str, col: str) -> str | None:
+    """The hive-encoded value of ``col`` in a manifest relpath
+    (``data/v..-x/lang=en/part-...`` -> 'en'), or None if absent."""
+    for seg in relpath.split("/")[:-1]:
+        if seg.startswith(col + "="):
+            return seg[len(col) + 1 :]
+    return None
+
+
 #: file-skip rules per predicate op: skip when the file's [lo, hi]
 #: range PROVES no row can satisfy `col <op> value`. None bounds
 #: (all-null file, or a stat type that didn't serialize) never skip.
@@ -484,6 +595,7 @@ def snapshot_read(
         version = versions[-1]
     m = _read_manifest(fs, jvm, path, version)
     files = m["files"]
+    pby = m.get("partition_by") or []
     if not files:
         # a zero-output-partition commit can list no files; surface it
         # rather than letting spark.read.parquet() fail obscurely (or
@@ -491,12 +603,29 @@ def snapshot_read(
         raise FileNotFoundError(f"version {version} of {path} has no data files")
     if where is not None:
         col, op, val = where
+        if val is None:
+            raise ValueError("where value must not be None (use a filter for null semantics)")
         if op not in _PRUNE_SKIP:
             raise ValueError(f"op must be one of {sorted(_PRUNE_SKIP)}, got {op!r}")
         skip = _PRUNE_SKIP[op]
         stats = m.get("stats", {})
 
         def keep(f: str) -> bool:
+            if col in pby:
+                # partition pruning: the value is directory-encoded in
+                # the relpath the manifest already stores — parse and
+                # compare in the probe value's domain
+                pv = _partition_value(f, col)
+                if pv is None:
+                    return True  # segment missing: conservatively keep
+                if pv == "__HIVE_DEFAULT_PARTITION__":
+                    # null partition: no comparison predicate matches
+                    return False
+                try:
+                    typed = type(val)(pv)
+                    return not skip(typed, typed, val)
+                except (TypeError, ValueError):
+                    return True
             st = stats.get(f, {}).get(col)
             if not st or st[0] is None or st[1] is None:
                 return True  # no usable stats: conservatively keep
@@ -506,18 +635,16 @@ def snapshot_read(
                 return True
 
         files = [f for f in files if keep(f)]
-    reader = spark.read
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
+    ptypes = m.get("partition_types")
     if not files:
         # everything pruned: an empty frame with the table's FULL
         # schema — planned from every manifest file (footer reads
         # only, zero data rows), so merge_schema evolution survives;
         # planning from just one file silently dropped later-added
         # columns (round-9 review finding)
-        df = reader.parquet(*[posixpath.join(path, f) for f in m["files"]]).limit(0)
+        df = _read_files(spark, path, m["files"], pby, ptypes, merge_schema).limit(0)
     else:
-        df = reader.parquet(*[posixpath.join(path, f) for f in files])
+        df = _read_files(spark, path, files, pby, ptypes, merge_schema)
     if where is not None:
         from pyspark.sql import functions as F
 

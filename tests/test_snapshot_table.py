@@ -365,3 +365,82 @@ def test_vacuum_after_merge_keeps_carried_files(spark, tmp_path):
     assert got == want
     with pytest.raises(FileNotFoundError):
         snapshot_read(spark, t, 0)
+
+
+def test_partitioned_commits_prune_and_merge(spark, tmp_path):
+    """partition_by tables: files land under k=v dirs inside each
+    version dir, readers reconstruct the column via basePath,
+    equality `where` on the partition column prunes by the relpath
+    alone (no stats needed), appends must repeat the spec, and MERGE
+    preserves the layout (rewritten files land partitioned too)."""
+    import json
+
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_merge,
+    )
+
+    t = str(tmp_path / "tbl")
+    base = spark.range(0, 300).select(
+        "id", (F.col("id") % 3).cast("string").alias("lang")
+    )
+    snapshot_commit(base, t, mode="overwrite", stats_cols=["id"], partition_by=["lang"])
+    m0 = json.load(open(f"{t}/_manifests/v00000000.json"))
+    assert m0["partition_by"] == ["lang"]
+    assert all("/lang=" in f for f in m0["files"])
+    # stats exclude the directory-encoded column, cover the data one
+    assert all("lang" not in st for st in m0["stats"].values())
+    assert all("id" in st for st in m0["stats"].values())
+
+    full = snapshot_read(spark, t)
+    assert set(full.columns) == {"id", "lang"}
+    pr = snapshot_read(spark, t, where=("lang", "=", "1"))
+    assert len(pr.inputFiles()) < len(full.inputFiles())
+    assert all("lang=1" in f for f in pr.inputFiles())
+    assert sorted(r.id for r in pr.collect()) == [i for i in range(300) if i % 3 == 1]
+
+    with pytest.raises(ValueError):
+        snapshot_commit(base, t, mode="append")  # spec must repeat
+
+    src = spark.range(0, 30).select(
+        "id", F.lit("9").alias("lang")  # moves ids 0..29 to a new partition
+    )
+    v = snapshot_merge(src, t, key="id", stats_cols=["id"])
+    m1 = json.load(open(f"{t}/_manifests/v{v:08d}.json"))
+    assert m1["partition_by"] == ["lang"]
+    assert all("/lang=" in f for f in m1["files"])
+    got = {(r.id, r.lang) for r in snapshot_read(spark, t, v).collect()}
+    want = {(i, str(i % 3)) for i in range(30, 300)} | {(i, "9") for i in range(30)}
+    assert got == want
+
+
+def test_prune_equals_full_filter_property(spark, tmp_path):
+    """Hypothesis-style sweep (deterministic grid — the operators are
+    deterministic, so a grid beats sampling): for every op and a
+    spread of probe values, the stats-pruned read returns EXACTLY the
+    rows of the full-scan filter — on ranged files, hash-mixed files,
+    values off both ends, and between-file gaps."""
+    t = str(tmp_path / "tbl")
+    ranged = (
+        spark.range(0, 500)
+        .select("id", (F.col("id") * 7 % 100).alias("w"))
+        .repartitionByRange(5, "id")
+    )
+    snapshot_commit(ranged, t, mode="overwrite", stats_cols=["id", "w"])
+    # hash-mixed append: every file spans ~the full range (stats wide)
+    snapshot_commit(
+        spark.range(500, 700).select("id", (F.col("id") * 7 % 100).alias("w")),
+        t,
+        mode="append",
+        stats_cols=["id"],  # note: no 'w' stats on this commit
+    )
+    full = snapshot_read(spark, t)
+    for col in ("id", "w"):
+        for op in ("=", ">=", ">", "<=", "<"):
+            for val in (-5, 0, 123, 499, 500, 699, 10_000):
+                pr = snapshot_read(spark, t, where=(col, op, val))
+                ops = {"=": "==", ">=": ">=", ">": ">", "<=": "<=", "<": "<"}
+                want = sorted(
+                    map(tuple, full.filter(f"{col} {ops[op]} {val}").collect())
+                )
+                got = sorted(map(tuple, pr.collect()))
+                assert got == want, (col, op, val, len(got), len(want))
