@@ -60,6 +60,10 @@ PSL_SNAPSHOT_PATH = os.path.join(
 )
 PSL_SNAPSHOT_MD5 = "1742c1d36244c282c8296c0341ebf716"
 
+#: per-(session, path) cache of the checkpointed rule frame (see
+#: psl_rules); keyed by session id so a restarted session re-parses.
+_PSL_CACHE: dict = {}
+
 
 def psl_rules(spark: SparkSession, path: str | None = None) -> DataFrame:
     """The public-suffix list as a one-column ``suffix`` DataFrame —
@@ -99,6 +103,10 @@ def psl_rules(spark: SparkSession, path: str | None = None) -> DataFrame:
             return None
         return ("!" if neg else "") + ".".join(labs)
 
+    key = (spark.sparkContext.applicationId, path or PSL_SNAPSHOT_PATH)
+    cached = _PSL_CACHE.get(key)
+    if cached is not None:
+        return cached
     rules = []
     with open(path or PSL_SNAPSHOT_PATH, encoding="utf-8") as f:
         for line in f:
@@ -111,7 +119,14 @@ def psl_rules(spark: SparkSession, path: str | None = None) -> DataFrame:
                 ace = _ace(rule)
                 if ace is not None:
                     rules.append((ace,))
-    return spark.createDataFrame(rules, "suffix string")
+    # localCheckpoint + per-session cache: the ~10k-row LocalRelation
+    # otherwise re-serializes through analysis on EVERY consumer
+    # action (measured ~0.5s/call warm at q50; the checkpointed leaf
+    # makes repeat calls block reads). The module-level ref pins the
+    # blocks for the session — 10k tiny strings, deliberate.
+    df = spark.createDataFrame(rules, "suffix string").coalesce(1).localCheckpoint()
+    _PSL_CACHE[key] = df
+    return df
 
 #: query parameters that never identify content (analytics/click IDs)
 TRACKING_PARAMS = (
