@@ -123,7 +123,16 @@ def psl_rules(spark: SparkSession, path: str | None = None) -> DataFrame:
     # otherwise re-serializes through analysis on EVERY consumer
     # action (measured ~0.5s/call warm at q50; the checkpointed leaf
     # makes repeat calls block reads). The module-level ref pins the
-    # blocks for the session — 10k tiny strings, deliberate.
+    # blocks for the session — 10k tiny strings, deliberate. Known
+    # tradeoff on a real cluster: localCheckpoint blocks are
+    # unreplicated, so losing the holding executor makes the cached
+    # frame unrecomputable — a deployment with executor churn should
+    # publish the rule table as a tiny parquet instead (reliable
+    # storage); this cache optimizes the local/driver-resident case
+    # the bench measures. Bounded so session-restart loops can't
+    # accumulate stale entries.
+    if len(_PSL_CACHE) >= 8:
+        _PSL_CACHE.clear()
     df = spark.createDataFrame(rules, "suffix string").coalesce(1).localCheckpoint()
     _PSL_CACHE[key] = df
     return df

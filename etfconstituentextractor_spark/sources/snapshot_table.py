@@ -177,18 +177,25 @@ def snapshot_commit(
         mode = "overwrite"  # first commit of a table is a plain write
 
     pby = list(partition_by or [])
-    if mode == "append":
-        parent_pby = _read_manifest(fs, jvm, path, parent).get("partition_by", [])
+    ptypes = {
+        f.name: f.dataType.simpleString() for f in df.schema.fields if f.name in pby
+    }
+    pm = _read_manifest(fs, jvm, path, parent) if mode == "append" else None
+    if pm is not None:
+        parent_pby = pm.get("partition_by", [])
         if pby != parent_pby:
             raise ValueError(
                 f"append partition_by {pby} != table spec {parent_pby}"
             )
-    ptypes = {
-        f.name: f.dataType.simpleString() for f in df.schema.fields if f.name in pby
-    }
+        parent_types = pm.get("partition_types")
+        if parent_types and parent_types != ptypes:
+            # a dtype drift would silently change the cast applied to
+            # the parent's carried files (round-9 review finding)
+            raise ValueError(
+                f"append partition types {ptypes} != table spec {parent_types}"
+            )
     files, stats = _write_data(df, path, version, stats_cols, partition_by=pby)
-    if mode == "append":
-        pm = _read_manifest(fs, jvm, path, parent)
+    if pm is not None:
         files = pm["files"] + files
         stats = {**pm.get("stats", {}), **stats}
 
@@ -260,14 +267,31 @@ def _write_data(
                 .agg(*aggs)
                 .collect()
             )
-            by_name = {posixpath.basename(f): f for f in files}
+            # match by full relpath, NEVER basename: the dynamic-
+            # partition writer emits identically-named part files in
+            # every partition dir one task writes, so basenames
+            # collide within a commit and stats would land on the
+            # wrong file — a silent wrong-results pruner (round-9
+            # review finding)
             for r in per_file:
-                rel = by_name[posixpath.basename(r["__f"])]
+                rel = posixpath.join(reldir, _rel_suffix(r["__f"], prefix))
                 stats[rel] = {
                     c: [_stat_val(r[f"__lo_{c}"]), _stat_val(r[f"__hi_{c}"])]
                     for c in data_stat_cols
                 }
     return files, stats
+
+
+def _rel_suffix(file_uri: str, dir_path: str) -> str:
+    """The path of ``file_uri`` relative to the absolute directory
+    path ``dir_path`` (input_file_name returns a percent-encoded
+    URI)."""
+    from urllib.parse import unquote, urlparse
+
+    fp = unquote(urlparse(file_uri).path)
+    if not fp.startswith(dir_path):
+        raise ValueError(f"{file_uri} is not under {dir_path}")
+    return fp[len(dir_path) :].lstrip("/")
 
 
 def _publish(fs, jvm, path: str, version: int, manifest: dict) -> None:
@@ -370,13 +394,32 @@ def snapshot_merge(
     ptypes = m.get("partition_types")
 
     # source keys: bounds for stat pruning + a broadcast frame for the
-    # exact membership probe (keys only — never source payloads)
-    skeys = source.select(F.col(key).alias("__k")).distinct()
-    lo, hi = source.agg(F.min(key), F.max(key)).first()
+    # exact membership probe (keys only — never source payloads).
+    # Checkpointed: the key set feeds three consumers (bounds, probe,
+    # anti-join) and an expensive source plan would otherwise re-run
+    # per consumer (round-9 review finding).
+    skeys = source.select(F.col(key).alias("__k")).distinct().localCheckpoint()
+    lo, hi = skeys.agg(F.min("__k"), F.max("__k")).first()
 
     def _cand(f: str) -> bool:
+        if lo is None:
+            return True
+        if key in pby:
+            # the key value is directory-encoded: range-check the
+            # relpath's own value (stats never cover partition cols,
+            # so without this a partition-keyed merge scanned every
+            # file — round-9 review finding); the exact probe below
+            # still refines survivors
+            pv = _partition_value(f, key)
+            if pv is None or pv == "__HIVE_DEFAULT_PARTITION__":
+                return pv is None  # null partition never matches a key
+            try:
+                typed = _coerce_partition_value(pv, lo)
+                return lo <= typed <= hi
+            except (TypeError, ValueError):
+                return True
         st = stats.get(f, {}).get(key)
-        if not st or st[0] is None or st[1] is None or lo is None:
+        if not st or st[0] is None or st[1] is None:
             return True  # no usable stats: conservatively a candidate
         try:
             return not (st[1] < lo or st[0] > hi)
@@ -394,8 +437,14 @@ def snapshot_merge(
             .distinct()
             .collect()
         )
-        hit_names = {posixpath.basename(r["__f"]) for r in hits}
-        touched = [f for f in cand if posixpath.basename(f) in hit_names]
+        # match by relpath suffix, never basename (sibling partition
+        # dirs share part-file names — round-9 review finding)
+        from urllib.parse import unquote, urlparse
+
+        hit_paths = {unquote(urlparse(r["__f"]).path) for r in hits}
+        touched = [
+            f for f in cand if any(hp.endswith("/" + f) for hp in hit_paths)
+        ]
 
     if touched:
         kept_rows = (
@@ -470,10 +519,15 @@ def snapshot_vacuum(
             False,
         )
     survivors = [v for v in versions if v not in expired]
+    # liveness at VERSION-DIR granularity: a partitioned relpath is
+    # data/vN-uuid/k=v/file, so dirname() would produce the k=v level
+    # and never match the top-level sweep below — which deleted LIVE
+    # partitioned versions (round-9 review finding). Key on the first
+    # two segments (data/vN-uuid) instead.
     live_dirs = set()
     for v in survivors:
         for f in _read_manifest(fs, jvm, path, v)["files"]:
-            live_dirs.add(posixpath.dirname(f))
+            live_dirs.add("/".join(f.split("/")[:2]))
     ddir = jvm.org.apache.hadoop.fs.Path(posixpath.join(path, "data"))
     removed = 0
     if fs.exists(ddir):
@@ -546,6 +600,19 @@ def _read_files(
         if c in df.columns:
             df = df.withColumn(c, F.col(c).cast(t))
     return df
+
+
+def _coerce_partition_value(pv: str, like):
+    """Coerce a hive-encoded partition value into the domain of
+    ``like``. bool FIRST: bool('false') is True (round-9 review
+    finding — the False partition was wrongly pruned), and bool is an
+    int subclass so isinstance order matters."""
+    if isinstance(like, bool):
+        low = pv.lower()
+        if low in ("true", "false"):
+            return low == "true"
+        raise ValueError(pv)
+    return type(like)(pv)
 
 
 def _partition_value(relpath: str, col: str) -> str | None:
@@ -622,7 +689,7 @@ def snapshot_read(
                     # null partition: no comparison predicate matches
                     return False
                 try:
-                    typed = type(val)(pv)
+                    typed = _coerce_partition_value(pv, val)
                     return not skip(typed, typed, val)
                 except (TypeError, ValueError):
                     return True

@@ -444,3 +444,93 @@ def test_prune_equals_full_filter_property(spark, tmp_path):
                 )
                 got = sorted(map(tuple, pr.collect()))
                 assert got == want, (col, op, val, len(got), len(want))
+
+
+def test_vacuum_keeps_live_partitioned_versions(spark, tmp_path):
+    """Round-9 review regression: liveness must key on the top-level
+    version dir — partitioned relpaths have k=v segments between it
+    and the file, and dirname()-keyed liveness deleted LIVE
+    partitioned versions on any vacuum."""
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_vacuum,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 60).select("id", (F.col("id") % 2).cast("string").alias("p"))
+    snapshot_commit(df, t, mode="overwrite", partition_by=["p"])
+    out = snapshot_vacuum(spark, t)  # expires nothing; sweeps orphans
+    assert out["removed_dirs"] == 0
+    assert snapshot_read(spark, t).count() == 60
+
+
+def test_bool_partition_pruning(spark, tmp_path):
+    """Round-9 review regression: bool('false') is True — the False
+    partition must NOT be pruned away when probed with where=(...,
+    '=', False)."""
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 40).select("id", (F.col("id") % 2 == 0).alias("flag"))
+    snapshot_commit(df, t, mode="overwrite", partition_by=["flag"])
+    got = sorted(
+        r.id for r in snapshot_read(spark, t, where=("flag", "=", False)).collect()
+    )
+    assert got == [i for i in range(40) if i % 2 == 1]
+    # and the True probe prunes to the flag=true files only
+    pr = snapshot_read(spark, t, where=("flag", "=", True))
+    assert all("flag=true" in f for f in pr.inputFiles())
+
+
+def test_stats_survive_basename_collisions(spark, tmp_path):
+    """Round-9 review regression: one task writing several partition
+    dirs emits identically-named part files — stats must key on the
+    full relpath, or one file's range lands on its sibling and the
+    pruner silently drops real rows."""
+    import json
+
+    t = str(tmp_path / "tbl")
+    # coalesce(1): ONE task writes both partition dirs -> same part
+    # basename in each
+    df = (
+        spark.range(0, 100)
+        .select("id", F.when(F.col("id") < 50, "a").otherwise("b").alias("p"))
+        .coalesce(1)
+    )
+    snapshot_commit(df, t, mode="overwrite", stats_cols=["id"], partition_by=["p"])
+    m = json.load(open(f"{t}/_manifests/v00000000.json"))
+    import posixpath
+
+    names = [posixpath.basename(f) for f in m["files"]]
+    assert len(set(names)) < len(names), "fixture must collide basenames"
+    by_part = {f.split("/")[2]: m["stats"][f]["id"] for f in m["files"]}
+    assert by_part["p=a"] == [0, 49]
+    assert by_part["p=b"] == [50, 99]
+    # the pruner that would have broken: id >= 60 must return 60..99
+    got = sorted(r.id for r in snapshot_read(spark, t, where=("id", ">=", 60)).collect())
+    assert got == list(range(60, 100))
+
+
+def test_merge_on_partition_key_prunes_candidates(spark, tmp_path):
+    """Round-9 review: merging ON the partition column must prune
+    candidates by the relpath value (stats never cover partition
+    cols), and only the matched partition's files rewrite."""
+    import json
+
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_merge,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 90).select(
+        (F.col("id") % 3).alias("lang"), F.col("id").alias("payload")
+    )
+    snapshot_commit(df, t, mode="overwrite", partition_by=["lang"])
+    m0 = json.load(open(f"{t}/_manifests/v00000000.json"))
+    src = spark.createDataFrame([(1, -1)], "lang bigint, payload bigint")
+    v = snapshot_merge(src, t, key="lang")
+    m1 = json.load(open(f"{t}/_manifests/v{v:08d}.json"))
+    carried = set(m0["files"]) & set(m1["files"])
+    # every lang=0 and lang=2 file carried; every lang=1 file rewritten
+    assert all("lang=1" not in f for f in carried)
+    assert {f for f in m0["files"] if "lang=1" not in f} <= carried
+    got = {(r.lang, r.payload) for r in snapshot_read(spark, t, v).collect()}
+    want = {(i % 3, i) for i in range(90) if i % 3 != 1} | {(1, -1)}
+    assert got == want
