@@ -55,7 +55,10 @@ aggregate over the fresh files (a production format lifts them from
 the task-level parquet footers the write already produced — same
 numbers, zero extra read), merge is upsert-only (no delete clause —
 express deletes as an overwrite of the filtered table), and there is
-no merge-on-read path. ``snapshot_vacuum`` is the retention sweep:
+no merge-on-read path. ``snapshot_compact`` consolidates small
+files as just another versioned commit — the reader-safe answer to
+the small-file problem operators/compaction.py refuses to touch near
+manifests. ``snapshot_vacuum`` is the retention sweep:
 expire old versions and remove unreferenced data dirs,
 manifests-first so a crash can only leave garbage, never break a
 readable version.
@@ -73,6 +76,7 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = [
     "ConcurrentCommitError",
     "snapshot_commit",
+    "snapshot_compact",
     "snapshot_merge",
     "snapshot_read",
     "snapshot_versions",
@@ -473,6 +477,89 @@ def snapshot_merge(
             "files": sorted(files),
             "stats": {
                 **{f: stats[f] for f in untouched if f in stats},
+                **new_stats,
+            },
+            "partition_by": pby,
+            "partition_types": ptypes or {},
+        },
+    )
+    return version
+
+
+def snapshot_compact(
+    spark: SparkSession,
+    path: str,
+    small_bytes: int = 32 << 20,
+    target_rows_per_file: int | None = None,
+) -> int | None:
+    """Rewrite the latest version's SMALL files (< ``small_bytes``)
+    into consolidated ones, committed as a new version (op='compact');
+    files already at size carry over by relpath. Returns the new
+    version, or None when fewer than two small files exist (nothing
+    to consolidate). This is the reader-safe answer to the small-file
+    problem operators/compaction.py refuses to touch near manifests:
+    under the snapshot protocol, compaction is just another commit —
+    concurrent readers keep planning from whatever manifest they
+    resolved, and the swap is the same atomic claim every commit uses
+    (a racing writer surfaces as ConcurrentCommitError, never a
+    half-compacted table).
+
+    Stat discipline continues automatically: the columns the parent's
+    manifest carries stats for are re-gathered on the rewritten files
+    (partition columns excluded as always). Partitioned tables
+    repartition the small-file rows by the partition spec so the
+    rewrite emits ~one file per partition value rather than
+    n_tasks × n_values. ``target_rows_per_file`` caps rows per output
+    file for unpartitioned tables (default: one output file)."""
+    fs, _, jvm = _fs_path(spark, path)
+    versions = _list_versions(fs, jvm, path)
+    if not versions:
+        raise FileNotFoundError(f"{path} has no committed versions to compact")
+    parent = versions[-1]
+    version = parent + 1
+    m = _read_manifest(fs, jvm, path, parent)
+    pby = m.get("partition_by") or []
+    ptypes = m.get("partition_types")
+    sizes = {
+        f: fs.getFileStatus(
+            jvm.org.apache.hadoop.fs.Path(posixpath.join(path, f))
+        ).getLen()
+        for f in m["files"]
+    }
+    small = [f for f in m["files"] if sizes[f] < small_bytes]
+    if len(small) < 2:
+        return None
+    big = [f for f in m["files"] if f not in set(small)]
+    df = _read_files(spark, path, small, pby, ptypes)
+    if pby:
+        df = df.repartition(*pby)
+    elif target_rows_per_file:
+        import math
+
+        n_rows = df.count()
+        df = df.repartition(max(1, math.ceil(n_rows / target_rows_per_file)))
+    else:
+        df = df.coalesce(1)
+    # continue the parent's stat discipline on the rewritten files
+    stats_cols = sorted({c for st in m.get("stats", {}).values() for c in st})
+    new_files, new_stats = _write_data(
+        df, path, version, stats_cols or None, partition_by=pby
+    )
+    files = big + new_files
+    old_stats = m.get("stats", {})
+    _publish(
+        fs,
+        jvm,
+        path,
+        version,
+        {
+            "version": version,
+            "op": "compact",
+            "parent": parent,
+            "n_files": len(files),
+            "files": sorted(files),
+            "stats": {
+                **{f: old_stats[f] for f in big if f in old_stats},
                 **new_stats,
             },
             "partition_by": pby,

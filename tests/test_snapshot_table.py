@@ -534,3 +534,72 @@ def test_merge_on_partition_key_prunes_candidates(spark, tmp_path):
     got = {(r.lang, r.payload) for r in snapshot_read(spark, t, v).collect()}
     want = {(i % 3, i) for i in range(90) if i % 3 != 1} | {(1, -1)}
     assert got == want
+
+
+def test_compact_consolidates_small_files_only(spark, tmp_path):
+    """snapshot_compact: small files rewrite into one, at-size files
+    carry by relpath, stats continue on the rewritten file, rows and
+    time travel are untouched, and vacuum can then drop the
+    pre-compaction version's exclusive dirs."""
+    import json
+
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_compact,
+        snapshot_vacuum,
+    )
+
+    t = str(tmp_path / "tbl")
+    # 6 tiny files + appends: all well under the small threshold
+    snapshot_commit(
+        spark.range(0, 600).select("id").repartition(6),
+        t,
+        mode="overwrite",
+        stats_cols=["id"],
+    )
+    snapshot_commit(
+        spark.range(600, 700).select("id").coalesce(1),
+        t,
+        mode="append",
+        stats_cols=["id"],
+    )
+    before = snapshot_read(spark, t)
+    assert len(before.inputFiles()) == 7
+    v = snapshot_compact(spark, t)
+    m = json.load(open(f"{t}/_manifests/v{v:08d}.json"))
+    assert m["op"] == "compact"
+    after = snapshot_read(spark, t, v)
+    assert len(after.inputFiles()) == 1
+    assert sorted(r.id for r in after.collect()) == list(range(700))
+    # stat discipline continued: the consolidated file carries id stats
+    (only_file,) = m["files"]
+    assert m["stats"][only_file]["id"] == [0, 699]
+    # pre-compaction version still time-travels
+    assert snapshot_read(spark, t, 1).count() == 700
+    # nothing left to compact
+    assert snapshot_compact(spark, t) is None
+    # expiring history releases the old small files
+    out = snapshot_vacuum(spark, t, keep_last=1)
+    assert out["removed_dirs"] >= 2
+    assert snapshot_read(spark, t).count() == 700
+
+
+def test_compact_partitioned_one_file_per_value(spark, tmp_path):
+    """Partitioned compaction emits ~one file per partition value and
+    keeps the spec + pruning working."""
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_compact,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 300).select(
+        "id", (F.col("id") % 3).cast("string").alias("lang")
+    )
+    snapshot_commit(df, t, mode="overwrite", partition_by=["lang"], stats_cols=["id"])
+    v = snapshot_compact(spark, t)
+    after = snapshot_read(spark, t, v)
+    assert after.count() == 300
+    files = after.inputFiles()
+    assert len(files) == 3 and all("lang=" in f for f in files)
+    pr = snapshot_read(spark, t, v, where=("lang", "=", "2"))
+    assert len(pr.inputFiles()) == 1
+    assert sorted(r.id for r in pr.collect()) == [i for i in range(300) if i % 3 == 2]
