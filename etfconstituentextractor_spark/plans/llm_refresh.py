@@ -31,6 +31,7 @@ from etfconstituentextractor_spark.operators.snapshot_diff import snapshot_diff
 from etfconstituentextractor_spark.plans.registry import query
 from etfconstituentextractor_spark.sources.snapshot_table import (
     snapshot_commit,
+    snapshot_merge,
     snapshot_read,
 )
 from etfconstituentextractor_spark.sources.tables import load
@@ -157,9 +158,27 @@ _H = "md5(coalesce(text, chr(0) || 'null') || chr(31) || coalesce(lang, chr(0) |
     SELECT 'prune', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
            CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
            CAST(2 AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS BOOLEAN),
-           lang, COUNT(*), CAST(SUM(COALESCE(length('late ' || text), 0)) AS BIGINT)
-    FROM documents WHERE doc_id % 23 = 0
+           lang, COUNT(*), CAST(SUM(COALESCE(length(text), 0)) AS BIGINT)
+    FROM (SELECT 'late ' || text AS text, lang FROM documents WHERE doc_id % 23 = 0)
     GROUP BY lang
+    UNION ALL
+    -- 'merge' leg: copy-on-write upsert over the doc_id%8 slice —
+    -- target rows with matched keys replaced by the source's revision,
+    -- unmatched source rows inserted; the oracle restates the merged
+    -- world relationally (the file-minimality half of the contract is
+    -- manifest-level and pinned in tests/test_snapshot_table.py)
+    SELECT 'merge', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS BOOLEAN),
+           lang, COUNT(*), CAST(SUM(COALESCE(length(text), 0)) AS BIGINT)
+    FROM (
+      SELECT CASE WHEN doc_id % 13 = 0 THEN text || ' (rev2)' ELSE text END AS text,
+             lang
+      FROM documents WHERE doc_id % 8 = 0
+      UNION ALL
+      SELECT 'fresh ' || text, lang
+      FROM documents WHERE doc_id % 8 = 0 AND doc_id % 11 = 0
+    ) GROUP BY lang
     """,
 )
 def q86_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,7 +327,70 @@ def q86_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_chars",
         )
     )
-    out = diff.unionByName(hist).unionByName(mv).unionByName(prune)
+    # 'merge' leg (round 9): snapshot_merge END-TO-END under the hash
+    # — a fresh per-run table over the doc_id%8 slice, upserted with
+    # the familiar perturbation (every 13th revised, every 11th
+    # re-inserted under key+shift), then aggregated. The oracle
+    # restates the merged world relationally; the copy-on-write
+    # minimality half (which files rewrote) is manifest-level and
+    # stays pinned in tests/test_snapshot_table.py. Fresh table per
+    # call: merge MUTATES version history, so the fingerprint-cache
+    # pattern of the timetravel table cannot apply; pid-keyed dir +
+    # atexit sweep is the q50 WARC convention for exactly this shape.
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    mtbl = os.path.join(
+        tempfile.gettempdir(),
+        "etfce_mergetbl_"
+        f"{hashlib.md5(sf_dir.rstrip('/').encode()).hexdigest()[:8]}_{os.getpid()}",
+    )
+    atexit.register(shutil.rmtree, mtbl, ignore_errors=True)
+    shutil.rmtree(mtbl, ignore_errors=True)
+    # one-file base + no stats on the LEG (each stats pass is an
+    # extra agg job; the stats-assisted merge path is pinned at
+    # pytest tier — the leg's job is the merged VALUES under the
+    # hash, at minimal fixed cost)
+    slice_ = d.filter(F.col("doc_id") % 8 == 0).coalesce(1)
+    snapshot_commit(slice_, mtbl, mode="overwrite")
+    src = (
+        slice_.filter(F.col("doc_id") % 13 == 0)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" (rev2)")))
+        .unionByName(
+            slice_.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + F.lit(_INSERT_SHIFT)).alias("doc_id"),
+                F.concat(F.lit("fresh "), F.col("text")).alias("text"),
+                "lang",
+            )
+        )
+    )
+    mv2 = snapshot_merge(src, mtbl, key="doc_id")
+    merged = (
+        snapshot_read(spark, mtbl, mv2)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce(F.length("text"), F.lit(0))).cast("bigint").alias("sum_chars"),
+        )
+        .select(
+            F.lit("merge").alias("leg"),
+            F.lit(None).cast("bigint").alias("doc_id"),
+            F.lit(None).cast("string").alias("old_hash"),
+            F.lit(None).cast("string").alias("new_hash"),
+            F.lit(None).cast("string").alias("change"),
+            F.lit(None).cast("int").alias("valid_from"),
+            F.lit(None).cast("int").alias("valid_to"),
+            F.lit(None).cast("boolean").alias("is_current"),
+            "lang",
+            "n_docs",
+            "sum_chars",
+        )
+    )
+
+    out = diff.unionByName(hist).unionByName(mv).unionByName(prune).unionByName(merged)
     for leg in tt_legs:
         out = out.unionByName(leg)
     return out

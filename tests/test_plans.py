@@ -633,9 +633,10 @@ def test_q86_snapshot_diff_shuffles_hashes_only(spark, sf_dir):
     # all on (lang | doc_id, hash, one bigint) rows; timetravel legs
     # (round 8): one per-lang aggregate exchange per snapshot version
     # (3), each over (lang, count, chars) rows only; prune leg
-    # (round 9): one more per-lang aggregate exchange over the
-    # stats-pruned read — same narrow (lang, count, chars) shape
-    assert 2 <= plan.count("Exchange") <= 13, plan[:1200]
+    # (round 9): two more per-lang aggregate exchanges — the
+    # stats-pruned read and the merged-table read — same narrow
+    # (lang, count, chars) shape
+    assert 2 <= plan.count("Exchange") <= 14, plan[:1200]
     for m in re.finditer(r"Exchange hashpartitioning[^\n]*", plan):
         assert "text#" not in m.group(0), m.group(0)
     hash_projects = re.findall(r"Project \[[^\n]*md5\(", plan)
