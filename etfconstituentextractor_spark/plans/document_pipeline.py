@@ -229,7 +229,6 @@ def q50_doc_extract_holdings(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows for both legs — the WARC writer, multi-member gzip reader,
     HTTP payload split, and UTF-8 transport are all under the hash."""
     import os
-    import tempfile
 
     from etfconstituentextractor_spark.operators.urls import (
         host_of,
@@ -262,22 +261,13 @@ def q50_doc_extract_holdings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("url_domain"),
     )
 
-    # keyed by the FULL sf_dir (distinct datasets with the same
-    # basename must not collide) and the pid (write_warc deletes
-    # before writing, so a concurrent process sharing the directory
-    # would race destructively — review r7); the pid key also means
-    # every process leaves a fresh dir behind, so register an atexit
-    # sweep — by exit time all lazy reads over it have executed
-    import atexit
-    import hashlib
-    import shutil
+    # pid+sf_dir-keyed scratch with atexit sweep (the r7 concurrency
+    # finding, now the shared sources.tables.scratch_dir discipline);
+    # write_warc rewrites identical filenames, so in-place rebuilds
+    # keep earlier frames readable and unique=False is right here
+    from etfconstituentextractor_spark.sources.tables import scratch_dir
 
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "etfce_warc_filings_"
-        f"{hashlib.md5(sf_dir.rstrip('/').encode()).hexdigest()[:8]}_{os.getpid()}",
-    )
-    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    out = scratch_dir("etfce_warc_filings", sf_dir)
     write_warc(
         filings.select(_messy_url(F.col("filing_id")).alias("url"), "html"),
         out,

@@ -19,7 +19,7 @@ overwhelming majority of a real refresh) drop immediately after.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etfconstituentextractor_spark.operators.incremental_agg import (
@@ -41,6 +41,50 @@ _INSERT_SHIFT = 10_000_000
 
 #: the md5 framing both engines share: null sentinel + unit separator.
 _H = "md5(coalesce(text, chr(0) || 'null') || chr(31) || coalesce(lang, chr(0) || 'null'))"
+
+
+#: the q86 family's shared output scaffold — every leg projects onto
+#: these 10 typed columns after its own 'leg' literal. ONE definition
+#: (round-9 review: six hand-copied 15-line selects drifted apart one
+#: column at a time).
+_LEG_SPEC = [
+    ("doc_id", "bigint"),
+    ("old_hash", "string"),
+    ("new_hash", "string"),
+    ("change", "string"),
+    ("valid_from", "int"),
+    ("valid_to", "int"),
+    ("is_current", "boolean"),
+    ("lang", "string"),
+    ("n_docs", "bigint"),
+    ("sum_chars", "bigint"),
+]
+
+
+def _leg_frame(df: DataFrame, leg: str, **overrides) -> DataFrame:
+    """Project ``df`` onto the family scaffold: overrides map scaffold
+    names to Columns/literals, scaffold columns present in ``df`` pass
+    through, everything else becomes a typed NULL."""
+    cols = [F.lit(leg).alias("leg")]
+    for name, typ in _LEG_SPEC:
+        if name in overrides:
+            v = overrides[name]
+            c = v if isinstance(v, Column) else F.lit(v)
+        elif name in df.columns:
+            c = F.col(name)
+        else:
+            c = F.lit(None)
+        cols.append(c.cast(typ).alias(name))
+    return df.select(*cols)
+
+
+def _lang_agg(df: DataFrame) -> DataFrame:
+    """The family's per-lang (count, char-sum) aggregate — shared by
+    the timetravel/prune/merge legs and their oracles' GROUP BY."""
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.coalesce(F.length("text"), F.lit(0))).cast("bigint").alias("sum_chars"),
+    )
 
 
 @query(
@@ -200,18 +244,10 @@ def q86_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
     )
     new = survivors.unionByName(inserts)
-    diff = snapshot_diff(d, new, keys=["doc_id"], compare_cols=["text", "lang"]).select(
-        F.lit("diff").alias("leg"),
-        "doc_id",
-        "old_hash",
-        "new_hash",
-        "change",
-        F.lit(None).cast("int").alias("valid_from"),
-        F.lit(None).cast("int").alias("valid_to"),
-        F.lit(None).cast("boolean").alias("is_current"),
-        F.lit(None).cast("string").alias("lang"),
-        F.lit(None).cast("bigint").alias("n_docs"),
-        F.lit(None).cast("bigint").alias("sum_chars"),
+    diff = _leg_frame(
+        snapshot_diff(d, new, keys=["doc_id"], compare_cols=["text", "lang"]),
+        "diff",
+        lang=None,  # the diff's corpus lang column is not leg output
     )
     v3 = new.filter(F.col("doc_id") % 19 != 0).withColumn(
         "text",
@@ -219,21 +255,10 @@ def q86_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" (rev3)"))
         ).otherwise(F.col("text")),
     )
-    hist = scd2_history(
+    hist_raw = scd2_history(
         [(1, d), (2, new), (3, v3)], keys=["doc_id"], compare_cols=["text", "lang"]
-    ).select(
-        F.lit("scd2").alias("leg"),
-        "doc_id",
-        F.lit(None).cast("string").alias("old_hash"),
-        F.col("row_hash").alias("new_hash"),
-        F.lit(None).cast("string").alias("change"),
-        "valid_from",
-        "valid_to",
-        "is_current",
-        F.lit(None).cast("string").alias("lang"),
-        F.lit(None).cast("bigint").alias("n_docs"),
-        F.lit(None).cast("bigint").alias("sum_chars"),
     )
+    hist = _leg_frame(hist_raw, "scd2", new_hash=F.col("row_hash"))
     # 'mv' leg (round 7, operators/incremental_agg.py): MAINTAIN the
     # per-lang (count, char-sum) aggregate through the v1->v2 delta —
     # agg(v1) + cdc_group_delta(v1, v2) — while the oracle RECOMPUTES
@@ -247,18 +272,11 @@ def q86_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = cdc_group_delta(
         d, new, key_col="doc_id", group_col="lang", measure_expr="length(text)"
     )
-    mv = apply_group_delta(base, delta, group_col="lang").select(
-        F.lit("mv").alias("leg"),
-        F.lit(None).cast("bigint").alias("doc_id"),
-        F.lit(None).cast("string").alias("old_hash"),
-        F.lit(None).cast("string").alias("new_hash"),
-        F.lit(None).cast("string").alias("change"),
-        F.lit(None).cast("int").alias("valid_from"),
-        F.lit(None).cast("int").alias("valid_to"),
-        F.lit(None).cast("boolean").alias("is_current"),
-        "lang",
-        F.col("n").alias("n_docs"),
-        F.col("m").alias("sum_chars"),
+    mv = _leg_frame(
+        apply_group_delta(base, delta, group_col="lang"),
+        "mv",
+        n_docs=F.col("n"),
+        sum_chars=F.col("m"),
     )
 
     # 'timetravel' leg (round 8, sources/snapshot_table.py): commit
@@ -278,25 +296,7 @@ def q86_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tbl = _timetravel_table(spark, sf_dir, [(d, "overwrite"), (new, "overwrite"), (late, "append")])
     tt_legs = [
-        snapshot_read(spark, tbl, v)
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum(F.coalesce(F.length("text"), F.lit(0))).cast("bigint").alias("sum_chars"),
-        )
-        .select(
-            F.lit("timetravel").alias("leg"),
-            F.lit(None).cast("bigint").alias("doc_id"),
-            F.lit(None).cast("string").alias("old_hash"),
-            F.lit(None).cast("string").alias("new_hash"),
-            F.lit(None).cast("string").alias("change"),
-            F.lit(v).cast("int").alias("valid_from"),
-            F.lit(None).cast("int").alias("valid_to"),
-            F.lit(None).cast("boolean").alias("is_current"),
-            "lang",
-            "n_docs",
-            "sum_chars",
-        )
+        _leg_frame(_lang_agg(snapshot_read(spark, tbl, v)), "timetravel", valid_from=v)
         for v in (0, 1, 2)
     ]
     # 'prune' leg (round 9): the SAME snapshot table read through the
@@ -306,26 +306,10 @@ def q86_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # late fixture directly, so the hash match is pruned-read ≡
     # full-scan-filter. The file-skipping itself is pinned by
     # tests/test_plans.py::test_q86_prune_leg_plans_fewer_files.
-    prune = (
-        snapshot_read(spark, tbl, 2, where=("doc_id", ">=", 2 * _INSERT_SHIFT))
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum(F.coalesce(F.length("text"), F.lit(0))).cast("bigint").alias("sum_chars"),
-        )
-        .select(
-            F.lit("prune").alias("leg"),
-            F.lit(None).cast("bigint").alias("doc_id"),
-            F.lit(None).cast("string").alias("old_hash"),
-            F.lit(None).cast("string").alias("new_hash"),
-            F.lit(None).cast("string").alias("change"),
-            F.lit(2).cast("int").alias("valid_from"),
-            F.lit(None).cast("int").alias("valid_to"),
-            F.lit(None).cast("boolean").alias("is_current"),
-            "lang",
-            "n_docs",
-            "sum_chars",
-        )
+    prune = _leg_frame(
+        _lang_agg(snapshot_read(spark, tbl, 2, where=("doc_id", ">=", 2 * _INSERT_SHIFT))),
+        "prune",
+        valid_from=2,
     )
     # 'merge' leg (round 9): snapshot_merge END-TO-END under the hash
     # — a fresh per-run table over the doc_id%8 slice, upserted with
@@ -335,21 +319,14 @@ def q86_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minimality half (which files rewrote) is manifest-level and
     # stays pinned in tests/test_snapshot_table.py. Fresh table per
     # call: merge MUTATES version history, so the fingerprint-cache
-    # pattern of the timetravel table cannot apply; pid-keyed dir +
-    # atexit sweep is the q50 WARC convention for exactly this shape.
-    import atexit
-    import hashlib
-    import os
-    import shutil
-    import tempfile
+    # pattern of the timetravel table cannot apply. unique=True is
+    # load-bearing: snapshot commits write uuid-named data dirs, so
+    # an in-place wipe-and-rebuild would leave ANY previously
+    # returned q86 frame dangling over deleted paths (round-9 review
+    # finding) — each call gets its own generation; atexit sweeps all.
+    from etfconstituentextractor_spark.sources.tables import scratch_dir
 
-    mtbl = os.path.join(
-        tempfile.gettempdir(),
-        "etfce_mergetbl_"
-        f"{hashlib.md5(sf_dir.rstrip('/').encode()).hexdigest()[:8]}_{os.getpid()}",
-    )
-    atexit.register(shutil.rmtree, mtbl, ignore_errors=True)
-    shutil.rmtree(mtbl, ignore_errors=True)
+    mtbl = scratch_dir("etfce_mergetbl", sf_dir, unique=True)
     # one-file base + no stats on the LEG (each stats pass is an
     # extra agg job; the stats-assisted merge path is pinned at
     # pytest tier — the leg's job is the merged VALUES under the
@@ -368,27 +345,7 @@ def q86_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     mv2 = snapshot_merge(src, mtbl, key="doc_id")
-    merged = (
-        snapshot_read(spark, mtbl, mv2)
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum(F.coalesce(F.length("text"), F.lit(0))).cast("bigint").alias("sum_chars"),
-        )
-        .select(
-            F.lit("merge").alias("leg"),
-            F.lit(None).cast("bigint").alias("doc_id"),
-            F.lit(None).cast("string").alias("old_hash"),
-            F.lit(None).cast("string").alias("new_hash"),
-            F.lit(None).cast("string").alias("change"),
-            F.lit(None).cast("int").alias("valid_from"),
-            F.lit(None).cast("int").alias("valid_to"),
-            F.lit(None).cast("boolean").alias("is_current"),
-            "lang",
-            "n_docs",
-            "sum_chars",
-        )
-    )
+    merged = _leg_frame(_lang_agg(snapshot_read(spark, mtbl, mv2)), "merge")
 
     out = diff.unionByName(hist).unionByName(mv).unionByName(prune).unionByName(merged)
     for leg in tt_legs:

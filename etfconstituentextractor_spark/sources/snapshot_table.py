@@ -520,17 +520,30 @@ def snapshot_compact(
     m = _read_manifest(fs, jvm, path, parent)
     pby = m.get("partition_by") or []
     ptypes = m.get("partition_types")
-    sizes = {
-        f: fs.getFileStatus(
-            jvm.org.apache.hadoop.fs.Path(posixpath.join(path, f))
-        ).getLen()
-        for f in m["files"]
-    }
-    small = [f for f in m["files"] if sizes[f] < small_bytes]
+    # one recursive listing sweep for sizes (a per-file getFileStatus
+    # would be N sequential JVM round-trips on exactly the many-small-
+    # files tables compact targets — round-9 review finding)
+    droot = jvm.org.apache.hadoop.fs.Path(posixpath.join(path, "data"))
+    prefix = fs.getFileStatus(droot).getPath().toUri().getPath()
+    sizes: dict[str, int] = {}
+    it = fs.listFiles(droot, True)
+    while it.hasNext():
+        st = it.next()
+        rel = posixpath.join(
+            "data", st.getPath().toUri().getPath()[len(prefix) :].lstrip("/")
+        )
+        sizes[rel] = st.getLen()
+    small = [f for f in m["files"] if sizes.get(f, small_bytes) < small_bytes]
     if len(small) < 2:
         return None
-    big = [f for f in m["files"] if f not in set(small)]
-    df = _read_files(spark, path, small, pby, ptypes)
+    small_set = set(small)
+    big = [f for f in m["files"] if f not in small_set]
+    # merge_schema: a schema-evolved table's small files may predate
+    # later-added columns — without it the rewrite silently drops
+    # whichever columns the sampled footer lacked (round-9 review
+    # finding); the rewritten files then carry the FULL schema, so the
+    # stats re-gather below always resolves its columns
+    df = _read_files(spark, path, small, pby, ptypes, merge_schema=True)
     if pby:
         df = df.repartition(*pby)
     elif target_rows_per_file:

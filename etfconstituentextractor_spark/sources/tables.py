@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import functools
 import glob
+import itertools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -162,3 +163,32 @@ def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> None:
     """Register all corpus tables as temp views (for the SQL API)."""
     for name, df in load_all(spark, sf_dir).items():
         df.createOrReplaceTempView(name + suffix)
+
+
+_SCRATCH_COUNTER = itertools.count()
+
+
+def scratch_dir(prefix: str, sf_dir: str, unique: bool = False) -> str:
+    """Process-private tmp dir for query-built artifacts, registered
+    for atexit removal — ONE implementation of the pid-keyed pattern
+    (md5-of-sf_dir so distinct datasets with the same basename never
+    collide; pid so concurrent processes sharing /tmp never race
+    destructively — the r7 q50 review finding). ``unique=True``
+    appends a per-call counter: use it when the artifact is REBUILT
+    per call with non-reproducible file names (snapshot-table commits
+    use uuid data dirs), so earlier calls' returned DataFrames keep
+    planning over their own, still-present files instead of dangling
+    on a wiped directory (round-9 review finding). By exit, lazy
+    frames over any generation have been consumed."""
+    import atexit
+    import hashlib
+    import shutil
+    import tempfile
+
+    key = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"{prefix}_{key}_{os.getpid()}")
+    if unique:
+        d = f"{d}_{next(_SCRATCH_COUNTER)}"
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+

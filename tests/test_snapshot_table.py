@@ -603,3 +603,27 @@ def test_compact_partitioned_one_file_per_value(spark, tmp_path):
     pr = snapshot_read(spark, t, v, where=("lang", "=", "2"))
     assert len(pr.inputFiles()) == 1
     assert sorted(r.id for r in pr.collect()) == [i for i in range(300) if i % 3 == 2]
+
+
+def test_compact_preserves_evolved_schema(spark, tmp_path):
+    """Round-9 review regression: compacting a schema-evolved table
+    must keep later-added columns (merge_schema read) — without it the
+    rewrite silently dropped whichever columns the sampled footer
+    lacked."""
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_compact,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(spark.range(0, 50).select("id").coalesce(1), t, mode="overwrite")
+    snapshot_commit(
+        spark.range(50, 100).select("id", (F.col("id") * 2).alias("extra")).coalesce(1),
+        t,
+        mode="append",
+    )
+    v = snapshot_compact(spark, t)
+    after = snapshot_read(spark, t, v, merge_schema=True)
+    assert set(after.columns) == {"id", "extra"}
+    rows = {r.id: r.extra for r in after.collect()}
+    assert len(rows) == 100
+    assert rows[75] == 150 and rows[10] is None
