@@ -522,7 +522,14 @@ def _q62_stream_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{table_fingerprint(sf_dir, 'documents')}"
     )
     if not marker_ok(src, sig):
-        shutil.rmtree(src, ignore_errors=True)
+        # build-then-rename publish, the stage_chunks discipline: the
+        # work_dir is process-SHARED (tag+sf keyed), so staging in
+        # place would let two processes seeing a stale marker
+        # destructively interleave rmtree+stage (round-9 review
+        # finding). A killed run leaves only scratch; a lost rename
+        # race adopts the winner's (bit-identical) layout.
+        build = f"{src}.build-{os.getpid()}"
+        shutil.rmtree(build, ignore_errors=True)
         d = (
             load(spark, sf_dir, "documents")
             .select("doc_id", "text")
@@ -530,14 +537,23 @@ def _q62_stream_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         stage_doc_chunks(
             d,
-            src,
+            build,
             _STREAM_CHUNKS,
             # arrival batch: interleave by the quotient so family
             # members (nearby ids) land in DIFFERENT chunks
             F.pmod(F.floor(F.col("doc_id") / _STREAM_SLICE_MOD), _STREAM_CHUNKS),
         )
-        # marker last: an interrupted staging has no marker, re-stages
-        write_marker(src, sig)
+        # marker inside the build, BEFORE the publish rename: the
+        # rename is what makes it visible
+        write_marker(build, sig)
+        try:
+            shutil.rmtree(src, ignore_errors=True)
+            os.rename(build, src)
+        except OSError:
+            if marker_ok(src, sig):  # lost the race to a valid winner
+                shutil.rmtree(build, ignore_errors=True)
+            else:
+                src = build  # fall back to our scratch layout
     # foreachBatch runs with AQE DISABLED (streaming limitation), so
     # the handler's unhinted joins keep their static
     # shuffle-partition count; pin it low for the drain — per-batch

@@ -252,7 +252,11 @@ def _pqfp_codebook_cached(spark, sf_dir: str, fcand, train) -> DataFrame:
     )
     schema = "sub_id bigint, code int, cv array<bigint>"
     key = hashlib.md5(sig.encode()).hexdigest()[:16]
-    path = os.path.join(tempfile.gettempdir(), f"etfce_pqfp_cb_{key}.json")
+    # uid in the name: /tmp is world-shared — publishing over another
+    # user's cache file would EPERM under the sticky bit (round-9
+    # review finding); per-user caches sidestep it entirely
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    path = os.path.join(tempfile.gettempdir(), f"etfce_pqfp_cb_u{uid}_{key}.json")
     if os.path.isfile(path):
         try:
             with open(path) as fh:
@@ -266,9 +270,17 @@ def _pqfp_codebook_cached(spark, sf_dir: str, fcand, train) -> DataFrame:
     fcb = train(fcand, k=_PQFP_K, iters=_PQFP_ITERS, dsub=_PQFP_DSUB)
     rows = sorted((r["sub_id"], r["code"], list(r["cv"])) for r in fcb.collect())
     tmp = f"{path}.tmp-{os.getpid()}"
-    with open(tmp, "w") as fh:
-        json.dump({"sig": sig, "rows": rows}, fh)
-    os.replace(tmp, path)  # atomic publish; racers write identical bytes
+    try:
+        with open(tmp, "w") as fh:
+            json.dump({"sig": sig, "rows": rows}, fh)
+        os.replace(tmp, path)  # atomic publish; racers write identical bytes
+    except OSError:
+        # cache publish is best-effort: a permission/space failure must
+        # not fail the query — the trained frame is already in hand
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
     return spark.createDataFrame(rows, schema=schema)
 
 

@@ -130,12 +130,15 @@ def snapshot_versions(spark: SparkSession, path: str) -> list[dict]:
 
 
 def _stat_val(v):
-    """JSON-safe stat value: primitives pass through, everything else
-    (dates, decimals) serializes as its string form — comparisons then
-    happen in that string domain, which is why ``stats_cols`` should
-    be numeric or string columns (ISO dates compare correctly as
-    strings; arbitrary types may not)."""
-    return v if isinstance(v, (int, float, str, bool)) or v is None else str(v)
+    """JSON-safe stat value: primitives pass through; everything else
+    (dates, decimals, ...) records as None — i.e. NO usable stats, so
+    the reader conservatively keeps the file. The earlier str(v)
+    fallback was a silent wrong-results pruner: a stringified DECIMAL
+    bound compared LEXICALLY against a probe the in-plan filter casts
+    NUMERICALLY (round-9 review finding). Stats therefore cover
+    int/float/bool/string columns only — for a string column both the
+    pruner and the in-plan filter compare lexically, consistently."""
+    return v if isinstance(v, (int, float, str, bool)) or v is None else None
 
 
 def snapshot_commit(
@@ -418,8 +421,9 @@ def snapshot_merge(
             if pv is None or pv == "__HIVE_DEFAULT_PARTITION__":
                 return pv is None  # null partition never matches a key
             try:
-                typed = _coerce_partition_value(pv, lo)
-                return lo <= typed <= hi
+                typed, tlo = _coerce_pair(pv, lo, (ptypes or {}).get(key))
+                _, thi = _coerce_pair(pv, hi, (ptypes or {}).get(key))
+                return tlo <= typed <= thi
             except (TypeError, ValueError):
                 return True
         st = stats.get(f, {}).get(key)
@@ -462,7 +466,8 @@ def snapshot_merge(
         fresh_df, path, version, stats_cols, partition_by=pby
     )
 
-    untouched = [f for f in m["files"] if f not in set(touched)]
+    touched_set = set(touched)
+    untouched = [f for f in m["files"] if f not in touched_set]
     files = untouched + new_files
     _publish(
         fs,
@@ -553,8 +558,13 @@ def snapshot_compact(
         df = df.repartition(max(1, math.ceil(n_rows / target_rows_per_file)))
     else:
         df = df.coalesce(1)
-    # continue the parent's stat discipline on the rewritten files
-    stats_cols = sorted({c for st in m.get("stats", {}).values() for c in st})
+    # continue the parent's stat discipline on the rewritten files —
+    # intersected with the columns the compacted frame actually has
+    # (a stat column living only in carried large files would make
+    # the re-gather unresolvable — round-9 review finding)
+    stats_cols = sorted(
+        {c for st in m.get("stats", {}).values() for c in st} & set(df.columns)
+    )
     new_files, new_stats = _write_data(
         df, path, version, stats_cols or None, partition_by=pby
     )
@@ -702,17 +712,41 @@ def _read_files(
     return df
 
 
-def _coerce_partition_value(pv: str, like):
-    """Coerce a hive-encoded partition value into the domain of
-    ``like``. bool FIRST: bool('false') is True (round-9 review
-    finding — the False partition was wrongly pruned), and bool is an
-    int subclass so isinstance order matters."""
-    if isinstance(like, bool):
-        low = pv.lower()
-        if low in ("true", "false"):
-            return low == "true"
-        raise ValueError(pv)
-    return type(like)(pv)
+#: python coercers per Spark simpleString partition type — comparison
+#: happens in the COLUMN's recorded domain, never the probe's: a
+#: string probe on a bigint partition column must compare numerically
+#: (like the in-plan filter's implicit cast), not lexically (round-9
+#: review finding: lexical '100' < '85' pruned files whose rows the
+#: filter would have returned).
+def _parse_bool(v) -> bool:
+    if isinstance(v, bool):
+        return v
+    low = str(v).lower()
+    if low in ("true", "false"):
+        return low == "true"
+    raise ValueError(v)
+
+
+_PTYPE_COERCE = {
+    "tinyint": int,
+    "smallint": int,
+    "int": int,
+    "bigint": int,
+    "float": float,
+    "double": float,
+    "boolean": _parse_bool,
+    "string": str,
+}
+
+
+def _coerce_pair(pv: str, val, ptype: str | None):
+    """(partition value, probe value) coerced into the partition
+    column's recorded type domain; raises on unknown types or
+    uncoercible values (callers keep the file)."""
+    co = _PTYPE_COERCE.get(ptype or "")
+    if co is None:
+        raise ValueError(f"no coercion for partition type {ptype!r}")
+    return co(pv), co(val)
 
 
 def _partition_value(relpath: str, col: str) -> str | None:
@@ -763,6 +797,7 @@ def snapshot_read(
     m = _read_manifest(fs, jvm, path, version)
     files = m["files"]
     pby = m.get("partition_by") or []
+    ptypes = m.get("partition_types")
     if not files:
         # a zero-output-partition commit can list no files; surface it
         # rather than letting spark.read.parquet() fail obscurely (or
@@ -781,7 +816,10 @@ def snapshot_read(
             if col in pby:
                 # partition pruning: the value is directory-encoded in
                 # the relpath the manifest already stores — parse and
-                # compare in the probe value's domain
+                # compare BOTH sides in the column's recorded type
+                # domain (the in-plan filter casts the probe to the
+                # column type; pruning must mirror that, or a string
+                # probe on a numeric partition compares lexically)
                 pv = _partition_value(f, col)
                 if pv is None:
                     return True  # segment missing: conservatively keep
@@ -789,8 +827,8 @@ def snapshot_read(
                     # null partition: no comparison predicate matches
                     return False
                 try:
-                    typed = _coerce_partition_value(pv, val)
-                    return not skip(typed, typed, val)
+                    typed, tval = _coerce_pair(pv, val, (ptypes or {}).get(col))
+                    return not skip(typed, typed, tval)
                 except (TypeError, ValueError):
                     return True
             st = stats.get(f, {}).get(col)
@@ -802,7 +840,6 @@ def snapshot_read(
                 return True
 
         files = [f for f in files if keep(f)]
-    ptypes = m.get("partition_types")
     if not files:
         # everything pruned: an empty frame with the table's FULL
         # schema — planned from every manifest file (footer reads

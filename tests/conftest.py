@@ -6,6 +6,8 @@ import sys
 import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# the tests dir itself, for shared helpers (parity.py, ann_truth.py)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from etfconstituentextractor_spark.session import get_session  # noqa: E402
 

@@ -17,14 +17,23 @@ operators' own bucketing.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from ann_truth import exact_topk as _exact_topk_shared
 from etfconstituentextractor_spark.plans.registry import QUERIES, load_catalog
 from etfconstituentextractor_spark.sources.tables import load
 
-SF01 = "/root/testdata/sf0.1"
+SF01 = os.environ.get("SPARK_GRAFT_BENCH_SF_DIR", "/root/testdata/sf0.1")
+
+# bench-scale corpus is environment-provided: SKIP (not ERROR) where
+# it is absent so the module never reads as a regression off-host
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF01), reason=f"bench corpus {SF01} not present"
+)
 
 
 @pytest.fixture(scope="module")
@@ -34,18 +43,7 @@ def vecs(spark):
     return {r.vec_id: np.array(r.embedding, dtype=float) for r in rows}
 
 
-def _exact_topk(vecs: dict, nq: int, k: int) -> set:
-    nrm = {i: np.linalg.norm(v) for i, v in vecs.items()}
-    qs = sorted(v for v in vecs if v < nq)
-    cs = sorted(v for v in vecs if v >= nq)
-    exact = set()
-    for q in qs:
-        top = sorted(
-            ((float(vecs[q] @ vecs[c] / (nrm[q] * nrm[c])), -c) for c in cs),
-            reverse=True,
-        )[:k]
-        exact |= {(q, -c) for _, c in top}
-    return exact
+_exact_topk = _exact_topk_shared
 
 
 def test_q71_single_probe_recall_and_scan_fraction_sf01(spark, vecs):

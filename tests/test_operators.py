@@ -313,21 +313,14 @@ def test_q71_multitable_lsh_recall_and_scan_fraction(spark, sf_dir):
         .filter(F.col("leg") == "single")
         .collect()
     }
+    from ann_truth import exact_topk
+
     rows = load(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
     vecs = {r.vec_id: np.array(r.embedding, dtype=float) for r in rows}
     nq, k = ls._N_QUERIES, ls._TOP_K
     qs = sorted(v for v in vecs if v < nq)
     cs = sorted(v for v in vecs if v >= nq)
-    exact = set()
-    for q in qs:
-        top = sorted(
-            (
-                (float(vecs[q] @ vecs[c] / (np.linalg.norm(vecs[q]) * np.linalg.norm(vecs[c]))), -c)
-                for c in cs
-            ),
-            reverse=True,
-        )[:k]
-        exact |= {(q, -c) for _, c in top}
+    exact = exact_topk(vecs, nq, k)
     # floor within ~25% of the worst measured value (round-8 verdict:
     # the old 0.3 floor was half the worst measurement — a recall
     # halving would have passed). Measured r9: 0.76 @sf0.001,
@@ -439,21 +432,11 @@ def test_multiprobe_srp_lsh_beats_single_probe_at_equal_index(spark, sf_dir):
     c1, c2 = cands(q1), cands(q2)
     assert c1 <= c2  # base probes are contained in multi-probe
 
+    from ann_truth import exact_topk
+
     rows = load(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
     vecs = {x.vec_id: np.array(x.embedding, dtype=float) for x in rows}
-    ids = sorted(vecs)
-    qs = [v for v in ids if v < nq]
-    cs = [v for v in ids if v >= nq]
-    exact = set()
-    for q in qs:
-        top = sorted(
-            (
-                (float(vecs[q] @ vecs[c] / (np.linalg.norm(vecs[q]) * np.linalg.norm(vecs[c]))), -c)
-                for c in cs
-            ),
-            reverse=True,
-        )[:5]
-        exact |= {(q, -c) for _, c in top}
+    exact = exact_topk(vecs, nq, 5)
     r1 = len(c1 & exact) / len(exact)
     r2 = len(c2 & exact) / len(exact)
     assert r2 > r1, (r1, r2)

@@ -627,3 +627,40 @@ def test_compact_preserves_evolved_schema(spark, tmp_path):
     rows = {r.id: r.extra for r in after.collect()}
     assert len(rows) == 100
     assert rows[75] == 150 and rows[10] is None
+
+
+def test_partition_pruning_compares_in_column_domain(spark, tmp_path):
+    """Round-9 review regression: a STRING probe on a NUMERIC
+    partition column must compare numerically (mirroring the in-plan
+    filter's cast), not lexically — lexical '100' < '85' pruned files
+    whose rows the filter returns."""
+    t = str(tmp_path / "tbl")
+    df = spark.range(80, 130).select("id", (F.col("id")).alias("bucket"))
+    snapshot_commit(df, t, mode="overwrite", partition_by=["bucket"])
+    got = sorted(
+        int(r.id)
+        for r in snapshot_read(spark, t, where=("bucket", ">=", "85")).collect()
+    )
+    assert got == list(range(85, 130))
+
+
+def test_non_primitive_stats_record_none_not_strings(spark, tmp_path):
+    """Round-9 review regression: stats over a DECIMAL column must
+    record as unusable (None) rather than stringified bounds — a
+    lexical '50.00' < '9.50' comparison pruned files whose rows the
+    numeric in-plan filter matches."""
+    import json
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 100).select(
+        "id", (F.col("id").cast("decimal(10,2)")).alias("amt")
+    ).coalesce(1)
+    snapshot_commit(df, t, mode="overwrite", stats_cols=["amt"])
+    m = json.load(open(f"{t}/_manifests/v00000000.json"))
+    (only_file,) = m["files"]
+    assert m["stats"][only_file]["amt"] == [None, None]
+    # conservative keep + correct in-plan filter
+    got = sorted(
+        int(r.id) for r in snapshot_read(spark, t, where=("amt", ">=", "50.00")).collect()
+    )
+    assert got == list(range(50, 100))
