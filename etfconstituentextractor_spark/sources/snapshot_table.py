@@ -171,8 +171,9 @@ def snapshot_commit(
     partition values already encoded in the manifest's relpaths (no
     extra metadata). The spec is per-TABLE: appends must repeat the
     parent's spec (mixed layouts would poison partition discovery),
-    enforced here. Partition values should be simple scalars — hive
-    path escaping is not round-tripped for exotic strings."""
+    enforced here. Hive path escaping (':' -> '%3A' etc.) is
+    round-tripped: the pruner decodes segments before comparing, so
+    string values with reserved chars prune correctly."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     spark = df.sparkSession
@@ -749,12 +750,42 @@ def _coerce_pair(pv: str, val, ptype: str | None):
     return co(pv), co(val)
 
 
+def _unescape_hive(s: str) -> str:
+    """Decode hive path-segment escaping (mirror of Spark's
+    ``ExternalCatalogUtils.unescapePathName``): the partition writer
+    percent-encodes chars that are unsafe in paths (':' -> '%3A',
+    '%' -> '%25', '=' -> '%3D', ...), so the segment stores the
+    ENCODING, not the value. Pruning must compare the value — a
+    ':'-bearing string partition (e.g. a timestamp-shaped string)
+    otherwise compares unequal to every probe and its file is
+    silently skipped, which the post-read filter cannot rescue.
+    Invalid %XX sequences pass through literally, exactly as Spark's
+    decoder does."""
+    if "%" not in s:
+        return s
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        if s[i] == "%" and i + 2 < n:
+            try:
+                out.append(chr(int(s[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(s[i])
+        i += 1
+    return "".join(out)
+
+
 def _partition_value(relpath: str, col: str) -> str | None:
-    """The hive-encoded value of ``col`` in a manifest relpath
-    (``data/v..-x/lang=en/part-...`` -> 'en'), or None if absent."""
+    """The (unescaped) value of ``col`` in a manifest relpath
+    (``data/v..-x/lang=en/part-...`` -> 'en'), or None if absent.
+    ``__HIVE_DEFAULT_PARTITION__`` (the null sentinel) carries no
+    escapes and passes through for the callers' explicit check."""
     for seg in relpath.split("/")[:-1]:
         if seg.startswith(col + "="):
-            return seg[len(col) + 1 :]
+            return _unescape_hive(seg[len(col) + 1 :])
     return None
 
 

@@ -664,3 +664,44 @@ def test_non_primitive_stats_record_none_not_strings(spark, tmp_path):
         int(r.id) for r in snapshot_read(spark, t, where=("amt", ">=", "50.00")).collect()
     )
     assert got == list(range(50, 100))
+
+
+def test_partition_values_with_reserved_chars_roundtrip(spark, tmp_path):
+    """Round-10 advice regression: Spark hive-escapes reserved chars
+    in partition dir names ('k=a:b' -> 'k=a%3Ab'); the pruner must
+    compare the UNESCAPED value, or an equality probe on e.g. a
+    timestamp-shaped string partition silently skips every file —
+    and the post-read filter cannot rescue a file that was never
+    planned. Merge keyed on such a column must likewise still find
+    the files that genuinely contain matched keys."""
+    import json
+
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_merge,
+    )
+
+    t = str(tmp_path / "tbl")
+    vals = ["2024-01-01 10:00:00", "a:b", "50%", "x=y", "plain"]
+    rows = [(i, vals[i % len(vals)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "id int, k string")
+    snapshot_commit(df, t, mode="overwrite", stats_cols=["id"], partition_by=["k"])
+    m0 = json.load(open(f"{t}/_manifests/v00000000.json"))
+    # escaping actually happened on disk (the premise of the bug)
+    assert any("%3A" in f for f in m0["files"])
+    assert any("%25" in f for f in m0["files"])
+
+    full_files = len(snapshot_read(spark, t).inputFiles())
+    for v in vals:
+        pr = snapshot_read(spark, t, where=("k", "=", v))
+        want = sorted(i for i, kv in rows if kv == v)
+        assert sorted(r.id for r in pr.collect()) == want, v
+        # pruning still prunes (reads fewer files), and planned >0
+        assert 0 < len(pr.inputFiles()) < full_files, v
+
+    # merge keyed ON the escaped partition column: all 'a:b' rows
+    # must be replaced by the single source row, not left to coexist
+    src = spark.createDataFrame([(999, "a:b")], "id int, k string")
+    v1 = snapshot_merge(src, t, key="k", stats_cols=["id"])
+    got = {(r.id, r.k) for r in snapshot_read(spark, t, v1).collect()}
+    want = {(i, kv) for i, kv in rows if kv != "a:b"} | {(999, "a:b")}
+    assert got == want
