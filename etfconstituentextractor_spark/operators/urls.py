@@ -132,7 +132,16 @@ def psl_rules(spark: SparkSession, path: str | None = None) -> DataFrame:
     # the bench measures. Bounded so session-restart loops can't
     # accumulate stale entries.
     if len(_PSL_CACHE) >= 8:
-        _PSL_CACHE.clear()
+        # evict dead sessions' entries first (their checkpointed
+        # blocks are gone with the session anyway); clearing the
+        # WHOLE dict would drop the LIVE session's other rule frames
+        # — callers holding them would re-parse and re-checkpoint,
+        # pinning new blocks while the old frames still pin theirs
+        app_id = key[0]
+        for k in [k for k in _PSL_CACHE if k[0] != app_id]:
+            del _PSL_CACHE[k]
+        while len(_PSL_CACHE) >= 8:  # live session alone at cap: drop oldest
+            del _PSL_CACHE[next(iter(_PSL_CACHE))]
     df = spark.createDataFrame(rules, "suffix string").coalesce(1).localCheckpoint()
     _PSL_CACHE[key] = df
     return df

@@ -210,6 +210,30 @@ def _pqfp_leg_sql() -> str:
     )"""
 
 
+def _pqfp_recipe() -> str:
+    """Hash of the SOURCE feeding the cached codebook: the trainer
+    module (pqfp_train, fixed_point_subvectors, and their helpers all
+    live in operators/pq_fixedpoint.py) plus the in-plan vector/score
+    derivations a refactor could route candidates through. A cache
+    entry signed under different source is stale BY DEFINITION — the
+    trained values are a function of (corpus, params, code), and the
+    first two terms alone let an edited trainer silently serve its
+    predecessor's codebook on bench-only runs (the hash oracle only
+    re-derives on correctness runs). Cost of over-invalidation: one
+    ~2.3s retrain after any edit — the safe direction."""
+    import hashlib
+    import inspect
+
+    from etfconstituentextractor_spark.operators import pq_fixedpoint
+
+    src = (
+        inspect.getsource(pq_fixedpoint)
+        + inspect.getsource(_vec)
+        + inspect.getsource(_spark_dots)
+    )
+    return hashlib.md5(src.encode()).hexdigest()
+
+
 def _pqfp_codebook_cached(spark, sf_dir: str, fcand, train) -> DataFrame:
     """The trained fixed-point codebook, cached by corpus fingerprint
     + training params — the q22 bucketed-tables / replay staged-chunks
@@ -241,12 +265,14 @@ def _pqfp_codebook_cached(spark, sf_dir: str, fcand, train) -> DataFrame:
             "dsub": _PQFP_DSUB,
             "scale": _PQFP_SCALE,
             "nq": _N_QUERIES,
-            # bump on ANY pqfp_train algorithm change (the llm_refresh
-            # fp['recipe'] discipline): params + corpus identify the
-            # INPUT, not the training code — without this, a changed
-            # trainer would keep serving the old algorithm's codebook
-            # from /tmp and never execute (round-9 review finding)
-            "recipe": 1,
+            # params + corpus identify the INPUT, not the code that
+            # trains on it — the recipe term hashes the LIVE SOURCE of
+            # the trainer module and the in-plan candidate derivation,
+            # so any algorithm edit invalidates the cache without a
+            # hand-bumped integer anyone can forget (round-9 review
+            # found the forgetting; round-10 advice found the
+            # hand-bump's blind spot: candidate-derivation changes)
+            "recipe": _pqfp_recipe(),
         },
         sort_keys=True,
     )

@@ -71,6 +71,29 @@ _STATE_SCHEMA = T.StructType(
 _DATA_COLS = [f.name for f in _STATE_SCHEMA.fields if f.name not in ("ingest_batch", "kind")]
 
 
+def _require_local(path: str, what: str) -> str:
+    """Refuse URI schemes this module's os-level existence checks
+    cannot see. With e.g. an hdfs:// state_dir, os.path.isdir is
+    False FOREVER, so every batch would classify as first-batch
+    bootstrap, probe an EMPTY index, and append anyway — the exact
+    silent invariant violation _load_state's docstring says must
+    propagate, delivered with zero errors. file:// strips to its
+    local path; anything else raises until the checks go through the
+    Hadoop FileSystem API."""
+    import re
+
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", path)
+    if m is None:
+        return path
+    if m.group(1).lower() == "file":
+        return path[len(m.group(0)) :] or "/"  # 'file:///x' -> '/x'
+    raise NotImplementedError(
+        f"{what} uses local-filesystem existence checks; non-local "
+        f"scheme {m.group(1)}:// in {path!r} would silently bootstrap "
+        "an empty index every batch. Use a local path."
+    )
+
+
 def _load_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
     """The unified state frame, or None when the index doesn't exist
     yet (first-batch bootstrap). Any other read failure propagates:
@@ -80,8 +103,9 @@ def _load_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
     invariant with no error surfaced."""
     import os
 
-    if not os.path.isdir(state_dir) or not any(
-        e.name.startswith("ingest_batch=") for e in os.scandir(state_dir)
+    local = _require_local(state_dir, "dedup_index state_dir")
+    if not os.path.isdir(local) or not any(
+        e.name.startswith("ingest_batch=") for e in os.scandir(local)
     ):
         return None
     return spark.read.schema(_STATE_SCHEMA).parquet(state_dir)
@@ -245,7 +269,23 @@ def stage_doc_chunks(
         parts = glob.glob(os.path.join(tmp, f"chunk={i}", "part-*.parquet"))
         if not parts:  # empty chunk — no micro-batch to stage
             continue
-        (part,) = parts
+        if len(parts) != 1:
+            # repartition(n, "chunk") puts each chunk in ONE task, so
+            # one part file per dir — unless a writer conf splits task
+            # output (spark.sql.files.maxRecordsPerFile) or the writer
+            # changes. Each staged file IS one micro-batch
+            # (maxFilesPerTrigger=1 downstream), so silently moving
+            # one part would DROP documents; moving all would change
+            # the batch count. Fail loudly, naming the assumption.
+            raise RuntimeError(
+                f"stage_doc_chunks expected exactly one part file per "
+                f"chunk dir (one task writes chunk {i}); found "
+                f"{len(parts)}. A writer conf such as "
+                "spark.sql.files.maxRecordsPerFile splits task output "
+                "— unset it for staging, or rework staging to "
+                "concatenate parts."
+            )
+        part = parts[0]
         dst = os.path.join(dest, f"chunk_{i:03d}.parquet")
         shutil.move(part, dst)
         os.utime(dst, (base + 10 * i, base + 10 * i))

@@ -173,3 +173,54 @@ def test_redelivery_under_new_batch_id_is_dropped(spark, sf_dir, tmp_path):
     assert after == before
     bands = read_bands(spark, state_dir).collect()
     assert len({(r["doc_id"], r["band"]) for r in bands}) == len(bands)
+
+
+def test_load_state_rejects_nonlocal_scheme(spark):
+    """Round-10 advice regression: _load_state's first-batch-bootstrap
+    detection is os.path-based, so with an hdfs:// (or any non-file)
+    state_dir it returns None FOREVER — every batch silently probes an
+    empty index and appends anyway, the exact invariant violation the
+    docstring says must propagate. Non-local schemes must raise until
+    the checks go through the Hadoop FileSystem API; file:// is the
+    local filesystem and keeps working."""
+    from etfconstituentextractor_spark.streaming.dedup_index import (
+        _load_state,
+        _require_local,
+    )
+
+    for uri in ("hdfs://nn:8020/state", "s3a://bucket/state", "abfss://c@a/state"):
+        with pytest.raises(NotImplementedError, match="local"):
+            _load_state(spark, uri)
+        with pytest.raises(NotImplementedError, match="local"):
+            read_pairs(spark, uri)
+    # file:// strips to the local path; a missing dir is still the
+    # legitimate first-batch bootstrap (None), not an error
+    assert _load_state(spark, "file:///nonexistent/etfce-dedup-state") is None
+    assert _require_local("file:///tmp/x", "t") == "/tmp/x"
+    assert _require_local("/plain/path", "t") == "/plain/path"
+    assert _require_local("relative/path", "t") == "relative/path"
+
+
+def test_stage_doc_chunks_refuses_split_task_output(spark, tmp_path):
+    """Round-10 advice regression: stage_doc_chunks assumes each
+    chunk dir holds exactly ONE part file (repartition(n, "chunk") =
+    one task per chunk). spark.sql.files.maxRecordsPerFile splits a
+    task's output into many files; silently moving one would DROP
+    documents and moving all would change the micro-batch count — the
+    failure must be a loud error naming the assumption, not an opaque
+    unpack ValueError."""
+    from etfconstituentextractor_spark.streaming.dedup_index import stage_doc_chunks
+
+    docs = spark.range(20).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("doc "), F.col("id")).alias("text")
+    )
+    prev = spark.conf.get("spark.sql.files.maxRecordsPerFile", None)
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "3")
+    try:
+        with pytest.raises(RuntimeError, match="maxRecordsPerFile"):
+            stage_doc_chunks(docs, str(tmp_path / "dst"), 2, F.col("doc_id") % 2)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+        else:
+            spark.conf.set("spark.sql.files.maxRecordsPerFile", prev)

@@ -343,3 +343,49 @@ def test_warc_canonicalize_blocklist_composition_real_psl(spark):
         "https://keep.other.kawasaki.jp/ok",
         "https://news.example.org/a",
     ]
+
+
+def test_psl_cache_eviction_keeps_live_session_entries(spark, tmp_path):
+    """Round-10 advice regression: at the 8-entry cap the cache must
+    evict DEAD sessions' entries (their checkpointed blocks died with
+    the session) and, only if the live session alone fills the cap,
+    the oldest live entry — never clear() the whole dict, which
+    dropped the live session's other rule frames and forced re-parse
+    + re-checkpoint churn while callers still pinned the old blocks."""
+    from etfconstituentextractor_spark.operators.urls import _PSL_CACHE, psl_rules
+
+    def rule_file(i):
+        p = tmp_path / f"psl{i}.dat"
+        p.write_text(f"// test\ncom\nrule{i}.example\n")
+        return str(p)
+
+    saved = dict(_PSL_CACHE)
+    _PSL_CACHE.clear()
+    try:
+        # 7 entries from a dead session + 1 live → cap reached on the
+        # next miss; only the dead entries must go
+        for i in range(7):
+            _PSL_CACHE[("app-dead", f"/dead/{i}")] = f"dead{i}"
+        live0 = psl_rules(spark, rule_file(0))
+        assert len(_PSL_CACHE) == 8
+        live1 = psl_rules(spark, rule_file(1))
+        app_id = spark.sparkContext.applicationId
+        assert all(k[0] == app_id for k in _PSL_CACHE)
+        assert _PSL_CACHE[(app_id, rule_file(0))] is live0
+        assert _PSL_CACHE[(app_id, rule_file(1))] is live1
+        # live frame survived eviction usable (blocks still pinned)
+        assert live0.count() == 2
+
+        # live session alone at the cap: oldest live entry drops,
+        # newest survive
+        for i in range(2, 9):
+            psl_rules(spark, rule_file(i))
+        assert len(_PSL_CACHE) < 9
+        assert (app_id, rule_file(0)) not in _PSL_CACHE
+        assert (app_id, rule_file(8)) in _PSL_CACHE
+        # cache hit returns the SAME object (no re-parse)
+        again = psl_rules(spark, rule_file(8))
+        assert again is _PSL_CACHE[(app_id, rule_file(8))]
+    finally:
+        _PSL_CACHE.clear()
+        _PSL_CACHE.update(saved)
