@@ -38,6 +38,9 @@ from etfconstituentextractor_spark.sources.tables import load
 
 #: key shift for re-inserted docs — far beyond any real doc_id.
 _INSERT_SHIFT = 10_000_000
+#: the 'dv' leg's merge-on-read delete: doc_id < this threshold is
+#: masked by a positional deletion vector at v3 of the snapshot table
+_DV_DELETE_LT = 100
 
 #: the md5 framing both engines share: null sentinel + unit separator.
 _H = "md5(coalesce(text, chr(0) || 'null') || chr(31) || coalesce(lang, chr(0) || 'null'))"
@@ -196,6 +199,24 @@ def _lang_agg(df: DataFrame) -> DataFrame:
       FROM documents WHERE doc_id % 23 = 0
     ) GROUP BY lang
     UNION ALL
+    -- 'dv' leg (round 10, sources/snapshot_table.py): v3 of the same
+    -- snapshot table is a merge-on-read DELETE (doc_id < 100) — no
+    -- data file rewritten, the rows masked by a positional deletion
+    -- vector the reader anti-joins. The oracle restates v2 minus the
+    -- deleted range, so the hash match proves DV application: every
+    -- masked row gone, every other row intact.
+    SELECT 'dv', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(3 AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS BOOLEAN),
+           lang, COUNT(*), CAST(SUM(COALESCE(length(text), 0)) AS BIGINT)
+    FROM (
+      SELECT * FROM new_rows
+      UNION ALL
+      SELECT doc_id + {2 * _INSERT_SHIFT}, 'late ' || text, lang
+      FROM documents WHERE doc_id % 23 = 0
+    ) WHERE doc_id >= {_DV_DELETE_LT}
+    GROUP BY lang
+    UNION ALL
     -- 'prune' leg: v2 filtered to doc_id >= 2*shift == exactly the
     -- late append (the Spark side plans it via manifest column
     -- stats; the result must equal the plain filtered aggregate)
@@ -294,11 +315,27 @@ def q86_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("late "), F.col("text")).alias("text"),
         "lang",
     )
-    tbl = _timetravel_table(spark, sf_dir, [(d, "overwrite"), (new, "overwrite"), (late, "append")])
+    tbl = _timetravel_table(
+        spark,
+        sf_dir,
+        [(d, "overwrite"), (new, "overwrite"), (late, "append")],
+        deletes=[("doc_id", "<", _DV_DELETE_LT)],
+    )
     tt_legs = [
         _leg_frame(_lang_agg(snapshot_read(spark, tbl, v)), "timetravel", valid_from=v)
         for v in (0, 1, 2)
     ]
+    # 'dv' leg (round 10): v3 is a merge-on-read DELETE — the rows
+    # with doc_id < threshold are masked by a positional deletion
+    # vector (no data file rewritten; the manifest's file list at v3
+    # == v2's, pinned in tests/test_snapshot_table.py). The read
+    # anti-joins the DV on (file key, row position); the oracle
+    # restates v2 minus the range, so the hash match IS correct DV
+    # application. Note v2's timetravel leg above reads the SAME
+    # files pre-delete — time travel across a delete, under one hash.
+    tt_legs.append(
+        _leg_frame(_lang_agg(snapshot_read(spark, tbl, 3)), "dv", valid_from=3)
+    )
     # 'prune' leg (round 9): the SAME snapshot table read through the
     # manifest's column stats — where=(doc_id >= 2*shift) proves every
     # v0/v1 data file empty (their per-file doc_id max < 2*shift) and
@@ -353,15 +390,18 @@ def q86_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _timetravel_table(spark, sf_dir, commits):
+def _timetravel_table(spark, sf_dir, commits, deletes=()):
     """Build (or reuse) the q86 snapshot table: one commit per
-    (frame, mode) in order. Corpus-fingerprinted with the shared
-    sources/fingerprint.py identity (per-file name+size+mtime_ns —
-    the replay.py postmortem's rule); a refresh of documents.parquet
-    invalidates and rebuilds, and so does ANY missing manifest or
-    data file (tmp cleanup can eat the large data files while keeping
-    the small marker — that must rebuild, never serve a partial or
-    permanently-crashing read)."""
+    (frame, mode) in order, then one merge-on-read
+    ``snapshot_delete`` per ``deletes`` where-tuple (round 10).
+    Corpus-fingerprinted with the shared sources/fingerprint.py
+    identity (per-file name+size+mtime_ns — the replay.py
+    postmortem's rule); a refresh of documents.parquet invalidates
+    and rebuilds, and so does ANY missing manifest, data file, or
+    deletion-vector dir (tmp cleanup can eat the large data files
+    while keeping the small marker — that must rebuild, never serve a
+    partial or permanently-crashing read; a missing DV dir would
+    crash the reads that mask by it)."""
     import json as _json
     import os
     import shutil
@@ -372,7 +412,11 @@ def _timetravel_table(spark, sf_dir, commits):
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     base = os.path.join(tempfile.gettempdir(), f"etfce_snaptable_{tag}")
     table = os.path.join(base, "table")
-    fp = {"documents": table_fingerprint(sf_dir, "documents"), "recipe": 3}
+    fp = {
+        "documents": table_fingerprint(sf_dir, "documents"),
+        "deletes": [list(w) for w in deletes],
+        "recipe": 4,
+    }
     marker = os.path.join(base, "_fingerprint.json")
     fresh = False
     if os.path.exists(marker):
@@ -390,20 +434,28 @@ def _timetravel_table(spark, sf_dir, commits):
             mdir = os.path.join(table, "_manifests")
             names = sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []
             manifests = [n for n in names if n.endswith(".json")]
-            fresh = len(manifests) == len(commits)
+            fresh = len(manifests) == len(commits) + len(deletes)
             for n in manifests if fresh else []:
                 with open(os.path.join(mdir, n)) as fh:
                     m = _j.load(fh)
                 if not all(os.path.exists(os.path.join(table, f)) for f in m["files"]):
                     fresh = False
                     break
+                dv = m.get("dv")
+                if dv and not os.path.isdir(os.path.join(table, dv["dir"])):
+                    fresh = False
+                    break
         except (OSError, ValueError, KeyError):
             fresh = False
     if not fresh:
+        from etfconstituentextractor_spark.sources.snapshot_table import snapshot_delete
+
         shutil.rmtree(base, ignore_errors=True)
         os.makedirs(base)
         for frame, mode in commits:
             snapshot_commit(frame, table, mode=mode, stats_cols=["doc_id"])
+        for w in deletes:
+            snapshot_delete(spark, table, where=tuple(w))
         with open(marker, "w") as fh:
             _json.dump(fp, fh)
     return table

@@ -49,19 +49,33 @@ key-column probe finds the files that genuinely contain matched keys,
 and ONLY those are rewritten; everything else carries over by
 relpath, stats included.
 
+Round 10 adds the merge-on-read half: ``snapshot_delete`` commits
+row-level deletes as POSITIONAL DELETION VECTORS — a tiny parquet of
+(file key, row position) pairs per version — without rewriting one
+data byte (the Iceberg v2 / Delta DV shape; at 100 TB copy-on-write
+delete amplification is the reason real formats grew this). Readers
+apply a version's DV as an anti-join on (_metadata.file_path-derived
+key, _metadata.row_index); files without deletes read plain, so a
+DV-free table pays nothing. Rewrites MATERIALIZE deletes: merge and
+compact apply the DV to the files they rewrite and drop those files'
+DV coverage, so deleted rows can never resurrect through a rewrite
+that changes row positions.
+
 The honest scope line: one manifest per version (a real 100 TB table
 shards manifests), stats are gathered by a post-write single-column
 aggregate over the fresh files (a production format lifts them from
 the task-level parquet footers the write already produced — same
-numbers, zero extra read), merge is upsert-only (no delete clause —
-express deletes as an overwrite of the filtered table), and there is
-no merge-on-read path. ``snapshot_compact`` consolidates small
-files as just another versioned commit — the reader-safe answer to
-the small-file problem operators/compaction.py refuses to touch near
-manifests. ``snapshot_vacuum`` is the retention sweep:
-expire old versions and remove unreferenced data dirs,
-manifests-first so a crash can only leave garbage, never break a
-readable version.
+numbers, zero extra read), merge is upsert-only (deletes go through
+``snapshot_delete``), and DV application is a join in the plan rather
+than a scan-integrated position mask (an engine-owned format pushes
+the mask into the reader; the join spelling is what composes on stock
+Spark, AQE broadcasts the DV while it is small). ``snapshot_compact``
+consolidates small files as just another versioned commit — the
+reader-safe answer to the small-file problem operators/compaction.py
+refuses to touch near manifests. ``snapshot_vacuum`` is the retention
+sweep: expire old versions and remove unreferenced data dirs
+(deletion-vector dirs included), manifests-first so a crash can only
+leave garbage, never break a readable version.
 """
 
 from __future__ import annotations
@@ -77,6 +91,7 @@ __all__ = [
     "ConcurrentCommitError",
     "snapshot_commit",
     "snapshot_compact",
+    "snapshot_delete",
     "snapshot_merge",
     "snapshot_read",
     "snapshot_versions",
@@ -84,6 +99,13 @@ __all__ = [
 ]
 
 _MANIFEST_RE = re.compile(r"^v(\d{8})\.json$")
+#: extracts a data file's manifest relpath KEY from
+#: _metadata.file_path — anchored at the end so only the real
+#: data/vN-uuid segment matches. The key stays in file_path's own
+#: encoding (both DV write and DV apply derive it from the same
+#: column, so matching needs consistency, not decoding); the
+#: driver-side bookkeeping decodes separately.
+_DV_KEY_RE = r"/(data/v[0-9]{8}-[0-9a-f]{8}/.+)$"
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -203,26 +225,27 @@ def snapshot_commit(
                 f"append partition types {ptypes} != table spec {parent_types}"
             )
     files, stats = _write_data(df, path, version, stats_cols, partition_by=pby)
+    manifest = {
+        "version": version,
+        "op": mode,
+        "parent": parent,
+        "n_files": len(files),
+        "files": sorted(files),
+        "stats": stats,
+        "partition_by": pby,
+        "partition_types": ptypes,
+    }
     if pm is not None:
         files = pm["files"] + files
         stats = {**pm.get("stats", {}), **stats}
-
-    _publish(
-        fs,
-        jvm,
-        path,
-        version,
-        {
-            "version": version,
-            "op": mode,
-            "parent": parent,
-            "n_files": len(files),
-            "files": sorted(files),
-            "stats": stats,
-            "partition_by": pby,
-            "partition_types": ptypes,
-        },
-    )
+        manifest.update(n_files=len(files), files=sorted(files), stats=stats)
+        if "dv" in pm:
+            # an append extends the parent's file list, so the
+            # parent's deletion vector must ride along — dropping it
+            # here would resurrect every masked row (fresh files can't
+            # collide: DV keys name data/vN-uuid dirs, never reused)
+            manifest["dv"] = pm["dv"]
+    _publish(fs, jvm, path, version, manifest)
     return version
 
 
@@ -438,26 +461,26 @@ def snapshot_merge(
     cand = [f for f in m["files"] if _cand(f)]
     touched: list[str] = []
     if cand:
+        # DV-AWARE probe: a row the deletion vector masks must not
+        # force its file into the rewrite set (and must not resurrect
+        # through one); __dvf decodes to the manifest relpath exactly,
+        # replacing the old input_file_name suffix matching
         hits = (
-            _read_files(spark, path, cand, pby, ptypes)
-            .select(F.col(key).alias("__k"), F.input_file_name().alias("__f"))
+            _read_data(spark, path, m, cand, keep_meta=True)
+            .select(F.col(key).alias("__k"), "__dvf")
             .join(F.broadcast(skeys), "__k")
-            .select("__f")
+            .select("__dvf")
             .distinct()
             .collect()
         )
-        # match by relpath suffix, never basename (sibling partition
-        # dirs share part-file names — round-9 review finding)
-        from urllib.parse import unquote, urlparse
+        from urllib.parse import unquote
 
-        hit_paths = {unquote(urlparse(r["__f"]).path) for r in hits}
-        touched = [
-            f for f in cand if any(hp.endswith("/" + f) for hp in hit_paths)
-        ]
+        hit_rels = {unquote(r["__dvf"]) for r in hits}
+        touched = [f for f in cand if f in hit_rels]
 
     if touched:
         kept_rows = (
-            _read_files(spark, path, touched, pby, ptypes)
+            _read_data(spark, path, m, touched)
             .join(F.broadcast(skeys), F.col(key) == F.col("__k"), "left_anti")
         )
         fresh_df = kept_rows.unionByName(source.select(*kept_rows.columns))
@@ -470,25 +493,138 @@ def snapshot_merge(
     touched_set = set(touched)
     untouched = [f for f in m["files"] if f not in touched_set]
     files = untouched + new_files
-    _publish(
-        fs,
-        jvm,
-        path,
-        version,
-        {
-            "version": version,
-            "op": "merge",
-            "parent": parent,
-            "n_files": len(files),
-            "files": sorted(files),
-            "stats": {
-                **{f: stats[f] for f in untouched if f in stats},
-                **new_stats,
-            },
-            "partition_by": pby,
-            "partition_types": ptypes or {},
+    manifest = {
+        "version": version,
+        "op": "merge",
+        "parent": parent,
+        "n_files": len(files),
+        "files": sorted(files),
+        "stats": {
+            **{f: stats[f] for f in untouched if f in stats},
+            **new_stats,
         },
-    )
+        "partition_by": pby,
+        "partition_types": ptypes or {},
+    }
+    # rewritten files MATERIALIZED their deletes (the rewrite read was
+    # DV-aware); their coverage drops so the stale (file, pos) keys
+    # can never mask rows of the fresh files. Untouched coverage
+    # carries with the same DV dir.
+    dvdir, dvmap = _dv_info(m)
+    remaining = {f: n for f, n in dvmap.items() if f not in touched_set}
+    if remaining:
+        manifest["dv"] = {"dir": dvdir, "files": remaining}
+    _publish(fs, jvm, path, version, manifest)
+    return version
+
+
+def snapshot_delete(
+    spark: SparkSession,
+    path: str,
+    where: tuple,
+) -> int:
+    """Row-level DELETE as a merge-on-read commit: rows matching
+    ``where=(col, op, value)`` disappear from the new version WITHOUT
+    rewriting any data file — their (file, row position) coordinates
+    are appended to the version's positional deletion vector, a tiny
+    parquet readers anti-join at plan time. Returns the new version.
+    This is the Iceberg v2 / Delta deletion-vector shape: at 100 TB a
+    copy-on-write delete of 0.1% of rows scattered across every file
+    rewrites the whole table; the DV commit costs one pruned scan of
+    candidate files plus a write proportional to the DELETED rows.
+
+    Mechanics: manifest stats + partition relpaths prune candidate
+    files (the snapshot_read pruner); a DV-AWARE read of the
+    candidates (already-deleted rows must not re-match) evaluates the
+    predicate and emits (file key, row position); the new version's
+    DV = parent DV ∪ new positions, written to a fresh immutable dir
+    under data/ and published in the manifest as
+    ``dv: {dir, files: {relpath: n_deleted}}``. Data files, stats,
+    and partition spec carry over untouched. Re-deleting the same
+    rows is a no-op by the union-distinct; a delete matching nothing
+    still commits a version (an audit-visible no-op, the table-format
+    convention). Deletes MATERIALIZE at the next rewrite of a file
+    (merge/compact apply the DV and drop that file's coverage);
+    ``snapshot_vacuum`` keeps every surviving version's DV dir live.
+
+    Time travel composes: older manifests carry the older (or no) DV,
+    so ``snapshot_read(version=...)`` before the delete still sees
+    the rows. Concurrency: the same atomic manifest claim as every
+    commit."""
+    from pyspark.sql import functions as F
+
+    fs, _, jvm = _fs_path(spark, path)
+    versions = _list_versions(fs, jvm, path)
+    if not versions:
+        raise FileNotFoundError(f"{path} has no committed versions to delete from")
+    parent = versions[-1]
+    version = parent + 1
+    m = _read_manifest(fs, jvm, path, parent)
+
+    cand = _prune_files(m, m["files"], where)
+    dvdir, dvmap = _dv_info(m)
+    new_dv = {"dir": dvdir, "files": dvmap} if dvdir else None
+    dv_frame = None
+    if cand:
+        new_pos = (
+            _read_data(spark, path, m, cand, keep_meta=True)
+            .filter(_where_cond(where))
+            .select("__dvf", "__pos")
+        )
+        if dvdir is not None:
+            old_dv = spark.read.parquet(posixpath.join(path, dvdir)).select(
+                "__dvf", "__pos"
+            )
+            dv_frame = old_dv.unionByName(new_pos).distinct()
+        else:
+            dv_frame = new_pos.distinct()
+    # no candidates: carry the parent's DV entry verbatim, zero I/O
+
+    if dv_frame is not None:
+        reldir = f"data/v{version:08d}-{uuid.uuid4().hex[:8]}"
+        # the DV is tiny relative to the data it masks; don't let it
+        # inherit the candidate scan's partitioning as many shards
+        dv_frame.coalesce(8).write.parquet(posixpath.join(path, reldir))
+        # per-file coverage map: bounded by the file count, driver-safe
+        # — and the keys DECODE to manifest relpaths (file_path is a
+        # percent-encoded URI; the manifest stores decoded paths)
+        from urllib.parse import unquote
+
+        counts = (
+            spark.read.parquet(posixpath.join(path, reldir))
+            .groupBy("__dvf")
+            .count()
+            .collect()
+        )
+        manifest_files = set(m["files"])
+        files_map: dict[str, int] = {}
+        for r in counts:
+            rel = unquote(r["__dvf"])
+            if rel not in manifest_files:
+                raise RuntimeError(
+                    f"deletion-vector key {rel!r} does not match any manifest "
+                    "data file — the key derivation and manifest relpaths have "
+                    "diverged; refusing to publish a DV that could not be applied"
+                )
+            files_map[rel] = r["count"]
+        if files_map:
+            new_dv = {"dir": reldir, "files": files_map}
+        else:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(posixpath.join(path, reldir)), True)
+
+    manifest = {
+        "version": version,
+        "op": "delete",
+        "parent": parent,
+        "n_files": len(m["files"]),
+        "files": m["files"],
+        "stats": m.get("stats", {}),
+        "partition_by": m.get("partition_by") or [],
+        "partition_types": m.get("partition_types") or {},
+    }
+    if new_dv:
+        manifest["dv"] = new_dv
+    _publish(fs, jvm, path, version, manifest)
     return version
 
 
@@ -548,8 +684,10 @@ def snapshot_compact(
     # later-added columns — without it the rewrite silently drops
     # whichever columns the sampled footer lacked (round-9 review
     # finding); the rewritten files then carry the FULL schema, so the
-    # stats re-gather below always resolves its columns
-    df = _read_files(spark, path, small, pby, ptypes, merge_schema=True)
+    # stats re-gather below always resolves its columns. DV-aware: a
+    # plain read of a small file with deletion-vector coverage would
+    # RESURRECT its deleted rows into the consolidated file
+    df = _read_data(spark, path, m, small, merge_schema=True)
     if pby:
         df = df.repartition(*pby)
     elif target_rows_per_file:
@@ -571,25 +709,26 @@ def snapshot_compact(
     )
     files = big + new_files
     old_stats = m.get("stats", {})
-    _publish(
-        fs,
-        jvm,
-        path,
-        version,
-        {
-            "version": version,
-            "op": "compact",
-            "parent": parent,
-            "n_files": len(files),
-            "files": sorted(files),
-            "stats": {
-                **{f: old_stats[f] for f in big if f in old_stats},
-                **new_stats,
-            },
-            "partition_by": pby,
-            "partition_types": ptypes or {},
+    manifest = {
+        "version": version,
+        "op": "compact",
+        "parent": parent,
+        "n_files": len(files),
+        "files": sorted(files),
+        "stats": {
+            **{f: old_stats[f] for f in big if f in old_stats},
+            **new_stats,
         },
-    )
+        "partition_by": pby,
+        "partition_types": ptypes or {},
+    }
+    # rewritten small files materialized their deletes; carried big
+    # files keep their DV coverage (same discipline as merge)
+    dvdir, dvmap = _dv_info(m)
+    remaining = {f: n for f, n in dvmap.items() if f not in small_set}
+    if remaining:
+        manifest["dv"] = {"dir": dvdir, "files": remaining}
+    _publish(fs, jvm, path, version, manifest)
     return version
 
 
@@ -637,8 +776,14 @@ def snapshot_vacuum(
     # two segments (data/vN-uuid) instead.
     live_dirs = set()
     for v in survivors:
-        for f in _read_manifest(fs, jvm, path, v)["files"]:
+        sm = _read_manifest(fs, jvm, path, v)
+        for f in sm["files"]:
             live_dirs.add("/".join(f.split("/")[:2]))
+        dvdir, _ = _dv_info(sm)
+        if dvdir:
+            # a deletion-vector dir is as load-bearing as data: losing
+            # it resurrects every masked row of the surviving version
+            live_dirs.add("/".join(dvdir.split("/")[:2]))
     ddir = jvm.org.apache.hadoop.fs.Path(posixpath.join(path, "data"))
     removed = 0
     if fs.exists(ddir):
@@ -668,6 +813,7 @@ def _read_files(
     pby: list[str],
     ptypes: dict | None = None,
     merge_schema: bool = False,
+    with_meta: bool = False,
 ) -> DataFrame:
     """Plan exactly ``files``. Unpartitioned tables are one reader
     call. Partitioned tables need one reader PER VERSION DATA DIR —
@@ -679,16 +825,31 @@ def _read_files(
     recorded ``partition_types`` are cast back instead: inference is
     per-read (a dir holding only '1','2' infers int while a sibling
     holding 'en' infers string), which would make the union's schema
-    depend on which files survived pruning."""
+    depend on which files survived pruning.
+
+    ``with_meta`` appends ``__dvf`` (the file's manifest-relpath key
+    derived from _metadata.file_path) and ``__pos``
+    (_metadata.row_index) — the deletion-vector coordinates. The
+    projection happens per READER frame, before any union: _metadata
+    is a scan-relation pseudo-column and does not survive unions."""
     from collections import defaultdict
 
     from pyspark.sql import functions as F
+
+    def meta_cols(df: DataFrame) -> DataFrame:
+        if not with_meta:
+            return df
+        return df.select(
+            "*",
+            F.regexp_extract(F.col("_metadata.file_path"), _DV_KEY_RE, 1).alias("__dvf"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
 
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
     if not pby:
-        return reader.parquet(*[posixpath.join(path, f) for f in files])
+        return meta_cols(reader.parquet(*[posixpath.join(path, f) for f in files]))
     by_dir: dict[str, list[str]] = defaultdict(list)
     for f in files:
         by_dir["/".join(f.split("/")[:2])].append(f)
@@ -697,8 +858,10 @@ def _read_files(
     spark.conf.set(conf_key, "false")
     try:
         parts = [
-            reader.option("basePath", posixpath.join(path, d)).parquet(
-                *[posixpath.join(path, f) for f in fl]
+            meta_cols(
+                reader.option("basePath", posixpath.join(path, d)).parquet(
+                    *[posixpath.join(path, f) for f in fl]
+                )
             )
             for d, fl in sorted(by_dir.items())
         ]
@@ -711,6 +874,54 @@ def _read_files(
         if c in df.columns:
             df = df.withColumn(c, F.col(c).cast(t))
     return df
+
+
+def _dv_info(m: dict) -> tuple[str | None, dict]:
+    """(dv dir relpath, {data relpath: n deleted positions}) for a
+    manifest — (None, {}) when the version carries no deletes."""
+    dv = m.get("dv")
+    return (dv["dir"], dv["files"]) if dv else (None, {})
+
+
+def _read_data(
+    spark: SparkSession,
+    path: str,
+    m: dict,
+    files: list[str],
+    merge_schema: bool = False,
+    keep_meta: bool = False,
+) -> DataFrame:
+    """DV-aware read of ``files`` under manifest ``m`` — THE read
+    path every consumer of current data must use (snapshot_read,
+    merge's probe + rewrite, compact's rewrite): a rewrite that read
+    files plain would resurrect deleted rows the moment it changed
+    their positions. Files with DV coverage anti-join the version's
+    deletion vector on (file key, row position); uncovered files read
+    plain and pay nothing. ``keep_meta`` keeps the ``__dvf``/``__pos``
+    coordinate columns on the result (both branches)."""
+    from pyspark.sql import functions as F
+
+    pby = m.get("partition_by") or []
+    ptypes = m.get("partition_types")
+    dvdir, dvmap = _dv_info(m)
+    covered = [f for f in files if f in dvmap]
+    if not covered:
+        return _read_files(
+            spark, path, files, pby, ptypes, merge_schema, with_meta=keep_meta
+        )
+    uncovered = [f for f in files if f not in dvmap]
+    dv = spark.read.parquet(posixpath.join(path, dvdir)).select("__dvf", "__pos")
+    cdf = _read_files(
+        spark, path, covered, pby, ptypes, merge_schema, with_meta=True
+    ).join(dv, ["__dvf", "__pos"], "left_anti")
+    if not keep_meta:
+        cdf = cdf.drop("__dvf", "__pos")
+    if not uncovered:
+        return cdf
+    udf = _read_files(
+        spark, path, uncovered, pby, ptypes, merge_schema, with_meta=keep_meta
+    )
+    return cdf.unionByName(udf, allowMissingColumns=merge_schema)
 
 
 #: python coercers per Spark simpleString partition type — comparison
@@ -835,42 +1046,7 @@ def snapshot_read(
         # the pruning fallback index past an empty list)
         raise FileNotFoundError(f"version {version} of {path} has no data files")
     if where is not None:
-        col, op, val = where
-        if val is None:
-            raise ValueError("where value must not be None (use a filter for null semantics)")
-        if op not in _PRUNE_SKIP:
-            raise ValueError(f"op must be one of {sorted(_PRUNE_SKIP)}, got {op!r}")
-        skip = _PRUNE_SKIP[op]
-        stats = m.get("stats", {})
-
-        def keep(f: str) -> bool:
-            if col in pby:
-                # partition pruning: the value is directory-encoded in
-                # the relpath the manifest already stores — parse and
-                # compare BOTH sides in the column's recorded type
-                # domain (the in-plan filter casts the probe to the
-                # column type; pruning must mirror that, or a string
-                # probe on a numeric partition compares lexically)
-                pv = _partition_value(f, col)
-                if pv is None:
-                    return True  # segment missing: conservatively keep
-                if pv == "__HIVE_DEFAULT_PARTITION__":
-                    # null partition: no comparison predicate matches
-                    return False
-                try:
-                    typed, tval = _coerce_pair(pv, val, (ptypes or {}).get(col))
-                    return not skip(typed, typed, tval)
-                except (TypeError, ValueError):
-                    return True
-            st = stats.get(f, {}).get(col)
-            if not st or st[0] is None or st[1] is None:
-                return True  # no usable stats: conservatively keep
-            try:
-                return not skip(st[0], st[1], val)
-            except TypeError:  # stat/value domain mismatch: keep
-                return True
-
-        files = [f for f in files if keep(f)]
+        files = _prune_files(m, files, where)
     if not files:
         # everything pruned: an empty frame with the table's FULL
         # schema — planned from every manifest file (footer reads
@@ -879,13 +1055,63 @@ def snapshot_read(
         # columns (round-9 review finding)
         df = _read_files(spark, path, m["files"], pby, ptypes, merge_schema).limit(0)
     else:
-        df = _read_files(spark, path, files, pby, ptypes, merge_schema)
+        df = _read_data(spark, path, m, files, merge_schema)
     if where is not None:
-        from pyspark.sql import functions as F
-
-        col, op, val = where
-        c = F.col(col)
-        df = df.filter(
-            {"=": c == val, ">=": c >= val, ">": c > val, "<=": c <= val, "<": c < val}[op]
-        )
+        df = df.filter(_where_cond(where))
     return df
+
+
+def _prune_files(m: dict, files: list[str], where: tuple) -> list[str]:
+    """The subset of ``files`` whose manifest metadata (partition
+    relpath values, column stats) cannot PROVE empty under
+    ``where=(col, op, value)`` — shared by snapshot_read and
+    snapshot_delete. Conservative in every uncertain case; callers
+    must still apply the predicate in-plan."""
+    col, op, val = where
+    if val is None:
+        raise ValueError("where value must not be None (use a filter for null semantics)")
+    if op not in _PRUNE_SKIP:
+        raise ValueError(f"op must be one of {sorted(_PRUNE_SKIP)}, got {op!r}")
+    skip = _PRUNE_SKIP[op]
+    stats = m.get("stats", {})
+    pby = m.get("partition_by") or []
+    ptypes = m.get("partition_types")
+
+    def keep(f: str) -> bool:
+        if col in pby:
+            # partition pruning: the value is directory-encoded in
+            # the relpath the manifest already stores — parse and
+            # compare BOTH sides in the column's recorded type
+            # domain (the in-plan filter casts the probe to the
+            # column type; pruning must mirror that, or a string
+            # probe on a numeric partition compares lexically)
+            pv = _partition_value(f, col)
+            if pv is None:
+                return True  # segment missing: conservatively keep
+            if pv == "__HIVE_DEFAULT_PARTITION__":
+                # null partition: no comparison predicate matches
+                return False
+            try:
+                typed, tval = _coerce_pair(pv, val, (ptypes or {}).get(col))
+                return not skip(typed, typed, tval)
+            except (TypeError, ValueError):
+                return True
+        st = stats.get(f, {}).get(col)
+        if not st or st[0] is None or st[1] is None:
+            return True  # no usable stats: conservatively keep
+        try:
+            return not skip(st[0], st[1], val)
+        except TypeError:  # stat/value domain mismatch: keep
+            return True
+
+    return [f for f in files if keep(f)]
+
+
+def _where_cond(where: tuple):
+    """The in-plan Column for a ``(col, op, value)`` probe — the same
+    semantics the pruner mirrors."""
+    from pyspark.sql import functions as F
+
+    col, op, val = where
+    c = F.col(col)
+    return {"=": c == val, ">=": c >= val, ">": c > val, "<=": c <= val, "<": c < val}[op]

@@ -824,3 +824,32 @@ def test_q86_prune_leg_plans_fewer_files(spark, sf_dir):
     )
     # and the pruned read is exactly the late slice
     assert pruned.count() == full.filter(f"doc_id >= {2 * _INSERT_SHIFT}").count()
+
+
+def test_q86_dv_leg_is_merge_on_read(spark, sf_dir):
+    """q86's 'dv' leg reads v3 = a positional-deletion-vector DELETE:
+    the manifest's data file list must be UNCHANGED from v2 (no
+    rewrite — the merge-on-read contract) while the read masks
+    exactly the deleted range, and v2 still time-travels to the
+    pre-delete rows."""
+    import json
+    import os
+    import tempfile
+
+    from etfconstituentextractor_spark.plans.llm_refresh import (
+        _DV_DELETE_LT,
+        q86_snapshot_diff,
+    )
+    from etfconstituentextractor_spark.sources.snapshot_table import snapshot_read
+
+    q86_snapshot_diff(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    tbl = os.path.join(tempfile.gettempdir(), f"etfce_snaptable_{tag}", "table")
+    m2 = json.load(open(os.path.join(tbl, "_manifests", "v00000002.json")))
+    m3 = json.load(open(os.path.join(tbl, "_manifests", "v00000003.json")))
+    assert m3["op"] == "delete" and m3["files"] == m2["files"]
+    assert sum(m3["dv"]["files"].values()) > 0
+    v2, v3 = snapshot_read(spark, tbl, 2), snapshot_read(spark, tbl, 3)
+    assert v3.filter(f"doc_id < {_DV_DELETE_LT}").count() == 0
+    assert v2.filter(f"doc_id < {_DV_DELETE_LT}").count() > 0
+    assert v3.count() == v2.filter(f"doc_id >= {_DV_DELETE_LT}").count()

@@ -705,3 +705,183 @@ def test_partition_values_with_reserved_chars_roundtrip(spark, tmp_path):
     got = {(r.id, r.k) for r in snapshot_read(spark, t, v1).collect()}
     want = {(i, kv) for i, kv in rows if kv != "a:b"} | {(999, "a:b")}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round 10: merge-on-read positional deletion vectors
+
+
+def _dv_of(t, version):
+    import json
+
+    return json.load(open(f"{t}/_manifests/v{version:08d}.json")).get("dv")
+
+
+def test_delete_is_merge_on_read_and_time_travels(spark, tmp_path):
+    """snapshot_delete must remove rows WITHOUT rewriting data files
+    (the manifest's file list is unchanged — the whole point of the
+    DV shape), older versions must still see the rows, and the op
+    must be audit-visible."""
+    import json
+
+    from etfconstituentextractor_spark.sources.snapshot_table import snapshot_delete
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(100).selectExpr("id", "CAST(id % 7 AS STRING) AS v")
+    v0 = snapshot_commit(df, t, mode="overwrite", stats_cols=["id"])
+    m0 = json.load(open(f"{t}/_manifests/v{v0:08d}.json"))
+
+    v1 = snapshot_delete(spark, t, where=("id", "<", 10))
+    m1 = json.load(open(f"{t}/_manifests/v{v1:08d}.json"))
+    assert m1["files"] == m0["files"], "a DV delete must not rewrite data files"
+    assert m1["op"] == "delete"
+    assert sum(m1["dv"]["files"].values()) == 10
+
+    got = sorted(r.id for r in snapshot_read(spark, t).collect())
+    assert got == list(range(10, 100))
+    # time travel: the pre-delete version still has every row
+    assert snapshot_read(spark, t, v0).count() == 100
+    # pruned read composes with the DV
+    pr = sorted(
+        r.id for r in snapshot_read(spark, t, where=("id", "<", 20)).collect()
+    )
+    assert pr == list(range(10, 20))
+
+
+def test_delete_accumulates_and_is_idempotent(spark, tmp_path):
+    from etfconstituentextractor_spark.sources.snapshot_table import snapshot_delete
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        spark.range(50).selectExpr("id", "'x' AS v"), t, mode="overwrite",
+        stats_cols=["id"],
+    )
+    snapshot_delete(spark, t, where=("id", "<", 5))
+    v2 = snapshot_delete(spark, t, where=("id", ">=", 45))
+    assert sorted(r.id for r in snapshot_read(spark, t).collect()) == list(range(5, 45))
+    assert sum(_dv_of(t, v2)["files"].values()) == 10
+    # re-deleting already-deleted rows changes nothing (union-distinct)
+    v3 = snapshot_delete(spark, t, where=("id", "<", 5))
+    assert sum(_dv_of(t, v3)["files"].values()) == 10
+    assert sorted(r.id for r in snapshot_read(spark, t).collect()) == list(range(5, 45))
+    assert _dv_of(t, v3)["files"] == _dv_of(t, v2)["files"]
+    # a delete whose probe the stats prune to ZERO candidates still
+    # commits, carrying the parent's DV entry verbatim (no DV rewrite)
+    v4 = snapshot_delete(spark, t, where=("id", "=", 1000))
+    assert _dv_of(t, v4) == _dv_of(t, v3)
+
+
+def test_append_after_delete_carries_dv(spark, tmp_path):
+    from etfconstituentextractor_spark.sources.snapshot_table import snapshot_delete
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        spark.range(20).selectExpr("id", "'a' AS v"), t, mode="overwrite",
+        stats_cols=["id"],
+    )
+    snapshot_delete(spark, t, where=("id", "<", 10))
+    snapshot_commit(
+        spark.range(100, 105).selectExpr("id", "'b' AS v"), t, mode="append",
+        stats_cols=["id"],
+    )
+    got = sorted(r.id for r in snapshot_read(spark, t).collect())
+    assert got == list(range(10, 20)) + list(range(100, 105)), (
+        "append must carry the parent's deletion vector"
+    )
+
+
+def test_merge_materializes_deletes_and_drops_coverage(spark, tmp_path):
+    """A merge that rewrites a DV-covered file must apply the DV
+    (deleted rows cannot resurrect through the rewrite) and drop that
+    file's coverage; untouched coverage carries."""
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_delete,
+        snapshot_merge,
+    )
+
+    t = str(tmp_path / "tbl")
+    # two files via repartitionByRange on id: [0..49], [50..99]
+    df = spark.range(100).selectExpr("id", "CAST(id AS STRING) AS v")
+    snapshot_commit(
+        df.repartitionByRange(2, "id"), t, mode="overwrite", stats_cols=["id"]
+    )
+    snapshot_delete(spark, t, where=("id", "<", 5))       # masks file A rows
+    snapshot_delete(spark, t, where=("id", ">=", 95))     # masks file B rows
+    # merge touches only file A's range (keys 10..12); file B carries
+    src = spark.createDataFrame(
+        [(i, f"new{i}") for i in (10, 11, 12)], "id bigint, v string"
+    )
+    vm = snapshot_merge(src, t, key="id", stats_cols=["id"])
+    got = {(r.id, r.v) for r in snapshot_read(spark, t, vm).collect()}
+    want = {(i, f"new{i}") for i in (10, 11, 12)} | {
+        (i, str(i)) for i in range(5, 95) if i not in (10, 11, 12)
+    }
+    assert got == want
+    dv = _dv_of(t, vm)
+    assert dv is not None and sum(dv["files"].values()) == 5, (
+        "file B's coverage must carry; file A's must be dropped (materialized)"
+    )
+
+
+def test_merge_on_deleted_key_inserts_not_resurrects(spark, tmp_path):
+    """A source key whose only target rows are DV-deleted: the merge
+    inserts the source row; the deleted payload must not come back."""
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_delete,
+        snapshot_merge,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        spark.range(10).selectExpr("id", "concat('old', id) AS v"), t,
+        mode="overwrite", stats_cols=["id"],
+    )
+    snapshot_delete(spark, t, where=("id", "=", 3))
+    vm = snapshot_merge(
+        spark.createDataFrame([(3, "fresh")], "id bigint, v string"), t,
+        key="id", stats_cols=["id"],
+    )
+    got = {(r.id, r.v) for r in snapshot_read(spark, t, vm).collect()}
+    assert (3, "fresh") in got and (3, "old3") not in got
+    assert len(got) == 10
+
+
+def test_compact_materializes_deletes(spark, tmp_path):
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_compact,
+        snapshot_delete,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(60).selectExpr("id", "CAST(id AS STRING) AS v")
+    snapshot_commit(df.repartition(4), t, mode="overwrite", stats_cols=["id"])
+    snapshot_delete(spark, t, where=("id", "<", 12))
+    vc = snapshot_compact(spark, t, small_bytes=1 << 30)  # everything is small
+    assert vc is not None
+    assert sorted(r.id for r in snapshot_read(spark, t, vc).collect()) == list(
+        range(12, 60)
+    ), "compact must apply the DV, not resurrect deleted rows"
+    assert _dv_of(t, vc) is None, "all covered files rewritten -> coverage gone"
+
+
+def test_partitioned_delete_and_vacuum_keeps_dv_dirs(spark, tmp_path):
+    """DVs on a hive-partitioned table (partition pruning feeds the
+    candidate set), and vacuum must treat a surviving version's DV dir
+    as live while still removing orphans."""
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_delete,
+        snapshot_vacuum,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(40).selectExpr("id", "CAST(id % 4 AS STRING) AS lang")
+    snapshot_commit(df, t, mode="overwrite", stats_cols=["id"], partition_by=["lang"])
+    snapshot_delete(spark, t, where=("lang", "=", "2"))
+    got = sorted(r.id for r in snapshot_read(spark, t).collect())
+    assert got == [i for i in range(40) if i % 4 != 2]
+
+    res = snapshot_vacuum(spark, t, keep_last=1)
+    assert res["surviving_versions"] == [1]
+    # the DV dir survived the sweep: the masked rows stay masked
+    got2 = sorted(r.id for r in snapshot_read(spark, t).collect())
+    assert got2 == got
