@@ -61,11 +61,19 @@ compact apply the DV to the files they rewrite and drop those files'
 DV coverage, so deleted rows can never resurrect through a rewrite
 that changes row positions.
 
-The honest scope line: one manifest per version (a real 100 TB table
-shards manifests), stats are gathered by a post-write single-column
-aggregate over the fresh files (a production format lifts them from
-the task-level parquet footers the write already produced — same
-numbers, zero extra read), merge is upsert-only (deletes go through
+Round 10 also closes the previously-declared manifest scale gap:
+versions past _SHARD_FILES entries store their inventory in immutable
+SHARD files with per-column bounds in the root (the Iceberg
+manifest-list shape) — appends reference the parent's shards by name
+at O(new files) metadata cost, merge/compact rewrite only the shards
+they actually drop files from, DV deletes share every shard verbatim,
+and pruned reads skip whole shards by bounds before loading one.
+
+The honest scope line: stats are gathered by a post-write
+single-column aggregate over the fresh files (a production format
+lifts them from the task-level parquet footers the write already
+produced — same numbers, zero extra read), merge is upsert-only
+(deletes go through
 ``snapshot_delete``), and DV application is a join in the plan rather
 than a scan-integrated position mask (an engine-owned format pushes
 the mask into the reader; the join spelling is what composes on stock
@@ -99,6 +107,14 @@ __all__ = [
 ]
 
 _MANIFEST_RE = re.compile(r"^v(\d{8})\.json$")
+_SHARD_RE = re.compile(r"^v(\d{8})-shard-[0-9a-f]{8}\.json$")
+#: a version whose file count exceeds this shards its manifest: the
+#: root lists shard refs (+ pruning bounds) instead of inline files.
+#: At 100 TB a version is millions of files — one JSON the driver
+#: must parse per read is the single-manifest design's scale wall;
+#: sharding bounds root size by shard COUNT and lets both pruned
+#: reads and incremental commits touch only the shards they must.
+_SHARD_FILES = 1000
 #: extracts a data file's manifest relpath KEY from
 #: _metadata.file_path — anchored at the end so only the real
 #: data/vN-uuid segment matches. The key stays in file_path's own
@@ -149,6 +165,133 @@ def snapshot_versions(spark: SparkSession, path: str) -> list[dict]:
         {k: m[k] for k in ("version", "op", "n_files", "parent")}
         for m in (_read_manifest(fs, jvm, path, v) for v in _list_versions(fs, jvm, path))
     ]
+
+
+# ---------------------------------------------------------------------------
+# manifest sharding (round 10): a version whose file count exceeds
+# _SHARD_FILES stores its file list + stats in IMMUTABLE shard files
+# (`_manifests/vN-shard-<uuid>.json`), the root manifest holding only
+# refs {path, n_files, bounds}. Two scale properties the single
+# inline manifest lacks, both the Iceberg manifest-list design:
+#  - commits REUSE parent shards by ref: an append's metadata cost is
+#    O(new files), merge/compact rewrite only the shards whose files
+#    they actually drop — never the whole list;
+#  - pruned reads skip whole shards by the refs' per-column [lo, hi]
+#    bounds before loading one shard byte.
+# Shards are written BEFORE the root-manifest claim, so a lost race
+# orphans shard files exactly like data dirs; vacuum sweeps both.
+
+
+def _load_shard(fs, jvm, table: str, name: str) -> dict:
+    p = jvm.org.apache.hadoop.fs.Path(posixpath.join(table, "_manifests", name))
+    return json.loads(jvm.org.apache.commons.io.IOUtils.toString(fs.open(p), "UTF-8"))
+
+
+def _shard_bounds(files: list[str], stats: dict) -> dict:
+    """Per-column [min, max] over the files' stat ranges — recorded
+    only for columns EVERY file has non-null bounds for (a single
+    unknown file makes the shard unskippable on that column). Values
+    stay in the stats' own primitive domain, so shard-level pruning
+    compares exactly like file-level pruning."""
+    cols: set | None = None
+    for f in files:
+        st = stats.get(f)
+        have = {
+            c
+            for c, b in (st or {}).items()
+            if b and b[0] is not None and b[1] is not None
+        }
+        cols = have if cols is None else (cols & have)
+        if not cols:
+            return {}
+    bounds = {}
+    for c in cols or ():
+        los = [stats[f][c][0] for f in files]
+        his = [stats[f][c][1] for f in files]
+        try:
+            bounds[c] = [min(los), max(his)]
+        except TypeError:  # mixed domains across files: not boundable
+            continue
+    return bounds
+
+
+def _write_shard(fs, jvm, table: str, version: int, files: list[str], stats: dict) -> dict:
+    """Write one immutable shard file; returns its root-manifest ref."""
+    name = f"v{version:08d}-shard-{uuid.uuid4().hex[:8]}.json"
+    p = jvm.org.apache.hadoop.fs.Path(posixpath.join(table, "_manifests", name))
+    sh_stats = {f: stats[f] for f in files if f in stats}
+    out = fs.create(p, False)
+    out.write(
+        bytearray(json.dumps({"files": sorted(files), "stats": sh_stats}).encode("utf-8"))
+    )
+    out.close()
+    return {"path": name, "n_files": len(files), "bounds": _shard_bounds(files, stats)}
+
+
+def _shard_skippable(ref: dict, where: tuple) -> bool:
+    col, op, val = where
+    b = (ref.get("bounds") or {}).get(col)
+    if not b or b[0] is None or b[1] is None:
+        return False
+    try:
+        return _PRUNE_SKIP[op](b[0], b[1], val)
+    except (TypeError, KeyError):
+        return False
+
+
+def _shard_docs(fs, jvm, table: str, m: dict, where: tuple | None = None):
+    """The manifest's file inventory as [(ref_or_None, files, stats)]
+    — one entry per shard (loading each), or a single (None, ...) for
+    inline manifests. ``where`` skips shards whose bounds prove them
+    empty WITHOUT loading them."""
+    if "shards" not in m:
+        return [(None, m["files"], m.get("stats", {}))]
+    out = []
+    for ref in m["shards"]:
+        if where is not None and _shard_skippable(ref, where):
+            continue
+        doc = _load_shard(fs, jvm, table, ref["path"])
+        out.append((ref, doc["files"], doc.get("stats", {})))
+    return out
+
+
+def _resolve(fs, jvm, table: str, m: dict, where: tuple | None = None):
+    """(files, stats) of a manifest, shards resolved (and skipped by
+    ``where`` bounds when given)."""
+    files: list[str] = []
+    stats: dict = {}
+    for _, fl, st in _shard_docs(fs, jvm, table, m, where):
+        files += fl
+        stats.update(st)
+    return files, stats
+
+
+def _files_section(fs, jvm, table: str, version: int, parts) -> dict:
+    """The manifest's files/stats fields from ``parts`` — each part
+    either a SHARED parent shard ``(ref, None, None)`` (reused by
+    name, never loaded or rewritten) or MATERIALIZED files
+    ``(None, files, stats)`` (written as fresh shards of ≤
+    _SHARD_FILES, or inlined when the whole version fits)."""
+    total = sum(p[0]["n_files"] if p[1] is None else len(p[1]) for p in parts)
+    if total <= _SHARD_FILES:
+        files: list[str] = []
+        stats: dict = {}
+        for ref, fl, st in parts:
+            if fl is None:
+                doc = _load_shard(fs, jvm, table, ref["path"])
+                fl, st = doc["files"], doc.get("stats", {})
+            files += fl
+            stats.update(st)
+        return {"n_files": total, "files": sorted(files), "stats": stats}
+    shards = []
+    for ref, fl, st in parts:
+        if fl is None:
+            shards.append(ref)
+            continue
+        fl = sorted(fl)
+        for i in range(0, len(fl), _SHARD_FILES):
+            shards.append(_write_shard(fs, jvm, table, version, fl[i : i + _SHARD_FILES], st))
+    return {"n_files": total, "shards": shards}
 
 
 def _stat_val(v):
@@ -225,26 +368,29 @@ def snapshot_commit(
                 f"append partition types {ptypes} != table spec {parent_types}"
             )
     files, stats = _write_data(df, path, version, stats_cols, partition_by=pby)
+    parts = []
+    if pm is not None:
+        if "shards" in pm:
+            # append metadata cost is O(new files): the parent's
+            # shards ride along BY REF, never loaded or rewritten
+            parts += [(ref, None, None) for ref in pm["shards"]]
+        else:
+            parts.append((None, pm["files"], pm.get("stats", {})))
+    parts.append((None, files, stats))
     manifest = {
         "version": version,
         "op": mode,
         "parent": parent,
-        "n_files": len(files),
-        "files": sorted(files),
-        "stats": stats,
+        **_files_section(fs, jvm, path, version, parts),
         "partition_by": pby,
         "partition_types": ptypes,
     }
-    if pm is not None:
-        files = pm["files"] + files
-        stats = {**pm.get("stats", {}), **stats}
-        manifest.update(n_files=len(files), files=sorted(files), stats=stats)
-        if "dv" in pm:
-            # an append extends the parent's file list, so the
-            # parent's deletion vector must ride along — dropping it
-            # here would resurrect every masked row (fresh files can't
-            # collide: DV keys name data/vN-uuid dirs, never reused)
-            manifest["dv"] = pm["dv"]
+    if pm is not None and "dv" in pm:
+        # an append extends the parent's file list, so the
+        # parent's deletion vector must ride along — dropping it
+        # here would resurrect every masked row (fresh files can't
+        # collide: DV keys name data/vN-uuid dirs, never reused)
+        manifest["dv"] = pm["dv"]
     _publish(fs, jvm, path, version, manifest)
     return version
 
@@ -420,7 +566,6 @@ def snapshot_merge(
     parent = versions[-1]
     version = parent + 1
     m = _read_manifest(fs, jvm, path, parent)
-    stats = m.get("stats", {})
     pby = m.get("partition_by") or []
     ptypes = m.get("partition_types")
 
@@ -431,6 +576,30 @@ def snapshot_merge(
     # per consumer (round-9 review finding).
     skeys = source.select(F.col(key).alias("__k")).distinct().localCheckpoint()
     lo, hi = skeys.agg(F.min("__k"), F.max("__k")).first()
+
+    # shard-level pruning first: a shard whose key bounds sit wholly
+    # outside [lo, hi] is untouched by construction — its ref is
+    # shared into the new manifest WITHOUT loading it (O(touched
+    # shards) metadata, the point of sharding)
+    shared_parts: list = []
+    if "shards" in m and lo is not None:
+        docs = []
+        for ref in m["shards"]:
+            # no row with key >= lo (shard.hi < lo), or none with
+            # key <= hi (shard.lo > hi): range-disjoint either way
+            if _shard_skippable(ref, (key, ">=", lo)) or _shard_skippable(
+                ref, (key, "<=", hi)
+            ):
+                shared_parts.append((ref, None, None))
+            else:
+                doc = _load_shard(fs, jvm, path, ref["path"])
+                docs.append((ref, doc["files"], doc.get("stats", {})))
+    else:
+        docs = _shard_docs(fs, jvm, path, m)
+    loaded_files = [f for _, fl, _ in docs for f in fl]
+    stats = {}
+    for _, _, st in docs:
+        stats.update(st)
 
     def _cand(f: str) -> bool:
         if lo is None:
@@ -458,7 +627,7 @@ def snapshot_merge(
         except TypeError:
             return True
 
-    cand = [f for f in m["files"] if _cand(f)]
+    cand = [f for f in loaded_files if _cand(f)]
     touched: list[str] = []
     if cand:
         # DV-AWARE probe: a row the deletion vector masks must not
@@ -491,18 +660,24 @@ def snapshot_merge(
     )
 
     touched_set = set(touched)
-    untouched = [f for f in m["files"] if f not in touched_set]
-    files = untouched + new_files
+    # new inventory: range-skipped shards share by ref; loaded shards
+    # with no touched files re-share their ref too; only shards that
+    # actually lost files rewrite (minus the drop), plus one fresh
+    # part for the merged rows
+    parts = list(shared_parts)
+    for ref, fl, st in docs:
+        if ref is not None and not (set(fl) & touched_set):
+            parts.append((ref, None, None))
+            continue
+        kept = [f for f in fl if f not in touched_set]
+        if kept:
+            parts.append((None, kept, {f: st[f] for f in kept if f in st}))
+    parts.append((None, new_files, new_stats))
     manifest = {
         "version": version,
         "op": "merge",
         "parent": parent,
-        "n_files": len(files),
-        "files": sorted(files),
-        "stats": {
-            **{f: stats[f] for f in untouched if f in stats},
-            **new_stats,
-        },
+        **_files_section(fs, jvm, path, version, parts),
         "partition_by": pby,
         "partition_types": ptypes or {},
     }
@@ -561,7 +736,10 @@ def snapshot_delete(
     version = parent + 1
     m = _read_manifest(fs, jvm, path, parent)
 
-    cand = _prune_files(m, m["files"], where)
+    # shard-level pruning feeds the candidate search: only shards the
+    # probe's bounds cannot prove empty are even loaded
+    cand_files, cand_stats = _resolve(fs, jvm, path, m, where=where)
+    cand = _prune_files(m, cand_files, where, stats=cand_stats)
     dvdir, dvmap = _dv_info(m)
     new_dv = {"dir": dvdir, "files": dvmap} if dvdir else None
     dv_frame = None
@@ -596,7 +774,11 @@ def snapshot_delete(
             .count()
             .collect()
         )
-        manifest_files = set(m["files"])
+        # valid targets: the loaded candidates (only source of NEW
+        # positions) plus files already covered by the parent's DV
+        # (their keys were validated at their own commit; their shard
+        # may not be loaded here)
+        manifest_files = set(cand_files) | set(dvmap)
         files_map: dict[str, int] = {}
         for r in counts:
             rel = unquote(r["__dvf"])
@@ -612,13 +794,21 @@ def snapshot_delete(
         else:
             fs.delete(jvm.org.apache.hadoop.fs.Path(posixpath.join(path, reldir)), True)
 
+    # the file inventory is untouched by a DV delete: inline fields
+    # copy over; shard refs share verbatim (zero metadata rewrite)
+    if "shards" in m:
+        sec = {"n_files": m["n_files"], "shards": m["shards"]}
+    else:
+        sec = {
+            "n_files": len(m["files"]),
+            "files": m["files"],
+            "stats": m.get("stats", {}),
+        }
     manifest = {
         "version": version,
         "op": "delete",
         "parent": parent,
-        "n_files": len(m["files"]),
-        "files": m["files"],
-        "stats": m.get("stats", {}),
+        **sec,
         "partition_by": m.get("partition_by") or [],
         "partition_types": m.get("partition_types") or {},
     }
@@ -675,11 +865,18 @@ def snapshot_compact(
             "data", st.getPath().toUri().getPath()[len(prefix) :].lstrip("/")
         )
         sizes[rel] = st.getLen()
-    small = [f for f in m["files"] if sizes.get(f, small_bytes) < small_bytes]
+    # small-file detection needs the full inventory (sizes have no
+    # shard-level summary); sharded manifests resolve here, but the
+    # REBUILD below still shares untouched shards by ref
+    docs = _shard_docs(fs, jvm, path, m)
+    all_files = [f for _, fl, _ in docs for f in fl]
+    old_stats: dict = {}
+    for _, _, st in docs:
+        old_stats.update(st)
+    small = [f for f in all_files if sizes.get(f, small_bytes) < small_bytes]
     if len(small) < 2:
         return None
     small_set = set(small)
-    big = [f for f in m["files"] if f not in small_set]
     # merge_schema: a schema-evolved table's small files may predate
     # later-added columns — without it the rewrite silently drops
     # whichever columns the sampled footer lacked (round-9 review
@@ -702,23 +899,25 @@ def snapshot_compact(
     # (a stat column living only in carried large files would make
     # the re-gather unresolvable — round-9 review finding)
     stats_cols = sorted(
-        {c for st in m.get("stats", {}).values() for c in st} & set(df.columns)
+        {c for st in old_stats.values() for c in st} & set(df.columns)
     )
     new_files, new_stats = _write_data(
         df, path, version, stats_cols or None, partition_by=pby
     )
-    files = big + new_files
-    old_stats = m.get("stats", {})
+    parts = []
+    for ref, fl, st in docs:
+        if ref is not None and not (set(fl) & small_set):
+            parts.append((ref, None, None))
+            continue
+        kept = [f for f in fl if f not in small_set]
+        if kept:
+            parts.append((None, kept, {f: st[f] for f in kept if f in st}))
+    parts.append((None, new_files, new_stats))
     manifest = {
         "version": version,
         "op": "compact",
         "parent": parent,
-        "n_files": len(files),
-        "files": sorted(files),
-        "stats": {
-            **{f: old_stats[f] for f in big if f in old_stats},
-            **new_stats,
-        },
+        **_files_section(fs, jvm, path, version, parts),
         "partition_by": pby,
         "partition_types": ptypes or {},
     }
@@ -775,15 +974,33 @@ def snapshot_vacuum(
     # partitioned versions (round-9 review finding). Key on the first
     # two segments (data/vN-uuid) instead.
     live_dirs = set()
+    live_shards = set()
     for v in survivors:
         sm = _read_manifest(fs, jvm, path, v)
-        for f in sm["files"]:
+        for ref in sm.get("shards", ()):
+            live_shards.add(ref["path"])
+        files, _ = _resolve(fs, jvm, path, sm)
+        for f in files:
             live_dirs.add("/".join(f.split("/")[:2]))
         dvdir, _ = _dv_info(sm)
         if dvdir:
             # a deletion-vector dir is as load-bearing as data: losing
             # it resurrects every masked row of the surviving version
             live_dirs.add("/".join(dvdir.split("/")[:2]))
+    # shard GC: shard files referenced by NO surviving root are dead —
+    # expired versions' shards and lost-race orphans alike. The same
+    # in-flight protection as data dirs: a shard younger than the
+    # newest manifest we planned from may belong to a commit racing
+    # this sweep — leave it for the next one.
+    newest_manifest = max(survivors)
+    mdir = jvm.org.apache.hadoop.fs.Path(posixpath.join(path, "_manifests"))
+    removed_shards = 0
+    for st in fs.listStatus(mdir):
+        name = st.getPath().getName()
+        sm_m = _SHARD_RE.match(name)
+        if sm_m and name not in live_shards and int(sm_m.group(1)) <= newest_manifest:
+            fs.delete(st.getPath(), False)
+            removed_shards += 1
     ddir = jvm.org.apache.hadoop.fs.Path(posixpath.join(path, "data"))
     removed = 0
     if fs.exists(ddir):
@@ -802,6 +1019,7 @@ def snapshot_vacuum(
     return {
         "expired_versions": len(expired),
         "removed_dirs": removed,
+        "removed_shards": removed_shards,
         "surviving_versions": survivors,
     }
 
@@ -1037,23 +1255,27 @@ def snapshot_read(
             raise FileNotFoundError(f"{path} has no committed versions")
         version = versions[-1]
     m = _read_manifest(fs, jvm, path, version)
-    files = m["files"]
     pby = m.get("partition_by") or []
     ptypes = m.get("partition_types")
-    if not files:
+    if m["n_files"] == 0:
         # a zero-output-partition commit can list no files; surface it
         # rather than letting spark.read.parquet() fail obscurely (or
         # the pruning fallback index past an empty list)
         raise FileNotFoundError(f"version {version} of {path} has no data files")
+    # sharded manifests: a pruned read loads only the shards the
+    # probe's bounds cannot prove empty — metadata skipping BEFORE
+    # file-level skipping, the manifest-list half of the design
+    files, stats = _resolve(fs, jvm, path, m, where=where)
     if where is not None:
-        files = _prune_files(m, files, where)
+        files = _prune_files(m, files, where, stats=stats)
     if not files:
         # everything pruned: an empty frame with the table's FULL
         # schema — planned from every manifest file (footer reads
         # only, zero data rows), so merge_schema evolution survives;
         # planning from just one file silently dropped later-added
         # columns (round-9 review finding)
-        df = _read_files(spark, path, m["files"], pby, ptypes, merge_schema).limit(0)
+        all_files, _ = _resolve(fs, jvm, path, m)
+        df = _read_files(spark, path, all_files, pby, ptypes, merge_schema).limit(0)
     else:
         df = _read_data(spark, path, m, files, merge_schema)
     if where is not None:
@@ -1061,19 +1283,24 @@ def snapshot_read(
     return df
 
 
-def _prune_files(m: dict, files: list[str], where: tuple) -> list[str]:
+def _prune_files(
+    m: dict, files: list[str], where: tuple, stats: dict | None = None
+) -> list[str]:
     """The subset of ``files`` whose manifest metadata (partition
     relpath values, column stats) cannot PROVE empty under
     ``where=(col, op, value)`` — shared by snapshot_read and
     snapshot_delete. Conservative in every uncertain case; callers
-    must still apply the predicate in-plan."""
+    must still apply the predicate in-plan. ``stats`` overrides the
+    manifest's inline stats (sharded manifests resolve them
+    separately)."""
     col, op, val = where
     if val is None:
         raise ValueError("where value must not be None (use a filter for null semantics)")
     if op not in _PRUNE_SKIP:
         raise ValueError(f"op must be one of {sorted(_PRUNE_SKIP)}, got {op!r}")
     skip = _PRUNE_SKIP[op]
-    stats = m.get("stats", {})
+    if stats is None:
+        stats = m.get("stats", {})
     pby = m.get("partition_by") or []
     ptypes = m.get("partition_types")
 

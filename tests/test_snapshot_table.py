@@ -885,3 +885,185 @@ def test_partitioned_delete_and_vacuum_keeps_dv_dirs(spark, tmp_path):
     # the DV dir survived the sweep: the masked rows stay masked
     got2 = sorted(r.id for r in snapshot_read(spark, t).collect())
     assert got2 == got
+
+
+# ---------------------------------------------------------------------------
+# round 10: manifest sharding (Iceberg manifest-list shape)
+
+
+@pytest.fixture()
+def small_shards(monkeypatch):
+    from etfconstituentextractor_spark.sources import snapshot_table as st
+
+    monkeypatch.setattr(st, "_SHARD_FILES", 2)
+    return st
+
+
+def _root(t, version):
+    import json
+
+    return json.load(open(f"{t}/_manifests/v{version:08d}.json"))
+
+
+def test_sharded_commit_roundtrip_and_append_shares_shards(
+    spark, tmp_path, small_shards
+):
+    """Past the threshold the manifest stores shard refs, reads
+    resolve them transparently, and an APPEND's metadata cost is
+    O(new files): the parent's shard files are referenced by name,
+    never rewritten."""
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        spark.range(100).selectExpr("id", "'a' AS v").repartition(4), t,
+        mode="overwrite", stats_cols=["id"],
+    )
+    m0 = _root(t, 0)
+    assert "files" not in m0 and len(m0["shards"]) == 2 and m0["n_files"] == 4
+    assert snapshot_read(spark, t).count() == 100
+
+    snapshot_commit(
+        spark.range(100, 150).selectExpr("id", "'b' AS v").repartition(3), t,
+        mode="append", stats_cols=["id"],
+    )
+    m1 = _root(t, 1)
+    parent_shards = {s["path"] for s in m0["shards"]}
+    child_shards = {s["path"] for s in m1["shards"]}
+    assert parent_shards <= child_shards, "append must share parent shards by ref"
+    assert m1["n_files"] == 7
+    assert sorted(r.id for r in snapshot_read(spark, t).collect()) == list(range(150))
+    # time travel still resolves the old root's shards
+    assert snapshot_read(spark, t, 0).count() == 100
+
+
+def test_sharded_pruned_read_skips_loading_shards(spark, tmp_path, small_shards):
+    """A pruned read must skip whole shards by the root's bounds
+    BEFORE loading them — count actual shard loads via a wrapper."""
+    t = str(tmp_path / "tbl")
+    # three appends with disjoint id ranges -> per-range shards with
+    # disjoint bounds
+    snapshot_commit(
+        spark.range(100).selectExpr("id", "'x' AS v").repartition(2), t,
+        mode="overwrite", stats_cols=["id"],
+    )
+    for lo in (100, 200):
+        snapshot_commit(
+            spark.range(lo, lo + 100).selectExpr("id", "'x' AS v").repartition(2),
+            t, mode="append", stats_cols=["id"],
+        )
+    m = _root(t, 2)
+    assert len(m["shards"]) == 3
+
+    st = small_shards
+    loads = []
+    orig = st._load_shard
+
+    def counting(fs, jvm, table, name):
+        loads.append(name)
+        return orig(fs, jvm, table, name)
+
+    st._load_shard = counting
+    try:
+        pr = snapshot_read(spark, t, where=("id", ">=", 250))
+        n_loaded_pruned = len(loads)
+        got = sorted(r.id for r in pr.collect())
+    finally:
+        st._load_shard = orig
+    assert got == list(range(250, 300))
+    assert n_loaded_pruned == 1, f"bounds should skip 2 of 3 shards, loaded {loads}"
+
+
+def test_sharded_merge_rewrites_only_touched_shards(spark, tmp_path, small_shards):
+    """Merge must share range-disjoint shards by ref WITHOUT loading
+    them, rewrite only shards that lose files, and stay value-correct."""
+    t = str(tmp_path / "tbl")
+    from etfconstituentextractor_spark.sources.snapshot_table import snapshot_merge
+
+    snapshot_commit(
+        spark.range(100).selectExpr("id", "CAST(id AS STRING) AS v").repartition(2),
+        t, mode="overwrite", stats_cols=["id"],
+    )
+    for lo in (100, 200):
+        snapshot_commit(
+            spark.range(lo, lo + 100).selectExpr("id", "CAST(id AS STRING) AS v").repartition(2),
+            t, mode="append", stats_cols=["id"],
+        )
+    m2 = _root(t, 2)
+    st = small_shards
+    loads = []
+    orig = st._load_shard
+
+    def counting(fs, jvm, table, name):
+        loads.append(name)
+        return orig(fs, jvm, table, name)
+
+    st._load_shard = counting
+    try:
+        src = spark.createDataFrame(
+            [(250, "new250"), (260, "new260"), (999, "fresh")], "id bigint, v string"
+        )
+        vm = snapshot_merge(src, t, key="id", stats_cols=["id"])
+    finally:
+        st._load_shard = orig
+    # only the 200-299 shard was in the source's key range
+    assert len(set(loads)) == 1, f"range-disjoint shards must not load: {loads}"
+    m3 = _root(t, vm)
+    kept = {s["path"] for s in m2["shards"]} & {s["path"] for s in m3["shards"]}
+    assert len(kept) == 2, "the two untouched shards must carry by ref"
+    got = {(r.id, r.v) for r in snapshot_read(spark, t, vm).collect()}
+    assert (250, "new250") in got and (260, "new260") in got and (999, "fresh") in got
+    assert (250, "250") not in got
+    assert len(got) == 301
+
+
+def test_sharded_delete_shares_all_shards_and_vacuum_gc(
+    spark, tmp_path, small_shards
+):
+    """A DV delete on a sharded table must not touch the inventory
+    (same shard refs verbatim); vacuum must GC the shard files of
+    expired versions while keeping every live one readable."""
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_delete,
+        snapshot_vacuum,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        spark.range(100).selectExpr("id", "'x' AS v").repartition(4), t,
+        mode="overwrite", stats_cols=["id"],
+    )
+    snapshot_delete(spark, t, where=("id", "<", 10))
+    m0, m1 = _root(t, 0), _root(t, 1)
+    assert [s["path"] for s in m1["shards"]] == [s["path"] for s in m0["shards"]]
+    assert sorted(r.id for r in snapshot_read(spark, t).collect()) == list(range(10, 100))
+
+    # overwrite orphans v0/v1's shards once they expire
+    snapshot_commit(
+        spark.range(500, 520).selectExpr("id", "'y' AS v").repartition(4), t,
+        mode="overwrite", stats_cols=["id"],
+    )
+    res = snapshot_vacuum(spark, t, keep_last=1)
+    assert res["removed_shards"] >= 2, res
+    assert sorted(r.id for r in snapshot_read(spark, t).collect()) == list(
+        range(500, 520)
+    )
+
+
+def test_sharded_compact_shares_untouched_shards(spark, tmp_path, small_shards):
+    """Compact on a sharded table rewrites only shards holding small
+    files; value equality and stat continuity hold."""
+    from etfconstituentextractor_spark.sources.snapshot_table import snapshot_compact
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        spark.range(60).selectExpr("id", "'x' AS v").repartition(6), t,
+        mode="overwrite", stats_cols=["id"],
+    )
+    vc = snapshot_compact(spark, t, small_bytes=1 << 30, target_rows_per_file=None)
+    assert vc is not None
+    assert sorted(r.id for r in snapshot_read(spark, t, vc).collect()) == list(range(60))
+    m = _root(t, vc)
+    # everything was small -> consolidated to one file, inline again
+    assert m["n_files"] == 1 and "files" in m
+    # pruning still works from the re-gathered stats
+    pr = snapshot_read(spark, t, where=("id", ">=", 30))
+    assert pr.count() == 30
