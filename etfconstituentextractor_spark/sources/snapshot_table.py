@@ -100,8 +100,10 @@ __all__ = [
     "snapshot_commit",
     "snapshot_compact",
     "snapshot_delete",
+    "snapshot_last_txn",
     "snapshot_merge",
     "snapshot_read",
+    "snapshot_stream_ingest",
     "snapshot_versions",
     "snapshot_vacuum",
 ]
@@ -312,6 +314,7 @@ def snapshot_commit(
     mode: str = "append",
     stats_cols: list[str] | None = None,
     partition_by: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Write ``df`` as the table's next version; returns the version.
 
@@ -338,7 +341,15 @@ def snapshot_commit(
     parent's spec (mixed layouts would poison partition discovery),
     enforced here. Hive path escaping (':' -> '%3A' etc.) is
     round-tripped: the pruner decodes segments before comparing, so
-    string values with reserved chars prune correctly."""
+    string values with reserved chars prune correctly.
+
+    ``txn=(writer_id, seq)`` records an idempotent-writer watermark
+    in the manifest (Delta's setTransaction shape): the latest
+    manifest's ``txn`` map answers "what is the highest seq writer X
+    has committed" in O(1), which is what exactly-once streaming
+    ingest checks before committing a possibly-redelivered batch.
+    Every commit type carries the parent's map forward, so the
+    watermark survives interleaved merges/deletes/compactions."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     spark = df.sparkSession
@@ -353,7 +364,11 @@ def snapshot_commit(
     ptypes = {
         f.name: f.dataType.simpleString() for f in df.schema.fields if f.name in pby
     }
-    pm = _read_manifest(fs, jvm, path, parent) if mode == "append" else None
+    # the parent manifest is read for append merging AND, on any mode,
+    # for the txn-watermark carry (an overwrite that dropped the map
+    # would break exactly-once ingest across it)
+    prev = _read_manifest(fs, jvm, path, parent) if parent is not None else None
+    pm = prev if mode == "append" else None
     if pm is not None:
         parent_pby = pm.get("partition_by", [])
         if pby != parent_pby:
@@ -391,8 +406,21 @@ def snapshot_commit(
         # here would resurrect every masked row (fresh files can't
         # collide: DV keys name data/vN-uuid dirs, never reused)
         manifest["dv"] = pm["dv"]
+    _set_txn(manifest, prev, txn)
     _publish(fs, jvm, path, version, manifest)
     return version
+
+
+def _set_txn(manifest: dict, pm: dict | None, txn: tuple[str, int] | None) -> None:
+    """Carry the parent's idempotent-writer watermarks and fold in
+    this commit's own (writer_id, seq), keeping the larger seq on a
+    same-writer repeat."""
+    txns = dict((pm or {}).get("txn") or {})
+    if txn is not None:
+        wid, seq = txn
+        txns[wid] = max(int(seq), int(txns.get(wid, -1)))
+    if txns:
+        manifest["txn"] = txns
 
 
 def _write_data(
@@ -689,6 +717,7 @@ def snapshot_merge(
     remaining = {f: n for f, n in dvmap.items() if f not in touched_set}
     if remaining:
         manifest["dv"] = {"dir": dvdir, "files": remaining}
+    _set_txn(manifest, m, None)
     _publish(fs, jvm, path, version, manifest)
     return version
 
@@ -814,6 +843,7 @@ def snapshot_delete(
     }
     if new_dv:
         manifest["dv"] = new_dv
+    _set_txn(manifest, m, None)
     _publish(fs, jvm, path, version, manifest)
     return version
 
@@ -927,6 +957,7 @@ def snapshot_compact(
     remaining = {f: n for f, n in dvmap.items() if f not in small_set}
     if remaining:
         manifest["dv"] = {"dir": dvdir, "files": remaining}
+    _set_txn(manifest, m, None)
     _publish(fs, jvm, path, version, manifest)
     return version
 
@@ -1342,3 +1373,73 @@ def _where_cond(where: tuple):
     col, op, val = where
     c = F.col(col)
     return {"=": c == val, ">=": c >= val, ">": c > val, "<=": c <= val, "<": c < val}[op]
+
+
+def snapshot_last_txn(spark: SparkSession, path: str, writer_id: str) -> int | None:
+    """The highest ``seq`` committed under ``writer_id`` (None if the
+    writer never committed) — one root-manifest read, since every
+    commit carries the watermark map forward."""
+    fs, _, jvm = _fs_path(spark, path)
+    versions = _list_versions(fs, jvm, path)
+    if not versions:
+        return None
+    m = _read_manifest(fs, jvm, path, versions[-1])
+    v = (m.get("txn") or {}).get(writer_id)
+    return int(v) if v is not None else None
+
+
+def snapshot_stream_ingest(
+    path: str,
+    writer_id: str,
+    stats_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
+    max_retries: int = 5,
+):
+    """EXACTLY-ONCE streaming ingest into a snapshot table: a
+    ``writeStream.foreachBatch`` handler that appends each micro-batch
+    as a versioned commit stamped ``txn=(writer_id, batch_id)`` and
+    SKIPS any batch at-or-below the table's recorded watermark for
+    this writer (Delta's idempotent-writer protocol on top of the
+    manifest claim).
+
+    foreachBatch alone is at-least-once: after a crash between sink
+    write and checkpoint commit, restart REDELIVERS the last batch —
+    and if the checkpoint itself is lost, redelivery starts from
+    batch 0. Both replays no-op here because the dedup token lives in
+    the TABLE's own atomically-committed metadata, not in the
+    checkpoint: a batch is appended exactly once per (writer_id,
+    batch_id) no matter how often it is delivered. Different
+    writer_ids compose (two streams into one table keep separate
+    watermarks); a concurrent committer racing a batch surfaces as
+    ConcurrentCommitError and the batch RE-CHECKS then retries — the
+    recheck is what makes the retry safe, since the loser's winner
+    may have been this writer's own earlier attempt completing.
+
+    Scale: the check is one root-manifest read; the append is
+    O(new files) metadata under manifest sharding. The one contract
+    the caller owns: batch_id -> data must be deterministic across
+    redeliveries (Spark's replayable-source guarantee), which is the
+    same contract Delta's txn action assumes."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        for attempt in range(max_retries):
+            last = snapshot_last_txn(spark, path, writer_id)
+            if last is not None and batch_id <= last:
+                return  # redelivered batch: already committed
+            try:
+                snapshot_commit(
+                    batch_df,
+                    path,
+                    mode="append",
+                    stats_cols=stats_cols,
+                    partition_by=partition_by,
+                    txn=(writer_id, int(batch_id)),
+                )
+                return
+            except ConcurrentCommitError:
+                if attempt == max_retries - 1:
+                    raise
+                continue  # re-check the watermark against the new latest
+
+    return handle

@@ -1067,3 +1067,144 @@ def test_sharded_compact_shares_untouched_shards(spark, tmp_path, small_shards):
     # pruning still works from the re-gathered stats
     pr = snapshot_read(spark, t, where=("id", ">=", 30))
     assert pr.count() == 30
+
+
+# ---------------------------------------------------------------------------
+# round 10: exactly-once streaming ingest (txn watermarks)
+
+
+def test_stream_ingest_handler_is_idempotent_per_batch(spark, tmp_path):
+    """foreachBatch redelivery (same batch_id) must no-op: the dedup
+    token lives in the table's own committed metadata, and it must
+    survive interleaved commits of every other op type."""
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_delete,
+        snapshot_last_txn,
+        snapshot_merge,
+        snapshot_stream_ingest,
+    )
+
+    t = str(tmp_path / "tbl")
+    h = snapshot_stream_ingest(t, "writerA", stats_cols=["id"])
+    b0 = spark.createDataFrame([(i, f"v{i}") for i in range(5)], "id bigint, v string")
+    b1 = spark.createDataFrame([(i, f"v{i}") for i in range(5, 10)], "id bigint, v string")
+    h(b0, 0)
+    h(b1, 1)
+    assert snapshot_last_txn(spark, t, "writerA") == 1
+    # redeliver both (crash-restart replays the tail; a lost
+    # checkpoint replays everything)
+    h(b1, 1)
+    h(b0, 0)
+    got = sorted(r.id for r in snapshot_read(spark, t).collect())
+    assert got == list(range(10)), "redelivered batches must not duplicate"
+
+    # the watermark survives a merge, a delete, and an overwrite
+    snapshot_merge(
+        spark.createDataFrame([(3, "upd")], "id bigint, v string"), t, key="id"
+    )
+    snapshot_delete(spark, t, where=("id", "=", 7))
+    snapshot_commit(
+        spark.createDataFrame([(100, "ow")], "id bigint, v string"), t, mode="overwrite"
+    )
+    assert snapshot_last_txn(spark, t, "writerA") == 1
+    h(b0, 0)  # still a replay: must skip
+    assert sorted(r.id for r in snapshot_read(spark, t).collect()) == [100]
+    # a genuinely NEW batch commits
+    h(spark.createDataFrame([(200, "nb")], "id bigint, v string"), 2)
+    assert sorted(r.id for r in snapshot_read(spark, t).collect()) == [100, 200]
+    # independent writers keep independent watermarks
+    h2 = snapshot_stream_ingest(t, "writerB")
+    h2(spark.createDataFrame([(300, "wb")], "id bigint, v string"), 0)
+    assert snapshot_last_txn(spark, t, "writerB") == 0
+    assert snapshot_last_txn(spark, t, "writerA") == 2
+
+
+def test_stream_ingest_retries_through_commit_race(spark, tmp_path, monkeypatch):
+    """A ConcurrentCommitError mid-batch must re-check the watermark
+    and retry, not fail the stream or double-commit."""
+    from etfconstituentextractor_spark.sources import snapshot_table as st
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        spark.createDataFrame([(0, "seed")], "id bigint, v string"), t
+    )
+    real = st.snapshot_commit
+    state = {"raised": False, "calls": 0}
+
+    def flaky(df, path, **kw):
+        state["calls"] += 1
+        if not state["raised"]:
+            state["raised"] = True
+            # the racer: another writer takes the version we wanted
+            real(
+                df.sparkSession.createDataFrame([(99, "racer")], "id bigint, v string"),
+                path,
+                mode="append",
+            )
+            raise st.ConcurrentCommitError("lost the claim")
+        return real(df, path, **kw)
+
+    monkeypatch.setattr(st, "snapshot_commit", flaky)
+    h = st.snapshot_stream_ingest(t, "w")
+    h(spark.createDataFrame([(1, "batch")], "id bigint, v string"), 0)
+    assert state["calls"] == 2
+    got = sorted(r.id for r in snapshot_read(spark, t).collect())
+    assert got == [0, 1, 99]
+    assert st.snapshot_last_txn(spark, t, "w") == 0
+
+
+def test_stream_ingest_real_stream_survives_checkpoint_loss(spark, tmp_path):
+    """Drain a real file stream through the handler; then DELETE the
+    checkpoint and drain the same source again under the same
+    writer_id — full redelivery from batch 0 must leave the table
+    byte-identical. This is the exactly-once claim BEYOND Spark's
+    own checkpoint guarantee."""
+    import shutil
+
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_stream_ingest,
+        snapshot_versions,
+    )
+
+    src = str(tmp_path / "src")
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(3):
+        spark.range(i * 10, i * 10 + 10).selectExpr(
+            "id", "CAST(id AS STRING) AS v"
+        ).coalesce(1).write.parquet(f"{src}/part{i}")
+    import glob
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    files = []
+    for i in range(3):
+        (p,) = glob.glob(f"{src}/part{i}/part-*.parquet")
+        dst = f"{src}/chunk_{i}.parquet"
+        shutil.move(p, dst)
+        os.utime(dst, (1_600_000_000 + 10 * i,) * 2)
+        files.append(dst)
+
+    def drain():
+        q = (
+            spark.readStream.schema("id bigint, v string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(snapshot_stream_ingest(t, "ing", stats_cols=["id"]))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    got1 = sorted(r.id for r in snapshot_read(spark, t).collect())
+    assert got1 == list(range(30))
+    n_versions = len(snapshot_versions(spark, t))
+
+    shutil.rmtree(ckpt)  # lose the checkpoint: full redelivery
+    drain()
+    assert sorted(r.id for r in snapshot_read(spark, t).collect()) == got1
+    assert len(snapshot_versions(spark, t)) == n_versions, (
+        "redelivered batches must not create new versions"
+    )
