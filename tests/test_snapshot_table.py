@@ -1208,3 +1208,114 @@ def test_stream_ingest_real_stream_survives_checkpoint_loss(spark, tmp_path):
     assert len(snapshot_versions(spark, t)) == n_versions, (
         "redelivered batches must not create new versions"
     )
+
+
+# ---------------------------------------------------------------------------
+# round 10: model-based lifecycle property test
+
+
+def test_lifecycle_matches_python_model(spark, tmp_path):
+    """Model-based check over the WHOLE lifecycle: a seeded random
+    sequence of append/overwrite/merge/delete/compact/ingest ops runs
+    against both the real table and a pure-Python {id: v} model; after
+    every op the latest snapshot must equal the model exactly. This is
+    the test shape that catches cross-feature interactions no
+    single-feature test enumerates (DV x compact, merge x shards,
+    txn x overwrite, ...). Sharding is forced small so shard code
+    paths run; a mid-sequence vacuum keeps history pressure on."""
+    import random
+
+    from etfconstituentextractor_spark.sources import snapshot_table as st
+
+    rng = random.Random(1009)
+    old_shard = st._SHARD_FILES
+    st._SHARD_FILES = 3
+    t = str(tmp_path / "tbl")
+    model: dict[int, str] = {}
+    ingest_seq = 0
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "id bigint, v string")
+
+    def check(tag):
+        got = {(r.id, r.v) for r in st.snapshot_read(spark, t).collect()}
+        assert got == set(model.items()), (
+            f"after {tag}: table != model "
+            f"(extra={got - set(model.items())}, missing={set(model.items()) - got})"
+        )
+
+    try:
+        seed_rows = [(i, f"v{i}") for i in range(20)]
+        st.snapshot_commit(frame(seed_rows).repartition(3), t, mode="overwrite",
+                           stats_cols=["id"])
+        model.update(dict(seed_rows))
+        check("seed")
+
+        next_id = 1000
+        for step in range(18):
+            op = rng.choice(
+                ["append", "merge", "delete", "compact", "ingest", "overwrite"]
+            )
+            if op == "append":
+                rows = [(next_id + i, f"a{step}_{i}") for i in range(rng.randint(1, 6))]
+                next_id += 10
+                st.snapshot_commit(frame(rows).repartition(2), t, mode="append",
+                                   stats_cols=["id"])
+                model.update(dict(rows))
+            elif op == "overwrite" and step % 7 == 3:  # rare, resets history
+                rows = [(next_id + i, f"o{step}_{i}") for i in range(5)]
+                next_id += 10
+                st.snapshot_commit(frame(rows).repartition(2), t, mode="overwrite",
+                                   stats_cols=["id"])
+                model.clear()
+                model.update(dict(rows))
+            elif op == "merge" and model:
+                upd = rng.sample(sorted(model), min(3, len(model)))
+                rows = [(k, f"m{step}_{k}") for k in upd] + [
+                    (next_id, f"mi{step}")
+                ]
+                next_id += 10
+                st.snapshot_merge(frame(rows), t, key="id", stats_cols=["id"])
+                model.update(dict(rows))
+            elif op == "delete" and model:
+                ks = sorted(model)
+                cut = ks[rng.randrange(len(ks))]
+                side = rng.choice(["<", ">=", "="])
+                st.snapshot_delete(spark, t, where=("id", side, cut))
+                for k in ks:
+                    if (side == "<" and k < cut) or (side == ">=" and k >= cut) or (
+                        side == "=" and k == cut
+                    ):
+                        del model[k]
+                if not model:
+                    # an all-rows delete leaves an empty readable table;
+                    # re-seed so later ops have something to chew on
+                    rows = [(next_id + i, f"r{step}_{i}") for i in range(4)]
+                    next_id += 10
+                    st.snapshot_commit(frame(rows), t, mode="append", stats_cols=["id"])
+                    model.update(dict(rows))
+            elif op == "compact":
+                st.snapshot_compact(spark, t, small_bytes=1 << 30,
+                                    target_rows_per_file=10)
+            elif op == "ingest":
+                rows = [(next_id + i, f"s{step}_{i}") for i in range(3)]
+                next_id += 10
+                h = st.snapshot_stream_ingest(t, "model-writer", stats_cols=["id"])
+                h(frame(rows), ingest_seq)
+                h(frame(rows), ingest_seq)  # immediate redelivery
+                ingest_seq += 1
+                model.update(dict(rows))
+            check(f"step {step} ({op})")
+            if step == 9:
+                st.snapshot_vacuum(spark, t, keep_last=2)
+                check("vacuum")
+        # pruned reads agree with the model on a random probe
+        if model:
+            cut = rng.choice(sorted(model))
+            got = {
+                (r.id, r.v)
+                for r in st.snapshot_read(spark, t, where=("id", ">=", cut)).collect()
+            }
+            assert got == {(k, v) for k, v in model.items() if k >= cut}
+    finally:
+        st._SHARD_FILES = old_shard
