@@ -117,13 +117,26 @@ _SHARD_RE = re.compile(r"^v(\d{8})-shard-[0-9a-f]{8}\.json$")
 #: sharding bounds root size by shard COUNT and lets both pruned
 #: reads and incremental commits touch only the shards they must.
 _SHARD_FILES = 1000
+#: when a commit would leave more than this many UNDER-HALF-FULL
+#: shards in the root, they are loaded and merged into full ones
+#: (Iceberg's manifest-merge move). Without it, streaming ingest —
+#: one small append per micro-batch — grows the root to O(#batches)
+#: one-file shard refs and re-creates the very metadata wall sharding
+#: exists to remove (round-10 review); with it, small-shard count
+#: stays bounded and the merge cost amortizes to O(1) per commit,
+#: log-structured-merge style.
+_SHARD_MERGE_MIN = 8
 #: extracts a data file's manifest relpath KEY from
-#: _metadata.file_path — anchored at the end so only the real
-#: data/vN-uuid segment matches. The key stays in file_path's own
-#: encoding (both DV write and DV apply derive it from the same
-#: column, so matching needs consistency, not decoding); the
-#: driver-side bookkeeping decodes separately.
-_DV_KEY_RE = r"/(data/v[0-9]{8}-[0-9a-f]{8}/.+)$"
+#: _metadata.file_path — the leading greedy '.*/' pins the capture to
+#: the RIGHTMOST data/vN-uuid segment, so a table that itself lives
+#: under another snapshot table's data dir still keys on ITS OWN
+#: segment (the leftmost-match version mis-keyed exactly there:
+#: merge's probe then silently matched nothing and upserts duplicated
+#: keys — round-10 review). The key stays in file_path's own encoding
+#: (both DV write and DV apply derive it from the same column, so
+#: matching needs consistency, not decoding); the driver-side
+#: bookkeeping decodes separately.
+_DV_KEY_RE = r"^.*/(data/v[0-9]{8}-[0-9a-f]{8}/.+)$"
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -285,14 +298,47 @@ def _files_section(fs, jvm, table: str, version: int, parts) -> dict:
             files += fl
             stats.update(st)
         return {"n_files": total, "files": sorted(files), "stats": stats}
-    shards = []
+    half = _SHARD_FILES // 2
+    shards = []  # full shards: shared refs + freshly written
+    pend: list[tuple] = []  # under-half-full work, write-deferred
     for ref, fl, st in parts:
         if fl is None:
-            shards.append(ref)
+            if ref["n_files"] < half:
+                pend.append((ref, None, None))
+            else:
+                shards.append(ref)
             continue
         fl = sorted(fl)
         for i in range(0, len(fl), _SHARD_FILES):
-            shards.append(_write_shard(fs, jvm, table, version, fl[i : i + _SHARD_FILES], st))
+            chunk = fl[i : i + _SHARD_FILES]
+            if len(chunk) < half:
+                pend.append((None, chunk, st))
+            else:
+                shards.append(_write_shard(fs, jvm, table, version, chunk, st))
+    # manifest-merge: too many under-half-full shards (streaming
+    # appends produce one tiny shard per batch) load and consolidate
+    # into full ones; full shards are never touched, keeping the
+    # common append O(new files) and the small-shard count bounded
+    if len(pend) > _SHARD_MERGE_MIN:
+        files: list[str] = []
+        stats: dict = {}
+        for ref, fl, st in pend:
+            if fl is None:
+                doc = _load_shard(fs, jvm, table, ref["path"])
+                fl, st = doc["files"], doc.get("stats", {})
+            files += fl
+            stats.update(st)
+        files = sorted(files)
+        for i in range(0, len(files), _SHARD_FILES):
+            shards.append(
+                _write_shard(fs, jvm, table, version, files[i : i + _SHARD_FILES], stats)
+            )
+    else:
+        for ref, fl, st in pend:
+            if fl is None:
+                shards.append(ref)
+            else:
+                shards.append(_write_shard(fs, jvm, table, version, fl, st))
     return {"n_files": total, "shards": shards}
 
 
@@ -368,6 +414,20 @@ def snapshot_commit(
     # for the txn-watermark carry (an overwrite that dropped the map
     # would break exactly-once ingest across it)
     prev = _read_manifest(fs, jvm, path, parent) if parent is not None else None
+    if txn is not None and prev is not None:
+        wid, seq = txn
+        last = (prev.get("txn") or {}).get(wid)
+        if last is not None and int(seq) <= int(last):
+            # the idempotence check must live INSIDE the commit path,
+            # not only in callers: a zombie writer publishing between
+            # a caller's watermark read and this commit's version
+            # listing lands under a DIFFERENT version number, so the
+            # atomic claim alone never collides and the batch would
+            # append twice (round-10 review). Here the zombie's
+            # manifest IS prev (or its watermark was carried into
+            # prev), so the replay is visible and skipped before any
+            # data is written.
+            return parent
     pm = prev if mode == "append" else None
     if pm is not None:
         parent_pby = pm.get("partition_by", [])
@@ -782,6 +842,22 @@ def snapshot_delete(
             old_dv = spark.read.parquet(posixpath.join(path, dvdir)).select(
                 "__dvf", "__pos"
             )
+            # the old DV parquet may hold STALE keys — files whose
+            # coverage a merge/compact dropped when it materialized
+            # their deletes. Carrying them forward crashed the NEXT
+            # delete's key validation (round-10 review, reproduced:
+            # delete A, delete B, merge rewriting only A, delete
+            # again -> RuntimeError). Keep only live-coverage keys:
+            # the live ENCODED keys are recovered by decoding the
+            # frame's own distinct keys (bounded by the file count)
+            # against dvmap.
+            from urllib.parse import unquote as _unq
+
+            enc_keys = [r["__dvf"] for r in old_dv.select("__dvf").distinct().collect()]
+            live_enc = [k for k in enc_keys if _unq(k) in dvmap]
+            if len(live_enc) != len(enc_keys):
+                keep = spark.createDataFrame([(k,) for k in live_enc], "__dvf string")
+                old_dv = old_dv.join(F.broadcast(keep), "__dvf", "left_semi")
             dv_frame = old_dv.unionByName(new_pos).distinct()
         else:
             dv_frame = new_pos.distinct()

@@ -77,19 +77,28 @@ def _require_local(path: str, what: str) -> str:
     False FOREVER, so every batch would classify as first-batch
     bootstrap, probe an EMPTY index, and append anyway — the exact
     silent invariant violation _load_state's docstring says must
-    propagate, delivered with zero errors. file:// strips to its
-    local path; anything else raises until the checks go through the
-    Hadoop FileSystem API."""
-    import re
+    propagate, delivered with zero errors. file: URIs (including the
+    single-slash 'file:/x' form Hadoop Path.toString emits — a
+    hand-rolled '://' regex missed it, round-10 review) strip to
+    their local path; anything else raises until the checks go
+    through the Hadoop FileSystem API. A colon-bearing relative
+    path parses as a scheme and raises too — loud beats wrong for
+    an invariant this silent."""
+    from urllib.parse import urlsplit
 
-    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", path)
-    if m is None:
+    u = urlsplit(path)
+    if not u.scheme:
         return path
-    if m.group(1).lower() == "file":
-        return path[len(m.group(0)) :] or "/"  # 'file:///x' -> '/x'
+    if u.scheme.lower() == "file":
+        if u.netloc not in ("", "localhost"):
+            raise NotImplementedError(
+                f"{what}: file URI with remote authority {u.netloc!r} in "
+                f"{path!r} is not a local path"
+            )
+        return u.path or "/"
     raise NotImplementedError(
         f"{what} uses local-filesystem existence checks; non-local "
-        f"scheme {m.group(1)}:// in {path!r} would silently bootstrap "
+        f"scheme {u.scheme}:// in {path!r} would silently bootstrap "
         "an empty index every batch. Use a local path."
     )
 

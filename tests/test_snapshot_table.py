@@ -1319,3 +1319,112 @@ def test_lifecycle_matches_python_model(spark, tmp_path):
             assert got == {(k, v) for k, v in model.items() if k >= cut}
     finally:
         st._SHARD_FILES = old_shard
+
+
+# ---------------------------------------------------------------------------
+# round 10 review-wave regressions
+
+
+def test_delete_after_partial_dv_materialization(spark, tmp_path):
+    """Review repro: delete in file A, delete in file B, merge
+    rewriting only A (B's coverage carries with a DV dir that still
+    HOLDS A's stale positions), then delete again. The stale keys
+    must be filtered out, not crash the key validation."""
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_delete,
+        snapshot_merge,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(100).selectExpr("id", "CAST(id AS STRING) AS v")
+    snapshot_commit(df.repartitionByRange(2, "id"), t, mode="overwrite", stats_cols=["id"])
+    snapshot_delete(spark, t, where=("id", "<", 5))       # file A
+    snapshot_delete(spark, t, where=("id", ">=", 95))     # file B
+    snapshot_merge(
+        spark.createDataFrame([(10, "upd")], "id bigint, v string"), t,
+        key="id", stats_cols=["id"],
+    )
+    v = snapshot_delete(spark, t, where=("id", "=", 60))  # crashed pre-fix
+    got = sorted(r.id for r in snapshot_read(spark, t, v).collect())
+    assert got == [i for i in range(5, 95) if i != 60]
+    # and the rewritten-file rows (incl. the merge's update) are intact
+    assert {r.v for r in snapshot_read(spark, t, v).filter("id = 10").collect()} == {"upd"}
+
+
+def test_commit_level_txn_guard_blocks_zombie_writer(spark, tmp_path):
+    """Review finding: the watermark check must live INSIDE
+    snapshot_commit — a zombie writer's commit lands under a
+    different version, so the atomic claim alone never collides. A
+    direct commit with seq <= the recorded watermark must no-op."""
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_last_txn,
+        snapshot_versions,
+    )
+
+    t = str(tmp_path / "tbl")
+    b = spark.createDataFrame([(1, "x")], "id bigint, v string")
+    snapshot_commit(b, t, mode="append", txn=("w", 5))
+    n0 = len(snapshot_versions(spark, t))
+    # the zombie: same writer, same (or older) seq, no prior check
+    got = snapshot_commit(
+        spark.createDataFrame([(2, "dup")], "id bigint, v string"), t,
+        mode="append", txn=("w", 5),
+    )
+    assert got == n0 - 1  # the existing version, not a new one
+    assert len(snapshot_versions(spark, t)) == n0
+    assert sorted(r.id for r in snapshot_read(spark, t).collect()) == [1]
+    assert snapshot_last_txn(spark, t, "w") == 5
+    # a NEWER seq commits normally
+    snapshot_commit(
+        spark.createDataFrame([(3, "next")], "id bigint, v string"), t,
+        mode="append", txn=("w", 6),
+    )
+    assert sorted(r.id for r in snapshot_read(spark, t).collect()) == [1, 3]
+
+
+def test_dv_key_rightmost_segment_for_nested_table_paths(spark, tmp_path):
+    """Review finding: a table living UNDER a path that itself
+    contains a data/vN-hex8 segment must key DVs on its OWN segment
+    (leftmost-match silently broke merge's probe there)."""
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_delete,
+        snapshot_merge,
+    )
+
+    t = str(tmp_path / "data" / "v00000001-abcdef12" / "tbl")
+    df = spark.range(20).selectExpr("id", "CAST(id AS STRING) AS v")
+    snapshot_commit(df, t, mode="overwrite", stats_cols=["id"])
+    v1 = snapshot_delete(spark, t, where=("id", "<", 5))
+    assert sorted(r.id for r in snapshot_read(spark, t, v1).collect()) == list(range(5, 20))
+    # merge's probe must find the touched file (it matched nothing
+    # pre-fix, leaving BOTH rows for the key)
+    vm = snapshot_merge(
+        spark.createDataFrame([(10, "upd")], "id bigint, v string"), t,
+        key="id", stats_cols=["id"],
+    )
+    rows = snapshot_read(spark, t, vm).filter("id = 10").collect()
+    assert [(r.id, r.v) for r in rows] == [(10, "upd")]
+
+
+def test_streaming_appends_keep_shard_count_bounded(spark, tmp_path, monkeypatch):
+    """Review finding: one tiny append per micro-batch must not grow
+    the root to O(#batches) one-file shard refs — under-half-full
+    shards consolidate once they pile past the merge threshold."""
+    from etfconstituentextractor_spark.sources import snapshot_table as st
+
+    monkeypatch.setattr(st, "_SHARD_FILES", 4)
+    monkeypatch.setattr(st, "_SHARD_MERGE_MIN", 2)
+    t = str(tmp_path / "tbl")
+    n_batches = 12
+    for b in range(n_batches):
+        snapshot_commit(
+            spark.createDataFrame([(b, f"v{b}")], "id bigint, v string").coalesce(1),
+            t, mode="append", stats_cols=["id"], txn=("w", b),
+        )
+    m = _root(t, n_batches - 1)
+    assert m["n_files"] == n_batches
+    # bound: ceil(12/4) full + at most (_SHARD_MERGE_MIN + 1) small
+    assert len(m["shards"]) <= 3 + 3, m["shards"]
+    assert sorted(r.id for r in snapshot_read(spark, t).collect()) == list(range(n_batches))
+    # earlier versions still resolve (their shards were never deleted)
+    assert snapshot_read(spark, t, 5).count() == 6

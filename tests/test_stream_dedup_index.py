@@ -193,10 +193,17 @@ def test_load_state_rejects_nonlocal_scheme(spark):
             _load_state(spark, uri)
         with pytest.raises(NotImplementedError, match="local"):
             read_pairs(spark, uri)
-    # file:// strips to the local path; a missing dir is still the
-    # legitimate first-batch bootstrap (None), not an error
+    # file: strips to the local path — including the single-slash
+    # 'file:/x' form Hadoop Path.toString emits (round-10 review: a
+    # '://'-only regex passed it through unstripped, reinstating the
+    # silent empty-bootstrap); a missing dir is still the legitimate
+    # first-batch bootstrap (None), not an error
     assert _load_state(spark, "file:///nonexistent/etfce-dedup-state") is None
     assert _require_local("file:///tmp/x", "t") == "/tmp/x"
+    assert _require_local("file:/tmp/x", "t") == "/tmp/x"
+    assert _require_local("file://localhost/tmp/x", "t") == "/tmp/x"
+    with pytest.raises(NotImplementedError, match="authority"):
+        _require_local("file://otherhost/tmp/x", "t")
     assert _require_local("/plain/path", "t") == "/plain/path"
     assert _require_local("relative/path", "t") == "relative/path"
 
