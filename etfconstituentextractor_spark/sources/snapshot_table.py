@@ -929,6 +929,7 @@ def snapshot_compact(
     path: str,
     small_bytes: int = 32 << 20,
     target_rows_per_file: int | None = None,
+    zorder_by: tuple[str, str] | None = None,
 ) -> int | None:
     """Rewrite the latest version's SMALL files (< ``small_bytes``)
     into consolidated ones, committed as a new version (op='compact');
@@ -948,7 +949,16 @@ def snapshot_compact(
     repartition the small-file rows by the partition spec so the
     rewrite emits ~one file per partition value rather than
     n_tasks × n_values. ``target_rows_per_file`` caps rows per output
-    file for unpartitioned tables (default: one output file)."""
+    file for unpartitioned tables (default: one output file).
+
+    ``zorder_by=(col_a, col_b)`` clusters the rewritten rows on the
+    Morton curve (operators/zorder.py) — the lakehouse OPTIMIZE
+    ZORDER: each output file then covers a tight rectangle in
+    (a, b) space, so the manifest's per-file [min, max] stats become
+    selective on BOTH columns and ``snapshot_read(where=...)`` skips
+    files for either dimension. Unpartitioned tables only (a
+    partitioned rewrite is clustered by the spec); requires
+    ``target_rows_per_file`` to say how many Z-ranges to cut."""
     fs, _, jvm = _fs_path(spark, path)
     versions = _list_versions(fs, jvm, path)
     if not versions:
@@ -991,8 +1001,29 @@ def snapshot_compact(
     # plain read of a small file with deletion-vector coverage would
     # RESURRECT its deleted rows into the consolidated file
     df = _read_data(spark, path, m, small, merge_schema=True)
+    if zorder_by is not None and pby:
+        raise ValueError(
+            "zorder_by applies to unpartitioned tables only — a partitioned "
+            "rewrite is clustered by the partition spec"
+        )
     if pby:
         df = df.repartition(*pby)
+    elif zorder_by is not None:
+        import math
+
+        from etfconstituentextractor_spark.operators.zorder import zorder_layout
+
+        if not target_rows_per_file:
+            raise ValueError("zorder_by requires target_rows_per_file (Z-range count)")
+        n_rows = df.count()
+        n_out = max(1, math.ceil(n_rows / target_rows_per_file))
+        a, b = zorder_by
+        df = (
+            zorder_layout(df, a, b)
+            .repartitionByRange(n_out, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
     elif target_rows_per_file:
         import math
 

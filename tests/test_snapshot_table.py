@@ -1428,3 +1428,43 @@ def test_streaming_appends_keep_shard_count_bounded(spark, tmp_path, monkeypatch
     assert sorted(r.id for r in snapshot_read(spark, t).collect()) == list(range(n_batches))
     # earlier versions still resolve (their shards were never deleted)
     assert snapshot_read(spark, t, 5).count() == 6
+
+
+def test_compact_zorder_makes_manifest_stats_two_dimensional(spark, tmp_path):
+    """OPTIMIZE ZORDER through the manifest: after
+    snapshot_compact(zorder_by=(a, b)) each rewritten file covers a
+    tight Morton rectangle, so snapshot_read(where=...) skips files
+    for EITHER dimension — measured via inputFiles() against the
+    pre-compact random layout, where a probe on either column plans
+    everything."""
+    from etfconstituentextractor_spark.sources.snapshot_table import snapshot_compact
+
+    t = str(tmp_path / "tbl")
+    n = 4096
+    df = spark.range(n).selectExpr(
+        "id",
+        # two independent dimensions, decorrelated from row order
+        "CAST(pmod(hash(id), 1024) AS BIGINT) AS a",
+        "CAST(pmod(hash(id * 7 + 3), 1024) AS BIGINT) AS b",
+    )
+    snapshot_commit(df.repartition(8), t, mode="overwrite", stats_cols=["a", "b"])
+    pre_a = len(snapshot_read(spark, t, where=("a", "<", 64)).inputFiles())
+    pre_b = len(snapshot_read(spark, t, where=("b", "<", 64)).inputFiles())
+    assert pre_a == 8 and pre_b == 8, "hash layout: no stat is selective"
+
+    vc = snapshot_compact(
+        spark, t, small_bytes=1 << 30, target_rows_per_file=n // 8,
+        zorder_by=("a", "b"),
+    )
+    assert vc is not None
+    post_a = len(snapshot_read(spark, t, vc, where=("a", "<", 64)).inputFiles())
+    post_b = len(snapshot_read(spark, t, vc, where=("b", "<", 64)).inputFiles())
+    assert post_a < 8 and post_b < 8, (post_a, post_b)
+    # and values are intact + probes agree with a plain filter
+    assert snapshot_read(spark, t, vc).count() == n
+    assert (
+        snapshot_read(spark, t, vc, where=("a", "<", 64)).count()
+        == snapshot_read(spark, t, vc).filter("a < 64").count()
+    )
+    with pytest.raises(ValueError, match="target_rows_per_file"):
+        snapshot_compact(spark, t, small_bytes=1 << 30, zorder_by=("a", "b"))
