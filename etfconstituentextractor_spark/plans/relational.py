@@ -359,6 +359,15 @@ def q12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'zorder', o_orderstatus, COUNT(*),
              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,4))), 2) AS DOUBLE)
       FROM orders GROUP BY o_orderstatus
+      UNION ALL
+      -- 'snaptxn' leg (round 10): the slice lands in a snapshot table
+      -- through the exactly-once ingest handler with batch 1
+      -- REDELIVERED and batch 0 replayed by a direct zombie-style
+      -- commit; the oracle restates the slice's plain aggregate, so
+      -- any double-append breaks the hash.
+      SELECT 'snaptxn', o_orderstatus, COUNT(*),
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,4))), 2) AS DOUBLE)
+      FROM orders WHERE o_orderkey % 10 = 0 GROUP BY o_orderstatus
     )
     """,
 )
@@ -419,6 +428,39 @@ def q15_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=12,
         n_files=4,  # ranged Z-writes in parallel, like the other legs
     )
+    # 'snaptxn' leg (round 10, sources/snapshot_table.py): EXACTLY-ONCE
+    # ingest under the hash oracle — the o_orderkey%10 slice arrives as
+    # three deterministic micro-batches through the foreachBatch-faithful
+    # handler (direct (df, batch_id) calls: foreachBatch's own contract),
+    # then batch 1 is REDELIVERED through the handler and batch 0 is
+    # replayed as a DIRECT commit carrying its txn stamp (the zombie-
+    # writer path — the guard inside snapshot_commit, not the handler's
+    # pre-check, must catch it). The oracle restates the slice's plain
+    # aggregate: one duplicated batch doubles a count and breaks the
+    # hash. Fresh table per run (ingest mutates version history, the
+    # q86 merge-leg convention); the real-stream + checkpoint-loss
+    # drill stays in tests/test_snapshot_table.py.
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_commit,
+        snapshot_read,
+        snapshot_stream_ingest,
+    )
+    from etfconstituentextractor_spark.sources.tables import scratch_dir
+
+    slice_ = o.filter(F.col("o_orderkey") % 10 == 0)
+    ttbl = scratch_dir("etfce_ingesttbl", sf_dir, unique=True)
+    handler = snapshot_stream_ingest(ttbl, "q15-ingest")
+    for b in range(3):
+        handler(slice_.filter(F.col("o_orderkey") % 3 == b).coalesce(1), b)
+    handler(slice_.filter(F.col("o_orderkey") % 3 == 1).coalesce(1), 1)  # redelivery
+    snapshot_commit(  # zombie replay: no handler pre-check in the way
+        slice_.filter(F.col("o_orderkey") % 3 == 0).coalesce(1),
+        ttbl,
+        mode="append",
+        txn=("q15-ingest", 0),
+    )
+    snap_back = snapshot_read(spark, ttbl)
+
     csv_back = spark.read.option("header", True).schema(
         "o_orderkey bigint, o_totalprice decimal(14,4), o_orderstatus string"
     ).csv(csv_out)
@@ -439,6 +481,7 @@ def q15_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(summarize(orc_back, "orc"))
         .unionByName(summarize(json_back, "jsonl"))
         .unionByName(summarize(z_back, "zorder"))
+        .unionByName(summarize(snap_back, "snaptxn"))
     )
 
 
