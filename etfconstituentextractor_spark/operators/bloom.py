@@ -136,20 +136,16 @@ def bloom_build(build: DataFrame, key: str, *, m_bits: int, k: int) -> bytes:
     return struct.pack(f"<{n_words}q", *words)
 
 
-def bloom_prefilter(
-    probe: DataFrame, filter_bytes: bytes, key: str, *, m_bits: int, k: int
-) -> DataFrame:
-    """``probe`` minus the rows whose ``key`` is provably absent from
-    the filter — same schema as ``probe``. The filter enters the plan
-    as one BinaryType literal (per-stage constant); the bit test is a
-    forall over the position array: substr() the addressed byte out of
-    the literal, hex()/conv() it to an int (one byte — no 64-bit sign
-    games), then shift/mask. O(k) per row regardless of m."""
-    if len(filter_bytes) * 8 != m_bits:
-        raise ValueError(
-            f"filter is {len(filter_bytes) * 8} bits but m_bits={m_bits}"
-        )
-    blob = F.lit(filter_bytes)
+def bloom_might_contain(blob: Column, key: Column, *, m_bits: int, k: int) -> Column:
+    """Boolean Column: every one of ``key``'s k bit positions is set
+    in ``blob`` (a BinaryType column OR literal holding m_bits/8
+    packed little-endian bytes). The bit test is a forall over the
+    position array: substr() the addressed byte, hex()/conv() it to
+    an int (one byte — no 64-bit sign games), then shift/mask. O(k)
+    per row regardless of m; pure codegen. Shared by the semi-join
+    prefilter (literal blob) and the snapshot-table manifest bloom
+    pruner (sidecar column blob) — ONE spelling, so the test always
+    addresses bits exactly as bloom_build packed them."""
 
     def bit_set(p: Column) -> Column:
         byte = F.conv(
@@ -159,7 +155,22 @@ def bloom_prefilter(
         ).cast("int")
         return _shr(byte, F.pmod(p, F.lit(8)).cast("int")).bitwiseAND(F.lit(1)) == F.lit(1)
 
-    return probe.where(F.forall(_positions(F.col(key), m_bits, k), bit_set))
+    return F.forall(_positions(key, m_bits, k), bit_set)
+
+
+def bloom_prefilter(
+    probe: DataFrame, filter_bytes: bytes, key: str, *, m_bits: int, k: int
+) -> DataFrame:
+    """``probe`` minus the rows whose ``key`` is provably absent from
+    the filter — same schema as ``probe``. The filter enters the plan
+    as one BinaryType literal (per-stage constant)."""
+    if len(filter_bytes) * 8 != m_bits:
+        raise ValueError(
+            f"filter is {len(filter_bytes) * 8} bits but m_bits={m_bits}"
+        )
+    return probe.where(
+        bloom_might_contain(F.lit(filter_bytes), F.col(key), m_bits=m_bits, k=k)
+    )
 
 
 def bloom_reduced_join(

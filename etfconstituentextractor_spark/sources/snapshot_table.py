@@ -361,6 +361,8 @@ def snapshot_commit(
     stats_cols: list[str] | None = None,
     partition_by: list[str] | None = None,
     txn: tuple[str, int] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_fpp: float = 0.01,
 ) -> int:
     """Write ``df`` as the table's next version; returns the version.
 
@@ -388,6 +390,15 @@ def snapshot_commit(
     enforced here. Hive path escaping (':' -> '%3A' etc.) is
     round-tripped: the pruner decodes segments before comparing, so
     string values with reserved chars prune correctly.
+
+    ``bloom_cols`` builds per-file Bloom filters (sized for
+    ``bloom_fpp``) into a sidecar the reader's equality probes consult
+    AFTER stats/partition pruning — point-lookup file skipping for
+    high-cardinality unclustered columns whose [min, max] stats span
+    everything (the Iceberg-puffin shape). Appends add a sidecar for
+    the fresh files and carry the parent's entries; files rewritten by
+    merge/compact lose coverage (conservatively kept by readers) until
+    a later bloom-building commit.
 
     ``txn=(writer_id, seq)`` records an idempotent-writer watermark
     in the manifest (Delta's setTransaction shape): the latest
@@ -466,9 +477,153 @@ def snapshot_commit(
         # here would resurrect every masked row (fresh files can't
         # collide: DV keys name data/vN-uuid dirs, never reused)
         manifest["dv"] = pm["dv"]
+    blooms = list((pm or {}).get("bloom") or [])
+    if bloom_cols:
+        blooms.append(
+            _write_bloom(spark, path, version, files, bloom_cols, bloom_fpp, pby, ptypes)
+        )
+    if blooms:
+        manifest["bloom"] = blooms
     _set_txn(manifest, prev, txn)
     _publish(fs, jvm, path, version, manifest)
     return version
+
+
+#: column types a manifest bloom may cover — the same primitive
+#: domains as stats (the pruner must coerce the probe into the
+#: column's own type before hashing: xxhash64 is type-sensitive, the
+#: bloom_reduced_join lesson)
+_BLOOM_TYPES = {"tinyint", "smallint", "int", "bigint", "float", "double", "boolean", "string"}
+
+
+def _write_bloom(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    files: list[str],
+    bloom_cols: list[str],
+    fpp: float,
+    pby: list[str],
+    ptypes: dict | None,
+) -> dict:
+    """Per-file Bloom filters over ``bloom_cols`` for the fresh
+    ``files``, written as a sidecar parquet dir (f, col, bloom) under
+    data/ — the Iceberg-puffin shape: point-lookup file skipping for
+    high-cardinality UNCLUSTERED columns whose per-file [min, max]
+    stats span everything. One uniform (m, k) per commit, sized by
+    the largest file's row count; one counts job + one bit-or job per
+    column (map-combinable, ≤ files × m/64 rows to the driver — the
+    bloom_build control-plane discipline). Returns the manifest entry
+    {dir, cols: {name: dtype}, m, k}."""
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+
+    from etfconstituentextractor_spark.operators.bloom import (
+        _positions,
+        _shl,
+        bloom_params,
+    )
+
+    df = _read_files(spark, path, files, pby, ptypes, with_meta=True)
+    dtypes = dict(df.dtypes)
+    cols: dict[str, str] = {}
+    for c in bloom_cols:
+        if c in pby:
+            raise ValueError(f"bloom_cols may not include partition column {c!r}")
+        t = dtypes.get(c)
+        if t not in _BLOOM_TYPES:
+            raise ValueError(
+                f"bloom over {c!r} ({t}) unsupported — coverable types: "
+                f"{sorted(_BLOOM_TYPES)}"
+            )
+        cols[c] = t
+    n_max = max(r["count"] for r in df.groupBy("__dvf").count().collect())
+    m_bits, k = bloom_params(max(1, n_max), fpp)
+    n_words = m_bits // 64
+    import struct as _struct
+
+    blooms: dict[tuple[str, str], list[int]] = {}
+    for c in cols:
+        rows = (
+            df.select("__dvf", F.explode(_positions(F.col(c), m_bits, k)).alias("pos"))
+            .select(
+                "__dvf",
+                F.shiftright("pos", 6).cast("int").alias("w"),
+                _shl(F.lit(1).cast("bigint"), F.pmod("pos", F.lit(64)).cast("int")).alias(
+                    "mask"
+                ),
+            )
+            .groupBy("__dvf", "w")
+            .agg(F.bit_or("mask").alias("word"))
+            .collect()
+        )
+        for r in rows:
+            words = blooms.setdefault((unquote(r["__dvf"]), c), [0] * n_words)
+            words[r["w"]] |= r["word"] & ((1 << 64) - 1)
+    out_rows = [
+        (f, c, bytearray(_struct.pack(f"<{n_words}Q", *words)))
+        for (f, c), words in sorted(blooms.items())
+    ]
+    reldir = f"data/v{version:08d}-{uuid.uuid4().hex[:8]}"
+    spark.createDataFrame(out_rows, "f string, col string, bloom binary").coalesce(
+        1
+    ).write.parquet(posixpath.join(path, reldir))
+    return {"dir": reldir, "cols": cols, "m": m_bits, "k": k}
+
+
+def _bloom_prune(
+    spark: SparkSession, path: str, m: dict, files: list[str], where: tuple
+) -> list[str]:
+    """Point-lookup file skipping from the manifest's bloom sidecars:
+    for an equality probe on a covered column, a file whose bloom
+    proves the value absent drops from the plan. The test runs as ONE
+    tiny Spark job over the sidecar rows (bounded by file count) using
+    the SAME xxhash64/bit expressions that built the filters — no
+    second hash implementation to diverge. Uncovered files, stale
+    sidecar rows, and uncoercible probes are all conservative: keep."""
+    col, op, val = where
+    if op != "=" or val is None:
+        return files
+    entries = [be for be in m.get("bloom", ()) if col in be.get("cols", {})]
+    if not entries:
+        return files
+    from pyspark.sql import functions as F
+
+    from etfconstituentextractor_spark.operators.bloom import bloom_might_contain
+
+    file_set = set(files)
+    covered: set[str] = set()
+    passing: set[str] = set()
+    for be in entries:
+        dtype = be["cols"][col]
+        co = _PTYPE_COERCE.get(dtype.split("(")[0])
+        try:
+            typed = co(val) if co else None
+        except (TypeError, ValueError):
+            typed = None
+        if typed is None:
+            continue  # uncoercible probe: this entry cannot prune
+        bdf = (
+            spark.read.parquet(posixpath.join(path, be["dir"]))
+            .filter(F.col("col") == col)
+            .select(
+                "f",
+                bloom_might_contain(
+                    F.col("bloom"),
+                    F.lit(typed).cast(dtype),
+                    m_bits=be["m"],
+                    k=be["k"],
+                ).alias("hit"),
+            )
+            .collect()
+        )
+        for r in bdf:
+            if r["f"] in file_set:
+                covered.add(r["f"])
+                if r["hit"]:
+                    passing.add(r["f"])
+    return [f for f in files if f not in covered or f in passing]
 
 
 def _set_txn(manifest: dict, pm: dict | None, txn: tuple[str, int] | None) -> None:
@@ -777,6 +932,11 @@ def snapshot_merge(
     remaining = {f: n for f, n in dvmap.items() if f not in touched_set}
     if remaining:
         manifest["dv"] = {"dir": dvdir, "files": remaining}
+    if m.get("bloom"):
+        # bloom sidecars carry verbatim: rewritten files simply have
+        # no row (readers keep them conservatively), removed files'
+        # rows never match a planned file
+        manifest["bloom"] = m["bloom"]
     _set_txn(manifest, m, None)
     _publish(fs, jvm, path, version, manifest)
     return version
@@ -919,6 +1079,11 @@ def snapshot_delete(
     }
     if new_dv:
         manifest["dv"] = new_dv
+    if m.get("bloom"):
+        # bloom sidecars carry verbatim: rewritten files simply have
+        # no row (readers keep them conservatively), removed files'
+        # rows never match a planned file
+        manifest["bloom"] = m["bloom"]
     _set_txn(manifest, m, None)
     _publish(fs, jvm, path, version, manifest)
     return version
@@ -1064,6 +1229,11 @@ def snapshot_compact(
     remaining = {f: n for f, n in dvmap.items() if f not in small_set}
     if remaining:
         manifest["dv"] = {"dir": dvdir, "files": remaining}
+    if m.get("bloom"):
+        # bloom sidecars carry verbatim: rewritten files simply have
+        # no row (readers keep them conservatively), removed files'
+        # rows never match a planned file
+        manifest["bloom"] = m["bloom"]
     _set_txn(manifest, m, None)
     _publish(fs, jvm, path, version, manifest)
     return version
@@ -1125,6 +1295,12 @@ def snapshot_vacuum(
             # a deletion-vector dir is as load-bearing as data: losing
             # it resurrects every masked row of the surviving version
             live_dirs.add("/".join(dvdir.split("/")[:2]))
+        for be in sm.get("bloom", ()):
+            # bloom sidecars are pruning metadata, not row data — but
+            # losing a live one crashes every equality probe that
+            # consults it, so they stay for as long as any surviving
+            # version references them
+            live_dirs.add("/".join(be["dir"].split("/")[:2]))
     # shard GC: shard files referenced by NO surviving root are dead —
     # expired versions' shards and lost-race orphans alike. The same
     # in-flight protection as data dirs: a shard younger than the
@@ -1406,6 +1582,8 @@ def snapshot_read(
     files, stats = _resolve(fs, jvm, path, m, where=where)
     if where is not None:
         files = _prune_files(m, files, where, stats=stats)
+        if files and m.get("bloom"):
+            files = _bloom_prune(spark, path, m, files, where)
     if not files:
         # everything pruned: an empty frame with the table's FULL
         # schema — planned from every manifest file (footer reads

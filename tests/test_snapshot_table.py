@@ -1468,3 +1468,119 @@ def test_compact_zorder_makes_manifest_stats_two_dimensional(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="target_rows_per_file"):
         snapshot_compact(spark, t, small_bytes=1 << 30, zorder_by=("a", "b"))
+
+
+# ---------------------------------------------------------------------------
+# round 10: manifest bloom filters (point-lookup file skipping)
+
+
+def test_bloom_prunes_point_lookups_stats_cannot(spark, tmp_path):
+    """A high-cardinality UNCLUSTERED column: every file's [min, max]
+    spans the whole domain, so stats prune nothing — the per-file
+    blooms must cut an equality probe down to ~1 file, with zero
+    false pruning across every present key and absent keys planning
+    (almost) nothing."""
+    from etfconstituentextractor_spark.sources.snapshot_table import snapshot_commit
+
+    t = str(tmp_path / "tbl")
+    n = 2000
+    df = spark.range(n).selectExpr(
+        "id", "CAST(xxhash64(id) AS STRING) AS k", "CAST(id % 5 AS STRING) AS v"
+    )
+    snapshot_commit(
+        df.repartition(8), t, mode="overwrite", stats_cols=["id"],
+        bloom_cols=["k"], bloom_fpp=0.001,
+    )
+    keys = [r.k for r in spark.range(n).selectExpr("CAST(xxhash64(id) AS STRING) AS k").collect()]
+    full = len(snapshot_read(spark, t).inputFiles())
+    assert full == 8
+    # every present key: correct row back, most files skipped
+    import random
+
+    rng = random.Random(7)
+    planned = []
+    for kv in rng.sample(keys, 25):
+        pr = snapshot_read(spark, t, where=("k", "=", kv))
+        planned.append(len(pr.inputFiles()))
+        assert pr.count() == 1, kv
+    assert sum(planned) / len(planned) < 2.5, planned
+    # absent keys prune everything (up to fpp)
+    misses = [len(snapshot_read(spark, t, where=("k", "=", f"absent{i}")).inputFiles()) for i in range(10)]
+    assert sum(misses) <= 2, misses
+    # non-equality probes ignore blooms (stats path untouched)
+    assert snapshot_read(spark, t, where=("id", "<", 100)).count() == 100
+
+
+def test_bloom_append_carries_and_rewrites_are_conservative(spark, tmp_path):
+    """Appends add a sidecar and carry the parent's; a merge-rewritten
+    file loses coverage and must be conservatively KEPT (not falsely
+    pruned) while results stay exact."""
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_commit,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_vacuum,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = "CAST(xxhash64(id) AS STRING) AS k"
+    snapshot_commit(
+        spark.range(100).selectExpr("id", mk).repartition(2), t,
+        mode="overwrite", stats_cols=["id"], bloom_cols=["k"],
+    )
+    snapshot_commit(
+        spark.range(100, 200).selectExpr("id", mk).repartition(2), t,
+        mode="append", stats_cols=["id"], bloom_cols=["k"],
+    )
+    import json
+
+    m1 = json.load(open(f"{t}/_manifests/v00000001.json"))
+    assert len(m1["bloom"]) == 2, "append must carry parent's sidecar + add its own"
+    k150 = spark.sql("SELECT CAST(xxhash64(150L) AS STRING) AS k").first().k
+    pr = snapshot_read(spark, t, where=("k", "=", k150))
+    assert pr.count() == 1 and len(pr.inputFiles()) < 4
+
+    # merge rewrites the file holding id=150: its fresh file has no
+    # bloom row -> conservative keep, value correct
+    src = spark.createDataFrame([(150, "REPLACED")], "id bigint, k string")
+    vm = snapshot_merge(src, t, key="id", stats_cols=["id"])
+    got = snapshot_read(spark, t, vm, where=("k", "=", "REPLACED"))
+    assert [r.id for r in got.collect()] == [150]
+    # the OLD key value is gone (its row was replaced), probing it
+    # must return nothing — even though its bloom row still says hit
+    assert snapshot_read(spark, t, vm, where=("k", "=", k150)).count() == 0
+
+    # vacuum keeps sidecars of surviving versions (probe still works)
+    snapshot_vacuum(spark, t, keep_last=1)
+    assert snapshot_read(spark, t, where=("k", "=", "REPLACED")).count() == 1
+
+
+def test_bloom_type_discipline(spark, tmp_path):
+    """The probe must hash in the COLUMN's type domain (xxhash64 is
+    type-sensitive): a string probe on a bigint bloom column coerces
+    before hashing; an uncoercible probe skips bloom pruning rather
+    than falsely pruning; unsupported column types refuse at commit."""
+    from etfconstituentextractor_spark.sources.snapshot_table import snapshot_commit
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        spark.range(200).selectExpr("id", "id * 7 AS k7").repartition(4), t,
+        mode="overwrite", bloom_cols=["k7"],
+    )
+    # string probe on bigint column: coerced, prunes, correct
+    pr = snapshot_read(spark, t, where=("k7", "=", "700"))
+    assert pr.count() == 1 and len(pr.inputFiles()) < 4
+    # uncoercible probe: _bloom_prune keeps every file (conservative —
+    # never falsely prune; the in-plan ANSI filter owns the cast error)
+    import json
+
+    from etfconstituentextractor_spark.sources.snapshot_table import _bloom_prune
+
+    m0 = json.load(open(f"{t}/_manifests/v00000000.json"))
+    kept = _bloom_prune(spark, t, m0, m0["files"], ("k7", "=", "not-a-number"))
+    assert kept == m0["files"]
+    with pytest.raises(ValueError, match="unsupported"):
+        snapshot_commit(
+            spark.range(5).selectExpr("id", "CAST(id AS DECIMAL(10,2)) AS d"), t,
+            mode="append", bloom_cols=["d"],
+        )
