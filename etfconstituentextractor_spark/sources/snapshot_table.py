@@ -871,6 +871,52 @@ def snapshot_merge(
             return True
 
     cand = [f for f in loaded_files if _cand(f)]
+    # bloom refinement before the exact data probe: a candidate file
+    # whose bloom rejects EVERY source key cannot be touched — one
+    # planning job over (sidecar rows x broadcast source keys), so a
+    # point-upsert on a bloomed table scans ~the files that genuinely
+    # hold its keys instead of every stats-survivor. Conservative:
+    # only when the key column is covered, the recorded dtype matches
+    # the source's, and the key set is bounded.
+    if cand and m.get("bloom") and lo is not None:
+        src_key_type = dict(source.dtypes).get(key)
+        entries = [
+            be
+            for be in m["bloom"]
+            if be.get("cols", {}).get(key) == src_key_type
+        ]
+        if entries and skeys.count() <= 100_000:
+            from etfconstituentextractor_spark.operators.bloom import (
+                bloom_might_contain,
+            )
+
+            cand_set = set(cand)
+            covered: set[str] = set()
+            passing: set[str] = set()
+            for be in entries:
+                hits = (
+                    spark.read.parquet(posixpath.join(path, be["dir"]))
+                    .filter(F.col("col") == key)
+                    .join(F.broadcast(skeys))
+                    .groupBy("f")
+                    .agg(
+                        F.max(
+                            bloom_might_contain(
+                                F.col("bloom"),
+                                F.col("__k"),
+                                m_bits=be["m"],
+                                k=be["k"],
+                            ).cast("int")
+                        ).alias("hit")
+                    )
+                    .collect()
+                )
+                for r in hits:
+                    if r["f"] in cand_set:
+                        covered.add(r["f"])
+                        if r["hit"]:
+                            passing.add(r["f"])
+            cand = [f for f in cand if f not in covered or f in passing]
     touched: list[str] = []
     if cand:
         # DV-AWARE probe: a row the deletion vector masks must not

@@ -1584,3 +1584,46 @@ def test_bloom_type_discipline(spark, tmp_path):
             spark.range(5).selectExpr("id", "CAST(id AS DECIMAL(10,2)) AS d"), t,
             mode="append", bloom_cols=["d"],
         )
+
+
+def test_merge_uses_blooms_to_skip_candidate_scans(spark, tmp_path):
+    """A point-upsert on a bloomed high-cardinality key must scan only
+    the files whose blooms admit a source key — observed by recording
+    the file lists _read_data receives — while staying value-exact."""
+    from etfconstituentextractor_spark.sources import snapshot_table as st
+
+    t = str(tmp_path / "tbl")
+    n = 1600
+    df = spark.range(n).selectExpr("CAST(xxhash64(id) AS BIGINT) AS k", "id AS payload")
+    st.snapshot_commit(
+        df.repartition(8), t, mode="overwrite", bloom_cols=["k"], bloom_fpp=0.001
+    )
+    k5 = spark.sql("SELECT CAST(xxhash64(5L) AS BIGINT) AS k").first().k
+    src = spark.createDataFrame([(k5, 99999)], "k bigint, payload bigint")
+
+    seen: list[int] = []
+    real = st._read_data
+
+    def recording(spark_, path_, m_, files_, **kw):
+        seen.append(len(files_))
+        return real(spark_, path_, m_, files_, **kw)
+
+    st._read_data = recording
+    try:
+        vm = st.snapshot_merge(src, t, key="k")
+    finally:
+        st._read_data = real
+    # the probe's candidate list (first _read_data call) must be far
+    # below the 8 stats-survivors (hash key: stats prune nothing)
+    assert seen and seen[0] <= 2, seen
+    got = {(r.k, r.payload) for r in st.snapshot_read(spark, t, vm).collect()}
+    want = {
+        (r.k, r.payload)
+        for r in df.collect()
+        if r.k != k5
+    } | {(k5, 99999)}
+    assert got == want
+    # a merge whose keys are ALL absent touches nothing (insert-only)
+    src2 = spark.createDataFrame([(123456789, 1)], "k bigint, payload bigint")
+    v2 = st.snapshot_merge(src2, t, key="k")
+    assert st.snapshot_read(spark, t, v2).count() == n + 1
