@@ -1254,7 +1254,8 @@ def test_lifecycle_matches_python_model(spark, tmp_path):
         next_id = 1000
         for step in range(18):
             op = rng.choice(
-                ["append", "merge", "delete", "compact", "ingest", "overwrite"]
+                ["append", "merge", "delete", "compact", "ingest", "overwrite",
+                 "bloom_append", "zorder_compact"]
             )
             if op == "append":
                 rows = [(next_id + i, f"a{step}_{i}") for i in range(rng.randint(1, 6))]
@@ -1297,6 +1298,16 @@ def test_lifecycle_matches_python_model(spark, tmp_path):
             elif op == "compact":
                 st.snapshot_compact(spark, t, small_bytes=1 << 30,
                                     target_rows_per_file=10)
+            elif op == "zorder_compact":
+                st.snapshot_compact(spark, t, small_bytes=1 << 30,
+                                    target_rows_per_file=10,
+                                    zorder_by=("id", "id"))
+            elif op == "bloom_append":
+                rows = [(next_id + i, f"b{step}_{i}") for i in range(3)]
+                next_id += 10
+                st.snapshot_commit(frame(rows), t, mode="append",
+                                   stats_cols=["id"], bloom_cols=["id"])
+                model.update(dict(rows))
             elif op == "ingest":
                 rows = [(next_id + i, f"s{step}_{i}") for i in range(3)]
                 next_id += 10
@@ -1317,6 +1328,13 @@ def test_lifecycle_matches_python_model(spark, tmp_path):
                 for r in st.snapshot_read(spark, t, where=("id", ">=", cut)).collect()
             }
             assert got == {(k, v) for k, v in model.items() if k >= cut}
+            # point probes (the bloom path when covered) agree too —
+            # present keys AND an absent one
+            for pk in rng.sample(sorted(model), min(3, len(model))):
+                pg = {(r.id, r.v)
+                      for r in st.snapshot_read(spark, t, where=("id", "=", pk)).collect()}
+                assert pg == {(pk, model[pk])}, pk
+            assert st.snapshot_read(spark, t, where=("id", "=", 999_999)).count() == 0
     finally:
         st._SHARD_FILES = old_shard
 
