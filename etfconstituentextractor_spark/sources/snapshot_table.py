@@ -479,8 +479,13 @@ def snapshot_commit(
         manifest["dv"] = pm["dv"]
     blooms = list((pm or {}).get("bloom") or [])
     if bloom_cols:
-        blooms.append(
-            _write_bloom(spark, path, version, files, bloom_cols, bloom_fpp, pby, ptypes)
+        live = set(manifest["files"]) if "files" in manifest else None
+        if live is None:
+            live, _ = _resolve(fs, jvm, path, manifest)
+            live = set(live)
+        blooms = _write_bloom(
+            spark, path, version, files, bloom_cols, bloom_fpp, pby, ptypes,
+            carried=blooms, live_files=live,
         )
     if blooms:
         manifest["bloom"] = blooms
@@ -494,6 +499,11 @@ def snapshot_commit(
 #: column's own type before hashing: xxhash64 is type-sensitive, the
 #: bloom_reduced_join lesson)
 _BLOOM_TYPES = {"tinyint", "smallint", "int", "bigint", "float", "double", "boolean", "string"}
+#: past this many bloom entries, a bloom-building commit consolidates
+#: them into ONE sidecar (live rows only) — the _SHARD_MERGE_MIN
+#: lesson applied to blooms, so per-probe sidecar jobs stay bounded
+#: instead of growing O(#bloom-building commits)
+_BLOOM_MERGE_MIN = 8
 
 
 def _write_bloom(
@@ -505,21 +515,38 @@ def _write_bloom(
     fpp: float,
     pby: list[str],
     ptypes: dict | None,
-) -> dict:
+    carried: list,
+    live_files: set[str],
+) -> list:
     """Per-file Bloom filters over ``bloom_cols`` for the fresh
-    ``files``, written as a sidecar parquet dir (f, col, bloom) under
-    data/ — the Iceberg-puffin shape: point-lookup file skipping for
+    ``files``, written as a sidecar parquet dir under data/ — the
+    Iceberg-puffin shape: point-lookup file skipping for
     high-cardinality UNCLUSTERED columns whose per-file [min, max]
-    stats span everything. One uniform (m, k) per commit, sized by
-    the largest file's row count; one counts job + one bit-or job per
-    column (map-combinable, ≤ files × m/64 rows to the driver — the
-    bloom_build control-plane discipline). Returns the manifest entry
-    {dir, cols: {name: dtype}, m, k}."""
+    stats span everything. Sidecar rows carry their OWN parameters
+    (f, col, dtype, m, k, bloom), so entries from commits with
+    different sizings can later consolidate into one dir. Sized per
+    commit by the largest fresh file's row count, CLAMPED at the
+    64M-bit cap (fpp degrades, correctness doesn't — a Bloom filter
+    has no false negatives at any sizing; failing the commit after
+    the data was already written would be strictly worse). An empty
+    commit writes no sidecar. One counts job + one map-combinable
+    bit-or job per column (≤ files × m/64 rows to the driver — the
+    bloom_build control-plane discipline).
+
+    Returns the manifest's new entry list: ``carried`` + this
+    commit's entry — or, past _BLOOM_MERGE_MIN entries, ONE
+    consolidated entry (all live rows re-written to a single dir) so
+    per-probe sidecar jobs stay bounded instead of growing
+    O(#bloom-building commits), the _SHARD_MERGE_MIN lesson applied
+    to blooms."""
+    import math as _math
+    import struct as _struct
     from urllib.parse import unquote
 
     from pyspark.sql import functions as F
 
     from etfconstituentextractor_spark.operators.bloom import (
+        _MAX_M_BITS,
         _positions,
         _shl,
         bloom_params,
@@ -538,10 +565,18 @@ def _write_bloom(
                 f"{sorted(_BLOOM_TYPES)}"
             )
         cols[c] = t
-    n_max = max(r["count"] for r in df.groupBy("__dvf").count().collect())
-    m_bits, k = bloom_params(max(1, n_max), fpp)
+    counts = df.groupBy("__dvf").count().collect()
+    if not counts:
+        return list(carried)  # empty commit: nothing to cover
+    n_max = max(r["count"] for r in counts)
+    try:
+        m_bits, k = bloom_params(max(1, n_max), fpp)
+    except ValueError:
+        # oversized file: clamp instead of failing a commit whose
+        # data is already on disk — fpp degrades, never correctness
+        m_bits = _MAX_M_BITS
+        k = max(1, round(m_bits / n_max * _math.log(2.0)))
     n_words = m_bits // 64
-    import struct as _struct
 
     blooms: dict[tuple[str, str], list[int]] = {}
     for c in cols:
@@ -562,14 +597,65 @@ def _write_bloom(
             words = blooms.setdefault((unquote(r["__dvf"]), c), [0] * n_words)
             words[r["w"]] |= r["word"] & ((1 << 64) - 1)
     out_rows = [
-        (f, c, bytearray(_struct.pack(f"<{n_words}Q", *words)))
+        (f, c, cols[c], m_bits, k, bytearray(_struct.pack(f"<{n_words}Q", *words)))
         for (f, c), words in sorted(blooms.items())
     ]
+    schema = "f string, col string, dtype string, m int, k int, bloom binary"
+    fresh = spark.createDataFrame(out_rows, schema)
+
     reldir = f"data/v{version:08d}-{uuid.uuid4().hex[:8]}"
-    spark.createDataFrame(out_rows, "f string, col string, bloom binary").coalesce(
-        1
-    ).write.parquet(posixpath.join(path, reldir))
-    return {"dir": reldir, "cols": cols, "m": m_bits, "k": k}
+    if len(carried) + 1 > _BLOOM_MERGE_MIN:
+        # consolidate: every carried sidecar's LIVE rows + this
+        # commit's rows into one dir; dead rows (rewritten/removed
+        # files) drop here, which is also the entry-GC
+        union = fresh
+        for be in carried:
+            union = union.unionByName(
+                spark.read.parquet(posixpath.join(path, be["dir"]))
+            )
+        live = spark.createDataFrame([(f,) for f in sorted(live_files)], "f string")
+        union = union.join(F.broadcast(live), "f", "left_semi")
+        union.coalesce(1).write.parquet(posixpath.join(path, reldir))
+        merged_cols: dict[str, str] = {}
+        for be in carried:
+            merged_cols.update(be.get("cols", {}))
+        merged_cols.update(cols)
+        return [{"dir": reldir, "cols": merged_cols}]
+    fresh.coalesce(1).write.parquet(posixpath.join(path, reldir))
+    return list(carried) + [{"dir": reldir, "cols": cols}]
+
+
+def _bloom_entries_for(m: dict, col: str) -> list:
+    return [be for be in m.get("bloom", ()) if col in be.get("cols", {})]
+
+
+def _bloom_eval(spark, path: str, entries: list, col: str, evaluate, file_set: set):
+    """Shared covered/passing accumulator for every bloom consumer:
+    ``evaluate(bdf)`` maps a sidecar frame (f, dtype, m, k, bloom —
+    already filtered to ``col``) to a (f, hit) frame; files outside
+    ``file_set``, rows the evaluator drops, and files with no row at
+    all are conservatively NOT covered. Returns the kept subset rule
+    as (covered, passing) sets — callers keep f when
+    ``f not in covered or f in passing``."""
+    covered: set[str] = set()
+    passing: set[str] = set()
+    from pyspark.sql import functions as F
+
+    for be in entries:
+        bdf = (
+            spark.read.parquet(posixpath.join(path, be["dir"]))
+            .filter(F.col("col") == col)
+            .select("f", "dtype", "m", "k", "bloom")
+        )
+        res = evaluate(bdf, be)
+        if res is None:
+            continue
+        for r in res.collect():
+            if r["f"] in file_set:
+                covered.add(r["f"])
+                if r["hit"]:
+                    passing.add(r["f"])
+    return covered, passing
 
 
 def _bloom_prune(
@@ -578,51 +664,50 @@ def _bloom_prune(
     """Point-lookup file skipping from the manifest's bloom sidecars:
     for an equality probe on a covered column, a file whose bloom
     proves the value absent drops from the plan. The test runs as ONE
-    tiny Spark job over the sidecar rows (bounded by file count) using
-    the SAME xxhash64/bit expressions that built the filters — no
-    second hash implementation to diverge. Uncovered files, stale
-    sidecar rows, and uncoercible probes are all conservative: keep."""
+    tiny Spark job per sidecar over its rows (bounded by file count)
+    using the SAME xxhash64/bit expressions that built the filters —
+    no second hash implementation to diverge. Conservative
+    everywhere: uncovered files, stale rows, dtype-drifted rows, and
+    uncoercible probes all keep. STRING columns prune only for
+    string probes: str() never fails, but a numeric probe on a string
+    column compares under Spark's numeric implicit cast in-plan
+    ('0700' = 700 is TRUE) while the bloom hashed the exact text —
+    coercion there would falsely prune (round-10 second review)."""
     col, op, val = where
     if op != "=" or val is None:
         return files
-    entries = [be for be in m.get("bloom", ()) if col in be.get("cols", {})]
+    entries = _bloom_entries_for(m, col)
     if not entries:
         return files
     from pyspark.sql import functions as F
 
     from etfconstituentextractor_spark.operators.bloom import bloom_might_contain
 
-    file_set = set(files)
-    covered: set[str] = set()
-    passing: set[str] = set()
-    for be in entries:
+    def evaluate(bdf, be):
         dtype = be["cols"][col]
+        if dtype == "string" and not isinstance(val, str):
+            return None  # exact-domain probes only on string columns
         co = _PTYPE_COERCE.get(dtype.split("(")[0])
         try:
             typed = co(val) if co else None
         except (TypeError, ValueError):
             typed = None
         if typed is None:
-            continue  # uncoercible probe: this entry cannot prune
-        bdf = (
-            spark.read.parquet(posixpath.join(path, be["dir"]))
-            .filter(F.col("col") == col)
-            .select(
-                "f",
-                bloom_might_contain(
-                    F.col("bloom"),
-                    F.lit(typed).cast(dtype),
-                    m_bits=be["m"],
-                    k=be["k"],
-                ).alias("hit"),
-            )
-            .collect()
+            return None  # uncoercible probe: this entry cannot prune
+        # dtype must match row-for-row (a consolidated sidecar can
+        # hold the same column under an older dtype — those rows are
+        # ignored, their files conservatively kept)
+        return bdf.filter(F.col("dtype") == dtype).select(
+            "f",
+            bloom_might_contain(
+                F.col("bloom"),
+                F.lit(typed).cast(dtype),
+                m_bits=F.col("m"),
+                k=F.col("k"),
+            ).alias("hit"),
         )
-        for r in bdf:
-            if r["f"] in file_set:
-                covered.add(r["f"])
-                if r["hit"]:
-                    passing.add(r["f"])
+
+    covered, passing = _bloom_eval(spark, path, entries, col, evaluate, set(files))
     return [f for f in files if f not in covered or f in passing]
 
 
@@ -885,37 +970,42 @@ def snapshot_merge(
             for be in m["bloom"]
             if be.get("cols", {}).get(key) == src_key_type
         ]
-        if entries and skeys.count() <= 100_000:
+        # bound the PRODUCT the evaluation implies (files × keys × k
+        # hashes), not the key count alone — and never multiply the
+        # blob: the keys ride as ONE collected array joined from a
+        # one-row frame, so each sidecar row evaluates its own local
+        # blob against the array (the first cut cross-joined sidecar
+        # rows against the key frame, duplicating an m/8-byte blob
+        # per (file, key) pair — the repo's documented
+        # broadcast-array trap; round-10 second review)
+        if entries and skeys.count() <= 10_000:
             from etfconstituentextractor_spark.operators.bloom import (
                 bloom_might_contain,
             )
 
-            cand_set = set(cand)
-            covered: set[str] = set()
-            passing: set[str] = set()
-            for be in entries:
-                hits = (
-                    spark.read.parquet(posixpath.join(path, be["dir"]))
-                    .filter(F.col("col") == key)
-                    .join(F.broadcast(skeys))
-                    .groupBy("f")
-                    .agg(
-                        F.max(
-                            bloom_might_contain(
+            karr = skeys.agg(F.collect_list("__k").alias("__ks"))
+
+            def evaluate(bdf, be):
+                return (
+                    bdf.filter(F.col("dtype") == src_key_type)
+                    .join(F.broadcast(karr))
+                    .select(
+                        "f",
+                        F.exists(
+                            "__ks",
+                            lambda kv: bloom_might_contain(
                                 F.col("bloom"),
-                                F.col("__k"),
-                                m_bits=be["m"],
-                                k=be["k"],
-                            ).cast("int")
-                        ).alias("hit")
+                                kv,
+                                m_bits=F.col("m"),
+                                k=F.col("k"),
+                            ),
+                        ).alias("hit"),
                     )
-                    .collect()
                 )
-                for r in hits:
-                    if r["f"] in cand_set:
-                        covered.add(r["f"])
-                        if r["hit"]:
-                            passing.add(r["f"])
+
+            covered, passing = _bloom_eval(
+                spark, path, entries, key, evaluate, set(cand)
+            )
             cand = [f for f in cand if f not in covered or f in passing]
     touched: list[str] = []
     if cand:
@@ -1171,6 +1261,23 @@ def snapshot_compact(
     partitioned rewrite is clustered by the spec); requires
     ``target_rows_per_file`` to say how many Z-ranges to cut."""
     fs, _, jvm = _fs_path(spark, path)
+    # argument validation BEFORE any filesystem work: a bad combo on
+    # a table with nothing to compact must raise, not return None as
+    # if the arguments had been accepted (round-10 second review)
+    if zorder_by is not None:
+        versions_probe = _list_versions(fs, jvm, path)
+        pby_probe = (
+            _read_manifest(fs, jvm, path, versions_probe[-1]).get("partition_by")
+            if versions_probe
+            else None
+        )
+        if pby_probe:
+            raise ValueError(
+                "zorder_by applies to unpartitioned tables only — a partitioned "
+                "rewrite is clustered by the partition spec"
+            )
+        if not target_rows_per_file:
+            raise ValueError("zorder_by requires target_rows_per_file (Z-range count)")
     versions = _list_versions(fs, jvm, path)
     if not versions:
         raise FileNotFoundError(f"{path} has no committed versions to compact")
@@ -1212,11 +1319,6 @@ def snapshot_compact(
     # plain read of a small file with deletion-vector coverage would
     # RESURRECT its deleted rows into the consolidated file
     df = _read_data(spark, path, m, small, merge_schema=True)
-    if zorder_by is not None and pby:
-        raise ValueError(
-            "zorder_by applies to unpartitioned tables only — a partitioned "
-            "rewrite is clustered by the partition spec"
-        )
     if pby:
         df = df.repartition(*pby)
     elif zorder_by is not None:
@@ -1224,8 +1326,6 @@ def snapshot_compact(
 
         from etfconstituentextractor_spark.operators.zorder import zorder_layout
 
-        if not target_rows_per_file:
-            raise ValueError("zorder_by requires target_rows_per_file (Z-range count)")
         n_rows = df.count()
         n_out = max(1, math.ceil(n_rows / target_rows_per_file))
         a, b = zorder_by

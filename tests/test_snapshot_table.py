@@ -1645,3 +1645,117 @@ def test_merge_uses_blooms_to_skip_candidate_scans(spark, tmp_path):
     src2 = spark.createDataFrame([(123456789, 1)], "k bigint, payload bigint")
     v2 = st.snapshot_merge(src2, t, key="k")
     assert st.snapshot_read(spark, t, v2).count() == n + 1
+
+
+def test_bloom_string_column_numeric_probe_never_false_prunes(spark, tmp_path):
+    """Second-review repro: a numeric probe on a STRING bloom column
+    hashes str(700)='700' while the in-plan filter compares under
+    Spark's numeric cast ('0700' = 700 is TRUE) — coercion there
+    falsely pruned the '0700' file. String entries must prune only
+    for string probes; numeric probes keep every file and the in-plan
+    filter decides."""
+    from etfconstituentextractor_spark.sources.snapshot_table import snapshot_commit
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"{i:04d}") for i in range(400)], "id bigint, k string"
+    )
+    snapshot_commit(df.repartition(4), t, mode="overwrite", bloom_cols=["k"])
+    # numeric probe: '0700'-style padded strings match under numeric
+    # cast; blooms must stand aside
+    pr = snapshot_read(spark, t, where=("k", "=", 7))
+    assert [r.id for r in pr.collect()] == [7]
+    assert len(pr.inputFiles()) == 4, "numeric probe on string column: no bloom prune"
+    # exact string probe still prunes
+    pr2 = snapshot_read(spark, t, where=("k", "=", "0007"))
+    assert [r.id for r in pr2.collect()] == [7]
+    assert len(pr2.inputFiles()) < 4
+
+
+def test_bloom_empty_commit_and_oversize_clamp(spark, tmp_path, monkeypatch):
+    """Second-review findings: an EMPTY bloom-building commit must
+    succeed with no sidecar (not crash on max() of nothing), and a
+    file too large for the 64M-bit cap must CLAMP the sizing (fpp
+    degrades, the already-written commit never fails)."""
+    import json
+
+    from etfconstituentextractor_spark.operators import bloom as bl
+    from etfconstituentextractor_spark.sources.snapshot_table import snapshot_commit
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        spark.range(50).selectExpr("id", "id * 3 AS k"), t, mode="overwrite",
+        bloom_cols=["k"],
+    )
+    empty = spark.range(0).selectExpr("id", "id * 3 AS k")
+    v1 = snapshot_commit(empty, t, mode="append", bloom_cols=["k"])
+    m1 = json.load(open(f"{t}/_manifests/v{v1:08d}.json"))
+    assert len(m1["bloom"]) == 1, "empty commit adds no sidecar, carries parent's"
+    assert snapshot_read(spark, t).count() == 50
+
+    # clamp: shrink the cap so sizing overflows; the commit must
+    # still succeed and pruning stays correct (no false negatives at
+    # ANY sizing)
+    monkeypatch.setattr(bl, "_MAX_M_BITS", 128)
+    v2 = snapshot_commit(
+        spark.range(100, 200).selectExpr("id", "id * 3 AS k").repartition(2), t,
+        mode="append", bloom_cols=["k"],
+    )
+    m2 = json.load(open(f"{t}/_manifests/v{v2:08d}.json"))
+    assert len(m2["bloom"]) == 2
+    pr = snapshot_read(spark, t, v2, where=("k", "=", 450))
+    assert [r.id for r in pr.collect()] == [150]
+
+
+def test_bloom_entries_consolidate_past_threshold(spark, tmp_path, monkeypatch):
+    """Second-review finding: bloom entries grew O(#bloom commits)
+    with one sidecar job per entry per probe. Past the threshold a
+    bloom-building commit consolidates live rows into ONE sidecar;
+    point probes stay correct across every generation's files."""
+    import json
+
+    from etfconstituentextractor_spark.sources import snapshot_table as st
+
+    monkeypatch.setattr(st, "_BLOOM_MERGE_MIN", 3)
+    t = str(tmp_path / "tbl")
+    for g in range(5):
+        st.snapshot_commit(
+            spark.range(g * 100, g * 100 + 100).selectExpr(
+                "id", "CAST(xxhash64(id) AS BIGINT) AS k"
+            ),
+            t,
+            mode="append" if g else "overwrite",
+            bloom_cols=["k"],
+        )
+    m = json.load(open(f"{t}/_manifests/v00000004.json"))
+    assert len(m["bloom"]) <= st._BLOOM_MERGE_MIN, [b["dir"] for b in m["bloom"]]
+    # keys from the oldest and newest generations both probe correctly
+    for probe_id in (5, 450):
+        kv = spark.sql(f"SELECT CAST(xxhash64({probe_id}L) AS BIGINT) AS k").first().k
+        pr = st.snapshot_read(spark, t, where=("k", "=", kv))
+        assert [r.id for r in pr.collect()] == [probe_id]
+        assert len(pr.inputFiles()) < 5
+
+
+def test_compact_zorder_arg_validation_precedes_early_return(spark, tmp_path):
+    """Second-review finding: invalid zorder arguments must raise even
+    when there is nothing to compact (the early return previously
+    swallowed them as None)."""
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_commit,
+        snapshot_compact,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        spark.range(10).selectExpr("id", "CAST(id % 2 AS STRING) AS p"), t,
+        mode="overwrite", partition_by=["p"],
+    )
+    with pytest.raises(ValueError, match="unpartitioned"):
+        snapshot_compact(spark, t, small_bytes=1, zorder_by=("id", "id"),
+                         target_rows_per_file=5)
+    t2 = str(tmp_path / "tbl2")
+    snapshot_commit(spark.range(10).selectExpr("id", "id AS b").coalesce(1), t2)
+    # one file only -> nothing to compact, but the bad combo must raise
+    with pytest.raises(ValueError, match="target_rows_per_file"):
+        snapshot_compact(spark, t2, small_bytes=1 << 30, zorder_by=("id", "b"))
