@@ -100,6 +100,7 @@ __all__ = [
     "snapshot_commit",
     "snapshot_compact",
     "snapshot_delete",
+    "snapshot_changes",
     "snapshot_last_txn",
     "snapshot_merge",
     "snapshot_read",
@@ -1874,3 +1875,108 @@ def snapshot_stream_ingest(
                 continue  # re-check the watermark against the new latest
 
     return handle
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level CHANGE DATA FEED between two versions at
+    O(changed files) scan cost — the manifests already know which
+    files differ, so unchanged files are never read (a full-read diff
+    scans BOTH versions; at 100 TB with a 0.1% daily delta that is
+    the difference between reading gigabytes and reading the lake
+    twice). Returns operators/snapshot_diff.py's change frame: one
+    row per key with change in {'inserted', 'deleted', 'updated'};
+    keys must be unique per version (the keyed-dataset contract).
+
+    Construction — a row's visibility can change in exactly two ways
+    under this module's immutable-file protocol:
+    - its FILE entered or left the inventory (append/merge/compact/
+      overwrite): removed files' rows (under v_from's DV) form the
+      old side, added files' rows (under v_to's DV — a file added and
+      then delete-masked within the range is born partially masked)
+      form the new side;
+    - its file stayed but its deletion-vector coverage GREW (DV
+      deletes; coverage never shrinks for a surviving file — rewrites
+      remove the file instead): rows at v_to's newly-masked positions
+      of common files join the old side, scanning only the common
+      files that gained masks.
+    A rewrite that merely moves rows between files (compaction,
+    merge's untouched-key carry) puts identical rows on both sides,
+    and the keyed diff cancels them — the feed reports logical
+    change, not file churn.
+
+    ``snapshot_diff(snapshot_read(v_from), snapshot_read(v_to))``
+    over full reads is the semantic oracle; the equivalence is pinned
+    in tests against randomized lifecycle histories."""
+    from pyspark.sql import functions as F
+
+    from etfconstituentextractor_spark.operators.snapshot_diff import snapshot_diff
+
+    if v_to <= v_from:
+        raise ValueError(f"v_to ({v_to}) must be > v_from ({v_from})")
+    fs, _, jvm = _fs_path(spark, path)
+    m0 = _read_manifest(fs, jvm, path, v_from)
+    m1 = _read_manifest(fs, jvm, path, v_to)
+    files0, _ = _resolve(fs, jvm, path, m0)
+    files1, _ = _resolve(fs, jvm, path, m1)
+    set0, set1 = set(files0), set(files1)
+    removed = sorted(set0 - set1)
+    added = sorted(set1 - set0)
+    common = set0 & set1
+
+    def _empty_like(m, files):
+        # zero-row frame with the version's schema (footer reads only)
+        return _read_files(
+            spark, path, files, m.get("partition_by") or [], m.get("partition_types")
+        ).limit(0)
+
+    old_side = _read_data(spark, path, m0, removed) if removed else None
+    new_side = _read_data(spark, path, m1, added) if added else None
+
+    # common files whose DV coverage grew: their newly-masked rows
+    # were visible at v_from and are not at v_to — deleted
+    dv0dir, dv0map = _dv_info(m0)
+    dv1dir, dv1map = _dv_info(m1)
+    grown = [
+        f for f in sorted(common) if dv1map.get(f, 0) > dv0map.get(f, 0)
+    ]
+    if grown:
+        new_mask = spark.read.parquet(posixpath.join(path, dv1dir)).select(
+            "__dvf", "__pos"
+        )
+        if dv0dir is not None:
+            old_mask = spark.read.parquet(posixpath.join(path, dv0dir)).select(
+                "__dvf", "__pos"
+            )
+            new_mask = new_mask.join(old_mask, ["__dvf", "__pos"], "left_anti")
+        newly_masked = (
+            _read_files(
+                spark,
+                path,
+                grown,
+                m1.get("partition_by") or [],
+                m1.get("partition_types"),
+                with_meta=True,
+            )
+            .join(new_mask, ["__dvf", "__pos"])
+            .drop("__dvf", "__pos")
+        )
+        old_side = (
+            newly_masked if old_side is None else old_side.unionByName(newly_masked)
+        )
+
+    if old_side is None:
+        old_side = _empty_like(m0, files0) if files0 else None
+    if new_side is None:
+        new_side = _empty_like(m1, files1) if files1 else None
+    if old_side is None or new_side is None:
+        raise FileNotFoundError(
+            f"versions {v_from}/{v_to} of {path} have no data files to diff"
+        )
+    return snapshot_diff(old_side, new_side, keys=keys, compare_cols=compare_cols)

@@ -1335,6 +1335,28 @@ def test_lifecycle_matches_python_model(spark, tmp_path):
                       for r in st.snapshot_read(spark, t, where=("id", "=", pk)).collect()}
                 assert pg == {(pk, model[pk])}, pk
             assert st.snapshot_read(spark, t, where=("id", "=", 999_999)).count() == 0
+        # the incremental change feed between the last two surviving
+        # versions equals the full-read diff on this random history
+        from etfconstituentextractor_spark.operators.snapshot_diff import (
+            snapshot_diff,
+        )
+
+        vs = [mv["version"] for mv in st.snapshot_versions(spark, t)]
+        if len(vs) >= 2:
+            a, b = vs[-2], vs[-1]
+            fast = {
+                (r.id, r.change)
+                for r in st.snapshot_changes(spark, t, a, b, keys=["id"]).collect()
+            }
+            slow = {
+                (r.id, r.change)
+                for r in snapshot_diff(
+                    st.snapshot_read(spark, t, a),
+                    st.snapshot_read(spark, t, b),
+                    keys=["id"],
+                ).collect()
+            }
+            assert fast == slow, (a, b, fast ^ slow)
     finally:
         st._SHARD_FILES = old_shard
 
@@ -1759,3 +1781,61 @@ def test_compact_zorder_arg_validation_precedes_early_return(spark, tmp_path):
     # one file only -> nothing to compact, but the bad combo must raise
     with pytest.raises(ValueError, match="target_rows_per_file"):
         snapshot_compact(spark, t2, small_bytes=1 << 30, zorder_by=("id", "b"))
+
+
+# ---------------------------------------------------------------------------
+# round 10: incremental change data feed
+
+
+def test_snapshot_changes_equals_full_read_diff_and_scans_less(spark, tmp_path):
+    """snapshot_changes must equal snapshot_diff over FULL reads for
+    every version pair of a history exercising append, DV delete,
+    merge, and compact — while scanning only changed files (pinned by
+    comparing a one-delta step's planned files against the table)."""
+    from etfconstituentextractor_spark.operators.snapshot_diff import snapshot_diff
+    from etfconstituentextractor_spark.sources import snapshot_table as st
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(200).selectExpr("id", "CAST(id AS STRING) AS v")
+    st.snapshot_commit(df.repartitionByRange(4, "id"), t, mode="overwrite",
+                       stats_cols=["id"])                                   # v0
+    st.snapshot_commit(
+        spark.range(200, 240).selectExpr("id", "CAST(id AS STRING) AS v"), t,
+        mode="append", stats_cols=["id"],
+    )                                                                        # v1
+    st.snapshot_delete(spark, t, where=("id", "<", 10))                      # v2
+    st.snapshot_merge(
+        spark.createDataFrame(
+            [(50, "UPD"), (999, "NEW")], "id bigint, v string"
+        ),
+        t, key="id", stats_cols=["id"],
+    )                                                                        # v3
+    st.snapshot_delete(spark, t, where=("id", ">=", 230))                    # v4
+    st.snapshot_compact(spark, t, small_bytes=1 << 30, target_rows_per_file=500)  # v5
+
+    def norm(cdf):
+        return {
+            (r.id, r.change)
+            for r in cdf.select("id", "change").collect()
+        }
+
+    for a in range(6):
+        for b in range(a + 1, 6):
+            fast = norm(st.snapshot_changes(spark, t, a, b, keys=["id"]))
+            slow = norm(
+                snapshot_diff(
+                    st.snapshot_read(spark, t, a),
+                    st.snapshot_read(spark, t, b),
+                    keys=["id"],
+                )
+            )
+            assert fast == slow, (a, b, fast ^ slow)
+
+    # compaction-only step: pure file churn, zero logical change
+    assert norm(st.snapshot_changes(spark, t, 4, 5, keys=["id"])) == set()
+    # scan-boundedness: the v1->v2 feed (one DV delete over the low
+    # range) plans fewer files than the table holds
+    feed = st.snapshot_changes(spark, t, 1, 2, keys=["id"])
+    table_files = len(st.snapshot_read(spark, t, 2).inputFiles())
+    assert 0 < len(feed.inputFiles()) < table_files
+    assert norm(feed) == {(i, "deleted") for i in range(10)}
