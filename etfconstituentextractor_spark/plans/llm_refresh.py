@@ -217,6 +217,16 @@ def _lang_agg(df: DataFrame) -> DataFrame:
     ) WHERE doc_id >= {_DV_DELETE_LT}
     GROUP BY lang
     UNION ALL
+    -- 'cdf' leg (round 10): the INCREMENTAL change feed between v2
+    -- and v3 (the DV delete) — snapshot_changes reads only the files
+    -- whose deletion-vector coverage grew, never the unchanged
+    -- corpus; the oracle restates the deleted slice of v2 directly.
+    SELECT 'cdf', doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           'deleted', CAST(3 AS INTEGER), CAST(NULL AS INTEGER),
+           CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM new_rows WHERE doc_id < {_DV_DELETE_LT}
+    UNION ALL
     -- 'prune' leg: v2 filtered to doc_id >= 2*shift == exactly the
     -- late append (the Spark side plans it via manifest column
     -- stats; the result must equal the plain filtered aggregate)
@@ -315,10 +325,19 @@ def q86_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("late "), F.col("text")).alias("text"),
         "lang",
     )
+    # v1 is range-laid on doc_id so the v3 DV delete's coverage (and
+    # therefore the 'cdf' leg's scan) concentrates in the low-range
+    # file — the layout a real table clustered on its key would have,
+    # and what makes the feed's O(changed files) claim measurable
+    # (hash layout spread the deleted range across every file)
     tbl = _timetravel_table(
         spark,
         sf_dir,
-        [(d, "overwrite"), (new, "overwrite"), (late, "append")],
+        [
+            (d, "overwrite"),
+            (new.repartitionByRange(4, "doc_id"), "overwrite"),
+            (late, "append"),
+        ],
         deletes=[("doc_id", "<", _DV_DELETE_LT)],
     )
     tt_legs = [
@@ -336,6 +355,17 @@ def q86_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     tt_legs.append(
         _leg_frame(_lang_agg(snapshot_read(spark, tbl, 3)), "dv", valid_from=3)
     )
+    # 'cdf' leg (round 10): the incremental change feed v2 -> v3 —
+    # O(changed files): only the DV-grown files are read, never the
+    # unchanged corpus (sources/snapshot_table.py:snapshot_changes);
+    # the oracle restates the deleted slice, so the hash match is
+    # feed ≡ full-read diff on this table.
+    from etfconstituentextractor_spark.sources.snapshot_table import snapshot_changes
+
+    cdf = snapshot_changes(spark, tbl, 2, 3, keys=["doc_id"]).select(
+        "doc_id", "change"
+    )
+    tt_legs.append(_leg_frame(cdf, "cdf", valid_from=3))
     # 'prune' leg (round 9): the SAME snapshot table read through the
     # manifest's column stats — where=(doc_id >= 2*shift) proves every
     # v0/v1 data file empty (their per-file doc_id max < 2*shift) and
@@ -415,7 +445,7 @@ def _timetravel_table(spark, sf_dir, commits, deletes=()):
     fp = {
         "documents": table_fingerprint(sf_dir, "documents"),
         "deletes": [list(w) for w in deletes],
-        "recipe": 4,
+        "recipe": 5,
     }
     marker = os.path.join(base, "_fingerprint.json")
     fresh = False

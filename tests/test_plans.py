@@ -638,8 +638,10 @@ def test_q86_snapshot_diff_shuffles_hashes_only(spark, sf_dir):
     # (lang, count, chars) shape; dv leg (round 10): one more per-lang
     # aggregate exchange + the deletion-vector BroadcastExchange (the
     # (file key, row position) coordinates — ~70-byte rows, bounded by
-    # deleted-row count, and the data side never shuffles for it)
-    assert 2 <= plan.count("Exchange") <= 16, plan[:1200]
+    # deleted-row count, and the data side never shuffles for it);
+    # cdf leg (round 10): the incremental feed's keyed full-outer
+    # diff, both sides reduced to (key, md5) map-side as ever
+    assert 2 <= plan.count("Exchange") <= 18, plan[:1200]
     for m in re.finditer(r"Exchange hashpartitioning[^\n]*", plan):
         assert "text#" not in m.group(0), m.group(0)
     hash_projects = re.findall(r"Project \[[^\n]*md5\(", plan)
@@ -856,3 +858,15 @@ def test_q86_dv_leg_is_merge_on_read(spark, sf_dir):
     assert v3.filter(f"doc_id < {_DV_DELETE_LT}").count() == 0
     assert v2.filter(f"doc_id < {_DV_DELETE_LT}").count() > 0
     assert v3.count() == v2.filter(f"doc_id >= {_DV_DELETE_LT}").count()
+    # the 'cdf' leg's incremental feed scans only the DV-grown files
+    # (v1 is range-laid on doc_id, so the deleted low range lives in
+    # one file) — not the whole version
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_changes,
+    )
+
+    feed = snapshot_changes(spark, tbl, 2, 3, keys=["doc_id"])
+    assert 0 < len(feed.inputFiles()) < len(v2.inputFiles()), (
+        len(feed.inputFiles()),
+        len(v2.inputFiles()),
+    )
