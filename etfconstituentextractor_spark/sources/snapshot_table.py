@@ -1971,12 +1971,21 @@ def snapshot_changes(
             newly_masked if old_side is None else old_side.unionByName(newly_masked)
         )
 
-    if old_side is None:
-        old_side = _empty_like(m0, files0) if files0 else None
-    if new_side is None:
-        new_side = _empty_like(m1, files1) if files1 else None
-    if old_side is None or new_side is None:
-        raise FileNotFoundError(
-            f"versions {v_from}/{v_to} of {path} have no data files to diff"
-        )
+    # an absent side borrows the present side's schema instead of
+    # footer-planning every file of its version: when nothing was
+    # added, the to-version's files are a subset of the from-version's
+    # (and vice versa), so the present side's schema covers the shared
+    # compare columns exactly — the all-footer _empty_like plan is
+    # needed only when BOTH sides are empty (a no-change range)
+    if old_side is None and new_side is not None:
+        old_side = spark.createDataFrame([], new_side.schema)
+    elif new_side is None and old_side is not None:
+        new_side = spark.createDataFrame([], old_side.schema)
+    elif old_side is None and new_side is None:
+        if not files1:
+            raise FileNotFoundError(
+                f"versions {v_from}/{v_to} of {path} have no data files to diff"
+            )
+        new_side = _empty_like(m1, files1)
+        old_side = spark.createDataFrame([], new_side.schema)
     return snapshot_diff(old_side, new_side, keys=keys, compare_cols=compare_cols)
