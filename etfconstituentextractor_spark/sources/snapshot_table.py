@@ -107,6 +107,7 @@ __all__ = [
     "snapshot_stream_ingest",
     "snapshot_versions",
     "snapshot_vacuum",
+    "snapshot_version_as_of",
 ]
 
 _MANIFEST_RE = re.compile(r"^v(\d{8})\.json$")
@@ -178,9 +179,31 @@ def snapshot_versions(spark: SparkSession, path: str) -> list[dict]:
     """Commit metadata for every version, oldest first."""
     fs, _, jvm = _fs_path(spark, path)
     return [
-        {k: m[k] for k in ("version", "op", "n_files", "parent")}
+        {
+            **{k: m[k] for k in ("version", "op", "n_files", "parent")},
+            "committed_at": m.get("committed_at"),
+        }
         for m in (_read_manifest(fs, jvm, path, v) for v in _list_versions(fs, jvm, path))
     ]
+
+
+def snapshot_version_as_of(spark: SparkSession, path: str, ts: float) -> int:
+    """The newest version committed at-or-before epoch ``ts`` —
+    timestamp time travel (pass the result to snapshot_read). Raises
+    if the table has no version that old. Versions from before the
+    committed_at stamp existed (none in practice — the field ships
+    with the feature) are treated as infinitely old."""
+    fs, _, jvm = _fs_path(spark, path)
+    best = None
+    for v in _list_versions(fs, jvm, path):
+        at = _read_manifest(fs, jvm, path, v).get("committed_at")
+        if at is None or at <= ts:
+            best = v
+    if best is None:
+        raise FileNotFoundError(
+            f"{path} has no version committed at or before {ts}"
+        )
+    return best
 
 
 # ---------------------------------------------------------------------------
@@ -255,23 +278,25 @@ def _shard_skippable(ref: dict, where: tuple) -> bool:
         return False
 
 
-def _shard_docs(fs, jvm, table: str, m: dict, where: tuple | None = None):
+def _shard_docs(fs, jvm, table: str, m: dict, where=None):
     """The manifest's file inventory as [(ref_or_None, files, stats)]
     — one entry per shard (loading each), or a single (None, ...) for
-    inline manifests. ``where`` skips shards whose bounds prove them
-    empty WITHOUT loading them."""
+    inline manifests. ``where`` (one predicate tuple or a list — a
+    conjunction) skips shards ANY predicate's bounds prove empty
+    WITHOUT loading them."""
     if "shards" not in m:
         return [(None, m["files"], m.get("stats", {}))]
+    wlist = _normalize_where(where)
     out = []
     for ref in m["shards"]:
-        if where is not None and _shard_skippable(ref, where):
+        if any(_shard_skippable(ref, w) for w in wlist):
             continue
         doc = _load_shard(fs, jvm, table, ref["path"])
         out.append((ref, doc["files"], doc.get("stats", {})))
     return out
 
 
-def _resolve(fs, jvm, table: str, m: dict, where: tuple | None = None):
+def _resolve(fs, jvm, table: str, m: dict, where=None):
     """(files, stats) of a manifest, shards resolved (and skipped by
     ``where`` bounds when given)."""
     files: list[str] = []
@@ -802,7 +827,12 @@ def _rel_suffix(file_uri: str, dir_path: str) -> str:
 
 def _publish(fs, jvm, path: str, version: int, manifest: dict) -> None:
     """Publish ``manifest`` as version ``version`` via the atomic
-    no-overwrite claim; raises ConcurrentCommitError on a lost race."""
+    no-overwrite claim; raises ConcurrentCommitError on a lost race.
+    Stamps ``committed_at`` (epoch seconds) for timestamp time travel
+    — metadata about the commit event, never query-result data."""
+    import time
+
+    manifest.setdefault("committed_at", time.time())
     mdir = posixpath.join(path, "_manifests")
     tmp = jvm.org.apache.hadoop.fs.Path(
         posixpath.join(mdir, f".tmp-{uuid.uuid4().hex}")
@@ -1702,10 +1732,12 @@ def snapshot_read(
     manifest's files, immune to concurrent commits and uncommitted
     writer garbage in the directory.
 
-    ``where=(col, op, value)`` (op in =, >=, >, <=, <) prunes the
-    PLANNED FILE LIST by the manifest's column stats before Spark
-    sees a path — the metadata-skip a real table format does — and
-    ALSO applies the same predicate as a filter on the returned
+    ``where=(col, op, value)`` (op in =, >=, >, <=, <) — or a LIST of
+    such tuples, conjoined — prunes the PLANNED FILE LIST by the
+    manifest's column stats before Spark sees a path (the
+    metadata-skip a real table format does; a multi-column AND prunes
+    by every predicate, which is where Z-ordered layouts pay off) and
+    ALSO applies the same predicates as filters on the returned
     frame, so files without stats (older commits, uncovered columns)
     stay correct and pruning can never change results, only skip I/O.
     Inspect ``df.inputFiles()`` to see the effect."""
@@ -1723,14 +1755,15 @@ def snapshot_read(
         # rather than letting spark.read.parquet() fail obscurely (or
         # the pruning fallback index past an empty list)
         raise FileNotFoundError(f"version {version} of {path} has no data files")
+    wlist = _normalize_where(where)
     # sharded manifests: a pruned read loads only the shards the
-    # probe's bounds cannot prove empty — metadata skipping BEFORE
+    # probes' bounds cannot prove empty — metadata skipping BEFORE
     # file-level skipping, the manifest-list half of the design
-    files, stats = _resolve(fs, jvm, path, m, where=where)
-    if where is not None:
-        files = _prune_files(m, files, where, stats=stats)
+    files, stats = _resolve(fs, jvm, path, m, where=wlist)
+    for w in wlist:
+        files = _prune_files(m, files, w, stats=stats)
         if files and m.get("bloom"):
-            files = _bloom_prune(spark, path, m, files, where)
+            files = _bloom_prune(spark, path, m, files, w)
     if not files:
         # everything pruned: an empty frame with the table's FULL
         # schema — planned from every manifest file (footer reads
@@ -1741,9 +1774,24 @@ def snapshot_read(
         df = _read_files(spark, path, all_files, pby, ptypes, merge_schema).limit(0)
     else:
         df = _read_data(spark, path, m, files, merge_schema)
-    if where is not None:
-        df = df.filter(_where_cond(where))
+    for w in wlist:
+        df = df.filter(_where_cond(w))
     return df
+
+
+def _normalize_where(where) -> list[tuple]:
+    """``where`` as a list of (col, op, value) tuples: a single
+    3-tuple whose first element is a string means one predicate; a
+    list/tuple of tuples means a conjunction; None means none."""
+    if where is None:
+        return []
+    if (
+        isinstance(where, (list, tuple))
+        and len(where) == 3
+        and isinstance(where[0], str)
+    ):
+        return [tuple(where)]
+    return [tuple(w) for w in where]
 
 
 def _prune_files(

@@ -1839,3 +1839,42 @@ def test_snapshot_changes_equals_full_read_diff_and_scans_less(spark, tmp_path):
     table_files = len(st.snapshot_read(spark, t, 2).inputFiles())
     assert 0 < len(feed.inputFiles()) < table_files
     assert norm(feed) == {(i, "deleted") for i in range(10)}
+
+
+def test_multi_predicate_where_and_timestamp_travel(spark, tmp_path):
+    """Round-10 late additions: a conjunction of where-tuples prunes
+    by EVERY predicate (the payoff of Z-ordered stats), and
+    snapshot_version_as_of resolves timestamp time travel."""
+    import time
+
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_commit,
+        snapshot_compact,
+        snapshot_version_as_of,
+        snapshot_versions,
+    )
+
+    t = str(tmp_path / "tbl")
+    n = 4096
+    df = spark.range(n).selectExpr(
+        "id",
+        "CAST(pmod(hash(id), 1024) AS BIGINT) AS a",
+        "CAST(pmod(hash(id * 7 + 3), 1024) AS BIGINT) AS b",
+    )
+    snapshot_commit(df.repartition(8), t, mode="overwrite", stats_cols=["a", "b"])
+    t_v0 = time.time()
+    snapshot_compact(
+        spark, t, small_bytes=1 << 30, target_rows_per_file=n // 8,
+        zorder_by=("a", "b"),
+    )
+    both = snapshot_read(spark, t, where=[("a", "<", 64), ("b", "<", 64)])
+    one = snapshot_read(spark, t, where=("a", "<", 64))
+    assert len(both.inputFiles()) <= len(one.inputFiles())
+    assert both.count() == snapshot_read(spark, t).filter("a < 64 AND b < 64").count()
+
+    # timestamp travel: as-of a moment between the commits -> v0
+    assert snapshot_version_as_of(spark, t, t_v0) == 0
+    assert snapshot_version_as_of(spark, t, time.time()) == 1
+    with pytest.raises(FileNotFoundError):
+        snapshot_version_as_of(spark, t, 0.0)
+    assert all(m["committed_at"] for m in snapshot_versions(spark, t))
