@@ -505,13 +505,19 @@ def snapshot_commit(
         manifest["dv"] = pm["dv"]
     blooms = list((pm or {}).get("bloom") or [])
     if bloom_cols:
-        live = set(manifest["files"]) if "files" in manifest else None
-        if live is None:
-            live, _ = _resolve(fs, jvm, path, manifest)
-            live = set(live)
+        # lazily: resolving a sharded inventory costs O(total files)
+        # driver metadata and only the rare consolidation branch needs
+        # it — an eager resolve broke the O(new files) append cost on
+        # exactly the micro-batch workload (round-10 max review)
+        def _live() -> set[str]:
+            if "files" in manifest:
+                return set(manifest["files"])
+            lf, _ = _resolve(fs, jvm, path, manifest)
+            return set(lf)
+
         blooms = _write_bloom(
             spark, path, version, files, bloom_cols, bloom_fpp, pby, ptypes,
-            carried=blooms, live_files=live,
+            carried=blooms, live_files=_live,
         )
     if blooms:
         manifest["bloom"] = blooms
@@ -542,26 +548,28 @@ def _write_bloom(
     pby: list[str],
     ptypes: dict | None,
     carried: list,
-    live_files: set[str],
+    live_files,
 ) -> list:
     """Per-file Bloom filters over ``bloom_cols`` for the fresh
     ``files``, written as a sidecar parquet dir under data/ — the
     Iceberg-puffin shape: point-lookup file skipping for
     high-cardinality UNCLUSTERED columns whose per-file [min, max]
     stats span everything. Sidecar rows carry their OWN parameters
-    (f, col, dtype, m, k, bloom), so entries from commits with
-    different sizings can later consolidate into one dir. Sized per
-    commit by the largest fresh file's row count, CLAMPED at the
+    (f, col, dtype, m, k, bloom) — sized PER FILE from its own row
+    count (a commit-wide max sizing inflated every small file's
+    filter to the largest file's, multi-GB of driver transients at
+    clamp scale — round-10 max review), each file CLAMPED at the
     64M-bit cap (fpp degrades, correctness doesn't — a Bloom filter
     has no false negatives at any sizing; failing the commit after
     the data was already written would be strictly worse). An empty
     commit writes no sidecar. One counts job + one map-combinable
-    bit-or job per column (≤ files × m/64 rows to the driver — the
+    bit-or job per column (≤ Σ m_f/64 rows to the driver — the
     bloom_build control-plane discipline).
 
     Returns the manifest's new entry list: ``carried`` + this
     commit's entry — or, past _BLOOM_MERGE_MIN entries, ONE
-    consolidated entry (all live rows re-written to a single dir) so
+    consolidated entry (all rows still naming ``live_files()`` —
+    a CALLABLE, resolved only here — re-written to a single dir) so
     per-probe sidecar jobs stay bounded instead of growing
     O(#bloom-building commits), the _SHARD_MERGE_MIN lesson applied
     to blooms."""
@@ -594,20 +602,30 @@ def _write_bloom(
     counts = df.groupBy("__dvf").count().collect()
     if not counts:
         return list(carried)  # empty commit: nothing to cover
-    n_max = max(r["count"] for r in counts)
-    try:
-        m_bits, k = bloom_params(max(1, n_max), fpp)
-    except ValueError:
-        # oversized file: clamp instead of failing a commit whose
-        # data is already on disk — fpp degrades, never correctness
-        m_bits = _MAX_M_BITS
-        k = max(1, round(m_bits / n_max * _math.log(2.0)))
-    n_words = m_bits // 64
+    sizes: dict[str, tuple[int, int]] = {}
+    for r in counts:
+        n = max(1, r["count"])
+        try:
+            mk = bloom_params(n, fpp)
+        except ValueError:
+            # oversized file: clamp instead of failing a commit whose
+            # data is already on disk — fpp degrades, never correctness
+            mb = _MAX_M_BITS
+            mk = (mb, max(1, round(mb / n * _math.log(2.0))))
+        sizes[r["__dvf"]] = mk
+    sizing = spark.createDataFrame(
+        [(f, mk[0], mk[1]) for f, mk in sizes.items()],
+        "__dvf string, __m int, __k int",  # dunder: never collide with data columns
+    )
 
     blooms: dict[tuple[str, str], list[int]] = {}
     for c in cols:
         rows = (
-            df.select("__dvf", F.explode(_positions(F.col(c), m_bits, k)).alias("pos"))
+            df.join(F.broadcast(sizing), "__dvf")
+            .select(
+                "__dvf",
+                F.explode(_positions(F.col(c), F.col("__m"), F.col("__k"))).alias("pos"),
+            )
             .select(
                 "__dvf",
                 F.shiftright("pos", 6).cast("int").alias("w"),
@@ -620,11 +638,20 @@ def _write_bloom(
             .collect()
         )
         for r in rows:
-            words = blooms.setdefault((unquote(r["__dvf"]), c), [0] * n_words)
+            words = blooms.setdefault(
+                (r["__dvf"], c), [0] * (sizes[r["__dvf"]][0] // 64)
+            )
             words[r["w"]] |= r["word"] & ((1 << 64) - 1)
     out_rows = [
-        (f, c, cols[c], m_bits, k, bytearray(_struct.pack(f"<{n_words}Q", *words)))
-        for (f, c), words in sorted(blooms.items())
+        (
+            unquote(fe),
+            c,
+            cols[c],
+            sizes[fe][0],
+            sizes[fe][1],
+            bytearray(_struct.pack(f"<{len(words)}Q", *words)),
+        )
+        for (fe, c), words in sorted(blooms.items())
     ]
     schema = "f string, col string, dtype string, m int, k int, bloom binary"
     fresh = spark.createDataFrame(out_rows, schema)
@@ -639,7 +666,9 @@ def _write_bloom(
             union = union.unionByName(
                 spark.read.parquet(posixpath.join(path, be["dir"]))
             )
-        live = spark.createDataFrame([(f,) for f in sorted(live_files)], "f string")
+        live = spark.createDataFrame(
+            [(f,) for f in sorted(live_files())], "f string"
+        )
         union = union.join(F.broadcast(live), "f", "left_semi")
         union.coalesce(1).write.parquet(posixpath.join(path, reldir))
         merged_cols: dict[str, str] = {}
@@ -740,13 +769,24 @@ def _bloom_prune(
 def _set_txn(manifest: dict, pm: dict | None, txn: tuple[str, int] | None) -> None:
     """Carry the parent's idempotent-writer watermarks and fold in
     this commit's own (writer_id, seq), keeping the larger seq on a
-    same-writer repeat."""
+    same-writer repeat. Also stamps ``committed_at`` MAX-ADJUSTED
+    against the parent's (the Delta/Iceberg move): a skewed or
+    stepped-back clock must never produce a child stamped before its
+    parent, or snapshot_version_as_of would resolve a timestamp to a
+    snapshot containing LATER data (round-10 max review)."""
+    import time
+
     txns = dict((pm or {}).get("txn") or {})
     if txn is not None:
         wid, seq = txn
         txns[wid] = max(int(seq), int(txns.get(wid, -1)))
     if txns:
         manifest["txn"] = txns
+    parent_at = (pm or {}).get("committed_at")
+    now = time.time()
+    manifest["committed_at"] = (
+        now if parent_at is None else max(now, float(parent_at) + 1e-6)
+    )
 
 
 def _write_data(
@@ -1200,27 +1240,38 @@ def snapshot_delete(
         # percent-encoded URI; the manifest stores decoded paths)
         from urllib.parse import unquote
 
-        counts = (
-            spark.read.parquet(posixpath.join(path, reldir))
-            .groupBy("__dvf")
-            .count()
-            .collect()
-        )
-        # valid targets: the loaded candidates (only source of NEW
-        # positions) plus files already covered by the parent's DV
-        # (their keys were validated at their own commit; their shard
-        # may not be loaded here)
-        manifest_files = set(cand_files) | set(dvmap)
-        files_map: dict[str, int] = {}
-        for r in counts:
-            rel = unquote(r["__dvf"])
-            if rel not in manifest_files:
-                raise RuntimeError(
-                    f"deletion-vector key {rel!r} does not match any manifest "
-                    "data file — the key derivation and manifest relpaths have "
-                    "diverged; refusing to publish a DV that could not be applied"
-                )
-            files_map[rel] = r["count"]
+        try:
+            counts = (
+                spark.read.parquet(posixpath.join(path, reldir))
+                .groupBy("__dvf")
+                .count()
+                .collect()
+            )
+            # valid targets: the loaded candidates (only source of NEW
+            # positions) plus files already covered by the parent's DV
+            # (their keys were validated at their own commit; their
+            # shard may not be loaded here)
+            manifest_files = set(cand_files) | set(dvmap)
+            files_map: dict[str, int] = {}
+            for r in counts:
+                rel = unquote(r["__dvf"])
+                if rel not in manifest_files:
+                    raise RuntimeError(
+                        f"deletion-vector key {rel!r} does not match any manifest "
+                        "data file — the key derivation and manifest relpaths have "
+                        "diverged; refusing to publish a DV that could not be applied"
+                    )
+                files_map[rel] = r["count"]
+        except BaseException:
+            # the DV dir was written for a version that will never
+            # publish, and vacuum's in-flight guard skips dirs newer
+            # than the newest manifest — on a table where deletes keep
+            # failing, every retry would leak a dir forever (round-10
+            # max review); reclaim it on the way out
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(posixpath.join(path, reldir)), True
+            )
+            raise
         if files_map:
             new_dv = {"dir": reldir, "files": files_map}
         else:
@@ -1292,23 +1343,6 @@ def snapshot_compact(
     partitioned rewrite is clustered by the spec); requires
     ``target_rows_per_file`` to say how many Z-ranges to cut."""
     fs, _, jvm = _fs_path(spark, path)
-    # argument validation BEFORE any filesystem work: a bad combo on
-    # a table with nothing to compact must raise, not return None as
-    # if the arguments had been accepted (round-10 second review)
-    if zorder_by is not None:
-        versions_probe = _list_versions(fs, jvm, path)
-        pby_probe = (
-            _read_manifest(fs, jvm, path, versions_probe[-1]).get("partition_by")
-            if versions_probe
-            else None
-        )
-        if pby_probe:
-            raise ValueError(
-                "zorder_by applies to unpartitioned tables only — a partitioned "
-                "rewrite is clustered by the partition spec"
-            )
-        if not target_rows_per_file:
-            raise ValueError("zorder_by requires target_rows_per_file (Z-range count)")
     versions = _list_versions(fs, jvm, path)
     if not versions:
         raise FileNotFoundError(f"{path} has no committed versions to compact")
@@ -1317,6 +1351,18 @@ def snapshot_compact(
     m = _read_manifest(fs, jvm, path, parent)
     pby = m.get("partition_by") or []
     ptypes = m.get("partition_types")
+    # argument validation BEFORE the small-file early return: a bad
+    # combo on a table with nothing to compact must raise, not return
+    # None as if accepted (round-10 second review) — folded into the
+    # reads above rather than its own probe pass (max review)
+    if zorder_by is not None:
+        if pby:
+            raise ValueError(
+                "zorder_by applies to unpartitioned tables only — a partitioned "
+                "rewrite is clustered by the partition spec"
+            )
+        if not target_rows_per_file:
+            raise ValueError("zorder_by requires target_rows_per_file (Z-range count)")
     # one recursive listing sweep for sizes (a per-file getFileStatus
     # would be N sequential JVM round-trips on exactly the many-small-
     # files tables compact targets — round-9 review finding)
@@ -1765,12 +1811,19 @@ def snapshot_read(
         if files and m.get("bloom"):
             files = _bloom_prune(spark, path, m, files, w)
     if not files:
-        # everything pruned: an empty frame with the table's FULL
-        # schema — planned from every manifest file (footer reads
-        # only, zero data rows), so merge_schema evolution survives;
-        # planning from just one file silently dropped later-added
-        # columns (round-9 review finding)
-        all_files, _ = _resolve(fs, jvm, path, m)
+        # everything pruned: an empty frame with the table's schema.
+        # merge_schema needs EVERY file's footer (round-9 finding:
+        # one file silently dropped later-added columns), but the
+        # default read samples one footer anyway — so the plain path
+        # plans one file, keeping a provably-empty probe on a sharded
+        # table at O(1) instead of re-resolving every shard the
+        # pruning pass just skipped (round-10 max review)
+        if merge_schema:
+            all_files, _ = _resolve(fs, jvm, path, m)
+        elif "shards" in m:
+            all_files = _load_shard(fs, jvm, path, m["shards"][0]["path"])["files"][:1]
+        else:
+            all_files = m["files"][:1]
         df = _read_files(spark, path, all_files, pby, ptypes, merge_schema).limit(0)
     else:
         df = _read_data(spark, path, m, files, merge_schema)

@@ -84,7 +84,7 @@ def _require_local(path: str, what: str) -> str:
     through the Hadoop FileSystem API. A colon-bearing relative
     path parses as a scheme and raises too — loud beats wrong for
     an invariant this silent."""
-    from urllib.parse import urlsplit
+    from urllib.parse import unquote, urlsplit
 
     u = urlsplit(path)
     if not u.scheme:
@@ -95,7 +95,11 @@ def _require_local(path: str, what: str) -> str:
                 f"{what}: file URI with remote authority {u.netloc!r} in "
                 f"{path!r} is not a local path"
             )
-        return u.path or "/"
+        # percent-DECODE: a URI path with an encoded space would pass
+        # the guard but fail os.path existence forever while Spark's
+        # own reader decodes it — the exact silent empty-bootstrap the
+        # guard exists to prevent (round-10 max review)
+        return unquote(u.path) or "/"
     raise NotImplementedError(
         f"{what} uses local-filesystem existence checks; non-local "
         f"scheme {u.scheme}:// in {path!r} would silently bootstrap "

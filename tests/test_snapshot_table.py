@@ -1878,3 +1878,82 @@ def test_multi_predicate_where_and_timestamp_travel(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         snapshot_version_as_of(spark, t, 0.0)
     assert all(m["committed_at"] for m in snapshot_versions(spark, t))
+
+
+def test_committed_at_is_monotonic_under_clock_skew(spark, tmp_path, monkeypatch):
+    """Max-review finding: a stepped-back clock must never stamp a
+    child before its parent, or as-of would resolve a timestamp to a
+    snapshot containing LATER data."""
+    import time as _time
+
+    from etfconstituentextractor_spark.sources import snapshot_table as st
+
+    t = str(tmp_path / "tbl")
+    st.snapshot_commit(spark.createDataFrame([(1, "a")], "id bigint, v string"), t)
+    at0 = st.snapshot_versions(spark, t)[0]["committed_at"]
+    real_time = _time.time
+    monkeypatch.setattr(_time, "time", lambda: at0 - 3600.0)  # clock steps back
+    try:
+        st.snapshot_commit(
+            spark.createDataFrame([(2, "b")], "id bigint, v string"), t, mode="append"
+        )
+    finally:
+        monkeypatch.setattr(_time, "time", real_time)
+    ats = [m["committed_at"] for m in st.snapshot_versions(spark, t)]
+    assert ats[1] > ats[0], ats
+    # as-of a moment just after v1's stamp resolves v1, never v0
+    assert st.snapshot_version_as_of(spark, t, ats[1]) == 1
+
+
+def test_fully_pruned_read_on_sharded_table_loads_no_extra_shards(
+    spark, tmp_path, small_shards
+):
+    """Max-review finding: a bounds-provably-empty probe skipped every
+    shard then re-resolved ALL of them for the schema-only fallback;
+    it must load at most one."""
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        spark.range(100).selectExpr("id", "'x' AS v").repartition(6), t,
+        mode="overwrite", stats_cols=["id"],
+    )
+    st = small_shards
+    loads = []
+    orig = st._load_shard
+
+    def counting(fs, jvm, table, name):
+        loads.append(name)
+        return orig(fs, jvm, table, name)
+
+    st._load_shard = counting
+    try:
+        pr = snapshot_read(spark, t, where=("id", ">=", 10_000))
+        n_loads = len(loads)
+        assert pr.count() == 0
+        assert set(pr.columns) == {"id", "v"}
+    finally:
+        st._load_shard = orig
+    assert n_loads <= 1, loads
+
+
+def test_failed_delete_validation_reclaims_dv_dir(spark, tmp_path, monkeypatch):
+    """Max-review finding: a delete whose key validation raises left
+    its just-written DV dir as an unreclaimable orphan (vacuum's
+    in-flight guard skips dirs newer than the newest manifest); it
+    must be deleted on the way out."""
+    import os
+
+    from etfconstituentextractor_spark.sources import snapshot_table as st
+
+    t = str(tmp_path / "tbl")
+    st.snapshot_commit(
+        spark.range(20).selectExpr("id", "'x' AS v"), t, mode="overwrite",
+        stats_cols=["id"],
+    )
+    dirs_before = set(os.listdir(f"{t}/data"))
+    # force the validation to fail: derived keys won't match anything
+    monkeypatch.setattr(st, "_DV_KEY_RE", r"^.*/(dataXX/v[0-9]{8}-[0-9a-f]{8}/.+)$")
+    with pytest.raises(Exception):
+        st.snapshot_delete(spark, t, where=("id", "<", 5))
+    assert set(os.listdir(f"{t}/data")) == dirs_before, "orphan DV dir leaked"
+    # table still healthy
+    assert st.snapshot_read(spark, t).count() == 20

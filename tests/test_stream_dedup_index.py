@@ -201,6 +201,9 @@ def test_load_state_rejects_nonlocal_scheme(spark):
     assert _load_state(spark, "file:///nonexistent/etfce-dedup-state") is None
     assert _require_local("file:///tmp/x", "t") == "/tmp/x"
     assert _require_local("file:/tmp/x", "t") == "/tmp/x"
+    # percent-encoded URIs decode (Hadoop URIs encode spaces; an
+    # undecoded path fails os.path existence forever — max review)
+    assert _require_local("file:/tmp/dedup%20state", "t") == "/tmp/dedup state"
     assert _require_local("file://localhost/tmp/x", "t") == "/tmp/x"
     with pytest.raises(NotImplementedError, match="authority"):
         _require_local("file://otherhost/tmp/x", "t")
