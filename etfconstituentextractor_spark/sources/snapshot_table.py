@@ -1463,14 +1463,19 @@ def snapshot_compact(
 
 
 def snapshot_vacuum(
-    spark: SparkSession, path: str, keep_last: int | None = None
+    spark: SparkSession,
+    path: str,
+    keep_last: int | None = None,
+    older_than: float | None = None,
 ) -> dict:
     """The retention sweep the commit protocol defers to: optionally
-    EXPIRE all but the last ``keep_last`` versions (delete their
-    manifests — time travel past the horizon ends, exactly Iceberg's
-    expire-snapshots contract), then delete every data directory no
-    surviving manifest references (failed-commit orphans and
-    expired-only data). Returns counts.
+    EXPIRE all but the last ``keep_last`` versions and/or every
+    version stamped before ``older_than`` (epoch seconds; the latest
+    version always survives) — delete their manifests, so time travel
+    past the horizon ends, exactly Iceberg's expire-snapshots
+    contract — then delete every data directory no surviving manifest
+    references (failed-commit orphans and expired-only data). Returns
+    counts.
 
     Safety order matters and is the whole design: manifests are
     deleted FIRST, so a crash mid-vacuum can only leave unreferenced
@@ -1491,6 +1496,17 @@ def snapshot_vacuum(
     if not versions:
         raise FileNotFoundError(f"{path} has no committed versions")
     expired = versions[:-keep_last] if keep_last is not None else []
+    if older_than is not None:
+        # timestamp retention (Iceberg's expire older_than): expire
+        # versions stamped before the horizon — but NEVER the latest,
+        # a table must stay readable whatever the horizon
+        by_ts = [
+            v
+            for v in versions[:-1]
+            if (_read_manifest(fs, jvm, path, v).get("committed_at") or 0.0)
+            < older_than
+        ]
+        expired = sorted(set(expired) | set(by_ts))
     for v in expired:
         fs.delete(
             jvm.org.apache.hadoop.fs.Path(

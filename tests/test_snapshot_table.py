@@ -1957,3 +1957,51 @@ def test_failed_delete_validation_reclaims_dv_dir(spark, tmp_path, monkeypatch):
     assert set(os.listdir(f"{t}/data")) == dirs_before, "orphan DV dir leaked"
     # table still healthy
     assert st.snapshot_read(spark, t).count() == 20
+
+
+def test_vacuum_older_than_and_partition_spec_evolution(spark, tmp_path):
+    """Two completion pins: (1) timestamp retention — vacuum
+    older_than expires versions stamped before the horizon but never
+    the latest; (2) PARTITION SPEC EVOLUTION across overwrites
+    already works by construction (each version's manifest carries
+    its own spec; reads are per-version-dir), with appends still
+    enforcing the CURRENT spec."""
+    import time
+
+    from etfconstituentextractor_spark.sources import snapshot_table as st
+
+    t = str(tmp_path / "tbl")
+    st.snapshot_commit(
+        spark.range(10).selectExpr("id", "CAST(id % 2 AS STRING) AS p"), t,
+        mode="overwrite", partition_by=["p"],
+    )
+    horizon = time.time()
+    # spec change via overwrite: unpartitioned now
+    st.snapshot_commit(
+        spark.range(20, 30).selectExpr("id", "'z' AS p"), t, mode="overwrite"
+    )
+    # time travel across the spec change
+    assert sorted(r.id for r in st.snapshot_read(spark, t, 0).collect()) == list(range(10))
+    assert sorted(r.id for r in st.snapshot_read(spark, t, 1).collect()) == list(range(20, 30))
+    # appends enforce the CURRENT (empty) spec
+    with pytest.raises(ValueError, match="partition_by"):
+        st.snapshot_commit(
+            spark.range(5).selectExpr("id", "'q' AS p"), t, mode="append",
+            partition_by=["p"],
+        )
+    # and a third version under a NEW spec
+    st.snapshot_commit(
+        spark.range(40, 50).selectExpr("id", "CAST(id % 5 AS STRING) AS p"), t,
+        mode="overwrite", partition_by=["p"],
+    )
+    assert st.snapshot_read(spark, t).count() == 10
+
+    res = st.snapshot_vacuum(spark, t, older_than=horizon)
+    assert res["expired_versions"] == 1  # only v0 predates the horizon
+    with pytest.raises(FileNotFoundError):
+        st.snapshot_read(spark, t, 0)
+    assert st.snapshot_read(spark, t, 1).count() == 10
+    # horizon in the future: everything but the latest expires
+    res2 = st.snapshot_vacuum(spark, t, older_than=time.time() + 60)
+    assert res2["surviving_versions"] == [2]
+    assert st.snapshot_read(spark, t).count() == 10
