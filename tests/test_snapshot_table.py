@@ -2005,3 +2005,31 @@ def test_vacuum_older_than_and_partition_spec_evolution(spark, tmp_path):
     res2 = st.snapshot_vacuum(spark, t, older_than=time.time() + 60)
     assert res2["surviving_versions"] == [2]
     assert st.snapshot_read(spark, t).count() == 10
+
+
+def test_bloom_zero_false_pruning_across_dtypes(spark, tmp_path):
+    """Property sweep: for bigint, double, boolean, and string bloom
+    columns, EVERY present value's pruned point read returns exactly
+    the plain filter's rows (a Bloom filter has no false negatives,
+    so pruning may only ever skip true misses) — and absent probes of
+    the same dtype return nothing."""
+    from etfconstituentextractor_spark.sources.snapshot_table import snapshot_commit
+
+    cases = [
+        ("bigint", "CAST(xxhash64(id) AS BIGINT)", lambda r: r, [123456789, -5]),
+        ("double", "CAST(xxhash64(id) % 1000 AS DOUBLE) / 8", lambda r: r, [9999.5]),
+        ("boolean", "id % 2 = 0", lambda r: r, []),
+        ("string", "concat('v-', CAST(xxhash64(id) AS STRING))", lambda r: r, ["absent"]),
+    ]
+    for i, (dt, expr, _, absents) in enumerate(cases):
+        t = str(tmp_path / f"tbl{i}")
+        df = spark.range(300).selectExpr("id", f"{expr} AS k")
+        snapshot_commit(df.repartition(4), t, mode="overwrite", bloom_cols=["k"])
+        sample = [r.k for r in df.select("k").distinct().limit(8).collect()]
+        for kv in sample:
+            pr = snapshot_read(spark, t, where=("k", "=", kv))
+            want = sorted(r.id for r in df.filter(df.k == kv).collect())
+            got = sorted(r.id for r in pr.collect())
+            assert got == want, (dt, kv, got, want)
+        for av in absents:
+            assert snapshot_read(spark, t, where=("k", "=", av)).count() == 0, (dt, av)
