@@ -479,6 +479,15 @@ def snapshot_commit(
             raise ValueError(
                 f"append partition types {ptypes} != table spec {parent_types}"
             )
+    if bloom_cols:
+        # BEFORE the data write: a bloom validation error afterwards
+        # would orphan the freshly-written dir beyond vacuum's
+        # in-flight guard on every retry (round-10 fourth review)
+        _validate_bloom_cols(
+            {f.name: f.dataType.simpleString() for f in df.schema.fields},
+            bloom_cols,
+            pby,
+        )
     files, stats = _write_data(df, path, version, stats_cols, partition_by=pby)
     parts = []
     if pm is not None:
@@ -538,6 +547,27 @@ _BLOOM_TYPES = {"tinyint", "smallint", "int", "bigint", "float", "double", "bool
 _BLOOM_MERGE_MIN = 8
 
 
+def _validate_bloom_cols(dtypes: dict, bloom_cols: list[str], pby: list[str]) -> dict:
+    """{col: dtype} for coverable columns; raises on partition
+    columns and uncoverable types. Called by snapshot_commit BEFORE
+    _write_data — a validation error after the data write leaks an
+    unreclaimable orphan dir per retry, the same class the delete
+    path fixed (round-10 fourth review) — and again inside
+    _write_bloom as defense."""
+    cols: dict[str, str] = {}
+    for c in bloom_cols:
+        if c in pby:
+            raise ValueError(f"bloom_cols may not include partition column {c!r}")
+        t = dtypes.get(c)
+        if t not in _BLOOM_TYPES:
+            raise ValueError(
+                f"bloom over {c!r} ({t}) unsupported — coverable types: "
+                f"{sorted(_BLOOM_TYPES)}"
+            )
+        cols[c] = t
+    return cols
+
+
 def _write_bloom(
     spark: SparkSession,
     path: str,
@@ -587,18 +617,7 @@ def _write_bloom(
     )
 
     df = _read_files(spark, path, files, pby, ptypes, with_meta=True)
-    dtypes = dict(df.dtypes)
-    cols: dict[str, str] = {}
-    for c in bloom_cols:
-        if c in pby:
-            raise ValueError(f"bloom_cols may not include partition column {c!r}")
-        t = dtypes.get(c)
-        if t not in _BLOOM_TYPES:
-            raise ValueError(
-                f"bloom over {c!r} ({t}) unsupported — coverable types: "
-                f"{sorted(_BLOOM_TYPES)}"
-            )
-        cols[c] = t
+    cols = _validate_bloom_cols(dict(df.dtypes), bloom_cols, pby)
     counts = df.groupBy("__dvf").count().collect()
     if not counts:
         return list(carried)  # empty commit: nothing to cover
@@ -868,11 +887,16 @@ def _rel_suffix(file_uri: str, dir_path: str) -> str:
 def _publish(fs, jvm, path: str, version: int, manifest: dict) -> None:
     """Publish ``manifest`` as version ``version`` via the atomic
     no-overwrite claim; raises ConcurrentCommitError on a lost race.
-    Stamps ``committed_at`` (epoch seconds) for timestamp time travel
-    — metadata about the commit event, never query-result data."""
-    import time
-
-    manifest.setdefault("committed_at", time.time())
+    Requires ``committed_at`` to be stamped already (_set_txn is the
+    ONE stamping site, because only it holds the parent manifest for
+    the max-adjustment) — a silent fallback here would let a future
+    commit path skip the adjustment and reintroduce the clock-skew
+    as-of bug (round-10 fourth review)."""
+    if "committed_at" not in manifest:
+        raise AssertionError(
+            "manifest missing committed_at — commit paths must stamp via "
+            "_set_txn(manifest, parent, txn) before _publish"
+        )
     mdir = posixpath.join(path, "_manifests")
     tmp = jvm.org.apache.hadoop.fs.Path(
         posixpath.join(mdir, f".tmp-{uuid.uuid4().hex}")
@@ -1342,6 +1366,11 @@ def snapshot_compact(
     files for either dimension. Unpartitioned tables only (a
     partitioned rewrite is clustered by the spec); requires
     ``target_rows_per_file`` to say how many Z-ranges to cut."""
+    # argument checks that need NO filesystem state come first: an
+    # empty table with a bad combo must still get the ValueError, not
+    # a FileNotFoundError that hides it (round-10 fourth review)
+    if zorder_by is not None and not target_rows_per_file:
+        raise ValueError("zorder_by requires target_rows_per_file (Z-range count)")
     fs, _, jvm = _fs_path(spark, path)
     versions = _list_versions(fs, jvm, path)
     if not versions:
@@ -1351,18 +1380,14 @@ def snapshot_compact(
     m = _read_manifest(fs, jvm, path, parent)
     pby = m.get("partition_by") or []
     ptypes = m.get("partition_types")
-    # argument validation BEFORE the small-file early return: a bad
-    # combo on a table with nothing to compact must raise, not return
-    # None as if accepted (round-10 second review) — folded into the
-    # reads above rather than its own probe pass (max review)
-    if zorder_by is not None:
-        if pby:
-            raise ValueError(
-                "zorder_by applies to unpartitioned tables only — a partitioned "
-                "rewrite is clustered by the partition spec"
-            )
-        if not target_rows_per_file:
-            raise ValueError("zorder_by requires target_rows_per_file (Z-range count)")
+    # the partition-spec check needs the manifest — still BEFORE the
+    # small-file early return (round-10 second review), folded into
+    # the body's own reads (max review)
+    if zorder_by is not None and pby:
+        raise ValueError(
+            "zorder_by applies to unpartitioned tables only — a partitioned "
+            "rewrite is clustered by the partition spec"
+        )
     # one recursive listing sweep for sizes (a per-file getFileStatus
     # would be N sequential JVM round-trips on exactly the many-small-
     # files tables compact targets — round-9 review finding)
@@ -1496,16 +1521,27 @@ def snapshot_vacuum(
     if not versions:
         raise FileNotFoundError(f"{path} has no committed versions")
     expired = versions[:-keep_last] if keep_last is not None else []
+    mcache: dict[int, dict] = {}
+
+    def getm(v: int) -> dict:
+        if v not in mcache:
+            mcache[v] = _read_manifest(fs, jvm, path, v)
+        return mcache[v]
+
     if older_than is not None:
         # timestamp retention (Iceberg's expire older_than): expire
-        # versions stamped before the horizon — but NEVER the latest,
-        # a table must stay readable whatever the horizon
-        by_ts = [
-            v
-            for v in versions[:-1]
-            if (_read_manifest(fs, jvm, path, v).get("committed_at") or 0.0)
-            < older_than
-        ]
+        # versions stamped before the horizon — but NEVER the latest
+        # (a table must stay readable whatever the horizon) and NEVER
+        # a version with no stamp: vacuum is destructive, so a
+        # missing committed_at means KEEP, not infinitely-old (a 0.0
+        # default would expire every legacy version under any horizon
+        # — round-10 fourth review). Manifests read once into a cache
+        # the liveness loop below reuses.
+        by_ts = []
+        for v in versions[:-1]:
+            at = getm(v).get("committed_at")
+            if at is not None and float(at) < older_than:
+                by_ts.append(v)
         expired = sorted(set(expired) | set(by_ts))
     for v in expired:
         fs.delete(
@@ -1523,7 +1559,7 @@ def snapshot_vacuum(
     live_dirs = set()
     live_shards = set()
     for v in survivors:
-        sm = _read_manifest(fs, jvm, path, v)
+        sm = getm(v)
         for ref in sm.get("shards", ()):
             live_shards.add(ref["path"])
         files, _ = _resolve(fs, jvm, path, sm)

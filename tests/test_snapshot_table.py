@@ -2033,3 +2033,43 @@ def test_bloom_zero_false_pruning_across_dtypes(spark, tmp_path):
             assert got == want, (dt, kv, got, want)
         for av in absents:
             assert snapshot_read(spark, t, where=("k", "=", av)).count() == 0, (dt, av)
+
+
+def test_fourth_wave_guards(spark, tmp_path):
+    """Fourth-review pins: (1) an invalid bloom_cols commit fails
+    BEFORE writing data (no orphan dir per retry); (2) vacuum
+    older_than KEEPS versions with no committed_at stamp; (3) compact
+    arg errors beat FileNotFoundError on an empty table."""
+    import json
+    import os
+
+    from etfconstituentextractor_spark.sources import snapshot_table as st
+
+    t = str(tmp_path / "tbl")
+    st.snapshot_commit(
+        spark.range(10).selectExpr("id", "CAST(id AS DECIMAL(10,2)) AS d"), t
+    )
+    before = set(os.listdir(f"{t}/data"))
+    with pytest.raises(ValueError, match="unsupported"):
+        st.snapshot_commit(
+            spark.range(5).selectExpr("id", "CAST(id AS DECIMAL(10,2)) AS d"), t,
+            mode="append", bloom_cols=["d"],
+        )
+    assert set(os.listdir(f"{t}/data")) == before, "orphan data dir leaked"
+
+    # strip v0's stamp to simulate a legacy manifest; add v1
+    mpath = f"{t}/_manifests/v00000000.json"
+    m0 = json.load(open(mpath))
+    m0.pop("committed_at", None)
+    json.dump(m0, open(mpath, "w"))
+    st.snapshot_commit(
+        spark.range(20, 25).selectExpr("id", "CAST(id AS DECIMAL(10,2)) AS d"), t,
+        mode="append",
+    )
+    res = st.snapshot_vacuum(spark, t, older_than=2_000_000_000.0)
+    assert 0 in res["surviving_versions"], "unstamped versions must be KEPT"
+
+    with pytest.raises(ValueError, match="target_rows_per_file"):
+        st.snapshot_compact(
+            spark, str(tmp_path / "nope"), zorder_by=("a", "b")
+        )
