@@ -242,30 +242,47 @@ def main() -> None:
         if spark.sparkContext.defaultParallelism == 32
         else None
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "calibration_sec": calibration,
-                "calibration_spread_sec": round(max(calib_runs) - min(calib_runs), 3),
-                "calibration_ratio": ratio,
-                "value_normalized": round(total / ratio, 3),
-                "calibration32_sec": calibration32,
-                "calibration32_spread_sec": round(
-                    max(calib32_runs) - min(calib32_runs), 3
-                ),
-                "calibration32_ratio": ratio32,
-                "value_normalized32": (
-                    round(total / ratio32, 3) if ratio32 else None
-                ),
-                **settle,
-            }
+    payload = {
+        "metric": "headline_queries_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calibration_sec": calibration,
+        "calibration_spread_sec": round(max(calib_runs) - min(calib_runs), 3),
+        "calibration_ratio": ratio,
+        "value_normalized": round(total / ratio, 3),
+        "calibration32_sec": calibration32,
+        "calibration32_spread_sec": round(
+            max(calib32_runs) - min(calib32_runs), 3
+        ),
+        "calibration32_ratio": ratio32,
+        "value_normalized32": (
+            round(total / ratio32, 3) if ratio32 else None
+        ),
+        **settle,
+    }
+    line = json.dumps(payload)
+    print(line)
+    # Archive EVERY run's full per-query JSON (round-10 verdict: a
+    # "re-timed fine in window X" claim is unverifiable unless window
+    # X's per-query numbers are committed). One file per run under
+    # bench_runs/, named by wall-clock start so windows sort; the
+    # stdout line stays the driver contract, the archive is the
+    # settled-window evidence trail.
+    try:
+        import datetime
+
+        outdir = os.environ.get(
+            "SPARK_GRAFT_BENCH_ARCHIVE",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_runs"),
         )
-    )
+        os.makedirs(outdir, exist_ok=True)
+        stamp = datetime.datetime.now().strftime("%Y%m%dT%H%M%S")
+        with open(os.path.join(outdir, f"run_{stamp}.json"), "w") as fh:
+            fh.write(line + "\n")
+    except OSError as e:  # archiving must never fail the bench
+        print(f"# bench archive skipped: {e}", file=sys.stderr)
     spark.stop()
 
 

@@ -461,9 +461,15 @@ def _timetravel_table(spark, sf_dir, commits, deletes=()):
         try:
             import json as _j
 
+            import re as _re
+
             mdir = os.path.join(table, "_manifests")
             names = sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []
-            manifests = [n for n in names if n.endswith(".json")]
+            # ROOT manifests only: vN-shard-*.json files also end in
+            # .json, so a sharded inventory would make this count never
+            # equal commits+deletes and the cache would rebuild every
+            # run — perf-only, but silently (round-10 advice)
+            manifests = [n for n in names if _re.match(r"^v\d{8}\.json$", n)]
             fresh = len(manifests) == len(commits) + len(deletes)
             for n in manifests if fresh else []:
                 with open(os.path.join(mdir, n)) as fh:

@@ -104,10 +104,12 @@ __all__ = [
     "snapshot_last_txn",
     "snapshot_merge",
     "snapshot_read",
+    "snapshot_restore",
     "snapshot_stream_ingest",
     "snapshot_versions",
     "snapshot_vacuum",
     "snapshot_version_as_of",
+    "snapshot_view",
 ]
 
 _MANIFEST_RE = re.compile(r"^v(\d{8})\.json$")
@@ -389,6 +391,7 @@ def snapshot_commit(
     txn: tuple[str, int] | None = None,
     bloom_cols: list[str] | None = None,
     bloom_fpp: float = 0.01,
+    retries: int = 0,
 ) -> int:
     """Write ``df`` as the table's next version; returns the version.
 
@@ -399,6 +402,20 @@ def snapshot_commit(
     harmless), so the retry is cheap only in metadata — callers that
     expect contention should re-derive against the new latest before
     retrying, which is the table-format contract too.
+
+    ``retries=N`` (append mode only) performs that metadata rebase
+    automatically, up to N times: an append's content does not depend
+    on WHICH parent it extends, so on a lost race the already-written
+    data files are kept (renamed under the next attempt's version so
+    vacuum's in-flight guard keeps protecting them), the new latest
+    manifest is re-read, the partition-spec and txn-idempotence checks
+    re-run against it, and the manifest is re-assembled and
+    re-published — zero data rewrite. Overwrite commits must surface
+    the race (the caller's intent — replace WHAT? — is ambiguous
+    after a concurrent change), as must appends with ``bloom_cols``
+    (the sidecar consolidation decision depends on the parent's
+    entries). If a retry discovers the race was this writer's own
+    txn replay, the commit no-ops exactly like the pre-write check.
 
     ``stats_cols`` records per-file [min, max] for those columns in
     the manifest (the Iceberg pruning shape): one column-pruned
@@ -435,50 +452,17 @@ def snapshot_commit(
     watermark survives interleaved merges/deletes/compactions."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if retries and (mode != "append" or bloom_cols):
+        raise ValueError(
+            "retries apply to plain append commits only — overwrite races "
+            "and bloom-building appends must surface to the caller"
+        )
     spark = df.sparkSession
     fs, _, jvm = _fs_path(spark, path)
-    versions = _list_versions(fs, jvm, path)
-    version = (versions[-1] + 1) if versions else 0
-    parent = versions[-1] if versions else None
-    if mode == "append" and parent is None:
-        mode = "overwrite"  # first commit of a table is a plain write
-
     pby = list(partition_by or [])
     ptypes = {
         f.name: f.dataType.simpleString() for f in df.schema.fields if f.name in pby
     }
-    # the parent manifest is read for append merging AND, on any mode,
-    # for the txn-watermark carry (an overwrite that dropped the map
-    # would break exactly-once ingest across it)
-    prev = _read_manifest(fs, jvm, path, parent) if parent is not None else None
-    if txn is not None and prev is not None:
-        wid, seq = txn
-        last = (prev.get("txn") or {}).get(wid)
-        if last is not None and int(seq) <= int(last):
-            # the idempotence check must live INSIDE the commit path,
-            # not only in callers: a zombie writer publishing between
-            # a caller's watermark read and this commit's version
-            # listing lands under a DIFFERENT version number, so the
-            # atomic claim alone never collides and the batch would
-            # append twice (round-10 review). Here the zombie's
-            # manifest IS prev (or its watermark was carried into
-            # prev), so the replay is visible and skipped before any
-            # data is written.
-            return parent
-    pm = prev if mode == "append" else None
-    if pm is not None:
-        parent_pby = pm.get("partition_by", [])
-        if pby != parent_pby:
-            raise ValueError(
-                f"append partition_by {pby} != table spec {parent_pby}"
-            )
-        parent_types = pm.get("partition_types")
-        if parent_types and parent_types != ptypes:
-            # a dtype drift would silently change the cast applied to
-            # the parent's carried files (round-9 review finding)
-            raise ValueError(
-                f"append partition types {ptypes} != table spec {parent_types}"
-            )
     if bloom_cols:
         # BEFORE the data write: a bloom validation error afterwards
         # would orphan the freshly-written dir beyond vacuum's
@@ -488,51 +472,121 @@ def snapshot_commit(
             bloom_cols,
             pby,
         )
-    files, stats = _write_data(df, path, version, stats_cols, partition_by=pby)
-    parts = []
-    if pm is not None:
-        if "shards" in pm:
-            # append metadata cost is O(new files): the parent's
-            # shards ride along BY REF, never loaded or rewritten
-            parts += [(ref, None, None) for ref in pm["shards"]]
-        else:
-            parts.append((None, pm["files"], pm.get("stats", {})))
-    parts.append((None, files, stats))
-    manifest = {
-        "version": version,
-        "op": mode,
-        "parent": parent,
-        **_files_section(fs, jvm, path, version, parts),
-        "partition_by": pby,
-        "partition_types": ptypes,
-    }
-    if pm is not None and "dv" in pm:
-        # an append extends the parent's file list, so the
-        # parent's deletion vector must ride along — dropping it
-        # here would resurrect every masked row (fresh files can't
-        # collide: DV keys name data/vN-uuid dirs, never reused)
-        manifest["dv"] = pm["dv"]
-    blooms = list((pm or {}).get("bloom") or [])
-    if bloom_cols:
-        # lazily: resolving a sharded inventory costs O(total files)
-        # driver metadata and only the rare consolidation branch needs
-        # it — an eager resolve broke the O(new files) append cost on
-        # exactly the micro-batch workload (round-10 max review)
-        def _live() -> set[str]:
-            if "files" in manifest:
-                return set(manifest["files"])
-            lf, _ = _resolve(fs, jvm, path, manifest)
-            return set(lf)
+    files: list[str] | None = None  # written ONCE; renamed on a rebase
+    stats: dict = {}
+    for attempt in range(max(0, int(retries)) + 1):
+        versions = _list_versions(fs, jvm, path)
+        version = (versions[-1] + 1) if versions else 0
+        parent = versions[-1] if versions else None
+        eff_mode = mode
+        if mode == "append" and parent is None:
+            eff_mode = "overwrite"  # first commit of a table is a plain write
+        # the parent manifest is read for append merging AND, on any
+        # mode, for the txn-watermark carry (an overwrite that dropped
+        # the map would break exactly-once ingest across it)
+        prev = _read_manifest(fs, jvm, path, parent) if parent is not None else None
+        if txn is not None and prev is not None:
+            wid, seq = txn
+            last = (prev.get("txn") or {}).get(wid)
+            if last is not None and int(seq) <= int(last):
+                # the idempotence check must live INSIDE the commit path,
+                # not only in callers: a zombie writer publishing between
+                # a caller's watermark read and this commit's version
+                # listing lands under a DIFFERENT version number, so the
+                # atomic claim alone never collides and the batch would
+                # append twice (round-10 review). Here the zombie's
+                # manifest IS prev (or its watermark was carried into
+                # prev), so the replay is visible and skipped before any
+                # data is written. A rebase retry re-arrives here with
+                # data already written — the files are orphans for
+                # vacuum, the replay still must not publish.
+                return parent
+        pm = prev if eff_mode == "append" else None
+        if pm is not None:
+            parent_pby = pm.get("partition_by", [])
+            if pby != parent_pby:
+                raise ValueError(
+                    f"append partition_by {pby} != table spec {parent_pby}"
+                )
+            parent_types = pm.get("partition_types")
+            if parent_types and parent_types != ptypes:
+                # a dtype drift would silently change the cast applied to
+                # the parent's carried files (round-9 review finding)
+                raise ValueError(
+                    f"append partition types {ptypes} != table spec {parent_types}"
+                )
+        if files is None:
+            files, stats = _write_data(df, path, version, stats_cols, partition_by=pby)
+        elif files:
+            # REBASE (attempt > 1): the data files are immutable and
+            # content-valid under any parent — only their dir carries
+            # the lost version's number, which matters solely for
+            # vacuum's in-flight guard (it skips dirs NEWER than the
+            # newest manifest; after the lost race ours is not). Rename
+            # the dir under the new attempt's version and remap the
+            # relpaths/stats keys — O(1) metadata, zero data movement.
+            old_rel = "/".join(files[0].split("/")[:2])
+            new_rel = f"data/v{version:08d}-{uuid.uuid4().hex[:8]}"
+            ok = fs.rename(
+                jvm.org.apache.hadoop.fs.Path(posixpath.join(path, old_rel)),
+                jvm.org.apache.hadoop.fs.Path(posixpath.join(path, new_rel)),
+            )
+            if not ok:
+                raise ConcurrentCommitError(
+                    f"rebase of {path} lost its data dir {old_rel} (vacuumed "
+                    "during the race window?) — re-derive and retry"
+                )
+            files = [new_rel + f[len(old_rel):] for f in files]
+            stats = {new_rel + k[len(old_rel):]: v for k, v in stats.items()}
+        parts = []
+        if pm is not None:
+            if "shards" in pm:
+                # append metadata cost is O(new files): the parent's
+                # shards ride along BY REF, never loaded or rewritten
+                parts += [(ref, None, None) for ref in pm["shards"]]
+            else:
+                parts.append((None, pm["files"], pm.get("stats", {})))
+        parts.append((None, files, stats))
+        manifest = {
+            "version": version,
+            "op": eff_mode,
+            "parent": parent,
+            **_files_section(fs, jvm, path, version, parts),
+            "partition_by": pby,
+            "partition_types": ptypes,
+        }
+        if pm is not None and "dv" in pm:
+            # an append extends the parent's file list, so the
+            # parent's deletion vector must ride along — dropping it
+            # here would resurrect every masked row (fresh files can't
+            # collide: DV keys name data/vN-uuid dirs, never reused)
+            manifest["dv"] = pm["dv"]
+        blooms = list((pm or {}).get("bloom") or [])
+        if bloom_cols:
+            # lazily: resolving a sharded inventory costs O(total files)
+            # driver metadata and only the rare consolidation branch needs
+            # it — an eager resolve broke the O(new files) append cost on
+            # exactly the micro-batch workload (round-10 max review)
+            def _live() -> set[str]:
+                if "files" in manifest:
+                    return set(manifest["files"])
+                lf, _ = _resolve(fs, jvm, path, manifest)
+                return set(lf)
 
-        blooms = _write_bloom(
-            spark, path, version, files, bloom_cols, bloom_fpp, pby, ptypes,
-            carried=blooms, live_files=_live,
-        )
-    if blooms:
-        manifest["bloom"] = blooms
-    _set_txn(manifest, prev, txn)
-    _publish(fs, jvm, path, version, manifest)
-    return version
+            blooms = _write_bloom(
+                spark, path, version, files, bloom_cols, bloom_fpp, pby, ptypes,
+                carried=blooms, live_files=_live,
+            )
+        if blooms:
+            manifest["bloom"] = blooms
+        _set_txn(manifest, prev, txn)
+        try:
+            _publish(fs, jvm, path, version, manifest)
+        except ConcurrentCommitError:
+            if attempt >= retries:
+                raise
+            continue
+        return version
 
 
 #: column types a manifest bloom may cover — the same primitive
@@ -999,13 +1053,31 @@ def snapshot_merge(
     # per consumer (round-9 review finding).
     skeys = source.select(F.col(key).alias("__k")).distinct().localCheckpoint()
     lo, hi = skeys.agg(F.min("__k"), F.max("__k")).first()
+    if lo is None and skeys.first() is None:
+        # EMPTY source: a merge can match nothing and insert nothing —
+        # short-circuit as a no-op WITHOUT a new version, returning the
+        # parent. The old path made every file a candidate ("no usable
+        # bounds"), loaded all shards, scanned the whole key column,
+        # and committed an empty rewrite (round-10 advice).
+        return parent
 
     # shard-level pruning first: a shard whose key bounds sit wholly
     # outside [lo, hi] is untouched by construction — its ref is
     # shared into the new manifest WITHOUT loading it (O(touched
     # shards) metadata, the point of sharding)
     shared_parts: list = []
-    if "shards" in m and lo is not None:
+    docs: list = []
+    if lo is None:
+        # non-empty source whose keys are ALL NULL (min/max ignore
+        # nulls): the equality probe/anti-join can never match a
+        # target row, so this is a pure INSERT — share the parent's
+        # entire inventory untouched and scan nothing (round-10
+        # advice: this case previously candidate-scanned the table)
+        if "shards" in m:
+            shared_parts = [(ref, None, None) for ref in m["shards"]]
+        else:
+            docs = _shard_docs(fs, jvm, path, m)  # inline: zero extra I/O
+    elif "shards" in m:
         docs = []
         for ref in m["shards"]:
             # no row with key >= lo (shard.hi < lo), or none with
@@ -1026,7 +1098,10 @@ def snapshot_merge(
 
     def _cand(f: str) -> bool:
         if lo is None:
-            return True
+            # all-null source keys: equality never matches, no file
+            # can be touched (the pure-insert branch above also left
+            # sharded inventories unloaded for exactly this reason)
+            return False
         if key in pby:
             # the key value is directory-encoded: range-check the
             # relpath's own value (stats never cover partition cols,
@@ -1177,6 +1252,7 @@ def snapshot_delete(
     spark: SparkSession,
     path: str,
     where: tuple,
+    retries: int = 0,
 ) -> int:
     """Row-level DELETE as a merge-on-read commit: rows matching
     ``where=(col, op, value)`` disappear from the new version WITHOUT
@@ -1205,7 +1281,24 @@ def snapshot_delete(
     Time travel composes: older manifests carry the older (or no) DV,
     so ``snapshot_read(version=...)`` before the delete still sees
     the rows. Concurrency: the same atomic manifest claim as every
-    commit."""
+    commit; ``retries=N`` re-runs the WHOLE derivation against the new
+    latest up to N times on a lost race — a re-derive, not a metadata
+    rebase, because a predicate delete's target set is defined by the
+    predicate, so re-evaluating it against the winner's state (new
+    files included, rewritten positions re-derived) is the correct
+    serializable outcome, and the delete's cost is already just a
+    pruned scan plus a tiny DV write. The lost attempt's DV dir is
+    reclaimed before retrying (it was written under a version that
+    will never publish, which vacuum's in-flight guard skips)."""
+    for attempt in range(max(0, int(retries)) + 1):
+        try:
+            return _snapshot_delete_once(spark, path, where)
+        except ConcurrentCommitError:
+            if attempt >= retries:
+                raise
+
+
+def _snapshot_delete_once(spark: SparkSession, path: str, where: tuple) -> int:
     from pyspark.sql import functions as F
 
     fs, _, jvm = _fs_path(spark, path)
@@ -1327,7 +1420,18 @@ def snapshot_delete(
         # rows never match a planned file
         manifest["bloom"] = m["bloom"]
     _set_txn(manifest, m, None)
-    _publish(fs, jvm, path, version, manifest)
+    try:
+        _publish(fs, jvm, path, version, manifest)
+    except ConcurrentCommitError:
+        # a lost race orphans this attempt's fresh DV dir (the winner
+        # took this version number, so a future vacuum WOULD reclaim
+        # it — but a retry loop writes one dir per attempt, so reclaim
+        # eagerly rather than letting contention pile up garbage)
+        if new_dv and dv_frame is not None and new_dv["dir"] == reldir:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(posixpath.join(path, reldir)), True
+            )
+        raise
     return version
 
 
@@ -1500,7 +1604,9 @@ def snapshot_vacuum(
     past the horizon ends, exactly Iceberg's expire-snapshots
     contract — then delete every data directory no surviving manifest
     references (failed-commit orphans and expired-only data). Returns
-    counts.
+    counts. When both are given, ``keep_last`` is a retention FLOOR:
+    ``older_than`` never expires a version inside the last-N window
+    (Iceberg's retain-last guarantee).
 
     Safety order matters and is the whole design: manifests are
     deleted FIRST, so a crash mid-vacuum can only leave unreferenced
@@ -1536,9 +1642,16 @@ def snapshot_vacuum(
         # missing committed_at means KEEP, not infinitely-old (a 0.0
         # default would expire every legacy version under any horizon
         # — round-10 fourth review). Manifests read once into a cache
-        # the liveness loop below reuses.
+        # the liveness loop below reuses. When keep_last is ALSO
+        # given it is a retention FLOOR (Iceberg's retain-last):
+        # older_than must not reach inside the last-N window, or
+        # "keep at least N" silently stops holding on any table whose
+        # recent commits are older than the horizon (round-10 advice).
+        floor = set(versions[-keep_last:]) if keep_last is not None else set()
         by_ts = []
         for v in versions[:-1]:
+            if v in floor:
+                continue
             at = getm(v).get("committed_at")
             if at is not None and float(at) < older_than:
                 by_ts.append(v)
@@ -1611,6 +1724,88 @@ def snapshot_vacuum(
         "removed_shards": removed_shards,
         "surviving_versions": survivors,
     }
+
+
+def snapshot_restore(spark: SparkSession, path: str, version: int) -> int:
+    """Roll the table BACK to ``version``'s state as a NEW commit —
+    the Iceberg rollback / Delta RESTORE shape. Returns the new
+    version number (or the current latest unchanged if it already IS
+    ``version``). Nothing is rewritten and history is preserved: the
+    new manifest references the target version's file inventory
+    (shard refs by name, inline files by relpath — all immutable),
+    deletion vector, and bloom sidecars VERBATIM, so the bad commits
+    being undone remain time-travelable until vacuum expires them,
+    and the restore itself costs O(1) metadata regardless of table
+    size. Raises FileNotFoundError if ``version`` was never committed
+    or its manifest has been vacuumed away (a restore target must be
+    inside the retention horizon — exactly Iceberg's rule).
+
+    Idempotent-writer watermarks carry from the LATEST version, not
+    the restored one: a watermark is "writer X has processed up to
+    seq N", which stays true after a rollback of the data — carrying
+    the old map would make exactly-once ingest re-append batches it
+    already wrote (and whose data files may well survive inside the
+    restored inventory). A caller that genuinely wants re-ingest
+    after restore starts a new writer_id.
+    """
+    fs, _, jvm = _fs_path(spark, path)
+    versions = _list_versions(fs, jvm, path)
+    if not versions:
+        raise FileNotFoundError(f"{path} has no committed versions")
+    parent = versions[-1]
+    if version == parent:
+        return parent  # restoring to the latest is a no-op
+    target = _read_manifest(fs, jvm, path, version)  # raises if expired
+    latest = _read_manifest(fs, jvm, path, parent)
+    if "shards" in target:
+        sec = {"n_files": target["n_files"], "shards": target["shards"]}
+    else:
+        sec = {
+            "n_files": len(target["files"]),
+            "files": target["files"],
+            "stats": target.get("stats", {}),
+        }
+    manifest = {
+        "version": parent + 1,
+        "op": "restore",
+        "parent": parent,
+        "restored_from": version,
+        **sec,
+        "partition_by": target.get("partition_by") or [],
+        "partition_types": target.get("partition_types") or {},
+    }
+    if "dv" in target:
+        manifest["dv"] = target["dv"]
+    if target.get("bloom"):
+        manifest["bloom"] = target["bloom"]
+    _set_txn(manifest, latest, None)
+    _publish(fs, jvm, path, parent + 1, manifest)
+    return parent + 1
+
+
+def snapshot_view(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    version: int | None = None,
+    where=None,
+) -> DataFrame:
+    """Register a snapshot read as a TEMP VIEW so plain-SQL users
+    reach the lakehouse layer — time travel, stat/partition/bloom
+    file pruning, and deletion-vector masking all apply, because the
+    pruned plan is built BEFORE registration and the view is just a
+    name for it. ``spark.sql(f"SELECT ... FROM {name}")`` then
+    composes it with any SQL. Returns the registered DataFrame.
+
+    The view is a SNAPSHOT, like every snapshot_read: it pins the
+    resolved version's file list, so later commits don't leak in —
+    re-register (or register a new name) to advance. ``version=`` and
+    ``where=`` have snapshot_read semantics (``where`` prunes files
+    by manifest stats and is re-applied as a filter, so it is also
+    the view's visible predicate)."""
+    df = snapshot_read(spark, path, version=version, where=where)
+    df.createOrReplaceTempView(name)
+    return df
 
 
 def _read_files(

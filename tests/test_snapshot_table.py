@@ -1250,18 +1250,22 @@ def test_lifecycle_matches_python_model(spark, tmp_path):
                            stats_cols=["id"])
         model.update(dict(seed_rows))
         check("seed")
+        # per-version model snapshots so a random RESTORE can assert
+        # the rolled-back state exactly (round-11 op)
+        history: dict[int, dict[int, str]] = {0: dict(model)}
 
         next_id = 1000
         for step in range(18):
             op = rng.choice(
                 ["append", "merge", "delete", "compact", "ingest", "overwrite",
-                 "bloom_append", "zorder_compact"]
+                 "bloom_append", "zorder_compact", "restore"]
             )
             if op == "append":
                 rows = [(next_id + i, f"a{step}_{i}") for i in range(rng.randint(1, 6))]
                 next_id += 10
+                # retries=1 exercises the rebase plumbing's no-race path
                 st.snapshot_commit(frame(rows).repartition(2), t, mode="append",
-                                   stats_cols=["id"])
+                                   stats_cols=["id"], retries=1)
                 model.update(dict(rows))
             elif op == "overwrite" and step % 7 == 3:  # rare, resets history
                 rows = [(next_id + i, f"o{step}_{i}") for i in range(5)]
@@ -1316,6 +1320,15 @@ def test_lifecycle_matches_python_model(spark, tmp_path):
                 h(frame(rows), ingest_seq)  # immediate redelivery
                 ingest_seq += 1
                 model.update(dict(rows))
+            elif op == "restore":
+                live = [mv["version"] for mv in st.snapshot_versions(spark, t)]
+                targets = [v for v in live if v in history]
+                tgt = rng.choice(targets)
+                st.snapshot_restore(spark, t, tgt)
+                model.clear()
+                model.update(history[tgt])
+            latest = st.snapshot_versions(spark, t)[-1]["version"]
+            history[latest] = dict(model)
             check(f"step {step} ({op})")
             if step == 9:
                 st.snapshot_vacuum(spark, t, keep_last=2)
@@ -2073,3 +2086,268 @@ def test_fourth_wave_guards(spark, tmp_path):
         st.snapshot_compact(
             spark, str(tmp_path / "nope"), zorder_by=("a", "b")
         )
+
+# ---------------------------------------------------------------------------
+# round 11: restore, optimistic commit retry, SQL view surface, and the
+# round-10 advice fixes (vacuum retention floor, empty-source merge)
+
+
+def test_restore_rolls_back_as_new_commit(spark, tmp_path):
+    """snapshot_restore(version) is the Iceberg rollback: a NEW commit
+    whose inventory references the target's files verbatim — latest
+    reads like the target, history (including the rolled-back commits)
+    stays time-travelable, nothing is rewritten."""
+    from etfconstituentextractor_spark.sources import snapshot_table as st
+
+    t = str(tmp_path / "tbl")
+    st.snapshot_commit(_df(spark, [(1, "a"), (2, "b")]), t, stats_cols=["id"])
+    st.snapshot_commit(_df(spark, [(3, "c")]), t, mode="append", stats_cols=["id"])
+    st.snapshot_commit(_df(spark, [(9, "z")]), t, mode="overwrite")
+
+    v3 = st.snapshot_restore(spark, t, 1)
+    assert v3 == 3
+    ids = lambda v=None: sorted(r.id for r in st.snapshot_read(spark, t, v).collect())
+    assert ids() == [1, 2, 3]  # latest == v1's state
+    assert ids(2) == [9]  # the rolled-back commit is still readable
+    meta = st.snapshot_versions(spark, t)
+    assert meta[-1]["op"] == "restore"
+    # restore cost zero data movement: v3 plans exactly v1's files
+    assert set(st.snapshot_read(spark, t, 3).inputFiles()) == set(
+        st.snapshot_read(spark, t, 1).inputFiles()
+    )
+    # carried stats still prune on the restored version
+    pruned = st.snapshot_read(spark, t, where=("id", "=", 3))
+    assert sorted(r.id for r in pruned.collect()) == [3]
+    # restoring the CURRENT version is a no-op (no new commit)
+    assert st.snapshot_restore(spark, t, 3) == 3
+    assert len(st.snapshot_versions(spark, t)) == 4
+    # a vacuumed-away target is out of the retention horizon
+    st.snapshot_vacuum(spark, t, keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        st.snapshot_restore(spark, t, 2)
+
+
+def test_restore_carries_dv_and_txn_watermark(spark, tmp_path):
+    """Restoring to a DV-masked version keeps rows masked; restoring to
+    a pre-delete version resurrects them (time travel semantics); the
+    exactly-once ingest watermark carries from the LATEST version so a
+    restore never makes an idempotent writer re-append old batches."""
+    from etfconstituentextractor_spark.sources import snapshot_table as st
+
+    t = str(tmp_path / "tbl")
+    st.snapshot_commit(_df(spark, [(i, f"v{i}") for i in range(6)]), t,
+                       stats_cols=["id"], txn=("w1", 5))
+    st.snapshot_delete(spark, t, where=("id", "<", 2))  # v1: DV masks 0,1
+    st.snapshot_commit(_df(spark, [(10, "x")]), t, mode="append")  # v2
+
+    v3 = st.snapshot_restore(spark, t, 1)
+    assert sorted(r.id for r in st.snapshot_read(spark, t, v3).collect()) == [
+        2, 3, 4, 5
+    ]
+    v4 = st.snapshot_restore(spark, t, 0)
+    assert sorted(r.id for r in st.snapshot_read(spark, t, v4).collect()) == [
+        0, 1, 2, 3, 4, 5
+    ]
+    # watermark survived two restores
+    assert st.snapshot_last_txn(spark, t, "w1") == 5
+    # vacuum keeps the DV dir of the restored-but-superseded lineage
+    # only while referenced; the current latest (v4) has no DV and
+    # must read fine after expiry of everything else
+    st.snapshot_vacuum(spark, t, keep_last=1)
+    assert st.snapshot_read(spark, t).count() == 6
+
+
+def test_restore_then_vacuum_keeps_referenced_data(spark, tmp_path):
+    """Vacuum liveness is manifest-driven: after restoring to v0 and
+    expiring all other versions, v0's data files survive because the
+    restore commit references them."""
+    from etfconstituentextractor_spark.sources import snapshot_table as st
+
+    t = str(tmp_path / "tbl")
+    st.snapshot_commit(_df(spark, [(1, "a"), (2, "b")]), t)
+    st.snapshot_commit(_df(spark, [(9, "z")]), t, mode="overwrite")
+    st.snapshot_restore(spark, t, 0)
+    st.snapshot_vacuum(spark, t, keep_last=1)
+    assert sorted(r.id for r in st.snapshot_read(spark, t).collect()) == [1, 2]
+
+
+def test_append_retry_rebases_on_lost_race(spark, tmp_path):
+    """retries=N on an append commit: a lost race rebases METADATA only
+    — the already-written data files are renamed under the new version
+    (so vacuum's in-flight guard keeps protecting them) and the commit
+    lands on the winner's child version with stats intact and zero
+    orphan dirs."""
+    import etfconstituentextractor_spark.sources.snapshot_table as st
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, [(1, "a")]), t, stats_cols=["id"])
+
+    real_read = st._read_manifest
+    raced = {"done": False}
+
+    def racing_read(fs, jvm, table, version):
+        m = real_read(fs, jvm, table, version)
+        if not raced["done"]:
+            raced["done"] = True
+            snapshot_commit(_df(spark, [(7, "w")]), t, mode="append",
+                            stats_cols=["id"])
+        return m
+
+    st._read_manifest = racing_read
+    try:
+        v = snapshot_commit(_df(spark, [(2, "l")]), t, mode="append",
+                            stats_cols=["id"], retries=2)
+    finally:
+        st._read_manifest = real_read
+
+    assert v == 2  # rebased onto the winner's v1
+    assert sorted(r.id for r in snapshot_read(spark, t).collect()) == [1, 2, 7]
+    # stats were remapped with the renamed dir: pruning still exact
+    pruned = snapshot_read(spark, t, where=("id", "=", 2))
+    assert [r.id for r in pruned.collect()] == [2]
+    assert len(pruned.inputFiles()) < len(snapshot_read(spark, t).inputFiles())
+    # the rename left no orphan dir for vacuum to sweep
+    res = st.snapshot_vacuum(spark, t)
+    assert res["removed_dirs"] == 0
+    assert sorted(r.id for r in snapshot_read(spark, t).collect()) == [1, 2, 7]
+
+
+def test_retry_rejected_for_overwrite_and_bloom(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, [(1, "a")]), t)
+    with pytest.raises(ValueError, match="append commits only"):
+        snapshot_commit(_df(spark, [(2, "b")]), t, mode="overwrite", retries=1)
+    with pytest.raises(ValueError, match="append commits only"):
+        snapshot_commit(_df(spark, [(2, "b")]), t, mode="append",
+                        bloom_cols=["id"], retries=1)
+
+
+def test_delete_retry_rederives_serializably(spark, tmp_path):
+    """retries=N on a DV delete re-runs the WHOLE derivation against
+    the winner's state: rows a concurrent append added that match the
+    predicate are deleted too (predicate semantics, not stale-snapshot
+    semantics), and the lost attempt's DV dir is reclaimed eagerly."""
+    import etfconstituentextractor_spark.sources.snapshot_table as st
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, [(i, f"v{i}") for i in range(6)]), t,
+                    stats_cols=["id"])
+
+    real_read = st._read_manifest
+    raced = {"done": False}
+
+    def racing_read(fs, jvm, table, version):
+        m = real_read(fs, jvm, table, version)
+        if not raced["done"]:
+            raced["done"] = True
+            # the concurrent append lands one MATCHING row (id=0 dup
+            # key is fine — the delete targets by predicate)
+            snapshot_commit(_df(spark, [(1, "late-match"), (50, "keep")]), t,
+                            mode="append", stats_cols=["id"])
+        return m
+
+    st._read_manifest = racing_read
+    try:
+        st.snapshot_delete(spark, t, where=("id", "<", 3), retries=2)
+    finally:
+        st._read_manifest = real_read
+
+    got = sorted(r.id for r in snapshot_read(spark, t).collect())
+    assert got == [3, 4, 5, 50], got  # late-match (id=1) deleted too
+    res = st.snapshot_vacuum(spark, t)
+    assert res["removed_dirs"] == 0, "lost attempt leaked its DV dir"
+    assert sorted(r.id for r in snapshot_read(spark, t).collect()) == [3, 4, 5, 50]
+
+
+def test_vacuum_keep_last_is_a_retention_floor(spark, tmp_path):
+    """older_than must not expire versions inside the keep_last window
+    (Iceberg retain-last): with every commit older than the horizon,
+    keep_last=2 still keeps the last two time-travelable."""
+    from etfconstituentextractor_spark.sources import snapshot_table as st
+
+    t = str(tmp_path / "tbl")
+    for i in range(4):
+        st.snapshot_commit(_df(spark, [(i, f"v{i}")]), t, mode="append")
+    res = st.snapshot_vacuum(
+        spark, t, keep_last=2, older_than=2_000_000_000.0
+    )
+    assert res["surviving_versions"] == [2, 3]
+    assert st.snapshot_read(spark, t, 2).count() == 3  # still readable
+
+
+def test_merge_empty_source_is_noop_and_null_keys_insert(spark, tmp_path):
+    """Round-10 advice: an EMPTY merge source short-circuits (no new
+    version, no scan); an all-NULL-key source is a pure insert that
+    shares the parent's whole inventory (equality never matches null)."""
+    from etfconstituentextractor_spark.sources import snapshot_table as st
+
+    t = str(tmp_path / "tbl")
+    st.snapshot_commit(_df(spark, [(1, "a"), (2, "b")]), t, stats_cols=["id"])
+
+    empty = spark.createDataFrame([], "id bigint, v string")
+    assert st.snapshot_merge(empty, t, key="id") == 0  # parent, no commit
+    assert len(st.snapshot_versions(spark, t)) == 1
+
+    nulls = spark.createDataFrame([(None, "n1"), (None, "n2")], "id bigint, v string")
+    v1 = st.snapshot_merge(nulls, t, key="id", stats_cols=["id"])
+    assert v1 == 1
+    rows = {(r.id, r.v) for r in st.snapshot_read(spark, t).collect()}
+    assert rows == {(1, "a"), (2, "b"), (None, "n1"), (None, "n2")}
+    # the parent's files carried untouched (pure insert adds exactly
+    # the fresh files on top of v0's plan)
+    f0 = set(st.snapshot_read(spark, t, 0).inputFiles())
+    f1 = set(st.snapshot_read(spark, t, 1).inputFiles())
+    assert f0 < f1
+
+
+def test_merge_null_keys_shares_shards_untouched(spark, tmp_path, small_shards):
+    """Sharded twin of the null-key insert: every parent shard rides
+    by ref — none loaded, none rewritten (round-10 advice flagged that
+    this case loaded ALL shards and scanned the whole key column)."""
+    import json
+
+    from etfconstituentextractor_spark.sources import snapshot_table as st
+
+    t = str(tmp_path / "tbl")
+    st.snapshot_commit(
+        spark.range(40).selectExpr("id", "CAST(id AS STRING) v").repartition(8),
+        t, stats_cols=["id"],
+    )
+    m0 = json.load(open(f"{t}/_manifests/v00000000.json"))
+    assert "shards" in m0
+    nulls = spark.createDataFrame([(None, "n")], "id bigint, v string")
+    st.snapshot_merge(nulls, t, key="id", stats_cols=["id"])
+    m1 = json.load(open(f"{t}/_manifests/v00000001.json"))
+    parent_shards = {s["path"] for s in m0["shards"]}
+    child_shards = {s["path"] for s in m1.get("shards", [])}
+    assert parent_shards <= child_shards or "files" in m1
+    assert st.snapshot_read(spark, t).count() == 41
+
+
+def test_snapshot_view_reaches_sql(spark, tmp_path):
+    """snapshot_view registers a pruned, versioned read as a temp view:
+    plain spark.sql() reaches time travel, where-pruning, and DV
+    masking without touching the Python reader API."""
+    from etfconstituentextractor_spark.sources import snapshot_table as st
+
+    t = str(tmp_path / "tbl")
+    st.snapshot_commit(_df(spark, [(i, f"v{i}") for i in range(8)]), t,
+                       stats_cols=["id"])
+    st.snapshot_delete(spark, t, where=("id", "=", 7))  # v1, DV-masked
+    st.snapshot_commit(_df(spark, [(100, "new")]), t, mode="append")  # v2
+
+    st.snapshot_view(spark, t, "tbl_latest")
+    st.snapshot_view(spark, t, "tbl_v0", version=0)
+    st.snapshot_view(spark, t, "tbl_big", where=("id", ">=", 4))
+
+    assert spark.sql("SELECT count(*) c FROM tbl_latest").first().c == 8
+    assert spark.sql("SELECT max(id) m FROM tbl_v0").first().m == 7  # pre-delete
+    got = sorted(r.id for r in spark.sql(
+        "SELECT id FROM tbl_big WHERE v <> 'nope'"
+    ).collect())
+    assert got == [4, 5, 6, 100]  # 7 masked by DV, <4 pruned by the view
+    # the view pinned its snapshot: a later commit doesn't leak in
+    st.snapshot_commit(_df(spark, [(200, "later")]), t, mode="append")
+    assert spark.sql("SELECT count(*) c FROM tbl_latest").first().c == 8
+    for nm in ("tbl_latest", "tbl_v0", "tbl_big"):
+        spark.catalog.dropTempView(nm)
