@@ -91,12 +91,30 @@ def curate(
     )
 
     if eval_docs is not None:
-        cont = ngram_contamination(
-            featured.filter(F.col("quality_pass")).select("doc_id", "text"),
-            eval_docs,
-            contaminated_at=contaminated_at,
-        ).select("doc_id", (F.col("verdict") == "contaminated").alias("contaminated"))
-        featured = featured.join(cont, "doc_id", "left").withColumn(
+        # Materialize ONLY the contaminated doc_ids: the flagged frame
+        # feeds two downstream branches (the survivor→LSH side and the
+        # final audit join), and an un-materialized contamination stage
+        # re-runs the whole benchmark-overlap computation per branch
+        # (measured +1.1s of the q99 stage budget at sf0.1, round 11).
+        # The contaminated SET — unlike the per-doc overlap stats — is
+        # bounded by benchmark near-duplicates, the same smallness
+        # argument that broadcasts the benchmark grams themselves, so
+        # it checkpoints tiny and BROADCASTS: the corpus-side frame now
+        # never shuffles for this gate at any scale (the previous
+        # row-per-doc left join was an O(N)-to-O(N) join Spark could
+        # only avoid shuffling while AQE saw the stats side as small).
+        cont_ids = (
+            ngram_contamination(
+                featured.filter(F.col("quality_pass")).select("doc_id", "text"),
+                eval_docs,
+                contaminated_at=contaminated_at,
+            )
+            .filter(F.col("verdict") == "contaminated")
+            .select("doc_id", F.lit(True).alias("contaminated"))
+            .coalesce(8)
+            .localCheckpoint()
+        )
+        featured = featured.join(F.broadcast(cont_ids), "doc_id", "left").withColumn(
             "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
         )
     else:

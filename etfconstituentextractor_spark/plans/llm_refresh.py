@@ -400,11 +400,17 @@ def q86_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash, at minimal fixed cost)
     slice_ = d.filter(F.col("doc_id") % 8 == 0).coalesce(1)
     snapshot_commit(slice_, mtbl, mode="overwrite")
+    # derive the merge source from the COMMITTED one-file table, not
+    # from the corpus: the two source branches would otherwise re-scan
+    # documents.parquet once each (3 corpus scans for this leg; the
+    # base table IS the slice, so reading it back is value-identical
+    # and touches one tiny file — round-11 merge-leg trim)
+    base_rows = snapshot_read(spark, mtbl, 0)
     src = (
-        slice_.filter(F.col("doc_id") % 13 == 0)
+        base_rows.filter(F.col("doc_id") % 13 == 0)
         .withColumn("text", F.concat(F.col("text"), F.lit(" (rev2)")))
         .unionByName(
-            slice_.filter(F.col("doc_id") % 11 == 0).select(
+            base_rows.filter(F.col("doc_id") % 11 == 0).select(
                 (F.col("doc_id") + F.lit(_INSERT_SHIFT)).alias("doc_id"),
                 F.concat(F.lit("fresh "), F.col("text")).alias("text"),
                 "lang",
