@@ -33,6 +33,7 @@ from etfconstituentextractor_spark.sources.snapshot_table import (
     snapshot_commit,
     snapshot_merge,
     snapshot_read,
+    snapshot_restore,
 )
 from etfconstituentextractor_spark.sources.tables import load
 
@@ -254,6 +255,17 @@ def _lang_agg(df: DataFrame) -> DataFrame:
       SELECT 'fresh ' || text, lang
       FROM documents WHERE doc_id % 8 = 0 AND doc_id % 11 = 0
     ) GROUP BY lang
+    UNION ALL
+    -- 'restore' leg (round 11): snapshot_restore(0) after the merge —
+    -- the restored head must restate the PRE-merge base slice exactly
+    -- (the rollback references v0's immutable files; the merge's
+    -- copy-on-write rewrite must not have disturbed them)
+    SELECT 'restore', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS BOOLEAN),
+           lang, COUNT(*), CAST(SUM(COALESCE(length(text), 0)) AS BIGINT)
+    FROM documents WHERE doc_id % 8 = 0
+    GROUP BY lang
     """,
 )
 def q86_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -419,8 +431,26 @@ def q86_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mv2 = snapshot_merge(src, mtbl, key="doc_id")
     merged = _leg_frame(_lang_agg(snapshot_read(spark, mtbl, mv2)), "merge")
+    # 'restore' leg (round 11): snapshot_restore(0) rolls the merged
+    # table BACK as a NEW commit referencing v0's file inventory
+    # verbatim (Iceberg rollback — O(1) metadata, nothing rewritten),
+    # then the read of the restored head must restate the ORIGINAL
+    # slice exactly: the oracle is the pre-merge base, so the hash
+    # match proves the rollback surfaced the old data AND that the
+    # merge's rewrite didn't disturb the files v0 still references.
+    # Cost rides the merge leg's table: one metadata commit + one
+    # one-file read (the protocol half — expired targets, DV/watermark
+    # carry, vacuum liveness — stays pinned in tests/test_snapshot_table.py).
+    rv = snapshot_restore(spark, mtbl, 0)
+    restored = _leg_frame(_lang_agg(snapshot_read(spark, mtbl, rv)), "restore")
 
-    out = diff.unionByName(hist).unionByName(mv).unionByName(prune).unionByName(merged)
+    out = (
+        diff.unionByName(hist)
+        .unionByName(mv)
+        .unionByName(prune)
+        .unionByName(merged)
+        .unionByName(restored)
+    )
     for leg in tt_legs:
         out = out.unionByName(leg)
     return out
