@@ -1,0 +1,111 @@
+"""Time-series gap filling: dense bucket axis + LOCF + linear
+interpolation (SURVEY.md §2B adjunct — the `time_bucket_gapfill` /
+`locf` / `interpolate` operator family of timeseries stores
+(TimescaleDB, QuestDB); no counterpart in the reference, whose only
+time handling is a raw date string,
+ETFQuarterlyHoldingsExtractor.py:76).
+
+A sparse per-key series (one row per (key, bucket) with at least one
+observation) becomes a DENSE series over the observed bucket range:
+every key gets every bucket, missing buckets are flagged, and two
+standard fill policies are computed side by side —
+
+- ``v_locf``  — last-observation-carried-forward: the latest observed
+  value at-or-before the bucket; NULL before a key's first
+  observation (LOCF never invents a leading value).
+- ``v_interp`` — linear interpolation between the nearest observed
+  values either side of the gap; NULL when either endpoint is missing
+  (no extrapolation past the key's observed range — the conservative
+  contract; LOCF is the policy that extends rightward).
+
+Scale posture: the dense axis is (distinct keys) x (global bucket
+range) built by a sequence-explode against a ONE-ROW broadcast bounds
+frame — never a driver-side loop; the observed series joins the axis
+on (key, bucket) (one hash shuffle), and both fill policies are
+per-key window functions (one Exchange on the key, state bounded per
+key). Nothing here scales with raw-event count — callers aggregate to
+buckets first (the distributed part), and the fill runs over the
+rollup. Determinism: the bucket axis is integer, observed values are
+rounded before filling, and the interpolation expression is the same
+IEEE double arithmetic in the DuckDB oracle twin (q42 'gapfill' leg),
+so results hash-match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def gapfill(
+    series: DataFrame,
+    *,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Densify ``series`` (one row per observed (key, bucket)) over
+    the GLOBAL [min, max] bucket range and fill gaps.
+
+    ``bucket_col`` must be integral (a day number, an epoch-hour — the
+    caller's bucketing already happened); one output row per
+    (key, bucket) with columns: key, bucket, ``v_obs`` (the observed
+    value or NULL), ``gap`` (true where the bucket had no
+    observation), ``v_locf``, ``v_interp`` (9 dp — module rounding
+    convention for derived doubles).
+    """
+    v = F.col("__v")
+    b = F.col(bucket_col)
+    obs = series.select(
+        F.col(key_col), b, F.col(value_col).cast("double").alias("__v")
+    )
+    # global bounds: ONE scalar row, broadcast into a cross join — the
+    # axis is lazy plan algebra, never a driver-side range loop
+    bounds = obs.agg(F.min(b).alias("__lo"), F.max(b).alias("__hi"))
+    axis = (
+        obs.select(key_col)
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            key_col,
+            F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias(bucket_col),
+        )
+    )
+    filled = axis.join(obs, [key_col, bucket_col], "left")
+    back = (
+        W.partitionBy(key_col)
+        .orderBy(bucket_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy(key_col)
+        .orderBy(bucket_col)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    prev_v = F.last(v, ignorenulls=True).over(back)
+    next_v = F.first(v, ignorenulls=True).over(fwd)
+    prev_b = F.last(F.when(v.isNotNull(), b), ignorenulls=True).over(back)
+    next_b = F.first(F.when(v.isNotNull(), b), ignorenulls=True).over(fwd)
+    # the interpolation arithmetic is spelled identically in the
+    # DuckDB oracle (double cast BEFORE the divide, prev + slope*dx)
+    # so the 9 dp rounding is belt-and-braces, not load-bearing
+    interp = F.when(v.isNotNull(), v).otherwise(
+        F.when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            F.round(
+                prev_v
+                + (next_v - prev_v)
+                * ((b - prev_b).cast("double") / (next_b - prev_b).cast("double")),
+                9,
+            ),
+        )
+    )
+    return filled.select(
+        key_col,
+        bucket_col,
+        v.alias("v_obs"),
+        v.isNull().alias("gap"),
+        prev_v.alias("v_locf"),
+        interp.cast("double").alias("v_interp"),
+    )

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from etfconstituentextractor_spark.functions.parity import dec
 from etfconstituentextractor_spark.operators.funnel import funnel, sql_funnel
+from etfconstituentextractor_spark.operators.gapfill import gapfill
 from etfconstituentextractor_spark.operators.timeseries import RESOLUTIONS, time_rollup
 
 #: q42 'funnel' leg: the ordered path the events corpus supports
@@ -98,6 +99,14 @@ def q40_topk_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   unions them — same answer, deliberately different (naive) plan.
 # Unified columns: leg-specific ones are NULL on the other leg.
 # ---------------------------------------------------------------------------
+#: NULL tails for the gapfill-leg columns (round 11) on the legs that
+#: don't carry them — the driver's compare sorts columns by name, so
+#: every leg must emit the full unified set in both engines.
+_GAPFILL_NULLS_SQL = """
+           CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS BOOLEAN) AS gap,
+           CAST(NULL AS DOUBLE) AS v_locf, CAST(NULL AS DOUBLE) AS v_interp"""
+
+
 def _rollup_leg_sql(resolution: str) -> str:
     return f"""
     SELECT 'rollup' AS leg, CAST(NULL AS INTEGER) AS day_num,
@@ -110,7 +119,7 @@ def _rollup_leg_sql(resolution: str) -> str:
            min_by(value, event_id) AS v_open,
            max_by(value, event_id) AS v_close,
            CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS INTEGER) AS stage,
-           CAST(NULL AS BIGINT) AS funnel_sec
+           CAST(NULL AS BIGINT) AS funnel_sec,{_GAPFILL_NULLS_SQL}
     FROM events
     GROUP BY date_trunc('{resolution}', ts)
     """
@@ -125,9 +134,83 @@ def _funnel_leg_sql() -> str:
            CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS v_sum,
            CAST(NULL AS DOUBLE) AS v_min, CAST(NULL AS DOUBLE) AS v_max,
            CAST(NULL AS DOUBLE) AS v_open, CAST(NULL AS DOUBLE) AS v_close,
-           user_id, stage, funnel_sec
+           user_id, stage, funnel_sec,{_GAPFILL_NULLS_SQL}
     FROM ({sql_funnel(FUNNEL_STEPS)})
     """
+
+
+# 'gapfill' leg (round 11): dense-axis gap filling with LOCF + linear
+# interpolation (operators/gapfill.py) over a SPARSE daily rollup (the
+# user_id % 997 slice leaves missing (event_type, day) buckets, so all
+# three fill paths — observed, interior gap, leading/trailing edge —
+# genuinely execute). The oracle replays the dense axis with DuckDB
+# generate_series and the fills with IGNORE NULLS windows; the
+# interpolation arithmetic is the same double expression (cast before
+# divide, prev + slope * dx, 9 dp), so the hash match covers every
+# filled value, not just the axis shape.
+def _gapfill_leg_sql() -> str:
+    return """
+    UNION ALL
+    SELECT 'gapfill' AS leg, CAST(day_num AS INTEGER) AS day_num,
+           CAST(NULL AS DOUBLE) AS day_rev, CAST(NULL AS DOUBLE) AS trailing_7d,
+           CAST(NULL AS VARCHAR) AS resolution, CAST(NULL AS VARCHAR) AS bucket_start,
+           CAST(NULL AS BIGINT) AS n, v_obs AS v_sum,
+           CAST(NULL AS DOUBLE) AS v_min, CAST(NULL AS DOUBLE) AS v_max,
+           CAST(NULL AS DOUBLE) AS v_open, CAST(NULL AS DOUBLE) AS v_close,
+           CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS INTEGER) AS stage,
+           CAST(NULL AS BIGINT) AS funnel_sec,
+           event_type, gap, v_locf, CAST(v_interp AS DOUBLE) AS v_interp
+    FROM (
+      WITH obs AS (
+        SELECT event_type,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(14,4))), 2) AS DOUBLE) AS v
+        FROM events WHERE user_id % 997 = 0
+        GROUP BY 1, 2
+      ), bounds AS (
+        SELECT MIN(day_num) AS lo, MAX(day_num) AS hi FROM obs
+      ), axis AS (
+        SELECT k.event_type, gs.d
+        FROM (SELECT DISTINCT event_type FROM obs) k
+        CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS d FROM bounds) gs
+      ), filled AS (
+        SELECT a.event_type, a.d AS day_num, o.v
+        FROM axis a LEFT JOIN obs o
+          ON a.event_type = o.event_type AND a.d = o.day_num
+      )
+      SELECT event_type, day_num, v AS v_obs, v IS NULL AS gap,
+             last_value(v IGNORE NULLS) OVER back AS v_locf,
+             CASE
+               WHEN v IS NOT NULL THEN v
+               WHEN last_value(v IGNORE NULLS) OVER back IS NOT NULL
+                AND first_value(v IGNORE NULLS) OVER fwd IS NOT NULL
+               THEN ROUND(
+                 last_value(v IGNORE NULLS) OVER back
+                 + (first_value(v IGNORE NULLS) OVER fwd
+                    - last_value(v IGNORE NULLS) OVER back)
+                 * (CAST(day_num - last_value(CASE WHEN v IS NOT NULL THEN day_num END
+                                              IGNORE NULLS) OVER back AS DOUBLE)
+                    / CAST(first_value(CASE WHEN v IS NOT NULL THEN day_num END
+                                       IGNORE NULLS) OVER fwd
+                           - last_value(CASE WHEN v IS NOT NULL THEN day_num END
+                                        IGNORE NULLS) OVER back AS DOUBLE)), 9)
+             END AS v_interp
+      FROM filled
+      WINDOW back AS (PARTITION BY event_type ORDER BY day_num
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             fwd AS (PARTITION BY event_type ORDER BY day_num
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    """
+
+
+def _gapfill_null_cols():
+    return [
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("boolean").alias("gap"),
+        F.lit(None).cast("double").alias("v_locf"),
+        F.lit(None).cast("double").alias("v_interp"),
+    ]
 
 
 @query(
@@ -147,12 +230,15 @@ def _funnel_leg_sql() -> str:
            CAST(NULL AS DOUBLE) AS v_min, CAST(NULL AS DOUBLE) AS v_max,
            CAST(NULL AS DOUBLE) AS v_open, CAST(NULL AS DOUBLE) AS v_close,
            CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS INTEGER) AS stage,
-           CAST(NULL AS BIGINT) AS funnel_sec
+           CAST(NULL AS BIGINT) AS funnel_sec,"""
+    + _GAPFILL_NULLS_SQL
+    + """
     FROM daily
     UNION ALL
     """
     + "\nUNION ALL\n".join(_rollup_leg_sql(r) for r in RESOLUTIONS)
-    + _funnel_leg_sql(),
+    + _funnel_leg_sql()
+    + _gapfill_leg_sql(),
 )
 def q42_window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
@@ -178,6 +264,7 @@ def q42_window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("user_id"),
         F.lit(None).cast("int").alias("stage"),
         F.lit(None).cast("bigint").alias("funnel_sec"),
+        *_gapfill_null_cols(),
     )
     ev = load(spark, sf_dir, "events")
     rollup = time_rollup(ev).select(
@@ -196,6 +283,7 @@ def q42_window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("user_id"),
         F.lit(None).cast("int").alias("stage"),
         F.lit(None).cast("bigint").alias("funnel_sec"),
+        *_gapfill_null_cols(),
     )
     # 'funnel' leg (round 7): the ordered view->click->purchase path
     # per user (operators/funnel.py) — chained-minimum semantics, one
@@ -217,8 +305,46 @@ def q42_window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "stage",
         "funnel_sec",
+        *_gapfill_null_cols(),
     )
-    return trailing.unionByName(rollup).unionByName(fn)
+    # 'gapfill' leg (round 11): see _gapfill_leg_sql above. The slice
+    # is sparse BY CONSTRUCTION (user_id % 997), so the dense axis has
+    # real interior gaps and per-key leading/trailing edges; the agg
+    # is the distributed part, the fills run over the tiny rollup.
+    sparse = (
+        ev.filter(F.col("user_id") % 997 == 0)
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("day_num"),
+        )
+        .agg(F.round(F.sum(dec("value")), 2).cast("double").alias("v_sum"))
+    )
+    gf = gapfill(
+        sparse, key_col="event_type", bucket_col="day_num", value_col="v_sum"
+    ).select(
+        F.lit("gapfill").alias("leg"),
+        F.col("day_num").cast("int").alias("day_num"),
+        F.lit(None).cast("double").alias("day_rev"),
+        F.lit(None).cast("double").alias("trailing_7d"),
+        F.lit(None).cast("string").alias("resolution"),
+        F.lit(None).cast("string").alias("bucket_start"),
+        F.lit(None).cast("bigint").alias("n"),
+        F.col("v_obs").alias("v_sum"),
+        F.lit(None).cast("double").alias("v_min"),
+        F.lit(None).cast("double").alias("v_max"),
+        F.lit(None).cast("double").alias("v_open"),
+        F.lit(None).cast("double").alias("v_close"),
+        F.lit(None).cast("bigint").alias("user_id"),
+        F.lit(None).cast("int").alias("stage"),
+        F.lit(None).cast("bigint").alias("funnel_sec"),
+        "event_type",
+        "gap",
+        "v_locf",
+        "v_interp",
+    )
+    return trailing.unionByName(rollup).unionByName(fn).unionByName(gf)
 
 
 # ---------------------------------------------------------------------------

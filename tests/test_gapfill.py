@@ -1,0 +1,81 @@
+"""operators/gapfill.py — dense-axis gap filling: LOCF + linear
+interpolation edge semantics, hand-checked against a fixture series
+(the q42 'gapfill' leg pins the distributed == DuckDB identity; these
+pin the CONTRACT: no extrapolation, leading/trailing edges, exact
+interpolation arithmetic)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from etfconstituentextractor_spark.operators.gapfill import gapfill
+
+
+def _fixture(spark):
+    # key "a": observed at buckets 2 (10.0) and 5 (40.0) → interior
+    #          gaps at 3, 4; leading gap at 0-1; trailing gap at 6-7.
+    # key "b": single observation at bucket 7 (5.0) → everything
+    #          before is leading (locf NULL, interp NULL).
+    # Global axis: [0, 7] (min/max over ALL keys).
+    rows = [("a", 2, 10.0), ("a", 5, 40.0), ("b", 7, 5.0), ("b", 0, 1.0)]
+    return spark.createDataFrame(rows, "k string, b int, v double")
+
+
+def test_gapfill_dense_axis_and_flags(spark):
+    out = gapfill(_fixture(spark), key_col="k", bucket_col="b", value_col="v")
+    rows = {(r["k"], r["b"]): r for r in out.collect()}
+    # dense: every key gets every bucket of the global range
+    assert len(rows) == 2 * 8
+    assert rows[("a", 2)]["gap"] is False and rows[("a", 3)]["gap"] is True
+    # observed rows carry their value in all three columns
+    r = rows[("a", 2)]
+    assert r["v_obs"] == r["v_locf"] == r["v_interp"] == 10.0
+
+
+def test_gapfill_locf_carries_forward_never_backward(spark):
+    out = gapfill(_fixture(spark), key_col="k", bucket_col="b", value_col="v")
+    rows = {(r["k"], r["b"]): r for r in out.collect()}
+    # leading edge: nothing observed yet → NULL
+    assert rows[("a", 0)]["v_locf"] is None
+    assert rows[("a", 1)]["v_locf"] is None
+    # interior + trailing: last observation carries forward
+    assert rows[("a", 3)]["v_locf"] == 10.0
+    assert rows[("a", 4)]["v_locf"] == 10.0
+    assert rows[("a", 6)]["v_locf"] == 40.0
+    assert rows[("a", 7)]["v_locf"] == 40.0
+
+
+def test_gapfill_interpolation_exact_and_no_extrapolation(spark):
+    out = gapfill(_fixture(spark), key_col="k", bucket_col="b", value_col="v")
+    rows = {(r["k"], r["b"]): r for r in out.collect()}
+    # interior: linear between (2, 10.0) and (5, 40.0)
+    assert rows[("a", 3)]["v_interp"] == 20.0
+    assert rows[("a", 4)]["v_interp"] == 30.0
+    # edges: either endpoint missing → NULL, never extrapolated
+    assert rows[("a", 0)]["v_interp"] is None
+    assert rows[("a", 7)]["v_interp"] is None
+    # key "b": between (0, 1.0) and (7, 5.0) — fractional slope
+    assert rows[("b", 1)]["v_interp"] == round(1.0 + 4.0 * (1 / 7), 9)
+    assert rows[("b", 6)]["v_interp"] == round(1.0 + 4.0 * (6 / 7), 9)
+
+
+def test_q42_gapfill_leg_slice_stays_sparse(spark, sf_dir):
+    """Tripwire: the q42 leg only demonstrates gap filling while the
+    user_id % 997 slice actually leaves gaps — a corpus refresh that
+    densifies it should fail HERE, not silently weaken the leg."""
+    from etfconstituentextractor_spark.plans.registry import QUERIES, load_catalog
+
+    load_catalog()
+    gf = QUERIES["q42_window_trailing_range"](spark, sf_dir).filter(
+        F.col("leg") == "gapfill"
+    )
+    agg = gf.agg(
+        F.sum(F.col("gap").cast("int")).alias("gaps"),
+        F.sum((F.col("gap") & F.col("v_interp").isNotNull()).cast("int")).alias(
+            "interior"
+        ),
+        F.sum((F.col("gap") & F.col("v_locf").isNull()).cast("int")).alias("leading"),
+    ).first()
+    assert agg["gaps"] > 0, "slice produced a dense series — no gaps to fill"
+    assert agg["interior"] > 0, "no interior gaps — interpolation path unexercised"
+    assert agg["leading"] > 0, "no leading edges — the NULL-edge path unexercised"
