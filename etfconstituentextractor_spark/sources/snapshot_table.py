@@ -515,6 +515,22 @@ def snapshot_commit(
                 raise ValueError(
                     f"append partition types {ptypes} != table spec {parent_types}"
                 )
+        # schema tracking (round 11): overwrite records the frame's
+        # schema; append merges ADDITIVELY into the parent's recorded
+        # schema (new columns land at the end, type changes raise).
+        # A legacy parent without a recorded schema stays untracked —
+        # its old files' real columns are known only to their footers,
+        # so stamping the append frame's schema could silently drop
+        # or null columns; footer inference remains authoritative
+        # until the next overwrite. Computed BEFORE the data write so
+        # a type-conflict raise cannot orphan a fresh data dir (the
+        # validate-before-write rule, round-10 fourth review).
+        if eff_mode == "overwrite":
+            schema_entry = df.schema.jsonValue()
+        elif pm is not None and pm.get("schema") is not None:
+            schema_entry = _merge_schema_json(pm["schema"], df.schema.jsonValue())
+        else:
+            schema_entry = None
         if files is None:
             files, stats = _write_data(df, path, version, stats_cols, partition_by=pby)
         elif files:
@@ -555,6 +571,8 @@ def snapshot_commit(
             "partition_by": pby,
             "partition_types": ptypes,
         }
+        if schema_entry is not None:
+            manifest["schema"] = schema_entry
         if pm is not None and "dv" in pm:
             # an append extends the parent's file list, so the
             # parent's deletion vector must ride along — dropping it
@@ -1230,6 +1248,8 @@ def snapshot_merge(
         "partition_by": pby,
         "partition_types": ptypes or {},
     }
+    if m.get("schema") is not None:
+        manifest["schema"] = m["schema"]
     # rewritten files MATERIALIZED their deletes (the rewrite read was
     # DV-aware); their coverage drops so the stale (file, pos) keys
     # can never mask rows of the fresh files. Untouched coverage
@@ -1323,7 +1343,7 @@ def _snapshot_delete_once(spark: SparkSession, path: str, where: tuple) -> int:
             .select("__dvf", "__pos")
         )
         if dvdir is not None:
-            old_dv = spark.read.parquet(posixpath.join(path, dvdir)).select(
+            old_dv = spark.read.schema(_DV_SCHEMA).parquet(posixpath.join(path, dvdir)).select(
                 "__dvf", "__pos"
             )
             # the old DV parquet may hold STALE keys — files whose
@@ -1412,6 +1432,8 @@ def _snapshot_delete_once(spark: SparkSession, path: str, where: tuple) -> int:
         "partition_by": m.get("partition_by") or [],
         "partition_types": m.get("partition_types") or {},
     }
+    if m.get("schema") is not None:
+        manifest["schema"] = m["schema"]
     if new_dv:
         manifest["dv"] = new_dv
     if m.get("bloom"):
@@ -1575,6 +1597,8 @@ def snapshot_compact(
         "partition_by": pby,
         "partition_types": ptypes or {},
     }
+    if m.get("schema") is not None:
+        manifest["schema"] = m["schema"]
     # rewritten small files materialized their deletes; carried big
     # files keep their DV coverage (same discipline as merge)
     dvdir, dvmap = _dv_info(m)
@@ -1774,6 +1798,8 @@ def snapshot_restore(spark: SparkSession, path: str, version: int) -> int:
         "partition_by": target.get("partition_by") or [],
         "partition_types": target.get("partition_types") or {},
     }
+    if target.get("schema") is not None:
+        manifest["schema"] = target["schema"]
     if "dv" in target:
         manifest["dv"] = target["dv"]
     if target.get("bloom"):
@@ -1816,6 +1842,7 @@ def _read_files(
     ptypes: dict | None = None,
     merge_schema: bool = False,
     with_meta: bool = False,
+    schema=None,
 ) -> DataFrame:
     """Plan exactly ``files``. Unpartitioned tables are one reader
     call. Partitioned tables need one reader PER VERSION DATA DIR —
@@ -1850,6 +1877,12 @@ def _read_files(
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
+    elif schema is not None:
+        # manifest-recorded schema (round 11): plan with it directly —
+        # no footer-sampling job, files predating later-added columns
+        # null-fill them (schema-on-read). merge_schema callers opt
+        # out: their point is discovering what the footers hold.
+        reader = reader.schema(schema)
     if not pby:
         return meta_cols(reader.parquet(*[posixpath.join(path, f) for f in files]))
     by_dir: dict[str, list[str]] = defaultdict(list)
@@ -1885,6 +1918,47 @@ def _dv_info(m: dict) -> tuple[str | None, dict]:
     return (dv["dir"], dv["files"]) if dv else (None, {})
 
 
+#: deletion-vector sidecar schema — fixed by this module's writer
+#: (``__dvf`` = manifest-relpath file key, ``__pos`` = row position);
+#: readers pass it explicitly so DV planning never samples footers.
+_DV_SCHEMA = "__dvf string, __pos bigint"
+
+
+def _manifest_schema(m: dict):
+    """The table schema RECORDED in the manifest (round 11 — the
+    Delta/Iceberg schema-in-metadata shape), or None for manifests
+    from before schema tracking. When present, reads plan with it
+    directly: no footer sampling job per read, old files read through
+    the current schema null-fill later-added columns (schema-on-read
+    additive evolution), and time travel sees each version's OWN
+    recorded schema."""
+    sj = m.get("schema")
+    if sj is None:
+        return None
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(sj)
+
+
+def _merge_schema_json(parent_sj: dict, new_sj: dict) -> dict:
+    """ADDITIVE schema evolution for appends: parent columns keep
+    their order and types, new columns append at the end. A same-name
+    type change raises — silent coercion is how lakehouse tables rot
+    (widening support would go here, explicitly, if ever needed)."""
+    by_name = {f["name"]: f for f in parent_sj["fields"]}
+    fields = list(parent_sj["fields"])
+    for f in new_sj["fields"]:
+        old = by_name.get(f["name"])
+        if old is None:
+            fields.append(f)
+        elif old["type"] != f["type"]:
+            raise ValueError(
+                f"schema evolution cannot change column {f['name']!r} from "
+                f"{old['type']} to {f['type']} — append with the table's type"
+            )
+    return {"type": "struct", "fields": fields}
+
+
 def _read_data(
     spark: SparkSession,
     path: str,
@@ -1905,23 +1979,27 @@ def _read_data(
 
     pby = m.get("partition_by") or []
     ptypes = m.get("partition_types")
+    schema = _manifest_schema(m)
     dvdir, dvmap = _dv_info(m)
     covered = [f for f in files if f in dvmap]
     if not covered:
         return _read_files(
-            spark, path, files, pby, ptypes, merge_schema, with_meta=keep_meta
+            spark, path, files, pby, ptypes, merge_schema,
+            with_meta=keep_meta, schema=schema,
         )
     uncovered = [f for f in files if f not in dvmap]
-    dv = spark.read.parquet(posixpath.join(path, dvdir)).select("__dvf", "__pos")
+    dv = spark.read.schema(_DV_SCHEMA).parquet(posixpath.join(path, dvdir))
     cdf = _read_files(
-        spark, path, covered, pby, ptypes, merge_schema, with_meta=True
+        spark, path, covered, pby, ptypes, merge_schema,
+        with_meta=True, schema=schema,
     ).join(dv, ["__dvf", "__pos"], "left_anti")
     if not keep_meta:
         cdf = cdf.drop("__dvf", "__pos")
     if not uncovered:
         return cdf
     udf = _read_files(
-        spark, path, uncovered, pby, ptypes, merge_schema, with_meta=keep_meta
+        spark, path, uncovered, pby, ptypes, merge_schema,
+        with_meta=keep_meta, schema=schema,
     )
     return cdf.unionByName(udf, allowMissingColumns=merge_schema)
 
@@ -2071,7 +2149,10 @@ def snapshot_read(
             all_files = _load_shard(fs, jvm, path, m["shards"][0]["path"])["files"][:1]
         else:
             all_files = m["files"][:1]
-        df = _read_files(spark, path, all_files, pby, ptypes, merge_schema).limit(0)
+        df = _read_files(
+            spark, path, all_files, pby, ptypes, merge_schema,
+            schema=_manifest_schema(m),
+        ).limit(0)
     else:
         df = _read_data(spark, path, m, files, merge_schema)
     for w in wlist:
@@ -2295,12 +2376,12 @@ def snapshot_changes(
         f for f in sorted(common) if dv1map.get(f, 0) > dv0map.get(f, 0)
     ]
     if grown:
-        new_mask = spark.read.parquet(posixpath.join(path, dv1dir)).select(
-            "__dvf", "__pos"
+        new_mask = spark.read.schema(_DV_SCHEMA).parquet(
+            posixpath.join(path, dv1dir)
         )
         if dv0dir is not None:
-            old_mask = spark.read.parquet(posixpath.join(path, dv0dir)).select(
-                "__dvf", "__pos"
+            old_mask = spark.read.schema(_DV_SCHEMA).parquet(
+                posixpath.join(path, dv0dir)
             )
             new_mask = new_mask.join(old_mask, ["__dvf", "__pos"], "left_anti")
         newly_masked = (
@@ -2311,6 +2392,7 @@ def snapshot_changes(
                 m1.get("partition_by") or [],
                 m1.get("partition_types"),
                 with_meta=True,
+                schema=_manifest_schema(m1),
             )
             .join(new_mask, ["__dvf", "__pos"])
             .drop("__dvf", "__pos")

@@ -2351,3 +2351,89 @@ def test_snapshot_view_reaches_sql(spark, tmp_path):
     assert spark.sql("SELECT count(*) c FROM tbl_latest").first().c == 8
     for nm in ("tbl_latest", "tbl_v0", "tbl_big"):
         spark.catalog.dropTempView(nm)
+
+
+# ---------------------------------------------------------------------------
+# schema tracking (round 11): the manifest records the table schema —
+# reads plan with it (no footer sampling), appends evolve it
+# ADDITIVELY, time travel sees each version's own schema.
+# ---------------------------------------------------------------------------
+def test_schema_evolution_appended_column_null_fills_old_rows(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, [(1, "a"), (2, "b")]), t, mode="overwrite")
+    wide = spark.createDataFrame([(3, "c", 9.5)], "id bigint, v string, score double")
+    snapshot_commit(wide, t, mode="append")
+    head = snapshot_read(spark, t)
+    assert set(head.columns) == {"id", "v", "score"}
+    got = {r["id"]: r["score"] for r in head.collect()}
+    # old files predate the column: null-filled through the recorded schema
+    assert got == {1: None, 2: None, 3: 9.5}
+    # time travel: v0 sees its OWN schema, without the later column
+    assert set(snapshot_read(spark, t, 0).columns) == {"id", "v"}
+
+
+def test_schema_evolution_type_change_raises_before_write(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, [(1, "a")]), t, mode="overwrite")
+    bad = spark.createDataFrame([(2, 3)], "id bigint, v bigint")  # v was string
+    with pytest.raises(ValueError, match="schema evolution cannot change"):
+        snapshot_commit(bad, t, mode="append")
+    # validate-before-write: the failed append must not have left a
+    # new data dir behind (the orphan-per-retry class)
+    data = os.path.join(t, "data")
+    dirs = sorted(os.listdir(data))
+    assert len(dirs) == 1, dirs
+
+
+def test_schema_evolution_append_missing_column_null_fills_new_rows(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    wide = spark.createDataFrame([(1, "a", 1.5)], "id bigint, v string, score double")
+    snapshot_commit(wide, t, mode="overwrite")
+    snapshot_commit(_df(spark, [(2, "b")]), t, mode="append")
+    got = {r["id"]: r["score"] for r in snapshot_read(spark, t).collect()}
+    assert got == {1: 1.5, 2: None}
+
+
+def test_schema_carries_through_merge_delete_restore(spark, tmp_path):
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_delete,
+        snapshot_merge,
+        snapshot_restore,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, [(i, f"r{i}") for i in range(8)]), t, mode="overwrite")
+    wide = spark.createDataFrame([(8, "n", 2.0)], "id bigint, v string, score double")
+    snapshot_commit(wide, t, mode="append")  # evolves schema
+    src = spark.createDataFrame(
+        [(1, "upd", None)], "id bigint, v string, score double"
+    )
+    snapshot_merge(src, t, key="id")
+    snapshot_delete(spark, t, where=("id", "<", 2))
+    head = snapshot_read(spark, t)
+    assert set(head.columns) == {"id", "v", "score"}
+    assert head.count() == 7  # 9 rows - id 0,1 deleted
+    # restore back to v0: the restored head exposes v0's schema again
+    rv = snapshot_restore(spark, t, 0)
+    assert set(snapshot_read(spark, t, rv).columns) == {"id", "v"}
+
+
+def test_legacy_manifest_without_schema_still_reads(spark, tmp_path):
+    import json
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, [(1, "a"), (2, "b")]), t, mode="overwrite")
+    # simulate a pre-schema-tracking manifest: strip the recorded schema
+    mpath = os.path.join(t, "_manifests", "v00000000.json")
+    with open(mpath) as fh:
+        m = json.load(fh)
+    assert m.pop("schema", None) is not None
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+    assert {r["v"] for r in snapshot_read(spark, t).collect()} == {"a", "b"}
+    # an append onto the legacy manifest stays untracked (footer
+    # inference remains authoritative) and still reads correctly
+    snapshot_commit(_df(spark, [(3, "c")]), t, mode="append")
+    with open(os.path.join(t, "_manifests", "v00000001.json")) as fh:
+        assert "schema" not in json.load(fh)
+    assert snapshot_read(spark, t).count() == 3
