@@ -1014,6 +1014,7 @@ def snapshot_merge(
     path: str,
     key: str,
     stats_cols: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Row-level MERGE (upsert-by-key, copy-on-write): target rows
     whose ``key`` appears in ``source`` are replaced, all ``source``
@@ -1061,6 +1062,14 @@ def snapshot_merge(
     parent = versions[-1]
     version = parent + 1
     m = _read_manifest(fs, jvm, path, parent)
+    if txn is not None:
+        # idempotent-writer replay check, INSIDE the commit path (the
+        # snapshot_commit zombie-writer rule): an already-applied
+        # (writer, seq) no-ops before any scan or write
+        wid, seq = txn
+        last = (m.get("txn") or {}).get(wid)
+        if last is not None and int(seq) <= int(last):
+            return parent
     pby = m.get("partition_by") or []
     ptypes = m.get("partition_types")
 
@@ -1263,7 +1272,7 @@ def snapshot_merge(
         # no row (readers keep them conservatively), removed files'
         # rows never match a planned file
         manifest["bloom"] = m["bloom"]
-    _set_txn(manifest, m, None)
+    _set_txn(manifest, m, txn)
     _publish(fs, jvm, path, version, manifest)
     return version
 
@@ -1271,8 +1280,10 @@ def snapshot_merge(
 def snapshot_delete(
     spark: SparkSession,
     path: str,
-    where: tuple,
+    where: tuple | None = None,
     retries: int = 0,
+    keys: tuple | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Row-level DELETE as a merge-on-read commit: rows matching
     ``where=(col, op, value)`` disappear from the new version WITHOUT
@@ -1310,15 +1321,19 @@ def snapshot_delete(
     pruned scan plus a tiny DV write. The lost attempt's DV dir is
     reclaimed before retrying (it was written under a version that
     will never publish, which vacuum's in-flight guard skips)."""
+    if (where is None) == (keys is None):
+        raise ValueError("snapshot_delete takes exactly one of where= / keys=")
     for attempt in range(max(0, int(retries)) + 1):
         try:
-            return _snapshot_delete_once(spark, path, where)
+            return _snapshot_delete_once(spark, path, where, keys, txn)
         except ConcurrentCommitError:
             if attempt >= retries:
                 raise
 
 
-def _snapshot_delete_once(spark: SparkSession, path: str, where: tuple) -> int:
+def _snapshot_delete_once(
+    spark: SparkSession, path: str, where, keys=None, txn=None
+) -> int:
     from pyspark.sql import functions as F
 
     fs, _, jvm = _fs_path(spark, path)
@@ -1328,20 +1343,54 @@ def _snapshot_delete_once(spark: SparkSession, path: str, where: tuple) -> int:
     parent = versions[-1]
     version = parent + 1
     m = _read_manifest(fs, jvm, path, parent)
+    if txn is not None:
+        # idempotent-writer replay check, INSIDE the commit path (the
+        # snapshot_commit zombie-writer rule)
+        wid, seq = txn
+        last = (m.get("txn") or {}).get(wid)
+        if last is not None and int(seq) <= int(last):
+            return parent
 
-    # shard-level pruning feeds the candidate search: only shards the
-    # probe's bounds cannot prove empty are even loaded
-    cand_files, cand_stats = _resolve(fs, jvm, path, m, where=where)
-    cand = _prune_files(m, cand_files, where, stats=cand_stats)
+    if keys is not None:
+        # keyed delete (round 11 — the CDC-apply shape): rows whose
+        # key column matches any row of a KEY FRAME disappear. The
+        # key set is bounded by the caller's delta (a change feed's
+        # deleted keys), so it localCheckpoints tiny and BROADCASTS;
+        # candidate files prune by the key set's [min, max] bounds
+        # through the same stats machinery as a predicate delete,
+        # then the in-plan membership test is a broadcast semi-join
+        # — never a collected literal list.
+        kcol, kframe = keys
+        kf = kframe.select(F.col(kcol).alias("__dk")).distinct().localCheckpoint()
+        klo, khi = kf.agg(F.min("__dk"), F.max("__dk")).first()
+        if klo is None and kf.first() is None:
+            # empty key set: audit-visible no-op commit, the same
+            # convention as a predicate matching nothing
+            cand = []
+            cand_files, cand_stats = _resolve(fs, jvm, path, m)
+        else:
+            bounds = [(kcol, ">=", klo), (kcol, "<=", khi)]
+            cand_files, cand_stats = _resolve(fs, jvm, path, m, where=bounds)
+            cand = cand_files
+            for w in bounds:
+                cand = _prune_files(m, cand, w, stats=cand_stats)
+    else:
+        # shard-level pruning feeds the candidate search: only shards the
+        # probe's bounds cannot prove empty are even loaded
+        cand_files, cand_stats = _resolve(fs, jvm, path, m, where=where)
+        cand = _prune_files(m, cand_files, where, stats=cand_stats)
     dvdir, dvmap = _dv_info(m)
     new_dv = {"dir": dvdir, "files": dvmap} if dvdir else None
     dv_frame = None
     if cand:
-        new_pos = (
-            _read_data(spark, path, m, cand, keep_meta=True)
-            .filter(_where_cond(where))
-            .select("__dvf", "__pos")
-        )
+        scan = _read_data(spark, path, m, cand, keep_meta=True)
+        if keys is not None:
+            scan = scan.join(
+                F.broadcast(kf), F.col(kcol) == F.col("__dk"), "left_semi"
+            )
+        else:
+            scan = scan.filter(_where_cond(where))
+        new_pos = scan.select("__dvf", "__pos")
         if dvdir is not None:
             old_dv = spark.read.schema(_DV_SCHEMA).parquet(posixpath.join(path, dvdir)).select(
                 "__dvf", "__pos"
@@ -1441,7 +1490,7 @@ def _snapshot_delete_once(spark: SparkSession, path: str, where: tuple) -> int:
         # no row (readers keep them conservatively), removed files'
         # rows never match a planned file
         manifest["bloom"] = m["bloom"]
-    _set_txn(manifest, m, None)
+    _set_txn(manifest, m, txn)
     try:
         _publish(fs, jvm, path, version, manifest)
     except ConcurrentCommitError:
@@ -2313,6 +2362,7 @@ def snapshot_changes(
     v_to: int,
     keys: list[str],
     compare_cols: list[str] | None = None,
+    include_values: bool = False,
 ) -> DataFrame:
     """Row-level CHANGE DATA FEED between two versions at
     O(changed files) scan cost — the manifests already know which
@@ -2418,4 +2468,107 @@ def snapshot_changes(
             )
         new_side = _empty_like(m1, files1)
         old_side = spark.createDataFrame([], new_side.schema)
-    return snapshot_diff(old_side, new_side, keys=keys, compare_cols=compare_cols)
+    diff = snapshot_diff(old_side, new_side, keys=keys, compare_cols=compare_cols)
+    if not include_values:
+        return diff
+    # CDC-apply consumers (snapshot_replicate) need the NEW row values
+    # for inserted/updated keys, and the new side already holds
+    # exactly the added files' rows — an O(changed files) join, never
+    # a rescan of the table (deleted keys get NULL values)
+    return diff.join(new_side, keys, "left")
+
+
+def snapshot_replicate(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    key: str,
+    writer_id: str | None = None,
+    compare_cols: list[str] | None = None,
+) -> int:
+    """EXACTLY-ONCE CDC replication: bring table ``dst`` up to
+    table ``src``'s head by applying ``src``'s change feed version by
+    version — the Delta/Iceberg "streaming from a table" shape as a
+    resumable catch-up pass (run it on a schedule, or in a
+    foreachBatch-style loop, and it tails the source). Returns the
+    source version ``dst`` now reflects.
+
+    Protocol: the applied-through position lives in DST's OWN
+    idempotent-writer watermark (``txn=(writer_id, src_version)``,
+    the exactly-once-ingest machinery) — never a side file — so a
+    crash at ANY point resumes correctly: each source version applies
+    as upserts (``snapshot_merge`` of the feed's inserted/updated
+    rows, values carried by the feed at O(changed files)) followed by
+    a KEYED delete of the feed's deleted keys, with the version's
+    watermark stamped on the LAST commit of the pair. A crash between
+    the two re-applies the version from scratch — the merge re-upserts
+    identical rows (value-idempotent) and the delete then stamps; a
+    redelivered already-stamped version no-ops inside the commit path
+    itself (the zombie-writer rule). A version whose feed is EMPTY
+    (compaction, restore-to-same-state) stamps via a zero-row append
+    so later runs skip it without re-diffing.
+
+    Bootstrap: when dst has no watermark for this writer, the
+    EARLIEST retained src version seeds dst as one overwrite commit,
+    then feeds apply upward. Source versions below the watermark must
+    still be retained (``v-1`` is diffed): vacuuming src past dst's
+    applied position raises FileNotFoundError rather than silently
+    skipping changes — re-bootstrap into a fresh dst in that case.
+
+    Scale: per version, work is O(changed files) scan + O(touched
+    files) rewrite + O(1) metadata — independent of table size; the
+    deleted-key set is bounded by the version's delta and broadcasts.
+    Replication lag is bounded by how often this runs, not by corpus
+    size."""
+    from pyspark.sql import functions as F
+
+    wid = writer_id or f"replicate:{key}"
+    fs, _, jvm = _fs_path(spark, src)
+    src_versions = _list_versions(fs, jvm, src)
+    if not src_versions:
+        raise FileNotFoundError(f"{src} has no committed versions to replicate")
+    applied = None
+    try:
+        applied = snapshot_last_txn(spark, dst, wid)
+    except FileNotFoundError:
+        pass  # dst doesn't exist yet — bootstrap below
+    todo = [v for v in src_versions if applied is None or v > applied]
+    if applied is None:
+        # bootstrap from the earliest RETAINED version (vacuum may
+        # have expired the true v0 — any retained version's read is
+        # that version's full state)
+        v0 = todo[0]
+        snapshot_commit(
+            snapshot_read(spark, src, v0), dst, mode="overwrite", txn=(wid, v0)
+        )
+        applied = v0
+        todo = todo[1:]
+    for v in todo:
+        if v - 1 not in src_versions:
+            raise FileNotFoundError(
+                f"replicating {src} -> {dst}: version {v - 1} needed to diff "
+                f"into {v} has been vacuumed away — re-bootstrap a fresh dst"
+            )
+        feed = snapshot_changes(
+            spark, src, v - 1, v, keys=[key], compare_cols=compare_cols,
+            include_values=True,
+        ).localCheckpoint()  # bounded by the delta; consumed 3x below
+        data_cols = [
+            c for c in feed.columns if c not in ("old_hash", "new_hash", "change")
+        ]
+        ups = feed.filter(F.col("change") != "deleted").select(*data_cols)
+        dels = feed.filter(F.col("change") == "deleted").select(key)
+        has_ups = ups.first() is not None
+        has_dels = dels.first() is not None
+        if has_ups:
+            snapshot_merge(
+                ups, dst, key=key, txn=None if has_dels else (wid, v)
+            )
+        if has_dels:
+            snapshot_delete(spark, dst, keys=(key, dels), txn=(wid, v))
+        if not has_ups and not has_dels:
+            # empty feed (pure file churn): stamp so later runs skip
+            empty = snapshot_read(spark, dst).limit(0)
+            snapshot_commit(empty, dst, mode="append", txn=(wid, v))
+        applied = v
+    return applied

@@ -2437,3 +2437,154 @@ def test_legacy_manifest_without_schema_still_reads(spark, tmp_path):
     with open(os.path.join(t, "_manifests", "v00000001.json")) as fh:
         assert "schema" not in json.load(fh)
     assert snapshot_read(spark, t).count() == 3
+
+
+# ---------------------------------------------------------------------------
+# keyed deletes + exactly-once CDC replication (round 11)
+# ---------------------------------------------------------------------------
+def _rows(spark, t, version=None):
+    return sorted(
+        (r["id"], r["v"]) for r in snapshot_read(spark, t, version).collect()
+    )
+
+
+def test_keyed_delete_removes_exactly_the_key_frame(spark, tmp_path):
+    from etfconstituentextractor_spark.sources.snapshot_table import snapshot_delete
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        _df(spark, [(i, f"r{i}") for i in range(10)]), t, mode="overwrite",
+        stats_cols=["id"],
+    )
+    kf = spark.createDataFrame([(3,), (7,), (99,)], "id bigint")  # 99 absent
+    v = snapshot_delete(spark, t, keys=("id", kf))
+    assert [i for i, _ in _rows(spark, t, v)] == [0, 1, 2, 4, 5, 6, 8, 9]
+    # merge-on-read: the file list is unchanged (DV, not rewrite)
+    import json
+
+    with open(os.path.join(t, "_manifests", f"v{v:08d}.json")) as fh:
+        m = json.load(fh)
+    with open(os.path.join(t, "_manifests", "v00000000.json")) as fh:
+        m0 = json.load(fh)
+    assert m["files"] == m0["files"] and m.get("dv")
+
+
+def test_keyed_delete_empty_frame_is_noop_commit(spark, tmp_path):
+    from etfconstituentextractor_spark.sources.snapshot_table import snapshot_delete
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, [(1, "a")]), t, mode="overwrite")
+    v = snapshot_delete(spark, t, keys=("id", spark.createDataFrame([], "id bigint")))
+    assert v == 1 and _rows(spark, t, v) == [(1, "a")]
+
+
+def test_keyed_delete_requires_exactly_one_selector(spark, tmp_path):
+    from etfconstituentextractor_spark.sources.snapshot_table import snapshot_delete
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, [(1, "a")]), t, mode="overwrite")
+    with pytest.raises(ValueError, match="exactly one"):
+        snapshot_delete(spark, t)
+    with pytest.raises(ValueError, match="exactly one"):
+        snapshot_delete(
+            spark, t, where=("id", "<", 1),
+            keys=("id", spark.createDataFrame([], "id bigint")),
+        )
+
+
+def _build_src(spark, tmp_path):
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_merge,
+    )
+
+    src = str(tmp_path / "src")
+    snapshot_commit(
+        _df(spark, [(i, f"r{i}") for i in range(12)]), src, mode="overwrite",
+        stats_cols=["id"],
+    )
+    snapshot_commit(_df(spark, [(20, "x"), (21, "y")]), src, mode="append")
+    snapshot_merge(_df(spark, [(3, "rev3"), (30, "new30")]), src, key="id")
+    snapshot_delete(spark, src, where=("id", "<", 2))
+    snapshot_compact(spark, src, small_bytes=1 << 30)  # pure churn: empty feed
+    return src
+
+
+def test_replicate_reaches_source_head_and_is_idempotent(spark, tmp_path):
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_replicate,
+        snapshot_versions,
+    )
+
+    src = _build_src(spark, tmp_path)
+    dst = str(tmp_path / "dst")
+    head = snapshot_replicate(spark, src, dst, key="id")
+    assert head == snapshot_versions(spark, src)[-1]["version"]
+    assert _rows(spark, dst) == _rows(spark, src)
+    # idempotent: a second run applies nothing
+    n_dst = len(snapshot_versions(spark, dst))
+    assert snapshot_replicate(spark, src, dst, key="id") == head
+    assert len(snapshot_versions(spark, dst)) == n_dst
+
+
+def test_replicate_catches_up_incrementally(spark, tmp_path):
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_delete,
+        snapshot_merge,
+        snapshot_replicate,
+    )
+
+    src = _build_src(spark, tmp_path)
+    dst = str(tmp_path / "dst")
+    snapshot_replicate(spark, src, dst, key="id")
+    # more source history after the first catch-up
+    snapshot_merge(_df(spark, [(21, "y2"), (40, "new40")]), src, key="id")
+    snapshot_delete(spark, src, where=("id", "=", 20))
+    snapshot_replicate(spark, src, dst, key="id")
+    assert _rows(spark, dst) == _rows(spark, src)
+
+
+def test_replicate_resumes_after_mid_version_crash(spark, tmp_path, monkeypatch):
+    import etfconstituentextractor_spark.sources.snapshot_table as st
+
+    src = _build_src(spark, tmp_path)
+    dst = str(tmp_path / "dst")
+    # crash INSIDE applying a version: let the merge land, then fail
+    # the keyed delete of the delete-bearing version (v3)
+    real_delete = st.snapshot_delete
+    calls = {"n": 0}
+
+    def failing_delete(spark_, path, where=None, retries=0, keys=None, txn=None):
+        if keys is not None and calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("injected crash between merge and delete")
+        return real_delete(spark_, path, where=where, retries=retries,
+                           keys=keys, txn=txn)
+
+    monkeypatch.setattr(st, "snapshot_delete", failing_delete)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        st.snapshot_replicate(spark, src, dst, key="id")
+    # resume: the half-applied version re-applies (merge is
+    # value-idempotent), the delete lands, replication completes
+    head = st.snapshot_replicate(spark, src, dst, key="id")
+    assert _rows(spark, dst) == _rows(spark, src)
+    assert head == st.snapshot_versions(spark, src)[-1]["version"]
+
+
+def test_replicate_raises_when_source_vacuumed_past_watermark(spark, tmp_path):
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_merge,
+        snapshot_replicate,
+        snapshot_vacuum,
+    )
+
+    src = _build_src(spark, tmp_path)
+    dst = str(tmp_path / "dst")
+    snapshot_replicate(spark, src, dst, key="id")
+    snapshot_merge(_df(spark, [(50, "new50")]), src, key="id")
+    snapshot_merge(_df(spark, [(51, "new51")]), src, key="id")
+    # expire everything but the head: the applied-through version is gone
+    snapshot_vacuum(spark, src, keep_last=1)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        snapshot_replicate(spark, src, dst, key="id")
