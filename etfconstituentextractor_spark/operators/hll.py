@@ -78,7 +78,23 @@ def hll_distinct(
     group. ``hll_sum_dyadic`` (the exact BIGINT register sum) and
     ``hll_zero_regs`` (empty-bucket count) are emitted so the oracle
     checks the sketch STATE, not just the rounded estimate."""
-    m, wbits, rmax, alpha_num = _consts(p)
+    regs = hll_registers(df, group_cols, value_col, p)
+    return hll_finalize(regs, group_cols, p)
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 12,
+) -> DataFrame:
+    """The sketch STATE: (group_cols..., __b, __reg) — one row per
+    occupied register per group. Registers are a per-bucket MAX, so
+    two register frames max-merge (mergeable-sketch property;
+    `operators/incremental_hll.py` maintains a distinct-count MV
+    through a CDC feed this way). ``hll_finalize`` turns state into
+    the estimate columns."""
+    m, wbits, rmax, _ = _consts(p)
     # NULLs never enter the sketch (COUNT(DISTINCT) semantics; also
     # md5(NULL) is NULL and would consume a register differently per
     # engine — same guard as operators/sketch.py).
@@ -89,11 +105,21 @@ def hll_distinct(
     rho = F.when(F.expr(f"shiftright(__h, {p})") == 0, F.lit(rmax)).otherwise(
         F.lit(wbits) - F.length(F.expr(f"bin(shiftright(__h, {p}))")) + F.lit(1)
     )
-    regs = (
+    return (
         hashed.select(*group_cols, F.expr(f"__h & {m - 1}").alias("__b"), rho.alias("__rho"))
         .groupBy(*group_cols, "__b")
         .agg(F.max("__rho").alias("__reg"))
     )
+
+
+def hll_finalize(
+    regs: DataFrame,
+    group_cols: list[str],
+    p: int = 12,
+) -> DataFrame:
+    """(group_cols..., hll_est, hll_sum_dyadic, hll_zero_regs) from a
+    register-state frame (the second half of ``hll_distinct``)."""
+    m, wbits, rmax, alpha_num = _consts(p)
     per_group = regs.groupBy(*group_cols).agg(
         (
             F.sum(F.expr(f"shiftleft(cast(1 as bigint), {rmax} - __reg)"))
