@@ -278,8 +278,10 @@ def main() -> None:
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_runs"),
         )
         os.makedirs(outdir, exist_ok=True)
+        # pid suffix: two runs starting the same second must not
+        # clobber each other's evidence file (round-11 review)
         stamp = datetime.datetime.now().strftime("%Y%m%dT%H%M%S")
-        with open(os.path.join(outdir, f"run_{stamp}.json"), "w") as fh:
+        with open(os.path.join(outdir, f"run_{stamp}_{os.getpid()}.json"), "w") as fh:
             fh.write(line + "\n")
     except OSError as e:  # archiving must never fail the bench
         print(f"# bench archive skipped: {e}", file=sys.stderr)

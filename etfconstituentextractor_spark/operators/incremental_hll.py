@@ -45,21 +45,30 @@ def hll_merge_registers(
     state: DataFrame, delta_regs: DataFrame, group_cols: list[str]
 ) -> DataFrame:
     """max-merge two register frames (group, __b, __reg) — the
-    mergeable-sketch union. Outer on (group, bucket): a bucket seen
-    on either side survives with the max rho."""
+    mergeable-sketch union. Outer on (group, bucket), null-SAFE on
+    the group columns: NULL is a real group and its registers on the
+    two sides must merge, not duplicate (a plain USING join never
+    matches NULL = NULL)."""
     on = [*group_cols, "__b"]
-    return (
-        state.withColumnRenamed("__reg", "__reg_a")
-        .join(
-            delta_regs.withColumnRenamed("__reg", "__reg_b"), on, "full_outer"
-        )
-        .select(
-            *on,
-            F.greatest(
-                F.coalesce(F.col("__reg_a"), F.lit(0)),
-                F.coalesce(F.col("__reg_b"), F.lit(0)),
-            ).alias("__reg"),
-        )
+    a = state.select(
+        *[F.col(c).alias(f"__a_{c}") for c in on], F.col("__reg").alias("__reg_a")
+    )
+    b = delta_regs.select(
+        *[F.col(c).alias(f"__b_{c}") for c in on], F.col("__reg").alias("__reg_b")
+    )
+    cond = None
+    for c in on:
+        eq = a[f"__a_{c}"].eqNullSafe(b[f"__b_{c}"])
+        cond = eq if cond is None else (cond & eq)
+    return a.join(b, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"__a_{c}"), F.col(f"__b_{c}")).alias(c)
+            for c in on
+        ],
+        F.greatest(
+            F.coalesce(F.col("__reg_a"), F.lit(0)),
+            F.coalesce(F.col("__reg_b"), F.lit(0)),
+        ).alias("__reg"),
     )
 
 
@@ -104,22 +113,27 @@ def hll_cdc_maintain(
         .distinct()
         .localCheckpoint()
     )
+
+    # NULL is a real group (hll_registers' groupBy keeps it, so the
+    # recompute has it) — the dirty-group membership tests must be
+    # null-SAFE or a dirty NULL group would neither rebuild nor drop,
+    # stranding stale registers (round-11 review)
+    def _semi(df, how):
+        d = F.broadcast(dirty.select(*[F.col(c).alias(f"__d_{c}") for c in group_cols]))
+        cond = None
+        for c in group_cols:
+            eq = df[c].eqNullSafe(d[f"__d_{c}"])
+            cond = eq if cond is None else (cond & eq)
+        return df.join(d, cond, how)
+
     # rebuild dirty groups from current; drop them from carried state
     rebuilt = hll_registers(
-        current.join(F.broadcast(dirty), group_cols, "left_semi"),
-        group_cols,
-        value_col,
-        p,
+        _semi(current, "left_semi"), group_cols, value_col, p
     )
-    kept = state.join(F.broadcast(dirty), group_cols, "left_anti")
+    kept = _semi(state, "left_anti")
     merged = hll_merge_registers(
         kept,
-        hll_registers(
-            inserts.join(F.broadcast(dirty), group_cols, "left_anti"),
-            group_cols,
-            value_col,
-            p,
-        ),
+        hll_registers(_semi(inserts, "left_anti"), group_cols, value_col, p),
         group_cols,
     )
     return merged.unionByName(rebuilt)

@@ -447,14 +447,27 @@ def _merge_table(spark, sf_dir):
     from etfconstituentextractor_spark.sources.fingerprint import table_fingerprint
     from etfconstituentextractor_spark.sources.snapshot_table import snapshot_merge
 
+    import hashlib
+
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     base = os.path.join(tempfile.gettempdir(), f"etfce_mergetbl_{tag}")
-    table = os.path.join(base, "table")
     fp = {"documents": table_fingerprint(sf_dir, "documents"), "recipe": 2}
-    marker = os.path.join(base, "_fingerprint.json")
+    # GENERATION dir keyed by the fingerprint: a corpus refresh builds
+    # a NEW generation instead of rmtree'ing the served path — a lazy
+    # q86 frame returned before the refresh still references its own
+    # generation's files (the round-9 dangling-frame hazard the
+    # unique-per-call design guarded against; round-11 review caught
+    # the cache reintroducing it). Stale generations are bounded by
+    # corpus refreshes and swept only when provably not this one.
+    gen = hashlib.md5(
+        _json.dumps(fp, sort_keys=True).encode()
+    ).hexdigest()[:12]
+    gdir = os.path.join(base, f"gen-{gen}")
+    table = os.path.join(gdir, "table")
+    marker = os.path.join(gdir, "_fingerprint.json")
     if not _snapshot_cache_fresh(table, marker, fp, 3):
-        shutil.rmtree(base, ignore_errors=True)
-        os.makedirs(base)
+        shutil.rmtree(gdir, ignore_errors=True)
+        os.makedirs(gdir)
         d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
         # one-file base + no stats: each stats pass is an extra agg
         # job; the stats-assisted merge path is pinned at pytest tier
@@ -511,7 +524,17 @@ def _snapshot_cache_fresh(table, marker, fp, n_roots):
         for n in manifests:
             with open(os.path.join(mdir, n)) as fh:
                 m = _json.load(fh)
-            if not all(os.path.exists(os.path.join(table, f)) for f in m["files"]):
+            if "files" in m:
+                files = m["files"]
+            else:
+                # sharded inventory: resolve each shard doc (round-11
+                # review — m["files"] KeyError'd into the blanket
+                # except, silently rebuilding every run)
+                files = []
+                for ref in m.get("shards", []):
+                    with open(os.path.join(table, ref["path"])) as fh:
+                        files += _json.load(fh)["files"]
+            if not all(os.path.exists(os.path.join(table, f)) for f in files):
                 return False
             dv = m.get("dv")
             if dv and not os.path.isdir(os.path.join(table, dv["dir"])):

@@ -1361,13 +1361,28 @@ def _snapshot_delete_once(
         # then the in-plan membership test is a broadcast semi-join
         # — never a collected literal list.
         kcol, kframe = keys
-        kf = kframe.select(F.col(kcol).alias("__dk")).distinct().localCheckpoint()
+        # NULL keys match NOTHING (SQL equality semantics — the same
+        # contract as a predicate delete's non-null value); dropping
+        # them here also keeps an all-NULL key frame on the empty
+        # path instead of sending None bounds into the pruner
+        # (round-11 review: snapshot_diff emits a NULL-key phantom
+        # row for null-keyed sources, which reached here via
+        # snapshot_replicate and crashed)
+        kf = (
+            kframe.select(F.col(kcol).alias("__dk"))
+            .filter(F.col("__dk").isNotNull())
+            .distinct()
+            .localCheckpoint()
+        )
         klo, khi = kf.agg(F.min("__dk"), F.max("__dk")).first()
-        if klo is None and kf.first() is None:
+        if klo is None:
             # empty key set: audit-visible no-op commit, the same
-            # convention as a predicate matching nothing
-            cand = []
-            cand_files, cand_stats = _resolve(fs, jvm, path, m)
+            # convention as a predicate matching nothing — and no
+            # inventory resolve: nothing below consults the files
+            # when there are no candidates (a sharded table would
+            # otherwise pay O(total files) driver metadata per
+            # empty delta, round-11 review)
+            cand, cand_files, cand_stats = [], [], {}
         else:
             bounds = [(kcol, ">=", klo), (kcol, "<=", khi)]
             cand_files, cand_stats = _resolve(fs, jvm, path, m, where=bounds)
@@ -2549,10 +2564,21 @@ def snapshot_replicate(
                 f"replicating {src} -> {dst}: version {v - 1} needed to diff "
                 f"into {v} has been vacuumed away — re-bootstrap a fresh dst"
             )
-        feed = snapshot_changes(
-            spark, src, v - 1, v, keys=[key], compare_cols=compare_cols,
-            include_values=True,
-        ).localCheckpoint()  # bounded by the delta; consumed 3x below
+        feed = (
+            snapshot_changes(
+                spark, src, v - 1, v, keys=[key], compare_cols=compare_cols,
+                include_values=True,
+            )
+            # NULL-key rows are outside the keyed-dataset contract
+            # (snapshot_diff's join can never match them, so they'd
+            # surface as phantom inserted+deleted pairs with NULL
+            # values every version and churn junk into dst —
+            # round-11 review). Bootstrap copies them verbatim;
+            # their later changes do not replicate — give rows real
+            # keys if they must track.
+            .filter(F.col(key).isNotNull())
+            .localCheckpoint()  # bounded by the delta; consumed 3x below
+        )
         data_cols = [
             c for c in feed.columns if c not in ("old_hash", "new_hash", "change")
         ]

@@ -28,7 +28,10 @@ P = 6  # small registers so collisions/buckets actually collide
 
 
 def _regs_set(df):
-    return sorted((tuple(r) for r in df.collect()))
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
 
 
 def _v0(spark, tmp_path):
@@ -134,3 +137,41 @@ def test_fully_deleted_group_drops_from_state(spark, tmp_path):
         p=P,
     )
     assert [r["lang"] for r in state1.select("lang").distinct().collect()] == ["big"]
+
+
+def test_null_group_maintenance_is_exact(spark, tmp_path):
+    """Round-11 review: NULL is a real group — dirty-group joins must
+    be null-SAFE or a dirty NULL group strands stale registers, and
+    the register merge must not duplicate NULL-group buckets."""
+    t = str(tmp_path / "tbl")
+    rows = [(1, None, "a"), (2, None, "b"), (3, "en", "c"), (4, None, "d")]
+    snapshot_commit(
+        spark.createDataFrame(rows, "id bigint, lang string, token string"),
+        t,
+        mode="overwrite",
+    )
+    # delete one NULL-group row, update another, insert a fresh one
+    snapshot_merge(
+        spark.createDataFrame(
+            [(2, None, "b-rev"), (9, None, "fresh")],
+            "id bigint, lang string, token string",
+        ),
+        t,
+        key="id",
+    )
+    snapshot_delete(spark, t, where=("id", "=", 1))
+    state = hll_registers(snapshot_read(spark, t, 0), ["lang"], "token", P)
+    for v in (1, 2):
+        feed = snapshot_changes(spark, t, v - 1, v, keys=["id"], include_values=True)
+        state = hll_cdc_maintain(
+            state,
+            feed,
+            snapshot_read(spark, t, v - 1),
+            snapshot_read(spark, t, v),
+            keys=["id"],
+            group_cols=["lang"],
+            value_col="token",
+            p=P,
+        ).localCheckpoint()
+    expect = hll_registers(snapshot_read(spark, t, 2), ["lang"], "token", P)
+    assert _regs_set(state) == _regs_set(expect)

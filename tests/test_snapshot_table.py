@@ -2444,7 +2444,8 @@ def test_legacy_manifest_without_schema_still_reads(spark, tmp_path):
 # ---------------------------------------------------------------------------
 def _rows(spark, t, version=None):
     return sorted(
-        (r["id"], r["v"]) for r in snapshot_read(spark, t, version).collect()
+        ((r["id"], r["v"]) for r in snapshot_read(spark, t, version).collect()),
+        key=lambda t_: ((t_[0] is None, t_[0]), (t_[1] is None, t_[1])),
     )
 
 
@@ -2588,3 +2589,71 @@ def test_replicate_raises_when_source_vacuumed_past_watermark(spark, tmp_path):
     snapshot_vacuum(spark, src, keep_last=1)
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         snapshot_replicate(spark, src, dst, key="id")
+
+
+def test_keyed_delete_all_null_key_frame_is_noop(spark, tmp_path):
+    """Round-11 review: NULL keys match nothing (SQL equality) — an
+    all-NULL key frame must no-op, not send None bounds into the
+    pruner."""
+    from etfconstituentextractor_spark.sources.snapshot_table import snapshot_delete
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, [(1, "a"), (2, "b")]), t, mode="overwrite")
+    kf = spark.createDataFrame([(None,)], "id bigint")
+    v = snapshot_delete(spark, t, keys=("id", kf))
+    assert _rows(spark, t, v) == [(1, "a"), (2, "b")]
+
+
+def test_replicate_tolerates_null_key_rows(spark, tmp_path):
+    """Round-11 review: a NULL-key source row surfaces as a phantom
+    inserted+deleted pair in every version's diff (the keyed join
+    can never match it) — replication must filter it, not churn
+    all-NULL junk into dst or crash the keyed delete."""
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_merge,
+        snapshot_replicate,
+    )
+
+    src = str(tmp_path / "src")
+    snapshot_commit(
+        _df(spark, [(1, "a"), (2, "b"), (None, "nullkey")]), src, mode="overwrite"
+    )
+    snapshot_merge(_df(spark, [(3, "c")]), src, key="id")
+    dst = str(tmp_path / "dst")
+    snapshot_replicate(spark, src, dst, key="id")
+    assert _rows(spark, dst) == _rows(spark, src)
+
+
+def test_snapshot_cache_fresh_handles_sharded_root(tmp_path):
+    """Round-11 review: a sharded root manifest has no 'files' key —
+    the freshness check must resolve shard docs, not KeyError into
+    the blanket except (which silently rebuilt every run)."""
+    import json
+
+    from etfconstituentextractor_spark.plans.llm_refresh import (
+        _snapshot_cache_fresh,
+    )
+
+    table = str(tmp_path / "table")
+    mdir = os.path.join(table, "_manifests")
+    os.makedirs(mdir)
+    os.makedirs(os.path.join(table, "data"))
+    with open(os.path.join(table, "data", "part-0.parquet"), "w") as fh:
+        fh.write("x")
+    shard = {"files": ["data/part-0.parquet"]}
+    with open(os.path.join(mdir, "v00000000-shard-ab.json"), "w") as fh:
+        json.dump(shard, fh)
+    root = {
+        "version": 0,
+        "n_files": 1,
+        "shards": [{"path": "_manifests/v00000000-shard-ab.json", "n_files": 1}],
+    }
+    with open(os.path.join(mdir, "v00000000.json"), "w") as fh:
+        json.dump(root, fh)
+    fp = {"recipe": 1}
+    marker = str(tmp_path / "_fingerprint.json")
+    with open(marker, "w") as fh:
+        json.dump(fp, fh)
+    assert _snapshot_cache_fresh(table, marker, fp, 1)
+    os.remove(os.path.join(table, "data", "part-0.parquet"))
+    assert not _snapshot_cache_fresh(table, marker, fp, 1)
