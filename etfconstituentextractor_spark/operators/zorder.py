@@ -63,6 +63,36 @@ def z_value(a: Column, b: Column, bits: int = 16) -> Column:
     )
 
 
+def z_value_n(cols: list[Column], bits: int) -> Column:
+    """Morton interleave of N integer columns already in [0, 2^bits)
+    (round 11 — Delta's multi-column OPTIMIZE ZORDER BY shape): bit i
+    of dimension d lands at position ``i*N + d``. Two dimensions take
+    the log-step shift-and-mask fast path; N >= 3 builds the
+    bit-gather as an OR chain of ``bits`` shifted single-bit terms
+    per dimension — all constant-folded integer codegen, no UDF, and
+    the total key stays inside a signed 64-bit value (``bits*N <=
+    63`` enforced)."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("z_value_n needs at least 2 columns")
+    if bits * n > 63:
+        raise ValueError(
+            f"bits*dims = {bits * n} exceeds a signed 64-bit key — "
+            f"lower bits (max {63 // n} for {n} dims)"
+        )
+    if n == 2:
+        return z_value(cols[0], cols[1], bits)
+    z: Column | None = None
+    for d, c in enumerate(cols):
+        cb = c.cast("bigint")
+        for i in range(bits):
+            term = F.shiftleft(
+                F.shiftright(cb, i).bitwiseAND(F.lit(1)), i * n + d
+            )
+            z = term if z is None else z.bitwiseOR(term)
+    return z
+
+
 def minmax_bucket(col: Column, cmin: Column, cmax: Column, bits: int) -> Column:
     """Scale ``col`` into [0, 2^bits) against (broadcast) global
     min/max scalars; a constant column collapses to bucket 0."""
@@ -75,25 +105,32 @@ def minmax_bucket(col: Column, cmin: Column, cmax: Column, bits: int) -> Column:
 
 
 def zorder_layout(
-    df: DataFrame, col_a: str, col_b: str, bits: int = 12, z_col: str = "__z"
+    df: DataFrame, *cols: str, bits: int = 12, z_col: str = "__z"
 ) -> DataFrame:
-    """``df`` + a Morton key column over (col_a, col_b). The global
-    min/max come from ONE scalar aggregate broadcast back — a 1-row
-    frame, never a global window."""
+    """``df`` + a Morton key column over N columns (2-column callers
+    unchanged: ``zorder_layout(df, "a", "b")``). The global min/max
+    come from ONE scalar aggregate broadcast back — a 1-row frame,
+    never a global window. For N >= 3 the per-dimension bit budget
+    shrinks to keep the key in 63 bits (the resolution each dimension
+    loses is the standard Z-order trade as dimensions grow)."""
     if z_col in df.columns:
         raise ValueError(f"input already has a {z_col!r} column")
-    bounds = df.agg(
-        F.min(col_a).alias("__amin"),
-        F.max(col_a).alias("__amax"),
-        F.min(col_b).alias("__bmin"),
-        F.max(col_b).alias("__bmax"),
-    )
-    ba = minmax_bucket(F.col(col_a), F.col("__amin"), F.col("__amax"), bits)
-    bb = minmax_bucket(F.col(col_b), F.col("__bmin"), F.col("__bmax"), bits)
+    if len(cols) < 2:
+        raise ValueError("zorder_layout needs at least 2 columns")
+    bits = min(bits, 63 // len(cols))
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs += [F.min(c).alias(f"__min{i}"), F.max(c).alias(f"__max{i}")]
+    bounds = df.agg(*aggs)
+    bucketed = [
+        minmax_bucket(F.col(c), F.col(f"__min{i}"), F.col(f"__max{i}"), bits)
+        for i, c in enumerate(cols)
+    ]
+    drop = [f"__{m}{i}" for i in range(len(cols)) for m in ("min", "max")]
     return (
         df.crossJoin(F.broadcast(bounds))
-        .withColumn(z_col, z_value(ba, bb, bits))
-        .drop("__amin", "__amax", "__bmin", "__bmax")
+        .withColumn(z_col, z_value_n(bucketed, bits))
+        .drop(*drop)
     )
 
 
@@ -110,7 +147,7 @@ def write_zordered(
     curve: range-partition by the Z key (each task owns one tight
     Z-range → a tight rectangle in value space), sort within, drop
     the key, write. ``block_size`` shrinks row groups for tests."""
-    laid = zorder_layout(df, col_a, col_b, bits)
+    laid = zorder_layout(df, col_a, col_b, bits=bits)
     if n_files == 1:
         laid = laid.repartition(1)
     else:
@@ -127,4 +164,14 @@ def py_z_value(a: int, b: int, bits: int = 16) -> int:
     for i in range(bits):
         z |= ((a >> i) & 1) << (2 * i)
         z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def py_z_value_n(vals: list[int], bits: int) -> int:
+    """Pure-Python N-dimension interleave reference for tests."""
+    n = len(vals)
+    z = 0
+    for d, v in enumerate(vals):
+        for i in range(bits):
+            z |= ((v >> i) & 1) << (i * n + d)
     return z

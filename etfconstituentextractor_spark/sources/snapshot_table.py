@@ -1072,6 +1072,29 @@ def snapshot_merge(
             return parent
     pby = m.get("partition_by") or []
     ptypes = m.get("partition_types")
+    tschema = _manifest_schema(m)
+    if tschema is not None:
+        # align the source to the RECORDED table schema (round 11):
+        # columns the table gained after the source was derived
+        # null-fill (all recorded columns are nullable, matching the
+        # append evolution contract); columns the table does not know
+        # raise — silently dropping caller data is how merges rot
+        have = {f.name for f in source.schema.fields}
+        known = {f.name for f in tschema.fields}
+        extra = sorted(have - known)
+        if extra:
+            raise ValueError(
+                f"merge source columns {extra} are not in the table "
+                "schema — evolve the table with an append first"
+            )
+        if have != known:
+            source = source.select(
+                *[
+                    F.col(f.name) if f.name in have
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in tschema.fields
+                ]
+            )
 
     # source keys: bounds for stat pruning + a broadcast frame for the
     # exact membership probe (keys only — never source payloads).
@@ -1620,9 +1643,8 @@ def snapshot_compact(
 
         n_rows = df.count()
         n_out = max(1, math.ceil(n_rows / target_rows_per_file))
-        a, b = zorder_by
         df = (
-            zorder_layout(df, a, b)
+            zorder_layout(df, *zorder_by)
             .repartitionByRange(n_out, "__z")
             .sortWithinPartitions("__z")
             .drop("__z")

@@ -2657,3 +2657,20 @@ def test_snapshot_cache_fresh_handles_sharded_root(tmp_path):
     assert _snapshot_cache_fresh(table, marker, fp, 1)
     os.remove(os.path.join(table, "data", "part-0.parquet"))
     assert not _snapshot_cache_fresh(table, marker, fp, 1)
+
+
+def test_merge_source_null_fills_missing_recorded_columns(spark, tmp_path):
+    """Round 11: a merge source missing later-added columns aligns to
+    the recorded table schema with NULLs; unknown columns raise."""
+    from etfconstituentextractor_spark.sources.snapshot_table import snapshot_merge
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, [(1, "a"), (2, "b")]), t, mode="overwrite")
+    wide = spark.createDataFrame([(3, "c", 1.0)], "id bigint, v string, score double")
+    snapshot_commit(wide, t, mode="append")
+    snapshot_merge(_df(spark, [(1, "upd"), (4, "new")]), t, key="id")
+    got = {r["id"]: (r["v"], r["score"]) for r in snapshot_read(spark, t).collect()}
+    assert got == {1: ("upd", None), 2: ("b", None), 3: ("c", 1.0), 4: ("new", None)}
+    bad = spark.createDataFrame([(5, "x", "oops")], "id bigint, v string, junk string")
+    with pytest.raises(ValueError, match="not in the table schema"):
+        snapshot_merge(bad, t, key="id")

@@ -91,3 +91,57 @@ def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
     s1_out, s1_match = scan_output(single_p, "l_partkey", lo, hi)
     assert z1_match == s1_match
     assert z1_out < total * 0.7, (z1_out, total)
+
+
+def test_z_value_n_matches_python_reference_3d(spark):
+    """Round 11: the N-dimensional interleave (bit i of dim d at
+    position i*N + d) against the pure-Python reference, 3 dims."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etfconstituentextractor_spark.operators.zorder import (
+        py_z_value_n,
+        z_value_n,
+    )
+
+    rng = random.Random(7)
+    bits = 8
+    rows = [
+        (rng.randrange(1 << bits), rng.randrange(1 << bits), rng.randrange(1 << bits))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "a int, b int, c int")
+    got = df.select(
+        "a", "b", "c",
+        z_value_n([F.col("a"), F.col("b"), F.col("c")], bits).alias("z"),
+    ).collect()
+    for r in got:
+        assert r["z"] == py_z_value_n([r["a"], r["b"], r["c"]], bits)
+
+
+def test_z_value_n_2d_fast_path_equals_general(spark):
+    from pyspark.sql import functions as F
+
+    from etfconstituentextractor_spark.operators.zorder import py_z_value, z_value_n
+
+    df = spark.createDataFrame([(i, 255 - i) for i in range(256)], "a int, b int")
+    got = df.select(
+        "a", "b", z_value_n([F.col("a"), F.col("b")], 8).alias("z")
+    ).collect()
+    for r in got:
+        assert r["z"] == py_z_value(r["a"], r["b"], 8)
+
+
+def test_zorder_layout_3_columns_caps_bits_and_orders(spark):
+    from etfconstituentextractor_spark.operators.zorder import zorder_layout
+
+    df = spark.createDataFrame(
+        [(i % 7, (i * 3) % 11, i % 5, f"p{i}") for i in range(100)],
+        "x int, y int, w int, payload string",
+    )
+    laid = zorder_layout(df, "x", "y", "w", bits=16)  # 16*3 > 63 -> capped
+    zs = [r["__z"] for r in laid.collect()]
+    assert all(z >= 0 for z in zs) and len(zs) == 100
+    with __import__("pytest").raises(ValueError, match="at least 2"):
+        zorder_layout(df, "x")
