@@ -1920,6 +1920,29 @@ def snapshot_view(
     return df
 
 
+def snapshot_changes_view(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    v_from: int,
+    v_to: int,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+    include_values: bool = False,
+) -> DataFrame:
+    """Register a change feed as a TEMP VIEW — the SQL surface for
+    CDC consumers (Delta's ``table_changes`` shape): ``SELECT * FROM
+    {name} WHERE change = 'deleted'`` etc. Same O(changed files)
+    plan as ``snapshot_changes``; the view pins the version range.
+    Returns the registered DataFrame."""
+    df = snapshot_changes(
+        spark, path, v_from, v_to, keys=keys,
+        compare_cols=compare_cols, include_values=include_values,
+    )
+    df.createOrReplaceTempView(name)
+    return df
+
+
 def _read_files(
     spark: SparkSession,
     path: str,

@@ -1258,7 +1258,7 @@ def test_lifecycle_matches_python_model(spark, tmp_path):
         for step in range(18):
             op = rng.choice(
                 ["append", "merge", "delete", "compact", "ingest", "overwrite",
-                 "bloom_append", "zorder_compact", "restore"]
+                 "bloom_append", "zorder_compact", "restore", "keyed_delete"]
             )
             if op == "append":
                 rows = [(next_id + i, f"a{step}_{i}") for i in range(rng.randint(1, 6))]
@@ -1296,6 +1296,18 @@ def test_lifecycle_matches_python_model(spark, tmp_path):
                     # an all-rows delete leaves an empty readable table;
                     # re-seed so later ops have something to chew on
                     rows = [(next_id + i, f"r{step}_{i}") for i in range(4)]
+                    next_id += 10
+                    st.snapshot_commit(frame(rows), t, mode="append", stats_cols=["id"])
+                    model.update(dict(rows))
+            elif op == "keyed_delete" and model:
+                ks = rng.sample(sorted(model), min(3, len(model)))
+                st.snapshot_delete(
+                    spark, t, keys=("id", frame([(k, "") for k in ks]).select("id"))
+                )
+                for k in ks:
+                    del model[k]
+                if not model:
+                    rows = [(next_id + i, f"k{step}_{i}") for i in range(4)]
                     next_id += 10
                     st.snapshot_commit(frame(rows), t, mode="append", stats_cols=["id"])
                     model.update(dict(rows))
@@ -1353,6 +1365,15 @@ def test_lifecycle_matches_python_model(spark, tmp_path):
         from etfconstituentextractor_spark.operators.snapshot_diff import (
             snapshot_diff,
         )
+
+        # replicating the whole random history into a fresh table must
+        # land exactly on the model (round 11 — replication over every
+        # op class the sequence produced, including the vacuum gap:
+        # bootstrap starts at the earliest retained version)
+        replica = str(tmp_path / "replica")
+        st.snapshot_replicate(spark, t, replica, key="id")
+        got_r = {(r.id, r.v) for r in st.snapshot_read(spark, replica).collect()}
+        assert got_r == set(model.items())
 
         vs = [mv["version"] for mv in st.snapshot_versions(spark, t)]
         if len(vs) >= 2:
@@ -2674,3 +2695,21 @@ def test_merge_source_null_fills_missing_recorded_columns(spark, tmp_path):
     bad = spark.createDataFrame([(5, "x", "oops")], "id bigint, v string, junk string")
     with pytest.raises(ValueError, match="not in the table schema"):
         snapshot_merge(bad, t, key="id")
+
+
+def test_snapshot_changes_view_reaches_sql(spark, tmp_path):
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_changes_view,
+        snapshot_merge,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, [(1, "a"), (2, "b")]), t, mode="overwrite")
+    snapshot_merge(_df(spark, [(1, "a2"), (3, "c")]), t, key="id")
+    snapshot_changes_view(spark, t, "chg", 0, 1, keys=["id"])
+    got = {
+        (r["id"], r["change"])
+        for r in spark.sql("SELECT id, change FROM chg").collect()
+    }
+    assert got == {(1, "updated"), (3, "inserted")}
+    spark.catalog.dropTempView("chg")
