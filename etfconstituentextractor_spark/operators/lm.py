@@ -39,9 +39,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _toks(text_col: str, delim: str, tokens_col: str | None) -> str:
+    """THE tokenizer expression (or the caller's pre-tokenized
+    column) — one definition; four functions previously copy-pasted
+    the f-string, so a delimiter/escaping fix could silently make the
+    two smoothings tokenize differently (round-11 review)."""
+    if tokens_col:
+        return tokens_col
+    return f"filter(split({text_col}, '{delim}'), x -> x != '')"
+
+
 def _pairs(text_col: str, delim: str):
     """array<struct<w1,w2>> of adjacent token pairs — one codegen pass."""
-    return _pairs_of(f"filter(split({text_col}, '{delim}'), x -> x != '')")
+    return _pairs_of(_toks(text_col, delim, None))
+
+
+def _bigram_counts(docs: DataFrame, toks: str) -> DataFrame:
+    """(w1, w2, n) adjacent-pair counts — shared by both smoothings."""
+    return (
+        docs.select(F.explode(_pairs_of(toks)).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 def _pairs_of(toks: str):
@@ -77,12 +96,8 @@ def train_bigram_lm(
     share ONE tokenization (and typically one checkpointed scan)
     across all LM phases.
     """
-    toks = tokens_col if tokens_col else f"filter(split({text_col}, '{delim}'), x -> x != '')"
-    bigrams = (
-        docs.select(F.explode(_pairs_of(toks)).alias("p"))
-        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    toks = _toks(text_col, delim, tokens_col)
+    bigrams = _bigram_counts(docs, toks)
     contexts = bigrams.groupBy("w1").agg(F.sum("n").alias("n_ctx"))
     vocab_size = (
         docs.select(F.explode(F.expr(toks)).alias("w"))
@@ -112,7 +127,7 @@ def perplexity(
     """
     if k <= 0:
         raise ValueError("k must be > 0 (zero-count pairs need mass)")
-    toks = tokens_col if tokens_col else f"filter(split({text_col}, '{delim}'), x -> x != '')"
+    toks = _toks(text_col, delim, tokens_col)
     pairs = docs.select(
         F.col(id_col), F.explode(_pairs_of(toks)).alias("p")
     ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
@@ -167,12 +182,8 @@ def train_kn_bigram_lm(
     which a quality FILTER cannot tolerate: one OOV token would send
     a document's perplexity to infinity).
     """
-    toks = tokens_col if tokens_col else f"filter(split({text_col}, '{delim}'), x -> x != '')"
-    bigrams = (
-        docs.select(F.explode(_pairs_of(toks)).alias("p"))
-        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    toks = _toks(text_col, delim, tokens_col)
+    bigrams = _bigram_counts(docs, toks)
     contexts = bigrams.groupBy("w1").agg(
         F.sum("n").alias("n_ctx"), F.count(F.lit(1)).alias("n_types")
     )
@@ -222,7 +233,7 @@ def kn_perplexity(
     freely in a curation pipeline. Scale: one pair-key shuffle joins
     the bigram counts; contexts/cont are vocabulary-sized broadcasts;
     totals is a 1-row broadcast. Text never shuffles."""
-    toks = tokens_col if tokens_col else f"filter(split({text_col}, '{delim}'), x -> x != '')"
+    toks = _toks(text_col, delim, tokens_col)
     pairs = docs.select(
         F.col(id_col), F.explode(_pairs_of(toks)).alias("p")
     ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))

@@ -80,7 +80,11 @@ def z_value_n(cols: list[Column], bits: int) -> Column:
             f"bits*dims = {bits * n} exceeds a signed 64-bit key — "
             f"lower bits (max {63 // n} for {n} dims)"
         )
-    if n == 2:
+    if n == 2 and bits <= _MAX_BITS:
+        # the log-step fast path covers the classic 32-bit key; wider
+        # 2-dim keys (bits 17..31 — legal under the 63-bit contract)
+        # take the general gather (round-11 second review: the fast
+        # path's own 16-bit cap leaked out as a confusing ValueError)
         return z_value(cols[0], cols[1], bits)
     z: Column | None = None
     for d, c in enumerate(cols):

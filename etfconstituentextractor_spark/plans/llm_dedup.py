@@ -604,22 +604,48 @@ def _shingle_and_bands_cached(spark, sf_dir, d):
     )
 
     root = work_dir(sf_dir, "q62_index")
-    sig = f"q62idx|{_N_SALTS}|{sf_dir}|{table_fingerprint(sf_dir, 'documents')}"
+    # the signature must key EVERY parameter the index derives from —
+    # _N_SALTS alone under-keyed it (a band-count change can leave the
+    # salt count unchanged and serve a stale layout, round-11 second
+    # review); the trailing integer is the manual recipe version for
+    # code changes the constants cannot see (shingle width etc.)
+    sig = (
+        f"q62idx|b{_N_BANDS}|r{_ROWS_PER_BAND}|s{_N_SALTS}|v1|{sf_dir}|"
+        f"{table_fingerprint(sf_dir, 'documents')}"
+    )
     if not marker_ok(root, sig):
         build = f"{root}.build-{os.getpid()}"
         shutil.rmtree(build, ignore_errors=True)
         sh, bands = _shingle_and_bands(d)
-        sh.write.parquet(os.path.join(build, "shingles"))
-        bands.write.parquet(os.path.join(build, "bands"))
-        write_marker(build, sig)
         try:
-            shutil.rmtree(root, ignore_errors=True)
+            sh.write.parquet(os.path.join(build, "shingles"))
+            bands.write.parquet(os.path.join(build, "bands"))
+            write_marker(build, sig)
+        except Exception:
+            # staging is an OPTIMIZATION: a full /tmp must not fail
+            # the query — serve the in-memory build (docstring
+            # contract; round-11 second review)
+            shutil.rmtree(build, ignore_errors=True)
+            return sh, bands
+        # rename-if-absent publish: NEVER rmtree a path another
+        # process may have just published and be lazily scanning
+        # (round-11 second review — the loser previously destroyed
+        # the winner's live directory before renaming)
+        try:
             os.rename(build, root)
         except OSError:
             if marker_ok(root, sig):  # lost the race to a valid winner
                 shutil.rmtree(build, ignore_errors=True)
             else:
-                root = build  # serve our scratch layout
+                # root exists but is STALE (old corpus/recipe): move
+                # it aside, then claim; any failure serves scratch
+                try:
+                    aside = f"{root}.stale-{os.getpid()}"
+                    os.rename(root, aside)
+                    os.rename(build, root)
+                    shutil.rmtree(aside, ignore_errors=True)
+                except OSError:
+                    root = build  # serve our scratch layout
     return (
         spark.read.schema("doc_id bigint, shingles array<string>").parquet(
             os.path.join(root, "shingles")

@@ -1040,8 +1040,10 @@ def snapshot_merge(
     matched key are replaced by the source's row(s) for that key
     (duplicate source keys insert as-is — dedupe upstream if that is
     not intended); there is no delete clause (express deletes as an
-    overwrite commit of the filtered table). Source must carry the
-    target's full schema. Concurrency: same atomic manifest claim as
+    overwrite commit of the filtered table). Source columns align to the
+    RECORDED table schema: later-added columns the source lacks
+    null-fill, unknown columns raise, and the merge key / partition
+    columns must always be present (never null-filled). Concurrency: same atomic manifest claim as
     snapshot_commit — a lost race raises ConcurrentCommitError and
     the caller re-derives against the new latest (the rewrite is
     against a fixed parent version, so retrying without re-deriving
@@ -1086,6 +1088,16 @@ def snapshot_merge(
             raise ValueError(
                 f"merge source columns {extra} are not in the table "
                 "schema — evolve the table with an append first"
+            )
+        # the KEY and partition columns may never be null-filled: a
+        # source missing its key would silently upsert NULL-key junk
+        # (round-11 second review — reproduced), and a missing
+        # partition column would write __HIVE_DEFAULT_PARTITION__
+        required = sorted(({key} | set(pby)) - have)
+        if required:
+            raise ValueError(
+                f"merge source is missing required column(s) {required} "
+                "(the merge key and partition columns must be present)"
             )
         if have != known:
             source = source.select(
@@ -1549,7 +1561,7 @@ def snapshot_compact(
     path: str,
     small_bytes: int = 32 << 20,
     target_rows_per_file: int | None = None,
-    zorder_by: tuple[str, str] | None = None,
+    zorder_by: tuple[str, ...] | None = None,
 ) -> int | None:
     """Rewrite the latest version's SMALL files (< ``small_bytes``)
     into consolidated ones, committed as a new version (op='compact');
@@ -1571,7 +1583,7 @@ def snapshot_compact(
     n_tasks × n_values. ``target_rows_per_file`` caps rows per output
     file for unpartitioned tables (default: one output file).
 
-    ``zorder_by=(col_a, col_b)`` clusters the rewritten rows on the
+    ``zorder_by=(col, ...)`` (any number >= 2 of columns) clusters the rewritten rows on the
     Morton curve (operators/zorder.py) — the lakehouse OPTIMIZE
     ZORDER: each output file then covers a tight rectangle in
     (a, b) space, so the manifest's per-file [min, max] stats become

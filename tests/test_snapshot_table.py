@@ -2713,3 +2713,15 @@ def test_snapshot_changes_view_reaches_sql(spark, tmp_path):
     }
     assert got == {(1, "updated"), (3, "inserted")}
     spark.catalog.dropTempView("chg")
+
+
+def test_merge_source_missing_key_raises(spark, tmp_path):
+    """Round-11 second review: alignment must never null-fill the
+    MERGE KEY — a source without it would upsert NULL-key junk."""
+    from etfconstituentextractor_spark.sources.snapshot_table import snapshot_merge
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, [(1, "a")]), t, mode="overwrite")
+    keyless = spark.createDataFrame([("zzz",)], "v string")
+    with pytest.raises(ValueError, match="missing required column"):
+        snapshot_merge(keyless, t, key="id")

@@ -145,3 +145,21 @@ def test_zorder_layout_3_columns_caps_bits_and_orders(spark):
     assert all(z >= 0 for z in zs) and len(zs) == 100
     with __import__("pytest").raises(ValueError, match="at least 2"):
         zorder_layout(df, "x")
+
+
+def test_z_value_n_two_dims_wide_bits_uses_general_path(spark):
+    """Round-11 second review: bits in 17..31 are legal for 2 dims
+    under the 63-bit contract — the 16-bit fast path must not leak
+    its own cap as a ValueError."""
+    from pyspark.sql import functions as F
+
+    from etfconstituentextractor_spark.operators.zorder import py_z_value, z_value_n
+
+    df = spark.createDataFrame(
+        [(1 << 18, 3), (123456, 654321)], "a bigint, b bigint"
+    )
+    got = df.select(
+        "a", "b", z_value_n([F.col("a"), F.col("b")], 20).alias("z")
+    ).collect()
+    for r in got:
+        assert r["z"] == py_z_value(r["a"], r["b"], 20)
