@@ -1009,6 +1009,48 @@ def _publish(fs, jvm, path: str, version: int, manifest: dict) -> None:
             )
 
 
+def _bloom_refine_keyset(spark, path, m, cand, key, kframe, key_dtype):
+    """Drop candidate files whose manifest bloom rejects EVERY key of
+    a bounded key frame — shared by merge's candidate probe and the
+    keyed delete (round 11). Conservative: only when the key column
+    is bloom-covered with a matching recorded dtype and the key set
+    is bounded; the keys ride as ONE collected array joined from a
+    one-row frame so each sidecar row evaluates its own local blob
+    against the array (never the per-(file, key) blob duplication of
+    the documented broadcast-array trap)."""
+    from pyspark.sql import functions as F
+
+    if not (cand and m.get("bloom")):
+        return cand
+    entries = [
+        be for be in m["bloom"] if be.get("cols", {}).get(key) == key_dtype
+    ]
+    if not entries or kframe.count() > 10_000:
+        return cand
+    from etfconstituentextractor_spark.operators.bloom import bloom_might_contain
+
+    kcol_name = kframe.columns[0]
+    karr = kframe.agg(F.collect_list(kcol_name).alias("__ks"))
+
+    def evaluate(bdf, be):
+        return (
+            bdf.filter(F.col("dtype") == key_dtype)
+            .join(F.broadcast(karr))
+            .select(
+                "f",
+                F.exists(
+                    "__ks",
+                    lambda kv: bloom_might_contain(
+                        F.col("bloom"), kv, m_bits=F.col("m"), k=F.col("k")
+                    ),
+                ).alias("hit"),
+            )
+        )
+
+    covered, passing = _bloom_eval(spark, path, entries, key, evaluate, set(cand))
+    return [f for f in cand if f not in covered or f in passing]
+
+
 def snapshot_merge(
     source: DataFrame,
     path: str,
@@ -1195,50 +1237,10 @@ def snapshot_merge(
     # hold its keys instead of every stats-survivor. Conservative:
     # only when the key column is covered, the recorded dtype matches
     # the source's, and the key set is bounded.
-    if cand and m.get("bloom") and lo is not None:
-        src_key_type = dict(source.dtypes).get(key)
-        entries = [
-            be
-            for be in m["bloom"]
-            if be.get("cols", {}).get(key) == src_key_type
-        ]
-        # bound the PRODUCT the evaluation implies (files × keys × k
-        # hashes), not the key count alone — and never multiply the
-        # blob: the keys ride as ONE collected array joined from a
-        # one-row frame, so each sidecar row evaluates its own local
-        # blob against the array (the first cut cross-joined sidecar
-        # rows against the key frame, duplicating an m/8-byte blob
-        # per (file, key) pair — the repo's documented
-        # broadcast-array trap; round-10 second review)
-        if entries and skeys.count() <= 10_000:
-            from etfconstituentextractor_spark.operators.bloom import (
-                bloom_might_contain,
-            )
-
-            karr = skeys.agg(F.collect_list("__k").alias("__ks"))
-
-            def evaluate(bdf, be):
-                return (
-                    bdf.filter(F.col("dtype") == src_key_type)
-                    .join(F.broadcast(karr))
-                    .select(
-                        "f",
-                        F.exists(
-                            "__ks",
-                            lambda kv: bloom_might_contain(
-                                F.col("bloom"),
-                                kv,
-                                m_bits=F.col("m"),
-                                k=F.col("k"),
-                            ),
-                        ).alias("hit"),
-                    )
-                )
-
-            covered, passing = _bloom_eval(
-                spark, path, entries, key, evaluate, set(cand)
-            )
-            cand = [f for f in cand if f not in covered or f in passing]
+    if cand and lo is not None:
+        cand = _bloom_refine_keyset(
+            spark, path, m, cand, key, skeys, dict(source.dtypes).get(key)
+        )
     touched: list[str] = []
     if cand:
         # DV-AWARE probe: a row the deletion vector masks must not
@@ -1424,6 +1426,12 @@ def _snapshot_delete_once(
             cand = cand_files
             for w in bounds:
                 cand = _prune_files(m, cand, w, stats=cand_stats)
+            # bloom refinement (round 11, shared with merge): on a
+            # bloomed table a keyed delete scans ~the files that
+            # genuinely hold its keys, not every stats-survivor
+            cand = _bloom_refine_keyset(
+                spark, path, m, cand, kcol, kf, dict(kf.dtypes)["__dk"]
+            )
     else:
         # shard-level pruning feeds the candidate search: only shards the
         # probe's bounds cannot prove empty are even loaded

@@ -2725,3 +2725,45 @@ def test_merge_source_missing_key_raises(spark, tmp_path):
     keyless = spark.createDataFrame([("zzz",)], "v string")
     with pytest.raises(ValueError, match="missing required column"):
         snapshot_merge(keyless, t, key="id")
+
+
+def test_keyed_delete_consults_blooms(spark, tmp_path):
+    """Round 11: on a bloomed table a keyed delete's DV scan plans
+    ~only the files that genuinely hold its keys — checked through
+    the DV coverage map (only the hit file gains coverage), since
+    stats on a wide-range column cannot prune the others."""
+    import json
+
+    from etfconstituentextractor_spark.sources.snapshot_table import snapshot_delete
+
+    t = str(tmp_path / "tbl")
+    # three files with overlapping id ranges so [min,max] stats can't
+    # separate them; blooms can
+    f1 = _df(spark, [(1, "a"), (400, "b")]).coalesce(1)
+    f2 = _df(spark, [(2, "c"), (500, "d")]).coalesce(1)
+    f3 = _df(spark, [(3, "e"), (600, "f")]).coalesce(1)
+    snapshot_commit(f1, t, mode="overwrite", stats_cols=["id"], bloom_cols=["id"])
+    snapshot_commit(f2, t, mode="append", stats_cols=["id"], bloom_cols=["id"])
+    snapshot_commit(f3, t, mode="append", stats_cols=["id"], bloom_cols=["id"])
+    kf = spark.createDataFrame([(500,)], "id bigint")
+    v = snapshot_delete(spark, t, keys=("id", kf))
+    assert [i for i, _ in _rows(spark, t, v)] == [1, 2, 3, 400, 600]
+    with open(os.path.join(t, "_manifests", f"v{v:08d}.json")) as fh:
+        dv = json.load(fh)["dv"]
+    # exactly ONE file gained DV coverage — the one holding key 500
+    assert len(dv["files"]) == 1 and list(dv["files"].values()) == [1]
+    # and the refinement itself PRUNES the candidate list to that file
+    # (DV coverage alone cannot show the scan was bounded): drive the
+    # shared helper directly against the pre-delete manifest
+    import etfconstituentextractor_spark.sources.snapshot_table as st
+
+    fs, _, jvm = st._fs_path(spark, t)
+    m = st._read_manifest(fs, jvm, t, 2)
+    all_files, _ = st._resolve(fs, jvm, t, m)
+    kframe = kf.select(F.col("id").alias("__dk"))
+    refined = st._bloom_refine_keyset(
+        spark, t, m, all_files, "id", kframe, "bigint"
+    )
+    assert len(refined) == 1, refined
+    covered_rel = list(dv["files"])[0]
+    assert refined == [covered_rel]
