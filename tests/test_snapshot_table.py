@@ -2767,3 +2767,60 @@ def test_keyed_delete_consults_blooms(spark, tmp_path):
     assert len(refined) == 1, refined
     covered_rel = list(dv["files"])[0]
     assert refined == [covered_rel]
+
+
+def test_stream_ingest_then_replicate_composes(spark, tmp_path):
+    """Round 11 end-to-end composition: a REAL stream drains into a
+    snapshot table via exactly-once ingest, replication mirrors it,
+    more micro-batches arrive, replication catches up — the full
+    ingest -> lakehouse -> CDC-mirror pipeline from already-pinned
+    pieces."""
+    import glob
+    import os
+    import shutil
+
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_replicate,
+        snapshot_stream_ingest,
+    )
+
+    src_files = str(tmp_path / "srcfiles")
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    dst = str(tmp_path / "mirror")
+    os.makedirs(src_files, exist_ok=True)
+
+    def stage(i):
+        spark.range(i * 10, i * 10 + 10).selectExpr(
+            "id", "CAST(id AS STRING) AS v"
+        ).coalesce(1).write.parquet(f"{src_files}/part{i}")
+        (p,) = glob.glob(f"{src_files}/part{i}/part-*.parquet")
+        d = f"{src_files}/chunk_{i}.parquet"
+        shutil.move(p, d)
+        os.utime(d, (1_600_000_000 + 10 * i,) * 2)
+
+    def drain():
+        q = (
+            spark.readStream.schema("id bigint, v string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_files)
+            .writeStream.foreachBatch(
+                snapshot_stream_ingest(t, "ing", stats_cols=["id"])
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for i in range(2):
+        stage(i)
+    drain()
+    snapshot_replicate(spark, t, dst, key="id")
+    assert _rows(spark, dst) == _rows(spark, t)
+    # more arrivals, another drain, replication catches up
+    stage(2)
+    drain()
+    snapshot_replicate(spark, t, dst, key="id")
+    assert _rows(spark, dst) == _rows(spark, t)
+    assert sorted(i for i, _ in _rows(spark, dst)) == list(range(30))
