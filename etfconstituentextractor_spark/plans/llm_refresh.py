@@ -466,8 +466,18 @@ def _merge_table(spark, sf_dir):
     table = os.path.join(gdir, "table")
     marker = os.path.join(gdir, "_fingerprint.json")
     if not _snapshot_cache_fresh(table, marker, fp, 3):
-        shutil.rmtree(gdir, ignore_errors=True)
-        os.makedirs(gdir)
+        # build-then-rename publish (the stage_chunks discipline —
+        # round-11 third review: two processes cold-starting the same
+        # generation previously rmtree'd each other's in-flight
+        # build); a lost rename race adopts the winner's identical
+        # generation, any other failure serves the scratch build
+        build = f"{gdir}.build-{os.getpid()}"
+        shutil.rmtree(build, ignore_errors=True)
+        os.makedirs(build)
+        gdir_final = gdir
+        gdir = build
+        table = os.path.join(gdir, "table")
+        marker = os.path.join(gdir, "_fingerprint.json")
         d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
         # one-file base + no stats: each stats pass is an extra agg
         # job; the stats-assisted merge path is pinned at pytest tier
@@ -493,6 +503,19 @@ def _merge_table(spark, sf_dir):
         assert rv == 2, f"restore expected to commit v2, got v{rv}"
         with open(marker, "w") as fh:
             _json.dump(fp, fh)
+        try:
+            os.rename(gdir, gdir_final)
+            table = os.path.join(gdir_final, "table")
+        except OSError:
+            if _snapshot_cache_fresh(
+                os.path.join(gdir_final, "table"),
+                os.path.join(gdir_final, "_fingerprint.json"),
+                fp,
+                3,
+            ):  # lost the race to a valid winner
+                shutil.rmtree(gdir, ignore_errors=True)
+                table = os.path.join(gdir_final, "table")
+            # else: serve the scratch build at `table` as-is
     return table
 
 

@@ -110,6 +110,8 @@ __all__ = [
     "snapshot_vacuum",
     "snapshot_version_as_of",
     "snapshot_view",
+    "snapshot_changes_view",
+    "snapshot_replicate",
 ]
 
 _MANIFEST_RE = re.compile(r"^v(\d{8})\.json$")
@@ -2554,7 +2556,19 @@ def snapshot_changes(
     # CDC-apply consumers (snapshot_replicate) need the NEW row values
     # for inserted/updated keys, and the new side already holds
     # exactly the added files' rows — an O(changed files) join, never
-    # a rescan of the table (deleted keys get NULL values)
+    # a rescan of the table (deleted keys get NULL values). The feed's
+    # metadata column names are RESERVED in this mode (the Delta-CDF
+    # convention of reserved _change columns, stated loudly instead of
+    # emitting ambiguous duplicates — round-11 third review)
+    clash = sorted(
+        {"change", "old_hash", "new_hash"} & set(new_side.columns)
+    )
+    if clash:
+        raise ValueError(
+            f"include_values reserves column names {clash} for feed "
+            "metadata — rename those table columns or consume the "
+            "feed without values"
+        )
     return diff.join(new_side, keys, "left")
 
 
@@ -2574,23 +2588,28 @@ def snapshot_replicate(
     source version ``dst`` now reflects.
 
     Protocol: the applied-through position lives in DST's OWN
-    idempotent-writer watermark (``txn=(writer_id, src_version)``,
-    the exactly-once-ingest machinery) — never a side file — so a
-    crash at ANY point resumes correctly: each source version applies
-    as upserts (``snapshot_merge`` of the feed's inserted/updated
-    rows, values carried by the feed at O(changed files)) followed by
-    a KEYED delete of the feed's deleted keys, with the version's
-    watermark stamped on the LAST commit of the pair. A crash between
-    the two re-applies the version from scratch — the merge re-upserts
-    identical rows (value-idempotent) and the delete then stamps; a
-    redelivered already-stamped version no-ops inside the commit path
-    itself (the zombie-writer rule). A version whose feed is EMPTY
-    (compaction, restore-to-same-state) stamps via a zero-row append
-    so later runs skip it without re-diffing.
+    idempotent-writer watermark (the exactly-once-ingest machinery) —
+    never a side file — with source version v applying as TWO
+    sub-sequenced commits: the upsert merge stamped ``seq = 2v`` and
+    the keyed delete (or, for upsert-only / empty feeds, the single
+    closing commit) stamped ``seq = 2v + 1``. BOTH halves carry a
+    watermark, so a stalled run waking after a faster run has moved
+    on no-ops INSIDE each commit (the zombie-writer rule) instead of
+    replaying a stale merge over newer state — an unstamped merge
+    half was exactly that hole (round-11 third review). An odd
+    watermark means its version fully applied; an even one means the
+    delete half is still owed and resume re-enters at that version
+    (the merge no-ops, the delete lands). Empty feeds (compaction,
+    restore-to-same-state) stamp via an empty KEYED DELETE — a
+    metadata-only audit commit that works on partitioned tables,
+    where a bare zero-row append would trip the partition-spec check
+    and wedge replication forever (round-11 third review).
 
     Bootstrap: when dst has no watermark for this writer, the
-    EARLIEST retained src version seeds dst as one overwrite commit,
-    then feeds apply upward. Source versions below the watermark must
+    EARLIEST retained src version seeds dst as one overwrite commit
+    CARRYING src's partition spec and stats columns (a replica that
+    silently dropped them would lose partition/stats pruning for
+    every later apply). Source versions below the watermark must
     still be retained (``v-1`` is diffed): vacuuming src past dst's
     applied position raises FileNotFoundError rather than silently
     skipping changes — re-bootstrap into a fresh dst in that case.
@@ -2607,22 +2626,30 @@ def snapshot_replicate(
     src_versions = _list_versions(fs, jvm, src)
     if not src_versions:
         raise FileNotFoundError(f"{src} has no committed versions to replicate")
-    applied = None
-    try:
-        applied = snapshot_last_txn(spark, dst, wid)
-    except FileNotFoundError:
-        pass  # dst doesn't exist yet — bootstrap below
-    todo = [v for v in src_versions if applied is None or v > applied]
-    if applied is None:
+    last = snapshot_last_txn(spark, dst, wid)
+    if last is None:
         # bootstrap from the earliest RETAINED version (vacuum may
         # have expired the true v0 — any retained version's read is
-        # that version's full state)
-        v0 = todo[0]
+        # that version's full state), inheriting src's partition spec
+        # and stats discipline
+        v0 = src_versions[0]
+        m0 = _read_manifest(fs, jvm, src, v0)
+        _, st0 = _resolve(fs, jvm, src, m0)
+        stats_cols = sorted({c for st in st0.values() for c in st}) or None
         snapshot_commit(
-            snapshot_read(spark, src, v0), dst, mode="overwrite", txn=(wid, v0)
+            snapshot_read(spark, src, v0),
+            dst,
+            mode="overwrite",
+            partition_by=m0.get("partition_by") or None,
+            stats_cols=stats_cols,
+            txn=(wid, 2 * v0 + 1),
         )
-        applied = v0
-        todo = todo[1:]
+        last = 2 * v0 + 1
+    # odd watermark 2v+1: v fully applied, continue at v+1;
+    # even watermark 2v: v's delete half still owed, re-enter at v
+    first_todo = (last + 1) // 2
+    todo = [v for v in src_versions if v >= first_todo]
+    applied = (last - 1) // 2
     for v in todo:
         if v - 1 not in src_versions:
             raise FileNotFoundError(
@@ -2653,13 +2680,13 @@ def snapshot_replicate(
         has_dels = dels.first() is not None
         if has_ups:
             snapshot_merge(
-                ups, dst, key=key, txn=None if has_dels else (wid, v)
+                ups, dst, key=key,
+                txn=(wid, 2 * v if has_dels else 2 * v + 1),
             )
-        if has_dels:
-            snapshot_delete(spark, dst, keys=(key, dels), txn=(wid, v))
-        if not has_ups and not has_dels:
-            # empty feed (pure file churn): stamp so later runs skip
-            empty = snapshot_read(spark, dst).limit(0)
-            snapshot_commit(empty, dst, mode="append", txn=(wid, v))
+        if has_dels or not has_ups:
+            # the version's CLOSING stamp: a keyed delete (possibly
+            # with an empty key frame — a metadata-only audit commit
+            # that is partition-spec-safe) carrying seq 2v+1
+            snapshot_delete(spark, dst, keys=(key, dels), txn=(wid, 2 * v + 1))
         applied = v
     return applied

@@ -2824,3 +2824,97 @@ def test_stream_ingest_then_replicate_composes(spark, tmp_path):
     snapshot_replicate(spark, t, dst, key="id")
     assert _rows(spark, dst) == _rows(spark, t)
     assert sorted(i for i, _ in _rows(spark, dst)) == list(range(30))
+
+
+def test_replicate_stale_merge_replay_noops(spark, tmp_path):
+    """Round-11 third review: a stalled replicate run waking after a
+    faster run advanced the watermark must NOT replay its stale merge
+    — both halves of a version's apply are sub-sequence-stamped, so
+    the in-commit replay check swallows the zombie."""
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_merge,
+        snapshot_replicate,
+    )
+
+    src = _build_src(spark, tmp_path)
+    dst = str(tmp_path / "dst")
+    snapshot_replicate(spark, src, dst, key="id")
+    before = _rows(spark, dst)
+    n_versions = len(
+        __import__(
+            "etfconstituentextractor_spark.sources.snapshot_table",
+            fromlist=["snapshot_versions"],
+        ).snapshot_versions(spark, dst)
+    )
+    # the zombie: an old version's merge half (seq = 2*v for v=3,
+    # long since passed) re-delivered with stale values
+    stale = _df(spark, [(3, "STALE")])
+    wid = "replicate:id"
+    snapshot_merge(stale, dst, key="id", txn=(wid, 2 * 3))
+    assert _rows(spark, dst) == before, "stale merge replay mutated the replica"
+    got_versions = __import__(
+        "etfconstituentextractor_spark.sources.snapshot_table",
+        fromlist=["snapshot_versions"],
+    ).snapshot_versions(spark, dst)
+    assert len(got_versions) == n_versions
+
+
+def test_replicate_partitioned_source_carries_spec_and_empty_feeds(spark, tmp_path):
+    """Round-11 third review: bootstrap inherits the source's
+    partition spec, and an empty feed (compaction churn) stamps via a
+    metadata-only keyed delete that a partitioned destination accepts
+    (a bare zero-row append tripped the partition-spec check and
+    wedged replication forever)."""
+    import json
+
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_compact,
+        snapshot_merge,
+        snapshot_replicate,
+    )
+
+    src = str(tmp_path / "psrc")
+    rows = [(i, f"r{i}", ["a", "b"][i % 2]) for i in range(12)]
+    snapshot_commit(
+        spark.createDataFrame(rows, "id bigint, v string, part string"),
+        src,
+        mode="overwrite",
+        partition_by=["part"],
+        stats_cols=["id"],
+    )
+    snapshot_merge(
+        spark.createDataFrame([(1, "upd", "b")], "id bigint, v string, part string"),
+        src,
+        key="id",
+    )
+    snapshot_compact(spark, src, small_bytes=1 << 30)  # pure churn
+    dst = str(tmp_path / "pdst")
+    snapshot_replicate(spark, src, dst, key="id")
+
+    def rows_of(t):
+        return sorted(
+            (r["id"], r["v"], r["part"])
+            for r in snapshot_read(spark, t).collect()
+        )
+
+    assert rows_of(dst) == rows_of(src)
+    with open(os.path.join(dst, "_manifests", "v00000000.json")) as fh:
+        assert json.load(fh)["partition_by"] == ["part"]
+    # idempotent second run (the empty-feed stamp advanced the
+    # watermark past the compact version)
+    n = len(
+        __import__(
+            "etfconstituentextractor_spark.sources.snapshot_table",
+            fromlist=["snapshot_versions"],
+        ).snapshot_versions(spark, dst)
+    )
+    snapshot_replicate(spark, src, dst, key="id")
+    assert (
+        len(
+            __import__(
+                "etfconstituentextractor_spark.sources.snapshot_table",
+                fromlist=["snapshot_versions"],
+            ).snapshot_versions(spark, dst)
+        )
+        == n
+    )

@@ -133,16 +133,21 @@ def test_z_value_n_2d_fast_path_equals_general(spark):
         assert r["z"] == py_z_value(r["a"], r["b"], 8)
 
 
-def test_zorder_layout_3_columns_caps_bits_and_orders(spark):
+def test_zorder_layout_caps_bits_for_many_dims(spark):
+    """4 dims at the 16-bit default would need 64 key bits — the
+    layout must CLAMP to 63//4 = 15 bits/dim (round-11 third review:
+    the prior test's arithmetic never reached the clamp branch)."""
     from etfconstituentextractor_spark.operators.zorder import zorder_layout
 
     df = spark.createDataFrame(
-        [(i % 7, (i * 3) % 11, i % 5, f"p{i}") for i in range(100)],
-        "x int, y int, w int, payload string",
+        [(i % 7, (i * 3) % 11, i % 5, i % 3, f"p{i}") for i in range(100)],
+        "x int, y int, w int, u int, payload string",
     )
-    laid = zorder_layout(df, "x", "y", "w", bits=16)  # 16*3 > 63 -> capped
+    laid = zorder_layout(df, "x", "y", "w", "u", bits=16)  # 64 > 63 -> 15
     zs = [r["__z"] for r in laid.collect()]
-    assert all(z >= 0 for z in zs) and len(zs) == 100
+    assert len(zs) == 100
+    # 15 bits x 4 dims = 60 key bits: every key fits and is non-negative
+    assert all(0 <= z < (1 << 60) for z in zs)
     with __import__("pytest").raises(ValueError, match="at least 2"):
         zorder_layout(df, "x")
 

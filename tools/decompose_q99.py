@@ -48,14 +48,26 @@ def featured_frame():
 
 
 def with_contamination(featured):
+    # MIRRORS pipeline/curation.py's shipped stage (materialized
+    # contaminated-ids broadcast — round 11); this tool deliberately
+    # restates the stage bodies so cumulative prefixes can be timed,
+    # which means any curation.py stage change must be copied here or
+    # the attribution measures a plan the pipeline no longer runs
+    # (round-11 third review caught exactly that drift).
     docs = load(spark, SF_DIR, "documents")
     eval_docs = docs.filter((F.col("doc_id") % 43) == 0).select("doc_id", "text")
-    cont = ngram_contamination(
-        featured.filter(F.col("quality_pass")).select("doc_id", "text"),
-        eval_docs,
-        contaminated_at=8,
-    ).select("doc_id", (F.col("verdict") == "contaminated").alias("contaminated"))
-    return featured.join(cont, "doc_id", "left").withColumn(
+    cont_ids = (
+        ngram_contamination(
+            featured.filter(F.col("quality_pass")).select("doc_id", "text"),
+            eval_docs,
+            contaminated_at=8,
+        )
+        .filter(F.col("verdict") == "contaminated")
+        .select("doc_id", F.lit(True).alias("contaminated"))
+        .coalesce(8)
+        .localCheckpoint()
+    )
+    return featured.join(F.broadcast(cont_ids), "doc_id", "left").withColumn(
         "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
     )
 
