@@ -2650,12 +2650,34 @@ def snapshot_replicate(
     first_todo = (last + 1) // 2
     todo = [v for v in src_versions if v >= first_todo]
     applied = (last - 1) // 2
+    dst_fs, _, dst_jvm = _fs_path(spark, dst)
     for v in todo:
         if v - 1 not in src_versions:
             raise FileNotFoundError(
                 f"replicating {src} -> {dst}: version {v - 1} needed to diff "
                 f"into {v} has been vacuumed away — re-bootstrap a fresh dst"
             )
+        # SCHEMA EVOLUTION through replication (round 11): a source
+        # version whose recorded schema gained columns evolves dst
+        # FIRST via a zero-row append carrying the new schema (the
+        # additive merge in snapshot_commit does the rest), so the
+        # version's upserts — whose feed values carry the new columns
+        # — align instead of raising. Guarded by a field diff, so
+        # replays are no-ops; dst tables without schema tracking skip
+        # (their merges never aligned anyway).
+        sm = _manifest_schema(_read_manifest(fs, jvm, src, v))
+        if sm is not None:
+            dvs = _list_versions(dst_fs, dst_jvm, dst)
+            dm = _read_manifest(dst_fs, dst_jvm, dst, dvs[-1])
+            if dm.get("schema") is not None:
+                known = {f["name"] for f in dm["schema"]["fields"]}
+                if any(f.name not in known for f in sm.fields):
+                    snapshot_commit(
+                        spark.createDataFrame([], sm),
+                        dst,
+                        mode="append",
+                        partition_by=dm.get("partition_by") or None,
+                    )
         feed = (
             snapshot_changes(
                 spark, src, v - 1, v, keys=[key], compare_cols=compare_cols,

@@ -2918,3 +2918,44 @@ def test_replicate_partitioned_source_carries_spec_and_empty_feeds(spark, tmp_pa
         )
         == n
     )
+
+
+def test_replicate_carries_schema_evolution(spark, tmp_path):
+    """Round 11: a source whose schema evolved mid-history replicates
+    — the destination evolves via a zero-row append before the
+    version's upserts align, and old rows null-fill the new column on
+    both sides."""
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_merge,
+        snapshot_replicate,
+    )
+
+    src = str(tmp_path / "src")
+    snapshot_commit(_df(spark, [(1, "a"), (2, "b")]), src, mode="overwrite")
+    dst = str(tmp_path / "dst")
+    snapshot_replicate(spark, src, dst, key="id")
+    # evolve src: append a wider frame, then merge touching the new col
+    wide = spark.createDataFrame(
+        [(3, "c", 7.5)], "id bigint, v string, score double"
+    )
+    snapshot_commit(wide, src, mode="append")
+    snapshot_merge(
+        spark.createDataFrame([(1, "a2", 1.25)], "id bigint, v string, score double"),
+        src,
+        key="id",
+    )
+    snapshot_replicate(spark, src, dst, key="id")
+    got = {
+        r["id"]: (r["v"], r["score"])
+        for r in snapshot_read(spark, dst).collect()
+    }
+    assert got == {1: ("a2", 1.25), 2: ("b", None), 3: ("c", 7.5)}
+    # idempotent: re-running adds no versions (the evolution step is
+    # guarded by the field diff)
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_versions,
+    )
+
+    n = len(snapshot_versions(spark, dst))
+    snapshot_replicate(spark, src, dst, key="id")
+    assert len(snapshot_versions(spark, dst)) == n
