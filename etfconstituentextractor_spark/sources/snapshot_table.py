@@ -112,6 +112,7 @@ __all__ = [
     "snapshot_view",
     "snapshot_changes_view",
     "snapshot_replicate",
+    "snapshot_history",
 ]
 
 _MANIFEST_RE = re.compile(r"^v(\d{8})\.json$")
@@ -1940,6 +1941,39 @@ def snapshot_view(
     df = snapshot_read(spark, path, version=version, where=where)
     df.createOrReplaceTempView(name)
     return df
+
+
+def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
+    """The table's commit history as a DataFrame — the DESCRIBE
+    HISTORY shape: one row per retained version with (version, op,
+    parent, committed_at, n_files, restored_from, txn as a JSON
+    string). Metadata-only (root-manifest reads, no data I/O);
+    register it with ``createOrReplaceTempView`` for SQL audits."""
+    import json as _json
+
+    fs, _, jvm = _fs_path(spark, path)
+    versions = _list_versions(fs, jvm, path)
+    if not versions:
+        raise FileNotFoundError(f"{path} has no committed versions")
+    rows = []
+    for v in versions:
+        m = _read_manifest(fs, jvm, path, v)
+        rows.append(
+            (
+                v,
+                m.get("op"),
+                m.get("parent"),
+                float(m["committed_at"]) if m.get("committed_at") is not None else None,
+                int(m.get("n_files", 0)),
+                m.get("restored_from"),
+                _json.dumps(m["txn"]) if m.get("txn") else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, op string, parent int, committed_at double, "
+        "n_files int, restored_from int, txn string",
+    )
 
 
 def snapshot_changes_view(

@@ -2959,3 +2959,26 @@ def test_replicate_carries_schema_evolution(spark, tmp_path):
     n = len(snapshot_versions(spark, dst))
     snapshot_replicate(spark, src, dst, key="id")
     assert len(snapshot_versions(spark, dst)) == n
+
+
+def test_snapshot_history_describes_the_commit_chain(spark, tmp_path):
+    from etfconstituentextractor_spark.sources.snapshot_table import (
+        snapshot_history,
+        snapshot_merge,
+        snapshot_restore,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, [(1, "a")]), t, mode="overwrite")
+    snapshot_commit(_df(spark, [(2, "b")]), t, mode="append", txn=("w", 5))
+    snapshot_merge(_df(spark, [(1, "a2")]), t, key="id")
+    rv = snapshot_restore(spark, t, 0)
+    h = {r["version"]: r for r in snapshot_history(spark, t).collect()}
+    assert [h[v]["op"] for v in sorted(h)] == [
+        "overwrite", "append", "merge", "restore",
+    ]
+    assert h[rv]["restored_from"] == 0
+    assert '"w": 5' in h[1]["txn"]
+    # committed_at is monotone (the max-adjust rule)
+    ts = [h[v]["committed_at"] for v in sorted(h)]
+    assert ts == sorted(ts)
