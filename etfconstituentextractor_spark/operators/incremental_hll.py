@@ -97,7 +97,20 @@ def hll_cdc_maintain(
     — deriving dirty groups from the new side alone would leave
     stale contributions behind (a group whose every row was deleted
     simply drops, matching the recompute).
+
+    NULL-KEY rows are outside the keyed-dataset contract (the same
+    rule snapshot_replicate enforces): snapshot_diff's key join can
+    never match them, so null-keyed tables surface phantom
+    inserted+deleted pairs every version, and the dirty-key semi-
+    joins below use plain (null-rejecting) equality. Feed rows with
+    a NULL key are dropped here (round-12 advice) — give rows real
+    keys if their changes must maintain the sketch.
     """
+    nn = None
+    for c in keys:
+        p_ = F.col(c).isNotNull()
+        nn = p_ if nn is None else (nn & p_)
+    feed = feed.filter(nn)
     inserts = feed.filter(F.col("change") == "inserted")
     dirty_keys = (
         feed.filter(F.col("change") != "inserted").select(*keys).distinct()

@@ -638,12 +638,16 @@ def _shingle_and_bands_cached(spark, sf_dir, d):
                 shutil.rmtree(build, ignore_errors=True)
             else:
                 # root exists but is STALE (old corpus/recipe): move
-                # it aside, then claim; any failure serves scratch
+                # it aside, then claim; any failure serves scratch.
+                # The moved-aside generation stays ON DISK (round-12
+                # advice): a concurrent run that resolved the old
+                # root may still be lazily scanning its files — the
+                # dangling-frame discipline _merge_table's generation
+                # dirs use. Bounded: one aside per corpus refresh.
                 try:
                     aside = f"{root}.stale-{os.getpid()}"
                     os.rename(root, aside)
                     os.rename(build, root)
-                    shutil.rmtree(aside, ignore_errors=True)
                 except OSError:
                     root = build  # serve our scratch layout
     return (

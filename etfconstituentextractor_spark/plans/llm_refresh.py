@@ -515,8 +515,50 @@ def _merge_table(spark, sf_dir):
             ):  # lost the race to a valid winner
                 shutil.rmtree(gdir, ignore_errors=True)
                 table = os.path.join(gdir_final, "table")
-            # else: serve the scratch build at `table` as-is
+            else:
+                # gdir_final exists but is STALE/PARTIAL (a killed
+                # build published, or tmp cleanup ate data files):
+                # without healing, the rename fails on every future
+                # run and each leaks a fresh .build-<pid> (round-12
+                # advice). Move the carcass aside and claim — the
+                # aside stays on disk (dangling-frame discipline:
+                # a concurrent run may still be lazily scanning it).
+                try:
+                    os.rename(gdir_final, f"{gdir_final}.stale-{os.getpid()}")
+                    os.rename(gdir, gdir_final)
+                    table = os.path.join(gdir_final, "table")
+                except OSError:
+                    pass  # serve the scratch build at `table` as-is
+        _sweep_dead_builds(base)
     return table
+
+
+def _sweep_dead_builds(base):
+    """Remove abandoned ``*.build-<pid>`` scratch dirs whose owning
+    process is gone (round-12 advice: a crash between makedirs and
+    publish strands one per run). Live pids are skipped — their build
+    is in flight; our own is gone by the time this runs (renamed or
+    rmtree'd). ``*.stale-*`` asides are left alone: a frame resolved
+    against them may still be scanning (the dangling-frame rule)."""
+    import os
+    import re as _re
+    import shutil
+
+    try:
+        names = os.listdir(base)
+    except OSError:
+        return
+    for n in names:
+        mm = _re.search(r"\.build-(\d+)$", n)
+        if not mm:
+            continue
+        pid = int(mm.group(1))
+        try:
+            os.kill(pid, 0)  # signal 0: existence probe only
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(base, n), ignore_errors=True)
+        except OSError:
+            continue  # alive under another uid, or probe unsupported
 
 
 def _snapshot_cache_fresh(table, marker, fp, n_roots):

@@ -1144,14 +1144,35 @@ def snapshot_merge(
                 f"merge source is missing required column(s) {required} "
                 "(the merge key and partition columns must be present)"
             )
-        if have != known:
-            source = source.select(
-                *[
-                    F.col(f.name) if f.name in have
-                    else F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in tschema.fields
-                ]
-            )
+        # TYPE alignment (round 12, advice): name-only alignment let a
+        # drifted-type source column (int where the table recorded
+        # bigint) publish files that poison every subsequent
+        # recorded-schema read ('Parquet column cannot be converted')
+        # — a corrupt version discovered only after commit. Lossless
+        # widenings cast silently (the source type is a strict subset
+        # of the recorded domain); anything else raises PRE-write,
+        # matching the append path's "type changes raise" contract.
+        stypes = {f.name: f.dataType for f in source.schema.fields}
+        aligned = []
+        retype = False
+        for f in tschema.fields:
+            st = stypes.get(f.name)
+            if st is None:
+                aligned.append(F.lit(None).cast(f.dataType).alias(f.name))
+            elif st == f.dataType:
+                aligned.append(F.col(f.name))
+            elif _is_lossless_widening(st, f.dataType):
+                aligned.append(F.col(f.name).cast(f.dataType).alias(f.name))
+                retype = True
+            else:
+                raise ValueError(
+                    f"merge source column {f.name!r} has type "
+                    f"{st.simpleString()} but the table recorded "
+                    f"{f.dataType.simpleString()} — cast the source "
+                    "explicitly (silent coercion is how tables rot)"
+                )
+        if have != known or retype:
+            source = source.select(*aligned)
 
     # source keys: bounds for stat pruning + a broadcast frame for the
     # exact membership probe (keys only — never source payloads).
@@ -2103,6 +2124,25 @@ def _manifest_schema(m: dict):
     from pyspark.sql.types import StructType
 
     return StructType.fromJson(sj)
+
+
+#: source type -> recorded types it may silently widen into during
+#: merge alignment (round 12). Strict value-preserving embeddings
+#: only: integral up-chain, float->double, date->timestamp. Narrowing
+#: and cross-family casts raise — Spark would "succeed" at plan time
+#: and truncate/NULL at runtime, which is exactly the poisoned-version
+#: hazard the alignment exists to prevent.
+_WIDENINGS = {
+    "tinyint": {"smallint", "int", "bigint"},
+    "smallint": {"int", "bigint"},
+    "int": {"bigint"},
+    "float": {"double"},
+    "date": {"timestamp"},
+}
+
+
+def _is_lossless_widening(src, dst) -> bool:
+    return dst.simpleString() in _WIDENINGS.get(src.simpleString(), ())
 
 
 def _merge_schema_json(parent_sj: dict, new_sj: dict) -> dict:

@@ -175,3 +175,50 @@ def test_null_group_maintenance_is_exact(spark, tmp_path):
         ).localCheckpoint()
     expect = hll_registers(snapshot_read(spark, t, 2), ["lang"], "token", P)
     assert _regs_set(state) == _regs_set(expect)
+
+
+def test_null_key_feed_rows_are_dropped(spark, tmp_path):
+    """Round-12 advice: snapshot_diff emits phantom inserted+deleted
+    pairs for null-KEYED rows (keys, not groups), and the dirty-key
+    semi-joins use null-rejecting equality — such rows must be
+    filtered out of the feed, mirroring snapshot_replicate. The
+    maintained state over the non-null-keyed rows stays exact."""
+    t = str(tmp_path / "tbl")
+    rows = [(1, "en", "a"), (None, "en", "ghost"), (2, "de", "b")]
+    snapshot_commit(
+        spark.createDataFrame(rows, "id bigint, lang string, token string"),
+        t,
+        mode="overwrite",
+    )
+    # v1: overwrite that revises the null-keyed row's token (its
+    # change surfaces in the diff ONLY as a NULL-key phantom pair)
+    # and updates a real key
+    snapshot_commit(
+        spark.createDataFrame(
+            [(1, "en", "a2"), (None, "en", "ghost2"), (2, "de", "b")],
+            "id bigint, lang string, token string",
+        ),
+        t,
+        mode="overwrite",
+    )
+    state0 = hll_registers(snapshot_read(spark, t, 0), ["lang"], "token", P)
+    feed = snapshot_changes(spark, t, 0, 1, keys=["id"], include_values=True)
+    # the phantom pair is present in the raw feed...
+    assert feed.filter(F.col("id").isNull()).count() > 0
+    state1 = hll_cdc_maintain(
+        state0,
+        feed,
+        snapshot_read(spark, t, 0),
+        snapshot_read(spark, t, 1),
+        keys=["id"],
+        group_cols=["lang"],
+        value_col="token",
+        p=P,
+    )
+    # ...but maintenance neither crashes nor churns: id=1's group
+    # rebuilt (token a->a2 visible), and the result equals a full
+    # recompute over v1 (the null-keyed row's values enter via the
+    # dirty-group REBUILD from `current`, which reads the table, not
+    # the feed — so the estimate stays exact even for its group)
+    expect = hll_registers(snapshot_read(spark, t, 1), ["lang"], "token", P)
+    assert _regs_set(state1) == _regs_set(expect)

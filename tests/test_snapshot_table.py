@@ -2982,3 +2982,87 @@ def test_snapshot_history_describes_the_commit_chain(spark, tmp_path):
     # committed_at is monotone (the max-adjust rule)
     ts = [h[v]["committed_at"] for v in sorted(h)]
     assert ts == sorted(ts)
+
+
+def test_merge_source_type_drift_raises_before_write(spark, tmp_path):
+    """Round-12 advice: name-only alignment let a drifted-type source
+    column publish files that poison every recorded-schema read. An
+    incompatible type must raise PRE-write, leaving no new version."""
+    from etfconstituentextractor_spark.sources.snapshot_table import snapshot_merge
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, [(1, "a"), (2, "b")]), t, mode="overwrite")
+    drifted = spark.createDataFrame([(1, 42)], "id bigint, v int")  # v: string->int
+    with pytest.raises(ValueError, match="recorded"):
+        snapshot_merge(drifted, t, key="id")
+    assert [v["version"] for v in snapshot_versions(spark, t)] == [0]  # nothing published
+    # the table still reads clean under its recorded schema
+    assert sorted(r.id for r in snapshot_read(spark, t).collect()) == [1, 2]
+
+
+def test_merge_source_lossless_widening_casts(spark, tmp_path):
+    """Round-12 advice companion: an int source column where the table
+    recorded bigint is a strict value-preserving embedding — it casts
+    silently, and subsequent recorded-schema reads stay healthy."""
+    from etfconstituentextractor_spark.sources.snapshot_table import snapshot_merge
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        spark.createDataFrame([(1, 10), (2, 20)], "id bigint, n bigint"),
+        t,
+        mode="overwrite",
+    )
+    narrow = spark.createDataFrame([(1, 11), (3, 30)], "id bigint, n int")
+    snapshot_merge(narrow, t, key="id")
+    got = {r["id"]: r["n"] for r in snapshot_read(spark, t).collect()}
+    assert got == {1: 11, 2: 20, 3: 30}
+    # schema stayed the RECORDED one (bigint), not the source's
+    assert dict(snapshot_read(spark, t).dtypes)["n"] == "bigint"
+
+
+def test_merge_table_cache_heals_stale_partial_generation(spark, tmp_path, monkeypatch):
+    """Round-12 advice: a published-but-partial generation dir used to
+    make the claim rename fail forever — every run rebuilt AND leaked
+    a .build-<pid>. The lost-race fallback now moves the carcass
+    aside and claims, so the cache heals; dead-pid scratch builds are
+    swept; *.stale-* asides stay on disk (dangling-frame rule)."""
+    import json
+    import os
+
+    import etfconstituentextractor_spark.plans.llm_refresh as lr
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+    monkeypatch.setattr(
+        "tempfile.gettempdir", lambda: str(tmp_path)
+    )
+    base = str(tmp_path / f"etfce_mergetbl_{os.path.basename(sf_dir).replace('.', '_')}")
+    # plant a PARTIAL generation at the final path: marker missing ->
+    # never fresh, and (pre-fix) os.rename(build, gdir_final) would
+    # fail with ENOTEMPTY forever
+    from etfconstituentextractor_spark.sources.fingerprint import table_fingerprint
+    import hashlib
+
+    fp = {"documents": table_fingerprint(sf_dir, "documents"), "recipe": 2}
+    gen = hashlib.md5(json.dumps(fp, sort_keys=True).encode()).hexdigest()[:12]
+    gdir = os.path.join(base, f"gen-{gen}")
+    os.makedirs(os.path.join(gdir, "table"))
+    with open(os.path.join(gdir, "junk.txt"), "w") as fh:
+        fh.write("partial build carcass")
+    # and a dead-pid scratch build that should be swept
+    dead = os.path.join(base, f"gen-{gen}.build-999999999")
+    os.makedirs(dead)
+
+    table = lr._merge_table(spark, sf_dir)
+    # healed: the FINAL path is now served (not a .build scratch)
+    assert table == os.path.join(gdir, "table")
+    assert lr._snapshot_cache_fresh(
+        table, os.path.join(gdir, "_fingerprint.json"), fp, 3
+    )
+    # the carcass was moved aside, not destroyed
+    asides = [n for n in os.listdir(base) if ".stale-" in n]
+    assert len(asides) == 1
+    # the dead-pid scratch build was swept; no fresh leak from us
+    assert not os.path.exists(dead)
+    assert [n for n in os.listdir(base) if ".build-" in n] == []
+    # a second call reuses the healed generation (pure read)
+    assert lr._merge_table(spark, sf_dir) == table
