@@ -85,6 +85,12 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Spark's default, pinned EXPLICITLY (round 12): the bench's
+        # Python-worker query class (stateful streaming, pandas UDF)
+        # depends on workers surviving across jobs — a distribution or
+        # env flipping this default would silently re-fork the daemon
+        # per task and read as an engine regression.
+        .config("spark.python.worker.reuse", "true")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

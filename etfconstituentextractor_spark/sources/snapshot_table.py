@@ -876,6 +876,12 @@ def _set_txn(manifest: dict, pm: dict | None, txn: tuple[str, int] | None) -> No
         txns[wid] = max(int(seq), int(txns.get(wid, -1)))
     if txns:
         manifest["txn"] = txns
+    # replication fan-in ownership claims (round 12) ride every
+    # commit the same way watermarks do: pure carry here —
+    # registration/validation happens in snapshot_claim_range
+    owners = (pm or {}).get("owners")
+    if owners:
+        manifest["owners"] = dict(owners)
     parent_at = (pm or {}).get("committed_at")
     now = time.time()
     manifest["committed_at"] = (
@@ -1964,6 +1970,47 @@ def snapshot_view(
     return df
 
 
+def snapshot_insert_into(
+    spark: SparkSession,
+    path: str,
+    sql_or_view: str,
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Plain-SQL WRITE surface for snapshot tables (round 12):
+    evaluate ``sql_or_view`` — a SQL SELECT statement, or the name of
+    a (temp) view — and APPEND its rows to the table at ``path`` as a
+    versioned commit. Returns the new version. This completes the SQL
+    surface snapshot_view/snapshot_changes_view opened for reads: a
+    SQL-only user can now round-trip
+    ``snapshot_view(...); spark.sql("INSERT-shaped SELECT ...")``
+    through ``snapshot_insert_into`` without touching the DataFrame
+    API.
+
+    Semantics are exactly snapshot_commit(mode='append'): the
+    table's recorded PARTITION SPEC is looked up from the latest
+    manifest and applied automatically (a plain-SQL caller should not
+    need to know it); schema validation is the additive-evolution
+    contract (new columns append to the recorded schema, same-name
+    type changes raise BEFORE any data is written, columns the SELECT
+    omits null-fill on read); ``txn`` carries an idempotent-writer
+    watermark for exactly-once SQL ingest. Commit mechanics (atomic
+    manifest claim, O(new files) metadata, stats/bloom carry) are the
+    append path's."""
+    import re as _re
+
+    if _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", sql_or_view.strip()):
+        df = spark.table(sql_or_view.strip())
+    else:
+        df = spark.sql(sql_or_view)
+    fs, _, jvm = _fs_path(spark, path)
+    versions = _list_versions(fs, jvm, path)
+    pby = None
+    if versions:
+        m = _read_manifest(fs, jvm, path, versions[-1])
+        pby = m.get("partition_by") or None
+    return snapshot_commit(df, path, mode="append", partition_by=pby, txn=txn)
+
+
 def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
     """The table's commit history as a DataFrame — the DESCRIBE
     HISTORY shape: one row per retained version with (version, op,
@@ -2653,6 +2700,7 @@ def snapshot_replicate(
     key: str,
     writer_id: str | None = None,
     compare_cols: list[str] | None = None,
+    key_range: tuple | None = None,
 ) -> int:
     """EXACTLY-ONCE CDC replication: bring table ``dst`` up to
     table ``src``'s head by applying ``src``'s change feed version by
@@ -2692,14 +2740,70 @@ def snapshot_replicate(
     files) rewrite + O(1) metadata — independent of table size; the
     deleted-key set is bounded by the version's delta and broadcasts.
     Replication lag is bounded by how often this runs, not by corpus
-    size."""
+    size.
+
+    MULTI-WRITER FAN-IN (round 12): ``key_range=(lo, hi)`` — the
+    half-open key interval [lo, hi), either end None for unbounded —
+    makes this writer one of several mirroring DISTINCT sources into
+    ONE destination. Each writer owns its range exclusively: the
+    claim is registered in dst's manifest (``snapshot_claim_range``),
+    overlapping claims raise at registration, a hijacked or mutated
+    claim raises on every later apply, and every feed row outside the
+    range is filtered before it can touch another writer's keys. The
+    txn map already namespaces the per-writer watermarks; the range
+    contract is what makes the interleaved merges conflict-FREE
+    rather than merely serializable (two unconstrained writers
+    upserting the same key would converge to commit order, not to
+    either source). Bootstrap under fan-in: the first writer may
+    create dst (range-filtered overwrite), later writers fold their
+    range in by MERGE — an overwrite would clobber the other owners'
+    rows."""
     from pyspark.sql import functions as F
 
-    wid = writer_id or f"replicate:{key}"
+    if key_range is not None:
+        rlo, rhi = key_range
+        wid = writer_id or f"replicate:{key}:[{rlo},{rhi})"
+    else:
+        wid = writer_id or f"replicate:{key}"
     fs, _, jvm = _fs_path(spark, src)
     src_versions = _list_versions(fs, jvm, src)
     if not src_versions:
         raise FileNotFoundError(f"{src} has no committed versions to replicate")
+
+    def _in_range(df):
+        if key_range is None:
+            return df
+        cond = F.lit(True)
+        if rlo is not None:
+            cond = cond & (F.col(key) >= F.lit(rlo))
+        if rhi is not None:
+            cond = cond & (F.col(key) < F.lit(rhi))
+        return df.filter(cond)
+
+    if key_range is not None:
+        # Under fan-in nobody ever overwrites dst: a second "first
+        # writer" overwriting would clobber the winner's rows. Ensure
+        # dst exists as an EMPTY table (v0 creation is the atomic
+        # manifest claim — a lost race just means someone else created
+        # it), then validate-or-register the range claim BEFORE any
+        # data work, so an overlapping claim surfaces as the
+        # registration error, never as silently interleaved upserts.
+        dst_fs0, _, dst_jvm0 = _fs_path(spark, dst)
+        if not _list_versions(dst_fs0, dst_jvm0, dst):
+            m0 = _read_manifest(fs, jvm, src, src_versions[0])
+            sm0 = _manifest_schema(m0) or snapshot_read(
+                spark, src, src_versions[0]
+            ).schema
+            try:
+                snapshot_commit(
+                    spark.createDataFrame([], sm0),
+                    dst,
+                    mode="overwrite",
+                    partition_by=m0.get("partition_by") or None,
+                )
+            except ConcurrentCommitError:
+                pass  # another writer created dst — same empty state
+        snapshot_claim_range(spark, dst, wid, key, rlo, rhi)
     last = snapshot_last_txn(spark, dst, wid)
     if last is None:
         # bootstrap from the earliest RETAINED version (vacuum may
@@ -2710,14 +2814,23 @@ def snapshot_replicate(
         m0 = _read_manifest(fs, jvm, src, v0)
         _, st0 = _resolve(fs, jvm, src, m0)
         stats_cols = sorted({c for st in st0.values() for c in st}) or None
-        snapshot_commit(
-            snapshot_read(spark, src, v0),
-            dst,
-            mode="overwrite",
-            partition_by=m0.get("partition_by") or None,
-            stats_cols=stats_cols,
-            txn=(wid, 2 * v0 + 1),
-        )
+        seed = _in_range(snapshot_read(spark, src, v0))
+        if key_range is not None:
+            # fan-in writers fold their range into the shared
+            # destination by MERGE, never overwrite (which would wipe
+            # the other owners' rows); the claim above guarantees
+            # these keys belong to nobody else. Pure-insert into the
+            # empty/others' table: O(seed) work.
+            snapshot_merge(seed, dst, key=key, txn=(wid, 2 * v0 + 1))
+        else:
+            snapshot_commit(
+                seed,
+                dst,
+                mode="overwrite",
+                partition_by=m0.get("partition_by") or None,
+                stats_cols=stats_cols,
+                txn=(wid, 2 * v0 + 1),
+            )
         last = 2 * v0 + 1
     # odd watermark 2v+1: v fully applied, continue at v+1;
     # even watermark 2v: v's delete half still owed, re-enter at v
@@ -2765,8 +2878,11 @@ def snapshot_replicate(
             # their later changes do not replicate — give rows real
             # keys if they must track.
             .filter(F.col(key).isNotNull())
-            .localCheckpoint()  # bounded by the delta; consumed 3x below
         )
+        # fan-in: only this writer's owned interval may touch dst —
+        # rows outside it belong to (and are replicated by) other
+        # writers, or to nobody
+        feed = _in_range(feed).localCheckpoint()  # bounded by the delta; consumed 3x below
         data_cols = [
             c for c in feed.columns if c not in ("old_hash", "new_hash", "change")
         ]
@@ -2785,4 +2901,195 @@ def snapshot_replicate(
             # that is partition-spec-safe) carrying seq 2v+1
             snapshot_delete(spark, dst, keys=(key, dels), txn=(wid, 2 * v + 1))
         applied = v
+    return applied
+
+
+def snapshot_claim_range(
+    spark: SparkSession,
+    path: str,
+    writer_id: str,
+    key: str,
+    lo,
+    hi,
+) -> int:
+    """Register (or re-validate) writer ``writer_id``'s EXCLUSIVE
+    ownership of the half-open key interval [``lo``, ``hi``) on table
+    ``path`` — the keyed-partition ownership contract that makes
+    multi-writer replication fan-in conflict-free (round 12). Either
+    bound may be None (unbounded). Returns the table's current (or
+    newly committed) version.
+
+    Rules, all enforced HERE so every fan-in writer hits one gate:
+    - all claims on a table must use the same key column (interval
+      math across different columns is meaningless) — mismatch raises;
+    - a claim overlapping any OTHER writer's interval raises — the
+      conflict-surfacing path (queue/retry is the caller's policy);
+    - the same writer re-claiming its IDENTICAL interval is a no-op
+      (no commit) — this doubles as the per-apply hijack check: a
+      claim that changed out from under a writer raises here;
+    - the same writer claiming a DIFFERENT interval raises —
+      ownership moves are manual operations, not silent drift.
+
+    The registration is a metadata-only commit (op 'claim') that
+    carries the parent's inventory/DV/blooms/schema verbatim — O(1),
+    audit-visible in snapshot_history. The owners map then rides
+    every later commit exactly like the idempotent-writer txn map
+    (_set_txn carries both). Two simultaneous first claims race on
+    the atomic manifest publish: the loser re-reads, re-validates
+    against the winner's now-registered interval, and either no-ops
+    (identical), raises (overlap), or retries its own publish."""
+
+    # claim values live in JSON manifests: plain scalars only, and the
+    # no-op check is an equality on the round-tripped dict
+    claim = {"key": key, "lo": lo, "hi": hi}
+    fs, _, jvm = _fs_path(spark, path)
+    for _ in range(5):
+        versions = _list_versions(fs, jvm, path)
+        if not versions:
+            raise FileNotFoundError(f"{path} has no committed versions to claim on")
+        parent = versions[-1]
+        m = _read_manifest(fs, jvm, path, parent)
+        owners = dict(m.get("owners") or {})
+        mine = owners.get(writer_id)
+        if mine == claim:
+            return parent  # already registered, unchanged — pure read
+        if mine is not None:
+            raise ValueError(
+                f"writer {writer_id!r} already owns {mine} on {path} — "
+                f"claiming {claim} would move ownership; release/re-key "
+                "explicitly instead"
+            )
+        for other_wid, oc in owners.items():
+            if oc["key"] != key:
+                raise ValueError(
+                    f"table {path} has claims keyed on {oc['key']!r} "
+                    f"(writer {other_wid!r}); all claims must share one "
+                    "key column"
+                )
+            # [lo1,hi1) and [lo2,hi2) overlap iff lo1 < hi2 and
+            # lo2 < hi1, with None = unbounded on that side
+            lo1, hi1 = claim["lo"], claim["hi"]
+            lo2, hi2 = oc["lo"], oc["hi"]
+            if (lo1 is None or hi2 is None or lo1 < hi2) and (
+                lo2 is None or hi1 is None or lo2 < hi1
+            ):
+                raise ValueError(
+                    f"claim [{lo1}, {hi1}) by {writer_id!r} overlaps "
+                    f"[{lo2}, {hi2}) owned by {other_wid!r} on {path}"
+                )
+        owners[writer_id] = claim
+        if "shards" in m:
+            sec = {"n_files": m["n_files"], "shards": m["shards"]}
+        else:
+            sec = {
+                "n_files": len(m["files"]),
+                "files": m["files"],
+                "stats": m.get("stats", {}),
+            }
+        manifest = {
+            "version": parent + 1,
+            "op": "claim",
+            "parent": parent,
+            **sec,
+            "partition_by": m.get("partition_by") or [],
+            "partition_types": m.get("partition_types") or {},
+            "owners": owners,
+        }
+        if m.get("schema") is not None:
+            manifest["schema"] = m["schema"]
+        if "dv" in m:
+            manifest["dv"] = m["dv"]
+        if m.get("bloom"):
+            manifest["bloom"] = m["bloom"]
+        _set_txn(manifest, m, None)
+        try:
+            _publish(fs, jvm, path, parent + 1, manifest)
+            return parent + 1
+        except ConcurrentCommitError:
+            continue  # re-read, re-validate against the winner
+    raise ConcurrentCommitError(
+        f"claim on {path} lost {5} consecutive publish races — retry"
+    )
+
+
+def snapshot_tail(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    key: str,
+    writer_id: str | None = None,
+    compare_cols: list[str] | None = None,
+    key_range: tuple | None = None,
+    poll_sec: float = 5.0,
+    backoff: float = 2.0,
+    max_poll_sec: float = 60.0,
+    stop_after_idle: int | None = 3,
+    max_polls: int | None = None,
+    sleep=None,
+) -> int:
+    """The SERVICE form of ``snapshot_replicate`` (round 12): poll
+    ``src`` on a schedule and keep ``dst`` converged to its head,
+    backing off exponentially while the source is quiet and snapping
+    back to ``poll_sec`` the moment a poll makes progress. Returns
+    the last source version ``dst`` reflects.
+
+    This wrapper adds NO protocol: crash-safety is entirely the
+    sub-sequenced watermark's (kill the process mid-version, restart
+    the tailer, and it resumes inside that version — the replicate
+    contract). What it adds is the deployment loop: scheduling,
+    backoff, bounded shutdown (``stop_after_idle`` consecutive
+    empty polls, and/or ``max_polls``), and lost-race handling —
+    a ConcurrentCommitError from a concurrent committer is treated
+    as a contended (not idle) poll and simply re-polled, because
+    replicate re-derives everything from the two tables' durable
+    state on every call.
+
+    ``sleep`` is injectable for deterministic tests (and for hosting
+    the loop inside a scheduler that wants to own the waiting); the
+    default is time.sleep. Lag is bounded by the poll cadence — at
+    100 TB the per-poll work stays O(changed files), so the cadence
+    is a freshness/cost dial, not a scale one."""
+    import time as _time
+
+    do_sleep = sleep if sleep is not None else _time.sleep
+    applied: int | None = None
+    idle = 0
+    polls = 0
+    delay = float(poll_sec)
+    last_err: Exception | None = None
+    while True:
+        polls += 1
+        progressed = False
+        try:
+            new = snapshot_replicate(
+                spark,
+                src,
+                dst,
+                key,
+                writer_id=writer_id,
+                compare_cols=compare_cols,
+                key_range=key_range,
+            )
+            progressed = applied is None or new > applied
+            applied = new
+            last_err = None
+        except ConcurrentCommitError as e:
+            # someone else is committing — contended, not idle:
+            # re-poll at base cadence (replicate re-derives fresh)
+            progressed = True
+            last_err = e
+        if progressed:
+            idle, delay = 0, float(poll_sec)
+        else:
+            idle += 1
+            delay = min(delay * float(backoff), float(max_poll_sec))
+        if stop_after_idle is not None and idle >= stop_after_idle:
+            break
+        if max_polls is not None and polls >= max_polls:
+            break
+        do_sleep(delay)
+    if applied is None:
+        raise last_err if last_err is not None else RuntimeError(
+            f"tail {src} -> {dst} made no successful poll"
+        )
     return applied

@@ -79,3 +79,37 @@ def test_q42_gapfill_leg_slice_stays_sparse(spark, sf_dir):
     assert agg["gaps"] > 0, "slice produced a dense series — no gaps to fill"
     assert agg["interior"] > 0, "no interior gaps — interpolation path unexercised"
     assert agg["leading"] > 0, "no leading edges — the NULL-edge path unexercised"
+
+
+def test_gapfill_per_key_bounds_stays_inside_each_keys_life(spark):
+    """Round-12 verdict nit: bounds='per_key' densifies each key only
+    over ITS OWN observed [min, max] — a short-lived key emits no
+    rows outside its range (the global mode stays the oracle-checked
+    default)."""
+    import pytest
+
+    out = gapfill(
+        _fixture(spark), key_col="k", bucket_col="b", value_col="v",
+        bounds="per_key",
+    )
+    rows = {(r["k"], r["b"]): r for r in out.collect()}
+    # key "a" lives [2, 5] -> 4 rows; key "b" lives [0, 7] -> 8 rows
+    assert len(rows) == 4 + 8
+    assert {b for (k, b) in rows if k == "a"} == {2, 3, 4, 5}
+    # fills agree with the global mode on the shared buckets
+    g = {
+        (r["k"], r["b"]): r
+        for r in gapfill(
+            _fixture(spark), key_col="k", bucket_col="b", value_col="v"
+        ).collect()
+    }
+    for kk in rows:
+        assert rows[kk]["v_locf"] == g[kk]["v_locf"]
+        assert rows[kk]["v_interp"] == g[kk]["v_interp"]
+        assert rows[kk]["gap"] == g[kk]["gap"]
+    # per-key mode has no leading/trailing edge rows at all: every
+    # locf is non-NULL (the range starts at an observation)
+    assert all(r["v_locf"] is not None for r in rows.values())
+    with pytest.raises(ValueError, match="per_key"):
+        gapfill(_fixture(spark), key_col="k", bucket_col="b", value_col="v",
+                bounds="weekly")

@@ -3066,3 +3066,203 @@ def test_merge_table_cache_heals_stale_partial_generation(spark, tmp_path, monke
     assert [n for n in os.listdir(base) if ".build-" in n] == []
     # a second call reuses the healed generation (pure read)
     assert lr._merge_table(spark, sf_dir) == table
+
+
+# ---------------------------------------------------------------- round 12:
+# the CDC tailing service (snapshot_tail) and multi-writer fan-in
+# (snapshot_claim_range + snapshot_replicate(key_range=...))
+
+
+def test_tail_mirrors_batches_as_they_drain(spark, tmp_path):
+    """The service loop: batches drain into src BETWEEN polls (via the
+    injectable sleep), the tailer converges to each new head, then
+    stops after the configured consecutive idle polls."""
+    import etfconstituentextractor_spark.sources.snapshot_table as st
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    snapshot_commit(_df(spark, [(1, "a"), (2, "b")]), src, mode="overwrite")
+    pending = [
+        lambda: snapshot_commit(_df(spark, [(3, "c")]), src, mode="append"),
+        lambda: st.snapshot_merge(_df(spark, [(1, "a2"), (4, "d")]), src, key="id"),
+        lambda: st.snapshot_delete(spark, src, where=("id", "=", 2)),
+    ]
+    delays = []
+
+    def drain(sec):
+        delays.append(sec)
+        if pending:
+            pending.pop(0)()
+
+    head = st.snapshot_tail(
+        spark, src, dst, key="id",
+        poll_sec=1.0, backoff=2.0, max_poll_sec=8.0,
+        stop_after_idle=3, sleep=drain,
+    )
+    assert not pending  # every batch was produced and consumed
+    assert head == st.snapshot_versions(spark, src)[-1]["version"]
+    assert _rows(spark, dst) == _rows(spark, src)
+    # backoff engaged on the idle tail: delays grow once src is quiet
+    assert delays[-1] > delays[0]
+
+
+def test_tail_killed_mid_version_restarts_and_converges(spark, tmp_path, monkeypatch):
+    """Kill the tailer INSIDE a version (after the merge half, before
+    the delete half), restart it, and it converges — the
+    sub-sequenced watermark resumes inside the half-applied version."""
+    import etfconstituentextractor_spark.sources.snapshot_table as st
+
+    src = _build_src(spark, tmp_path)  # v3 carries deletes
+    dst = str(tmp_path / "dst")
+    real_delete = st.snapshot_delete
+    calls = {"n": 0}
+
+    def failing_delete(spark_, path, where=None, retries=0, keys=None, txn=None):
+        if keys is not None and calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("injected kill between merge and delete")
+        return real_delete(spark_, path, where=where, retries=retries,
+                           keys=keys, txn=txn)
+
+    monkeypatch.setattr(st, "snapshot_delete", failing_delete)
+    with pytest.raises(RuntimeError, match="injected kill"):
+        st.snapshot_tail(spark, src, dst, key="id", stop_after_idle=2,
+                         sleep=lambda s: None)
+    # restart the service: it resumes inside the wounded version
+    head = st.snapshot_tail(spark, src, dst, key="id", stop_after_idle=2,
+                            sleep=lambda s: None)
+    assert _rows(spark, dst) == _rows(spark, src)
+    assert head == st.snapshot_versions(spark, src)[-1]["version"]
+
+
+def test_fanin_two_sources_one_destination_converges(spark, tmp_path):
+    """Two sources mirror into ONE destination under disjoint key
+    ranges: each writer's rows land, neither disturbs the other's,
+    and re-running either writer is a no-op."""
+    import etfconstituentextractor_spark.sources.snapshot_table as st
+
+    a, b, dst = (str(tmp_path / n) for n in ("a", "b", "dst"))
+    snapshot_commit(_df(spark, [(1, "a1"), (2, "a2")]), a, mode="overwrite")
+    st.snapshot_merge(_df(spark, [(1, "a1rev"), (5, "a5")]), a, key="id")
+    snapshot_commit(_df(spark, [(10, "b10"), (11, "b11")]), b, mode="overwrite")
+    st.snapshot_delete(spark, b, where=("id", "=", 11))
+
+    st.snapshot_replicate(spark, a, dst, key="id", key_range=(0, 10))
+    st.snapshot_replicate(spark, b, dst, key="id", key_range=(10, None))
+    got = {r["id"]: r["v"] for r in snapshot_read(spark, dst).collect()}
+    assert got == {1: "a1rev", 2: "a2", 5: "a5", 10: "b10"}
+    # more churn on each side, re-tail: still converged, still disjoint
+    st.snapshot_merge(_df(spark, [(2, "a2rev")]), a, key="id")
+    st.snapshot_merge(_df(spark, [(12, "b12")]), b, key="id")
+    st.snapshot_replicate(spark, b, dst, key="id", key_range=(10, None))
+    st.snapshot_replicate(spark, a, dst, key="id", key_range=(0, 10))
+    got = {r["id"]: r["v"] for r in snapshot_read(spark, dst).collect()}
+    assert got == {1: "a1rev", 2: "a2rev", 5: "a5", 10: "b10", 12: "b12"}
+
+
+def test_fanin_overlapping_claim_raises(spark, tmp_path):
+    import etfconstituentextractor_spark.sources.snapshot_table as st
+
+    a, b, dst = (str(tmp_path / n) for n in ("a", "b", "dst"))
+    snapshot_commit(_df(spark, [(1, "a1")]), a, mode="overwrite")
+    snapshot_commit(_df(spark, [(8, "b8")]), b, mode="overwrite")
+    st.snapshot_replicate(spark, a, dst, key="id", key_range=(0, 10))
+    with pytest.raises(ValueError, match="overlaps"):
+        st.snapshot_replicate(spark, b, dst, key="id", key_range=(5, 20))
+    # the conflicting writer wrote NOTHING
+    got = {r["id"] for r in snapshot_read(spark, dst).collect()}
+    assert got == {1}
+    # a disjoint claim from the same source then succeeds
+    st.snapshot_replicate(spark, b, dst, key="id", key_range=(10, 20))
+
+
+def test_fanin_filters_out_of_range_rows(spark, tmp_path):
+    """A source whose keys stray outside its writer's owned interval
+    must not leak them into dst — neither at bootstrap nor in later
+    change feeds."""
+    import etfconstituentextractor_spark.sources.snapshot_table as st
+
+    a, dst = str(tmp_path / "a"), str(tmp_path / "dst")
+    snapshot_commit(_df(spark, [(1, "in"), (99, "out")]), a, mode="overwrite")
+    st.snapshot_replicate(spark, a, dst, key="id", key_range=(0, 10))
+    assert {r["id"] for r in snapshot_read(spark, dst).collect()} == {1}
+    st.snapshot_merge(_df(spark, [(2, "in2"), (98, "out2")]), a, key="id")
+    st.snapshot_replicate(spark, a, dst, key="id", key_range=(0, 10))
+    assert {r["id"] for r in snapshot_read(spark, dst).collect()} == {1, 2}
+
+
+def test_claim_is_idempotent_and_moves_raise(spark, tmp_path):
+    import etfconstituentextractor_spark.sources.snapshot_table as st
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, [(1, "a")]), t, mode="overwrite")
+    v1 = st.snapshot_claim_range(spark, t, "w1", "id", 0, 10)
+    # identical re-claim: no new commit
+    assert st.snapshot_claim_range(spark, t, "w1", "id", 0, 10) == v1
+    assert [x["version"] for x in st.snapshot_versions(spark, t)][-1] == v1
+    with pytest.raises(ValueError, match="move ownership"):
+        st.snapshot_claim_range(spark, t, "w1", "id", 0, 20)
+    with pytest.raises(ValueError, match="share one"):
+        st.snapshot_claim_range(spark, t, "w2", "other_col", 50, 60)
+    # claims survive unrelated commits (the owners map rides _set_txn)
+    snapshot_commit(_df(spark, [(2, "b")]), t, mode="append")
+    with pytest.raises(ValueError, match="overlaps"):
+        st.snapshot_claim_range(spark, t, "w3", "id", 5, 7)
+
+
+def test_snapshot_insert_into_sql_lands_as_versioned_commit(spark, tmp_path):
+    """Round 12: the SQL WRITE surface — an INSERT-shaped SELECT (or a
+    view name) appends through the commit/txn path with schema
+    validation and the table's own partition spec."""
+    import etfconstituentextractor_spark.sources.snapshot_table as st
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        _df(spark, [(1, "a"), (2, "b")]), t, mode="overwrite"
+    )
+    st.snapshot_view(spark, t, "cur")
+    # SELECT statement form
+    v = st.snapshot_insert_into(
+        spark, t, "SELECT id + 10 AS id, upper(v) AS v FROM cur"
+    )
+    assert v == 1
+    got = {r["id"]: r["v"] for r in snapshot_read(spark, t).collect()}
+    assert got == {1: "a", 2: "b", 11: "A", 12: "B"}
+    # view-name form
+    spark.createDataFrame([(30, "z")], "id bigint, v string").createOrReplaceTempView(
+        "stage_rows"
+    )
+    assert st.snapshot_insert_into(spark, t, "stage_rows") == 2
+    assert 30 in {r["id"] for r in snapshot_read(spark, t).collect()}
+    # schema validation: a same-name type change raises BEFORE write
+    spark.createDataFrame([(1, 5)], "id bigint, v int").createOrReplaceTempView(
+        "bad_rows"
+    )
+    with pytest.raises(ValueError, match="cannot change column"):
+        st.snapshot_insert_into(spark, t, "bad_rows")
+    assert [x["version"] for x in st.snapshot_versions(spark, t)][-1] == 2
+    # idempotent-writer watermark: a replayed batch no-ops
+    assert st.snapshot_insert_into(spark, t, "stage_rows", txn=("sqlw", 7)) == 3
+    assert st.snapshot_insert_into(spark, t, "stage_rows", txn=("sqlw", 7)) == 3
+    spark.catalog.dropTempView("cur")
+    spark.catalog.dropTempView("stage_rows")
+    spark.catalog.dropTempView("bad_rows")
+
+
+def test_snapshot_insert_into_partitioned_inherits_spec(spark, tmp_path):
+    import etfconstituentextractor_spark.sources.snapshot_table as st
+
+    t = str(tmp_path / "ptbl")
+    snapshot_commit(
+        spark.createDataFrame([(1, "en"), (2, "de")], "id bigint, lang string"),
+        t,
+        mode="overwrite",
+        partition_by=["lang"],
+    )
+    spark.createDataFrame([(3, "fr")], "id bigint, lang string").createOrReplaceTempView(
+        "more_rows"
+    )
+    st.snapshot_insert_into(spark, t, "more_rows")  # no partition_by arg
+    df = snapshot_read(spark, t, where=("lang", "=", "fr"))
+    assert [r["id"] for r in df.collect()] == [3]
+    spark.catalog.dropTempView("more_rows")
