@@ -467,13 +467,17 @@ def q59_stream_custom_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Events interleave across users, so EVERY micro-batch re-enters
     # the Python state function for nearly every user key — per-group
-    # pandas/Arrow overhead × users × batches dominates wall time
-    # (measured: raising state partitions 8→32 made it SLOWER; fewer
-    # batches is the lever). Two data batches + the sentinel batch +
-    # the timer-flush batch still exercise cross-batch state carry,
-    # event-time timeouts, and the sentinel flush; the data chunks are
-    # hardlinks into the shared plain2 staging (replay.py).
-    chunks = stage_chunks(spark, sf_dir, tag="q59", n_chunks=2, extra_last_chunk=sentinel)
+    # pandas/Arrow overhead × users × batches dominates wall time.
+    # The levers swept, in order: state partitions 8→32 SLOWER (r6),
+    # arrow.maxRecordsPerBatch 2k/10k/64k FLAT (r11), then chunk
+    # count (r12, tools/profile_q59_chunks.py): 1/2/4 data chunks
+    # read 5.2/7.0/10.8s with IDENTICAL output hashes — ~1.8s of
+    # fixed cost per micro-batch, so ONE data chunk + the sentinel
+    # chunk is the floor. Cross-batch state carry remains exercised
+    # here (sessions built in the data batch are timer-flushed in
+    # the sentinel batch) and the multi-data-batch path stays pinned
+    # by tests/test_stateful_streaming.py (4 chunks, batch oracle).
+    chunks = stage_chunks(spark, sf_dir, tag="q59v2", n_chunks=1, extra_last_chunk=sentinel)
     src = (
         read_stream(spark, chunks)
         .withColumn("ts", F.col("ts").cast("timestamp"))
