@@ -100,8 +100,11 @@ _REF_CALIBRATION32_SEC = 0.395
 #: mapInPandas over 32 partitions: same worker pool, same Arrow
 #: boundary, zero repo code — its ratio moves iff the Python class
 #: is being throttled, which is exactly the signal the other two
-#: probes cannot see.
-_REF_CALIBRATION_PY_SEC = 0.60
+#: probes cannot see. Reference = min across the round-12 settled
+#: windows (0.456 / 0.710 on two back-to-back load1<1 windows — the
+#: 1.56x spread between them IS the throttle the probe exists to
+#: expose; the JVM probes read 0.90/1.08 across the same pair).
+_REF_CALIBRATION_PY_SEC = 0.456
 
 
 def _py_probe_seconds(spark) -> float:
