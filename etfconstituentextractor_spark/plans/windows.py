@@ -148,10 +148,25 @@ def _funnel_leg_sql() -> str:
 # interpolation arithmetic is the same double expression (cast before
 # divide, prev + slope * dx, 9 dp), so the hash match covers every
 # filled value, not just the axis shape.
-def _gapfill_leg_sql() -> str:
-    return """
+def _gapfill_leg_sql(leg: str = "gapfill") -> str:
+    # one template, two axis CTEs: 'gapfill' densifies every key over
+    # the GLOBAL range; 'gapfill_pk' (round 12) over each key's OWN
+    # observed [min, max] — same fills, both under the hash
+    if leg == "gapfill":
+        axis = """
+        SELECT k.event_type, gs.d
+        FROM (SELECT DISTINCT event_type FROM obs) k
+        CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS d FROM bounds) gs
+        """
+    else:
+        axis = """
+        SELECT event_type, unnest(generate_series(lo, hi)) AS d
+        FROM (SELECT event_type, MIN(day_num) AS lo, MAX(day_num) AS hi
+              FROM obs GROUP BY 1)
+        """
+    return f"""
     UNION ALL
-    SELECT 'gapfill' AS leg, CAST(day_num AS INTEGER) AS day_num,
+    SELECT '{leg}' AS leg, CAST(day_num AS INTEGER) AS day_num,
            CAST(NULL AS DOUBLE) AS day_rev, CAST(NULL AS DOUBLE) AS trailing_7d,
            CAST(NULL AS VARCHAR) AS resolution, CAST(NULL AS VARCHAR) AS bucket_start,
            CAST(NULL AS BIGINT) AS n, v_obs AS v_sum,
@@ -170,9 +185,7 @@ def _gapfill_leg_sql() -> str:
       ), bounds AS (
         SELECT MIN(day_num) AS lo, MAX(day_num) AS hi FROM obs
       ), axis AS (
-        SELECT k.event_type, gs.d
-        FROM (SELECT DISTINCT event_type FROM obs) k
-        CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS d FROM bounds) gs
+        {axis}
       ), filled AS (
         SELECT a.event_type, a.d AS day_num, o.v
         FROM axis a LEFT JOIN obs o
@@ -238,7 +251,8 @@ def _gapfill_null_cols():
     """
     + "\nUNION ALL\n".join(_rollup_leg_sql(r) for r in RESOLUTIONS)
     + _funnel_leg_sql()
-    + _gapfill_leg_sql(),
+    + _gapfill_leg_sql()
+    + _gapfill_leg_sql("gapfill_pk"),
 )
 def q42_window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
@@ -311,6 +325,9 @@ def q42_window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is sparse BY CONSTRUCTION (user_id % 997), so the dense axis has
     # real interior gaps and per-key leading/trailing edges; the agg
     # is the distributed part, the fills run over the tiny rollup.
+    # coalesce(1).localCheckpoint(): the tiny rollup now feeds TWO
+    # gapfill legs (each consuming it for axis + join), and an
+    # uncheckpointed frame would re-run the events scan per consumer
     sparse = (
         ev.filter(F.col("user_id") % 997 == 0)
         .groupBy(
@@ -320,31 +337,47 @@ def q42_window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("day_num"),
         )
         .agg(F.round(F.sum(dec("value")), 2).cast("double").alias("v_sum"))
+        .coalesce(1)
+        .localCheckpoint()
     )
-    gf = gapfill(
-        sparse, key_col="event_type", bucket_col="day_num", value_col="v_sum"
-    ).select(
-        F.lit("gapfill").alias("leg"),
-        F.col("day_num").cast("int").alias("day_num"),
-        F.lit(None).cast("double").alias("day_rev"),
-        F.lit(None).cast("double").alias("trailing_7d"),
-        F.lit(None).cast("string").alias("resolution"),
-        F.lit(None).cast("string").alias("bucket_start"),
-        F.lit(None).cast("bigint").alias("n"),
-        F.col("v_obs").alias("v_sum"),
-        F.lit(None).cast("double").alias("v_min"),
-        F.lit(None).cast("double").alias("v_max"),
-        F.lit(None).cast("double").alias("v_open"),
-        F.lit(None).cast("double").alias("v_close"),
-        F.lit(None).cast("bigint").alias("user_id"),
-        F.lit(None).cast("int").alias("stage"),
-        F.lit(None).cast("bigint").alias("funnel_sec"),
-        "event_type",
-        "gap",
-        "v_locf",
-        "v_interp",
+
+    def _gf_leg(leg: str, bounds: str):
+        return gapfill(
+            sparse, key_col="event_type", bucket_col="day_num",
+            value_col="v_sum", bounds=bounds,
+        ).select(
+            F.lit(leg).alias("leg"),
+            F.col("day_num").cast("int").alias("day_num"),
+            F.lit(None).cast("double").alias("day_rev"),
+            F.lit(None).cast("double").alias("trailing_7d"),
+            F.lit(None).cast("string").alias("resolution"),
+            F.lit(None).cast("string").alias("bucket_start"),
+            F.lit(None).cast("bigint").alias("n"),
+            F.col("v_obs").alias("v_sum"),
+            F.lit(None).cast("double").alias("v_min"),
+            F.lit(None).cast("double").alias("v_max"),
+            F.lit(None).cast("double").alias("v_open"),
+            F.lit(None).cast("double").alias("v_close"),
+            F.lit(None).cast("bigint").alias("user_id"),
+            F.lit(None).cast("int").alias("stage"),
+            F.lit(None).cast("bigint").alias("funnel_sec"),
+            "event_type",
+            "gap",
+            "v_locf",
+            "v_interp",
+        )
+
+    # 'gapfill_pk' (round 12): the per-key-bounds mode under the same
+    # hash — each key densified over its OWN observed range, the
+    # 100TB-posture axis for long-lived tables with short-lived keys
+    gf = _gf_leg("gapfill", "global")
+    gfpk = _gf_leg("gapfill_pk", "per_key")
+    return (
+        trailing.unionByName(rollup)
+        .unionByName(fn)
+        .unionByName(gf)
+        .unionByName(gfpk)
     )
-    return trailing.unionByName(rollup).unionByName(fn).unionByName(gf)
 
 
 # ---------------------------------------------------------------------------
