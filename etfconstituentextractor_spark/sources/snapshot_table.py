@@ -113,6 +113,10 @@ __all__ = [
     "snapshot_changes_view",
     "snapshot_replicate",
     "snapshot_history",
+    "snapshot_tail",
+    "snapshot_claim_range",
+    "snapshot_insert_into",
+    "snapshot_maintain",
 ]
 
 _MANIFEST_RE = re.compile(r"^v(\d{8})\.json$")
@@ -1749,6 +1753,74 @@ def snapshot_compact(
     _set_txn(manifest, m, None)
     _publish(fs, jvm, path, version, manifest)
     return version
+
+
+def snapshot_maintain(
+    spark: SparkSession,
+    path: str,
+    small_bytes: int = 32 << 20,
+    min_small_files: int = 8,
+    target_rows_per_file: int | None = None,
+    zorder_by: tuple[str, ...] | None = None,
+    keep_last: int | None = None,
+    older_than: float | None = None,
+) -> dict:
+    """Policy-driven table maintenance — the lakehouse OPTIMIZE /
+    auto-compaction scheduler shape (round 12), composing the two
+    existing maintenance commits behind thresholds so a deployment
+    can run ONE idempotent pass on a schedule (the snapshot_tail of
+    table health):
+
+    1. COMPACT when the latest version holds at least
+       ``min_small_files`` files under ``small_bytes`` — below the
+       threshold the pass is a no-op, so running it every few minutes
+       against a healthy table costs one manifest read (O(1) metadata,
+       no data I/O, no version churn: a maintenance loop that commits
+       empty compactions would itself create the history pressure it
+       exists to relieve).
+    2. VACUUM (when ``keep_last``/``older_than`` given) AFTER the
+       compaction, so the sweep sees the new version and the
+       just-orphaned pre-compaction files age out under the normal
+       retention rules.
+
+    Returns ``{"compacted": version|None, "small_files": n,
+    "vacuum": counts|None}``. Concurrency: both steps are ordinary
+    commits/sweeps — a lost race surfaces as ConcurrentCommitError
+    and the next scheduled pass re-evaluates from fresh state, which
+    is exactly the retry a maintenance loop wants."""
+    fs, _, jvm = _fs_path(spark, path)
+    versions = _list_versions(fs, jvm, path)
+    if not versions:
+        raise FileNotFoundError(f"{path} has no committed versions to maintain")
+    m = _read_manifest(fs, jvm, path, versions[-1])
+    files, _ = _resolve(fs, jvm, path, m)
+    n_small = 0
+    for f in files:
+        try:
+            if (
+                fs.getFileStatus(
+                    jvm.org.apache.hadoop.fs.Path(posixpath.join(path, f))
+                ).getLen()
+                < small_bytes
+            ):
+                n_small += 1
+        except Exception:
+            continue  # a racing vacuum may have removed an orphan
+    compacted = None
+    if n_small >= min_small_files:
+        compacted = snapshot_compact(
+            spark,
+            path,
+            small_bytes=small_bytes,
+            target_rows_per_file=target_rows_per_file,
+            zorder_by=zorder_by,
+        )
+    vac = None
+    if keep_last is not None or older_than is not None:
+        vac = snapshot_vacuum(
+            spark, path, keep_last=keep_last, older_than=older_than
+        )
+    return {"compacted": compacted, "small_files": n_small, "vacuum": vac}
 
 
 def snapshot_vacuum(

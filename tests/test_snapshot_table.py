@@ -1375,6 +1375,26 @@ def test_lifecycle_matches_python_model(spark, tmp_path):
         got_r = {(r.id, r.v) for r in st.snapshot_read(spark, replica).collect()}
         assert got_r == set(model.items())
 
+        # FAN-IN over the same random history (round 12): two writers
+        # each own half the key space of the SAME source and mirror
+        # into one fresh destination — the interleaved claim +
+        # merge/delete applies must land exactly on the model, and a
+        # tail pass must converge as a no-op
+        fanin = str(tmp_path / "fanin")
+        mid = sorted(model)[len(model) // 2] if model else 0
+        st.snapshot_replicate(spark, t, fanin, key="id", key_range=(None, mid))
+        st.snapshot_replicate(spark, t, fanin, key="id", key_range=(mid, None))
+        got_f = {(r.id, r.v) for r in st.snapshot_read(spark, fanin).collect()}
+        assert got_f == set(model.items()), "fan-in != model"
+        for kr in ((None, mid), (mid, None)):
+            assert (
+                st.snapshot_tail(spark, t, fanin, key="id", key_range=kr,
+                                 stop_after_idle=2, sleep=lambda s: None)
+                == st.snapshot_versions(spark, t)[-1]["version"]
+            )
+        got_f = {(r.id, r.v) for r in st.snapshot_read(spark, fanin).collect()}
+        assert got_f == set(model.items()), "fan-in tail churned state"
+
         vs = [mv["version"] for mv in st.snapshot_versions(spark, t)]
         if len(vs) >= 2:
             a, b = vs[-2], vs[-1]
@@ -3266,3 +3286,31 @@ def test_snapshot_insert_into_partitioned_inherits_spec(spark, tmp_path):
     df = snapshot_read(spark, t, where=("lang", "=", "fr"))
     assert [r["id"] for r in df.collect()] == [3]
     spark.catalog.dropTempView("more_rows")
+
+
+def test_snapshot_maintain_thresholds_and_composition(spark, tmp_path):
+    """Round 12: the policy pass — no-op below the small-file
+    threshold (no version churn), compacts past it, vacuums AFTER so
+    pre-compaction files age out under normal retention."""
+    import etfconstituentextractor_spark.sources.snapshot_table as st
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, [(1, "a")]), t, mode="overwrite")
+    for i in range(2, 6):
+        snapshot_commit(_df(spark, [(i, f"v{i}")]), t, mode="append")
+    head = st.snapshot_versions(spark, t)[-1]["version"]
+    # healthy-table pass: threshold not met -> NO new version
+    r = st.snapshot_maintain(spark, t, min_small_files=50)
+    assert r["compacted"] is None and r["small_files"] >= 5
+    assert st.snapshot_versions(spark, t)[-1]["version"] == head
+    # past the threshold: compacts, then vacuum prunes history
+    r = st.snapshot_maintain(spark, t, min_small_files=2, keep_last=2)
+    assert r["compacted"] == head + 1
+    assert r["vacuum"] is not None
+    live = [v["version"] for v in st.snapshot_versions(spark, t)]
+    assert live == [head, head + 1]
+    got = {(x.id, x.v) for x in snapshot_read(spark, t).collect()}
+    assert got == {(1, "a"), (2, "v2"), (3, "v3"), (4, "v4"), (5, "v5")}
+    # idempotent on a now-healthy table: one consolidated file
+    r2 = st.snapshot_maintain(spark, t, min_small_files=2, keep_last=2)
+    assert r2["compacted"] is None
