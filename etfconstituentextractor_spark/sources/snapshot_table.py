@@ -2876,6 +2876,21 @@ def snapshot_replicate(
             except ConcurrentCommitError:
                 pass  # another writer created dst — same empty state
         snapshot_claim_range(spark, dst, wid, key, rlo, rhi)
+    else:
+        # an UNKEYED replicate into a destination other writers have
+        # claimed ranges on would merge/delete across every owner's
+        # interval — the exact conflict the ownership contract exists
+        # to prevent (round-12 self-review). Refuse loudly.
+        dfs, _, djvm = _fs_path(spark, dst)
+        dvs = _list_versions(dfs, djvm, dst)
+        if dvs:
+            dm = _read_manifest(dfs, djvm, dst, dvs[-1])
+            if dm.get("owners"):
+                raise ValueError(
+                    f"{dst} has registered range owners "
+                    f"{sorted(dm['owners'])} — replicate into it with "
+                    "key_range=(lo, hi) under your own claim"
+                )
     last = snapshot_last_txn(spark, dst, wid)
     if last is None:
         # bootstrap from the earliest RETAINED version (vacuum may
@@ -3013,6 +3028,11 @@ def snapshot_claim_range(
 
     # claim values live in JSON manifests: plain scalars only, and the
     # no-op check is an equality on the round-tripped dict
+    if lo is not None and hi is not None and not lo < hi:
+        raise ValueError(
+            f"claim interval [{lo}, {hi}) is empty or inverted — a writer "
+            "owning nothing can replicate nothing"
+        )
     claim = {"key": key, "lo": lo, "hi": hi}
     fs, _, jvm = _fs_path(spark, path)
     for _ in range(5):

@@ -3314,3 +3314,21 @@ def test_snapshot_maintain_thresholds_and_composition(spark, tmp_path):
     # idempotent on a now-healthy table: one consolidated file
     r2 = st.snapshot_maintain(spark, t, min_small_files=2, keep_last=2)
     assert r2["compacted"] is None
+
+
+def test_unkeyed_replicate_refuses_owned_destination(spark, tmp_path):
+    """Round-12 self-review: an unkeyed replicate into a fan-in
+    destination would merge/delete across every owner's interval —
+    it must refuse loudly; empty claim intervals raise too."""
+    import etfconstituentextractor_spark.sources.snapshot_table as st
+
+    a, b, dst = (str(tmp_path / n) for n in ("a", "b", "dst"))
+    snapshot_commit(_df(spark, [(1, "a1")]), a, mode="overwrite")
+    snapshot_commit(_df(spark, [(10, "b10")]), b, mode="overwrite")
+    st.snapshot_replicate(spark, a, dst, key="id", key_range=(0, 10))
+    with pytest.raises(ValueError, match="registered range owners"):
+        st.snapshot_replicate(spark, b, dst, key="id")
+    with pytest.raises(ValueError, match="empty or inverted"):
+        st.snapshot_claim_range(spark, dst, "w9", "id", 20, 20)
+    with pytest.raises(ValueError, match="empty or inverted"):
+        st.snapshot_claim_range(spark, dst, "w9", "id", 30, 20)
