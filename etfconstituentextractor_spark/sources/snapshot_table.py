@@ -1794,18 +1794,23 @@ def snapshot_maintain(
         raise FileNotFoundError(f"{path} has no committed versions to maintain")
     m = _read_manifest(fs, jvm, path, versions[-1])
     files, _ = _resolve(fs, jvm, path, m)
+    live = set(files)
+    # one recursive listing sweep for sizes — the same discipline as
+    # snapshot_compact (round-9 finding): per-file getFileStatus is N
+    # sequential RPCs on exactly the many-small-files tables this
+    # polls, and the healthy-table pass must stay cheap. Orphans from
+    # failed commits are excluded by the live-file intersection.
+    droot = jvm.org.apache.hadoop.fs.Path(posixpath.join(path, "data"))
+    prefix = fs.getFileStatus(droot).getPath().toUri().getPath()
     n_small = 0
-    for f in files:
-        try:
-            if (
-                fs.getFileStatus(
-                    jvm.org.apache.hadoop.fs.Path(posixpath.join(path, f))
-                ).getLen()
-                < small_bytes
-            ):
-                n_small += 1
-        except Exception:
-            continue  # a racing vacuum may have removed an orphan
+    it = fs.listFiles(droot, True)
+    while it.hasNext():
+        st = it.next()
+        rel = posixpath.join(
+            "data", st.getPath().toUri().getPath()[len(prefix):].lstrip("/")
+        )
+        if rel in live and st.getLen() < small_bytes:
+            n_small += 1
     compacted = None
     if n_small >= min_small_files:
         compacted = snapshot_compact(
