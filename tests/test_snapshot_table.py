@@ -3332,3 +3332,58 @@ def test_unkeyed_replicate_refuses_owned_destination(spark, tmp_path):
         st.snapshot_claim_range(spark, dst, "w9", "id", 20, 20)
     with pytest.raises(ValueError, match="empty or inverted"):
         st.snapshot_claim_range(spark, dst, "w9", "id", 30, 20)
+
+
+def test_concurrent_fanin_tailers_converge(spark, tmp_path):
+    """Round 12, the real-race test: two tailer threads fan two
+    sources into ONE destination concurrently, each draining fresh
+    batches into its source between polls. Their commits genuinely
+    race on dst's atomic manifest claim; losses surface as
+    ConcurrentCommitError, which the tail loop re-polls — both must
+    converge to their source heads with disjoint-range isolation."""
+    import threading
+
+    import etfconstituentextractor_spark.sources.snapshot_table as st
+
+    a, b, dst = (str(tmp_path / n) for n in ("a", "b", "dst"))
+    snapshot_commit(_df(spark, [(1, "a1"), (2, "a2")]), a, mode="overwrite")
+    snapshot_commit(_df(spark, [(101, "b1"), (102, "b2")]), b, mode="overwrite")
+    pend = {
+        a: [
+            lambda: st.snapshot_merge(_df(spark, [(1, "a1rev"), (5, "a5")]), a, key="id"),
+            lambda: st.snapshot_delete(spark, a, where=("id", "=", 2)),
+        ],
+        b: [
+            lambda: st.snapshot_merge(_df(spark, [(103, "b3")]), b, key="id"),
+            lambda: st.snapshot_delete(spark, b, where=("id", "=", 101)),
+        ],
+    }
+    results: dict[str, object] = {}
+
+    def tail(src, kr, name):
+        def drain(sec):
+            if pend[src]:
+                pend[src].pop(0)()
+
+        try:
+            results[name] = st.snapshot_tail(
+                spark, src, dst, key="id", key_range=kr,
+                stop_after_idle=3, sleep=drain,
+            )
+        except Exception as e:  # surface, don't deadlock the join
+            results[name] = e
+
+    t1 = threading.Thread(target=tail, args=(a, (None, 100), "a"))
+    t2 = threading.Thread(target=tail, args=(b, (100, None), "b"))
+    t1.start(); t2.start()
+    t1.join(300); t2.join(300)
+    assert not isinstance(results.get("a"), Exception), results["a"]
+    assert not isinstance(results.get("b"), Exception), results["b"]
+    assert not pend[a] and not pend[b]
+    assert results["a"] == st.snapshot_versions(spark, a)[-1]["version"]
+    assert results["b"] == st.snapshot_versions(spark, b)[-1]["version"]
+    got = {(r.id, r.v) for r in snapshot_read(spark, dst).collect()}
+    want = {(r.id, r.v) for r in snapshot_read(spark, a).collect()} | {
+        (r.id, r.v) for r in snapshot_read(spark, b).collect()
+    }
+    assert got == want
