@@ -864,6 +864,35 @@ def _bloom_prune(
     return [f for f in files if f not in covered or f in passing]
 
 
+def _recorded_sizes(files: list[str], stats: dict) -> dict | None:
+    """Per-file sizes from the manifest's reserved '__bytes' stats
+    entries, or None unless EVERY file is covered (a partial map
+    would misclassify uncovered files — callers fall back to one
+    listing sweep in that case)."""
+    sizes = {}
+    for f in files:
+        b = stats.get(f, {}).get("__bytes")
+        if not b:
+            return None
+        sizes[f] = int(b[0])
+    return sizes
+
+
+def _swept_sizes(fs, jvm, path: str) -> dict:
+    """Per-file sizes by ONE recursive listing of the data tree."""
+    droot = jvm.org.apache.hadoop.fs.Path(posixpath.join(path, "data"))
+    prefix = fs.getFileStatus(droot).getPath().toUri().getPath()
+    sizes: dict[str, int] = {}
+    it = fs.listFiles(droot, True)
+    while it.hasNext():
+        st = it.next()
+        rel = posixpath.join(
+            "data", st.getPath().toUri().getPath()[len(prefix):].lstrip("/")
+        )
+        sizes[rel] = st.getLen()
+    return sizes
+
+
 def _set_txn(manifest: dict, pm: dict | None, txn: tuple[str, int] | None) -> None:
     """Carry the parent's idempotent-writer watermarks and fold in
     this commit's own (writer_id, seq), keeping the larger seq on a
@@ -918,12 +947,16 @@ def _write_data(
     droot = jvm.org.apache.hadoop.fs.Path(datadir)
     it = fs.listFiles(droot, True)  # recursive: partition subdirs too
     files = []
+    sizes: dict[str, int] = {}
     prefix = fs.getFileStatus(droot).getPath().toUri().getPath()
     while it.hasNext():
-        p = it.next().getPath()
+        st = it.next()
+        p = st.getPath()
         if p.getName().endswith(".parquet"):
             rel_in_dir = p.toUri().getPath()[len(prefix) :].lstrip("/")
-            files.append(posixpath.join(reldir, rel_in_dir))
+            rel = posixpath.join(reldir, rel_in_dir)
+            files.append(rel)
+            sizes[rel] = int(st.getLen())
     stats: dict[str, dict] = {}
     if stats_cols:
         from pyspark.sql import functions as F
@@ -954,6 +987,17 @@ def _write_data(
                     c: [_stat_val(r[f"__lo_{c}"]), _stat_val(r[f"__hi_{c}"])]
                     for c in data_stat_cols
                 }
+    # FILE SIZES ride the stats map as the reserved '__bytes' pseudo-
+    # column ([n, n], round 12 — the Iceberg manifests-record-sizes
+    # move): they carry through every append/merge/compact/restore/
+    # shard path for free, and size consumers (snapshot_maintain,
+    # snapshot_compact) read them instead of sweeping the data tree —
+    # a maintenance poll on a fully-sized table is pure manifest
+    # metadata. Reserved '__'-keys are excluded wherever stats keys
+    # are interpreted as column names. Sizes come from the SAME
+    # listing that discovered the files — zero extra I/O.
+    for rel, n in sizes.items():
+        stats.setdefault(rel, {})["__bytes"] = [n, n]
     return files, stats
 
 
@@ -1655,19 +1699,6 @@ def snapshot_compact(
             "zorder_by applies to unpartitioned tables only — a partitioned "
             "rewrite is clustered by the partition spec"
         )
-    # one recursive listing sweep for sizes (a per-file getFileStatus
-    # would be N sequential JVM round-trips on exactly the many-small-
-    # files tables compact targets — round-9 review finding)
-    droot = jvm.org.apache.hadoop.fs.Path(posixpath.join(path, "data"))
-    prefix = fs.getFileStatus(droot).getPath().toUri().getPath()
-    sizes: dict[str, int] = {}
-    it = fs.listFiles(droot, True)
-    while it.hasNext():
-        st = it.next()
-        rel = posixpath.join(
-            "data", st.getPath().toUri().getPath()[len(prefix) :].lstrip("/")
-        )
-        sizes[rel] = st.getLen()
     # small-file detection needs the full inventory (sizes have no
     # shard-level summary); sharded manifests resolve here, but the
     # REBUILD below still shares untouched shards by ref
@@ -1676,6 +1707,16 @@ def snapshot_compact(
     old_stats: dict = {}
     for _, _, st in docs:
         old_stats.update(st)
+    # sizes: the manifest's recorded '__bytes' (round 12 — every file
+    # written since records its size at commit, zero extra I/O) when
+    # the inventory is fully covered; otherwise ONE recursive listing
+    # sweep (never per-file getFileStatus — N sequential JVM round
+    # trips on exactly the many-small-files tables compact targets,
+    # round-9 review finding). Legacy pre-sizes manifests take the
+    # listing path until their files are rewritten.
+    sizes = _recorded_sizes(all_files, old_stats)
+    if sizes is None:
+        sizes = _swept_sizes(fs, jvm, path)
     small = [f for f in all_files if sizes.get(f, small_bytes) < small_bytes]
     if len(small) < 2:
         return None
@@ -1715,7 +1756,8 @@ def snapshot_compact(
     # (a stat column living only in carried large files would make
     # the re-gather unresolvable — round-9 review finding)
     stats_cols = sorted(
-        {c for st in old_stats.values() for c in st} & set(df.columns)
+        {c for st in old_stats.values() for c in st if not c.startswith("__")}
+        & set(df.columns)
     )
     new_files, new_stats = _write_data(
         df, path, version, stats_cols or None, partition_by=pby
@@ -1793,24 +1835,18 @@ def snapshot_maintain(
     if not versions:
         raise FileNotFoundError(f"{path} has no committed versions to maintain")
     m = _read_manifest(fs, jvm, path, versions[-1])
-    files, _ = _resolve(fs, jvm, path, m)
-    live = set(files)
-    # one recursive listing sweep for sizes — the same discipline as
-    # snapshot_compact (round-9 finding): per-file getFileStatus is N
-    # sequential RPCs on exactly the many-small-files tables this
-    # polls, and the healthy-table pass must stay cheap. Orphans from
-    # failed commits are excluded by the live-file intersection.
-    droot = jvm.org.apache.hadoop.fs.Path(posixpath.join(path, "data"))
-    prefix = fs.getFileStatus(droot).getPath().toUri().getPath()
-    n_small = 0
-    it = fs.listFiles(droot, True)
-    while it.hasNext():
-        st = it.next()
-        rel = posixpath.join(
-            "data", st.getPath().toUri().getPath()[len(prefix):].lstrip("/")
-        )
-        if rel in live and st.getLen() < small_bytes:
-            n_small += 1
+    files, stats = _resolve(fs, jvm, path, m)
+    # sizes from the manifest's recorded '__bytes' when every live
+    # file has one (round 12 — a poll on a fully-sized table is PURE
+    # manifest metadata, no data-tree I/O at all); otherwise one
+    # recursive listing sweep, the snapshot_compact discipline (never
+    # per-file getFileStatus). Orphans from failed commits are
+    # excluded by the live-file intersection.
+    sizes = _recorded_sizes(files, stats)
+    if sizes is None:
+        swept = _swept_sizes(fs, jvm, path)
+        sizes = {f: swept[f] for f in files if f in swept}
+    n_small = sum(1 for f in files if sizes.get(f, small_bytes) < small_bytes)
     compacted = None
     if n_small >= min_small_files:
         compacted = snapshot_compact(
@@ -2905,7 +2941,9 @@ def snapshot_replicate(
         v0 = src_versions[0]
         m0 = _read_manifest(fs, jvm, src, v0)
         _, st0 = _resolve(fs, jvm, src, m0)
-        stats_cols = sorted({c for st in st0.values() for c in st}) or None
+        stats_cols = sorted(
+            {c for st in st0.values() for c in st if not c.startswith("__")}
+        ) or None
         seed = _in_range(snapshot_read(spark, src, v0))
         if key_range is not None:
             # fan-in writers fold their range into the shared

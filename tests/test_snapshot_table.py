@@ -3387,3 +3387,52 @@ def test_concurrent_fanin_tailers_converge(spark, tmp_path):
         (r.id, r.v) for r in snapshot_read(spark, b).collect()
     }
     assert got == want
+
+
+def test_manifest_records_file_sizes_and_maintain_reads_them(spark, tmp_path):
+    """Round 12: every commit records each file's size as the
+    reserved '__bytes' stats entry (zero extra I/O — same listing
+    that discovers the files); maintain/compact read the recorded
+    sizes when the inventory is fully covered and fall back to one
+    listing sweep for legacy manifests."""
+    import json
+    import os
+
+    import etfconstituentextractor_spark.sources.snapshot_table as st
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, [(1, "a"), (2, "b")]), t, mode="overwrite")
+    snapshot_commit(_df(spark, [(3, "c")]), t, mode="append")
+    fs, _, jvm = st._fs_path(spark, t)
+    m = st._read_manifest(fs, jvm, t, 1)
+    files, stats = st._resolve(fs, jvm, t, m)
+    for f in files:
+        b = stats[f]["__bytes"]
+        real = os.path.getsize(os.path.join(t, f))
+        assert b == [real, real], f
+    # recorded path: sizes resolve without touching the data tree
+    assert st._recorded_sizes(files, stats) == {
+        f: os.path.getsize(os.path.join(t, f)) for f in files
+    }
+    # maintain compacts from recorded sizes alone
+    r = st.snapshot_maintain(spark, t, min_small_files=2)
+    assert r["compacted"] == 2 and r["small_files"] == len(files)
+    # the compacted file records its size too (carry discipline holds)
+    m2 = st._read_manifest(fs, jvm, t, 2)
+    files2, stats2 = st._resolve(fs, jvm, t, m2)
+    assert st._recorded_sizes(files2, stats2) is not None
+    # LEGACY manifest (hand-stripped '__bytes'): falls back to the
+    # listing sweep and still classifies correctly
+    stripped = {
+        f: {c: b for c, b in stt.items() if c != "__bytes"}
+        for f, stt in stats2.items()
+    }
+    assert st._recorded_sizes(files2, stripped) is None
+    swept = st._swept_sizes(fs, jvm, t)
+    assert all(swept[f] == os.path.getsize(os.path.join(t, f)) for f in files2)
+    # '__bytes' never leaks into stats-column derivations: replicate
+    # bootstrap over this sized table must not try to aggregate it
+    dst = str(tmp_path / "dst")
+    st.snapshot_replicate(spark, t, dst, key="id")
+    got = {(r_.id, r_.v) for r_ in snapshot_read(spark, dst).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
