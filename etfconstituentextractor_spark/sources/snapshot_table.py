@@ -273,7 +273,26 @@ def _write_shard(fs, jvm, table: str, version: int, files: list[str], stats: dic
         bytearray(json.dumps({"files": sorted(files), "stats": sh_stats}).encode("utf-8"))
     )
     out.close()
-    return {"path": name, "n_files": len(files), "bounds": _shard_bounds(files, stats)}
+    ref = {"path": name, "n_files": len(files), "bounds": _shard_bounds(files, stats)}
+    tb = _total_bytes(files, stats)
+    if tb is not None:
+        # summed member sizes (round 12): lets snapshot_history report
+        # per-version total_bytes from ROOT manifests alone even for
+        # sharded inventories — no shard doc loads on the audit path
+        ref["bytes"] = tb
+    return ref
+
+
+def _total_bytes(files, stats: dict) -> int | None:
+    """Sum of recorded '__bytes' sizes, or None unless every file is
+    covered (a partial sum would under-report silently)."""
+    total = 0
+    for f in files:
+        b = stats.get(f, {}).get("__bytes")
+        if not b:
+            return None
+        total += int(b[0])
+    return total
 
 
 def _shard_skippable(ref: dict, where: tuple) -> bool:
@@ -2127,9 +2146,12 @@ def snapshot_insert_into(
 def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
     """The table's commit history as a DataFrame — the DESCRIBE
     HISTORY shape: one row per retained version with (version, op,
-    parent, committed_at, n_files, restored_from, txn as a JSON
-    string). Metadata-only (root-manifest reads, no data I/O);
-    register it with ``createOrReplaceTempView`` for SQL audits."""
+    parent, committed_at, n_files, total_bytes, restored_from, txn as
+    a JSON string). Metadata-only (root-manifest reads, no data I/O —
+    ``total_bytes`` sums the recorded '__bytes' sizes, or shard refs'
+    summed ``bytes``, and is NULL for versions whose files predate
+    size recording rather than paying a listing to fill it); register
+    it with ``createOrReplaceTempView`` for SQL audits."""
     import json as _json
 
     fs, _, jvm = _fs_path(spark, path)
@@ -2139,6 +2161,13 @@ def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
     rows = []
     for v in versions:
         m = _read_manifest(fs, jvm, path, v)
+        if "shards" in m:
+            tbs = [ref.get("bytes") for ref in m["shards"]]
+            total = sum(tbs) if tbs and all(t is not None for t in tbs) else (
+                0 if not tbs else None
+            )
+        else:
+            total = _total_bytes(m.get("files", []), m.get("stats", {}))
         rows.append(
             (
                 v,
@@ -2146,6 +2175,7 @@ def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
                 m.get("parent"),
                 float(m["committed_at"]) if m.get("committed_at") is not None else None,
                 int(m.get("n_files", 0)),
+                total,
                 m.get("restored_from"),
                 _json.dumps(m["txn"]) if m.get("txn") else None,
             )
@@ -2153,7 +2183,7 @@ def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(
         rows,
         "version int, op string, parent int, committed_at double, "
-        "n_files int, restored_from int, txn string",
+        "n_files int, total_bytes bigint, restored_from int, txn string",
     )
 
 

@@ -3436,3 +3436,40 @@ def test_manifest_records_file_sizes_and_maintain_reads_them(spark, tmp_path):
     st.snapshot_replicate(spark, t, dst, key="id")
     got = {(r_.id, r_.v) for r_ in snapshot_read(spark, dst).collect()}
     assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_snapshot_history_reports_total_bytes(spark, tmp_path):
+    """Round 12: history sums recorded sizes from root manifests
+    alone (shard refs carry a summed bytes field); growth across an
+    append is visible and matches the on-disk truth."""
+    import os
+
+    import etfconstituentextractor_spark.sources.snapshot_table as st
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, [(i, f"v{i}") for i in range(50)]), t, mode="overwrite")
+    snapshot_commit(_df(spark, [(100, "x")]), t, mode="append")
+    h = {r["version"]: r for r in st.snapshot_history(spark, t).collect()}
+    fs, _, jvm = st._fs_path(spark, t)
+    for v in (0, 1):
+        files, _ = st._resolve(fs, jvm, t, st._read_manifest(fs, jvm, t, v))
+        real = sum(os.path.getsize(os.path.join(t, f)) for f in files)
+        assert h[v]["total_bytes"] == real, v
+    assert h[1]["total_bytes"] > h[0]["total_bytes"]
+    # sharded inventory: force tiny shards, bytes still root-only
+    old = st._SHARD_FILES
+    st._SHARD_FILES = 2
+    try:
+        t2 = str(tmp_path / "sharded")
+        snapshot_commit(
+            _df(spark, [(i, f"v{i}") for i in range(30)]).repartition(5),
+            t2, mode="overwrite",
+        )
+        m = st._read_manifest(fs, jvm, t2, 0)
+        assert "shards" in m and all("bytes" in ref for ref in m["shards"])
+        h2 = st.snapshot_history(spark, t2).collect()[0]
+        files2, _ = st._resolve(fs, jvm, t2, m)
+        real2 = sum(os.path.getsize(os.path.join(t2, f)) for f in files2)
+        assert h2["total_bytes"] == real2
+    finally:
+        st._SHARD_FILES = old
