@@ -127,6 +127,27 @@ def _py_probe_seconds(spark) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _git_rev() -> str | None:
+    """Short commit hash of the repo this bench ran from, or None
+    (never fails the bench — attribution is best-effort)."""
+    import subprocess
+
+    try:
+        return (
+            subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True,
+                timeout=5,
+            )
+            .stdout.decode()
+            .strip()
+            or None
+        )
+    except Exception:
+        return None
+
+
 def _meminfo_kb(key: str) -> int | None:
     """One field from /proc/meminfo (kB), or None off-Linux."""
     try:
@@ -334,6 +355,10 @@ def main() -> None:
             if spark.sparkContext.defaultParallelism == 32
             else None
         ),
+        # code attribution (round 12): minwin mixes windows across
+        # commits — the recorded hash makes every per-query best
+        # attributable to the exact code that produced it
+        "git_rev": _git_rev(),
         **settle,
     }
     line = json.dumps(payload)
@@ -400,6 +425,7 @@ def _write_minwin_summary(outdir: str, payload: dict) -> None:
         "metric": "headline_queries_min_across_windows_sec",
         "sf": sf,
         "windows": [f for f, _ in runs],
+        "window_rev": {f: r.get("git_rev") for f, r in runs},
         "value": round(sum(mins.values()), 3),
         "queries": mins,
         "query_window": backing,
