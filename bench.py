@@ -127,6 +127,42 @@ def _py_probe_seconds(spark) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _io_probe_mbps(sf_dir: str) -> float | None:
+    """COLD-read disk throughput (MB/s): fadvise-DONTNEED a fixed
+    corpus file out of the page cache, then stream it back. Round-12
+    motivation: a quiet-probes window read 94s where its twin read
+    69s — q62/q86/q42 (the IO-heavy class: /tmp parquet caches,
+    snapshot table builds, cold scans) slowed 1.6x while ALL THREE
+    CPU-class probes read FAST, i.e. the swinging resource was disk
+    read throughput (virtualized-disk token buckets), the one class
+    the probe family could not see. Measured the moment the probe
+    landed: 37.5 / 1041 / 1345 MB/s back-to-back — a 28x first-read
+    throttle invisible to every CPU probe. fadvise is advisory, so
+    later passes may be partially cached: the FIRST sample is the
+    coldest, the min across samples is the throttle floor, the max
+    the page-cache-assisted ceiling (both emitted). None where
+    fadvise is unavailable — the probe must never fail the bench."""
+    p = os.path.join(sf_dir, "lineitem.parquet")
+    try:
+        size = os.path.getsize(p)
+        fd = os.open(p, os.O_RDONLY)
+        try:
+            os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+            t0 = time.perf_counter()
+            n = 0
+            while True:
+                b = os.read(fd, 1 << 20)
+                if not b:
+                    break
+                n += len(b)
+            dt = time.perf_counter() - t0
+        finally:
+            os.close(fd)
+        return round(n / (1 << 20) / dt, 1) if dt > 0 and n == size else None
+    except (OSError, AttributeError):
+        return None
+
+
 def _git_rev() -> str | None:
     """Short commit hash of the repo this bench ran from, or None
     (never fails the bench — attribution is best-effort)."""
@@ -254,9 +290,11 @@ def main() -> None:
         ).collect()
         calib32_runs.append(round(time.perf_counter() - t0, 3))
         calib_py_runs.append(_py_probe_seconds(spark))
+    io_runs = [m for m in (_io_probe_mbps(sf_dir) for _ in range(3)) if m]
     calibration = min(calib_runs)
     calibration32 = min(calib32_runs)
     calibration_py = min(calib_py_runs)
+    calibration_io = max(io_runs) if io_runs else None  # best-case throughput
     print(f"# calibration probe: {calibration}s (runs: {calib_runs})", file=sys.stderr)
     print(
         f"# contention probe (32-way): {calibration32}s (runs: {calib32_runs})",
@@ -266,6 +304,7 @@ def main() -> None:
         f"# python-worker probe: {calibration_py}s (runs: {calib_py_runs})",
         file=sys.stderr,
     )
+    print(f"# cold-read IO probe: {calibration_io} MB/s (runs: {io_runs})", file=sys.stderr)
 
     # Each query runs at least TWICE and reports the fastest run: the
     # first execution pays one-time costs a long-running cluster
@@ -355,6 +394,8 @@ def main() -> None:
             if spark.sparkContext.defaultParallelism == 32
             else None
         ),
+        "calibration_io_mbps": calibration_io,
+        "calibration_io_min_mbps": min(io_runs) if io_runs else None,
         # code attribution (round 12): minwin mixes windows across
         # commits — the recorded hash makes every per-query best
         # attributable to the exact code that produced it
