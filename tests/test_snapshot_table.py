@@ -3473,3 +3473,50 @@ def test_snapshot_history_reports_total_bytes(spark, tmp_path):
         assert h2["total_bytes"] == real2
     finally:
         st._SHARD_FILES = old
+
+
+def test_maintain_races_tailer_and_both_converge(spark, tmp_path):
+    """Round 12 cross-feature: a maintenance pass compacts the
+    destination WHILE a tailer applies changes — compaction is just
+    another commit, so the interleaving must converge (losses surface
+    as ConcurrentCommitError; the tail loop re-polls, maintain's next
+    scheduled pass re-evaluates)."""
+    import threading
+
+    import etfconstituentextractor_spark.sources.snapshot_table as st
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    snapshot_commit(_df(spark, [(i, f"v{i}") for i in range(8)]), src, mode="overwrite")
+    pend = [
+        lambda: st.snapshot_merge(_df(spark, [(2, "rev2"), (20, "new")]), src, key="id"),
+        lambda: st.snapshot_delete(spark, src, where=("id", "=", 3)),
+        lambda: st.snapshot_merge(_df(spark, [(21, "new21")]), src, key="id"),
+    ]
+    maint: list = []
+
+    def tailer():
+        def drain(sec):
+            if pend:
+                pend.pop(0)()
+
+        st.snapshot_tail(spark, src, dst, key="id", stop_after_idle=3, sleep=drain)
+
+    def maintainer():
+        import time as _t
+
+        deadline = _t.monotonic() + 120
+        while _t.monotonic() < deadline and sum(m is not None for m in maint) < 2:
+            try:
+                maint.append(st.snapshot_maintain(spark, dst, min_small_files=2))
+            except (ConcurrentCommitError, FileNotFoundError):
+                maint.append(None)  # lost race / dst not born yet — next pass
+                _t.sleep(0.3)
+
+    t1 = threading.Thread(target=tailer)
+    t2 = threading.Thread(target=maintainer)
+    t1.start(); t2.start()
+    t1.join(300); t2.join(300)
+    assert not pend
+    assert _rows(spark, dst) == _rows(spark, src)
+    # at least one maintain pass ran to completion (compacted or no-op)
+    assert any(m is not None for m in maint)
