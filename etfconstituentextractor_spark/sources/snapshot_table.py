@@ -1997,6 +1997,7 @@ def snapshot_vacuum(
             removed_shards += 1
     ddir = jvm.org.apache.hadoop.fs.Path(posixpath.join(path, "data"))
     removed = 0
+    reclaimed = 0
     if fs.exists(ddir):
         newest_manifest = max(survivors)
         for st in fs.listStatus(ddir):
@@ -2008,12 +2009,24 @@ def snapshot_vacuum(
             mver = re.match(r"^v(\d{8})-", name)
             if mver and int(mver.group(1)) > newest_manifest:
                 continue
+            # reclaimed-bytes accounting (round 12): sum the doomed
+            # dir's contents via the recursive iterator — the listing
+            # walks exactly the files the delete is about to remove,
+            # so the audit costs one extra pass over data already
+            # being touched, never a sweep of live data
+            try:
+                fit = fs.listFiles(st.getPath(), True)
+                while fit.hasNext():
+                    reclaimed += fit.next().getLen()
+            except Exception:
+                pass  # accounting is best-effort; the delete is not
             fs.delete(st.getPath(), True)
             removed += 1
     return {
         "expired_versions": len(expired),
         "removed_dirs": removed,
         "removed_shards": removed_shards,
+        "reclaimed_bytes": reclaimed,
         "surviving_versions": survivors,
     }
 

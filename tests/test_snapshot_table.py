@@ -3520,3 +3520,28 @@ def test_maintain_races_tailer_and_both_converge(spark, tmp_path):
     assert _rows(spark, dst) == _rows(spark, src)
     # at least one maintain pass ran to completion (compacted or no-op)
     assert any(m is not None for m in maint)
+
+
+def test_vacuum_reports_reclaimed_bytes(spark, tmp_path):
+    """Round 12: vacuum sums the bytes of every data dir it deletes
+    (walked by the same recursive listing the delete touches anyway)
+    — an overwrite-heavy history reclaims the orphaned generations'
+    real on-disk size."""
+    import os
+
+    import etfconstituentextractor_spark.sources.snapshot_table as st
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, [(i, f"v{i}") for i in range(40)]), t, mode="overwrite")
+    doomed = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fn in os.walk(os.path.join(t, "data"))
+        for f in fn
+        if not f.startswith(".")  # Hadoop's listing hides .crc files
+    )
+    snapshot_commit(_df(spark, [(1, "x")]), t, mode="overwrite")  # orphans v0's dir
+    r = st.snapshot_vacuum(spark, t, keep_last=1)
+    assert r["expired_versions"] == 1 and r["removed_dirs"] == 1
+    assert r["reclaimed_bytes"] == doomed > 0
+    # nothing left to reclaim on a second pass
+    assert st.snapshot_vacuum(spark, t, keep_last=1)["reclaimed_bytes"] == 0
