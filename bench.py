@@ -184,6 +184,37 @@ def _git_rev() -> str | None:
         return None
 
 
+def _catalog_fingerprint() -> str | None:
+    """md5 over the QUERY-DEFINING source (the package's .py files +
+    __spark_entry__.py), or None on any surprise. Round-13 verdict:
+    minwin's per-query minima mixed windows from different commits, so
+    a cited best could point at code that no longer runs (q42's 1.212s
+    predated the gapfill_pk leg). git_rev alone is too coarse the
+    other way — it changes on docs/tests/bench edits that cannot move
+    a query. This fingerprint changes exactly when engine source
+    changes, works on a dirty tree (hashes the actual files, not
+    HEAD), and is the coherence key for the headline minima."""
+    import glob
+    import hashlib
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    try:
+        h = hashlib.md5()
+        files = sorted(
+            glob.glob(
+                os.path.join(root, "etfconstituentextractor_spark", "**", "*.py"),
+                recursive=True,
+            )
+        ) + [os.path.join(root, "__spark_entry__.py")]
+        for p in files:
+            h.update(os.path.relpath(p, root).encode())
+            with open(p, "rb") as fh:
+                h.update(fh.read())
+        return h.hexdigest()[:12]
+    except OSError:
+        return None
+
+
 def _meminfo_kb(key: str) -> int | None:
     """One field from /proc/meminfo (kB), or None off-Linux."""
     try:
@@ -400,6 +431,10 @@ def main() -> None:
         # commits — the recorded hash makes every per-query best
         # attributable to the exact code that produced it
         "git_rev": _git_rev(),
+        # coherence key for minwin (round 13): minima only aggregate
+        # windows whose engine source is byte-identical to the current
+        # run's, so a per-query best can never cite displaced code
+        "catalog_fp": _catalog_fingerprint(),
         **settle,
     }
     line = json.dumps(payload)
@@ -429,6 +464,19 @@ def main() -> None:
     spark.stop()
 
 
+def _minwin_mins(runs: list) -> tuple[dict, dict]:
+    """Per-query (min, backing-window) across ``runs`` = [(file, payload)]."""
+    names = set()
+    for _, r in runs:
+        names |= set(r["queries"])
+    mins, backing = {}, {}
+    for n in sorted(names):
+        vals = [(r["queries"][n], f) for f, r in runs if n in r["queries"]]
+        best, bf = min(vals)
+        mins[n], backing[n] = best, bf
+    return mins, backing
+
+
 def _write_minwin_summary(outdir: str, payload: dict) -> None:
     """Per-query MIN across the most recent archived windows at this
     SF (round-11 verdict: settled windows disagree up to 19% with
@@ -437,7 +485,15 @@ def _write_minwin_summary(outdir: str, payload: dict) -> None:
     applied by hand, becomes a mechanical artifact every run).
     Windows are capped at the newest 8 so numbers from long-displaced
     code age out; contributing files are listed so a reader can audit
-    which windows back each min."""
+    which windows back each min.
+
+    Round 13 (verdict + advice): the HEADLINE minima are restricted to
+    COHERENT windows — git_rev stamped AND catalog_fp equal to the
+    current run's (byte-identical engine source), so a cited best can
+    never point at code that no longer runs (r12's q42 min predated
+    the gapfill_pk leg). The old cross-commit aggregate survives under
+    explicitly-named ``*_cross_commit`` fields for continuity — its
+    mixing is now in the name, not a trap."""
     import glob
 
     sf = payload.get("sf")
@@ -454,28 +510,40 @@ def _write_minwin_summary(outdir: str, payload: dict) -> None:
             break
     if not runs:
         return
-    names = set()
-    for _, r in runs:
-        names |= set(r["queries"])
-    mins, backing = {}, {}
-    for n in sorted(names):
-        vals = [(r["queries"][n], f) for f, r in runs if n in r["queries"]]
-        best, bf = min(vals)
-        mins[n], backing[n] = best, bf
+    fp = payload.get("catalog_fp")
+    coherent = [
+        (f, r)
+        for f, r in runs
+        if r.get("git_rev") and fp and r.get("catalog_fp") == fp
+    ]
+    if not coherent:
+        # the current run itself is always coherent with itself; only
+        # a fingerprint failure (fp None) lands here — degrade loudly
+        coherent = runs[:1]
+    mins, backing = _minwin_mins(coherent)
+    xmins, xbacking = _minwin_mins(runs)
     summary = {
         "metric": "headline_queries_min_across_windows_sec",
         "sf": sf,
-        "windows": [f for f, _ in runs],
-        "window_rev": {f: r.get("git_rev") for f, r in runs},
+        "catalog_fp": fp,
+        "windows": [f for f, _ in coherent],
+        "window_rev": {f: r.get("git_rev") for f, r in coherent},
         "value": round(sum(mins.values()), 3),
         "queries": mins,
         "query_window": backing,
+        # cross-commit view (pre-round-13 semantics), explicitly named:
+        # a total no single code version may ever have achieved
+        "windows_cross_commit": [f for f, _ in runs],
+        "value_cross_commit": round(sum(xmins.values()), 3),
+        "queries_cross_commit": xmins,
+        "query_window_cross_commit": xbacking,
     }
     with open(os.path.join(outdir, f"minwin_sf{sf}.json"), "w") as fh:
         json.dump(summary, fh, indent=1)
     print(
-        f"# min-across-{len(runs)}-windows total: {summary['value']}s "
-        f"-> {outdir}/minwin_sf{sf}.json",
+        f"# min-across-{len(coherent)}-coherent-windows total: "
+        f"{summary['value']}s (cross-commit over {len(runs)}: "
+        f"{summary['value_cross_commit']}s) -> {outdir}/minwin_sf{sf}.json",
         file=sys.stderr,
     )
 

@@ -533,32 +533,47 @@ def _merge_table(spark, sf_dir):
     return table
 
 
+#: scratch builds / stale asides younger than this are never swept.
+#: Builds take seconds and aside-scanning frames live minutes, so six
+#: hours is conservative; the constant exists so tests can tighten it.
+_SWEEP_AGE_SEC = 6 * 3600
+
+
 def _sweep_dead_builds(base):
-    """Remove abandoned ``*.build-<pid>`` scratch dirs whose owning
-    process is gone (round-12 advice: a crash between makedirs and
-    publish strands one per run). Live pids are skipped — their build
-    is in flight; our own is gone by the time this runs (renamed or
-    rmtree'd). ``*.stale-*`` asides are left alone: a frame resolved
-    against them may still be scanning (the dangling-frame rule)."""
+    """Remove abandoned ``*.build-<pid>`` scratch dirs and aged
+    ``*.stale-*`` asides (round-12 advice; rule REVISED round 13 on
+    advice): the original local ``os.kill(pid, 0)`` probe alone was
+    wrong twice over — on a shared filesystem another HOST's in-flight
+    build looks dead and got rmtree'd mid-build, while local pid
+    RECYCLING could keep a dead carcass alive indefinitely. The gate
+    is now directory mtime age: anything younger than
+    ``_SWEEP_AGE_SEC`` is kept unconditionally (covers the other-host
+    case — builds take seconds, so a fresh dir is presumed in flight),
+    and anything older is swept regardless of the pid probe (covers
+    recycling — no real build of this cache runs for hours).
+    ``*.stale-*`` asides age out under the same rule: young asides may
+    still back a lazily-scanning frame (the dangling-frame rule), old
+    ones are pure leaked disk."""
     import os
     import re as _re
     import shutil
+    import time
 
     try:
         names = os.listdir(base)
     except OSError:
         return
+    cutoff = time.time() - _SWEEP_AGE_SEC
     for n in names:
-        mm = _re.search(r"\.build-(\d+)$", n)
-        if not mm:
+        if not (_re.search(r"\.build-\d+$", n) or ".stale-" in n):
             continue
-        pid = int(mm.group(1))
+        p = os.path.join(base, n)
         try:
-            os.kill(pid, 0)  # signal 0: existence probe only
-        except ProcessLookupError:
-            shutil.rmtree(os.path.join(base, n), ignore_errors=True)
+            if os.path.getmtime(p) >= cutoff:
+                continue  # fresh: in flight (possibly on another host)
         except OSError:
-            continue  # alive under another uid, or probe unsupported
+            continue  # vanished under us — someone else swept it
+        shutil.rmtree(p, ignore_errors=True)
 
 
 def _snapshot_cache_fresh(table, marker, fp, n_roots):

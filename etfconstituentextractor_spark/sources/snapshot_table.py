@@ -930,10 +930,20 @@ def _set_txn(manifest: dict, pm: dict | None, txn: tuple[str, int] | None) -> No
         manifest["txn"] = txns
     # replication fan-in ownership claims (round 12) ride every
     # commit the same way watermarks do: pure carry here —
-    # registration/validation happens in snapshot_claim_range
-    owners = (pm or {}).get("owners")
-    if owners:
-        manifest["owners"] = dict(owners)
+    # registration/validation happens in snapshot_claim_range.
+    # Round-13 fix: claim/release commits set manifest['owners']
+    # THEMSELVES before calling here; the unconditional carry used to
+    # overwrite a freshly-registered SECOND writer's claim with the
+    # parent's map (w2's claim vanished → its interval lost overlap
+    # protection and every re-claim churned a new version). Respect an
+    # explicitly-set map; carry the parent's only when absent.
+    if "owners" in manifest:
+        if not manifest["owners"]:
+            del manifest["owners"]  # last release — drop the empty map
+    else:
+        owners = (pm or {}).get("owners")
+        if owners:
+            manifest["owners"] = dict(owners)
     parent_at = (pm or {}).get("committed_at")
     now = time.time()
     manifest["committed_at"] = (
@@ -1232,7 +1242,20 @@ def snapshot_merge(
             st = stypes.get(f.name)
             if st is None:
                 aligned.append(F.lit(None).cast(f.dataType).alias(f.name))
-            elif st == f.dataType:
+            elif st == f.dataType or (
+                st.simpleString() == f.dataType.simpleString()
+            ):
+                # simpleString ignores nullability flags, so equality
+                # here means the TYPE SHAPE is identical and only
+                # nested nullability (containsNull / struct-field
+                # nullable / valueContainsNull) differs — a legal
+                # source (round-13 advice: strict DataType equality
+                # false-rejected such merges, with an error printing
+                # two identical simpleStrings). Pass through uncast:
+                # parquet does not key on nested nullability and the
+                # recorded schema governs every read, while a cast
+                # would FAIL analysis when the source side is the
+                # more-nullable one (Cast's resolvableNullability).
                 aligned.append(F.col(f.name))
             elif _is_lossless_widening(st, f.dataType):
                 aligned.append(F.col(f.name).cast(f.dataType).alias(f.name))
@@ -2331,16 +2354,20 @@ def _manifest_schema(m: dict):
 
 #: source type -> recorded types it may silently widen into during
 #: merge alignment (round 12). Strict value-preserving embeddings
-#: only: integral up-chain, float->double, date->timestamp. Narrowing
-#: and cross-family casts raise — Spark would "succeed" at plan time
-#: and truncate/NULL at runtime, which is exactly the poisoned-version
-#: hazard the alignment exists to prevent.
+#: only: integral up-chain, float->double, date->timestamp_ntz.
+#: date->timestamp (with zone) was DROPPED round 13 (advice): a date
+#: casts to midnight IN THE SESSION TIMEZONE, so the written instant
+#: varies with spark.sql.session.timeZone — not a pure embedding.
+#: timestamp_ntz is zone-free (midnight, literally), so it qualifies.
+#: Narrowing and cross-family casts raise — Spark would "succeed" at
+#: plan time and truncate/NULL at runtime, which is exactly the
+#: poisoned-version hazard the alignment exists to prevent.
 _WIDENINGS = {
     "tinyint": {"smallint", "int", "bigint"},
     "smallint": {"int", "bigint"},
     "int": {"bigint"},
     "float": {"double"},
-    "date": {"timestamp"},
+    "date": {"timestamp_ntz"},
 }
 
 
@@ -3187,6 +3214,66 @@ def snapshot_claim_range(
             continue  # re-read, re-validate against the winner
     raise ConcurrentCommitError(
         f"claim on {path} lost {5} consecutive publish races — retry"
+    )
+
+
+def snapshot_release_range(spark: SparkSession, path: str, writer_id: str) -> int:
+    """Drop writer ``writer_id``'s registered key-interval claim on
+    table ``path`` (round 13, advice): claim_range's ownership-move
+    error says 'release/re-key explicitly', and without this API a
+    retired or re-ranged writer permanently blocked its interval (and
+    blocked all unkeyed replicates into the table), because owners
+    ride every commit via _set_txn forever.
+
+    Idempotent: releasing a writer with no registered claim is a pure
+    read returning the current version — so a release/crash/re-release
+    service loop converges. The drop itself is a metadata-only commit
+    (op 'release') carrying the parent's inventory/DV/blooms/schema
+    verbatim, racing through the same atomic manifest publish as
+    claims; after it lands the writer may claim a NEW interval (the
+    ownership move the claim-side error message promises)."""
+    fs, _, jvm = _fs_path(spark, path)
+    for _ in range(5):
+        versions = _list_versions(fs, jvm, path)
+        if not versions:
+            raise FileNotFoundError(f"{path} has no committed versions")
+        parent = versions[-1]
+        m = _read_manifest(fs, jvm, path, parent)
+        owners = dict(m.get("owners") or {})
+        if writer_id not in owners:
+            return parent  # nothing registered — pure read, idempotent
+        del owners[writer_id]
+        if "shards" in m:
+            sec = {"n_files": m["n_files"], "shards": m["shards"]}
+        else:
+            sec = {
+                "n_files": len(m["files"]),
+                "files": m["files"],
+                "stats": m.get("stats", {}),
+            }
+        manifest = {
+            "version": parent + 1,
+            "op": "release",
+            "parent": parent,
+            **sec,
+            "partition_by": m.get("partition_by") or [],
+            "partition_types": m.get("partition_types") or {},
+            "owners": owners,
+        }
+        if m.get("schema") is not None:
+            manifest["schema"] = m["schema"]
+        if "dv" in m:
+            manifest["dv"] = m["dv"]
+        if m.get("bloom"):
+            manifest["bloom"] = m["bloom"]
+        _set_txn(manifest, m, None)
+        try:
+            _publish(fs, jvm, path, parent + 1, manifest)
+            return parent + 1
+        except ConcurrentCommitError:
+            continue  # re-read, re-validate against the winner
+    raise ConcurrentCommitError(
+        f"release on {path} lost {5} consecutive publish races — retry"
     )
 
 

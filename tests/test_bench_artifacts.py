@@ -1,0 +1,86 @@
+"""bench.py evidence-artifact rules (round 13).
+
+The minwin summary is the repo's headline perf evidence; the round-12
+verdict found its per-query minima mixing windows from different
+commits (a cited best could point at code that no longer runs). These
+tests pin the coherence rule WITHOUT running Spark: _write_minwin_summary
+is pure file I/O over archived run JSONs.
+"""
+
+import importlib.util
+import json
+import os
+
+_spec = importlib.util.spec_from_file_location(
+    "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+)
+bench = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bench)
+
+
+def _run_file(outdir, name, queries, sf=0.1, git_rev="abc1234", catalog_fp="fp-cur"):
+    payload = {
+        "sf": sf,
+        "queries": queries,
+        "git_rev": git_rev,
+        "catalog_fp": catalog_fp,
+    }
+    with open(os.path.join(outdir, name), "w") as fh:
+        fh.write(json.dumps(payload) + "\n")
+    return payload
+
+
+def test_minwin_headline_excludes_unstamped_and_stale_surface_windows(tmp_path):
+    """Headline minima aggregate ONLY windows that are git_rev-stamped
+    AND share the current run's catalog fingerprint; unstamped or
+    different-source windows survive only in the *_cross_commit view."""
+    out = str(tmp_path)
+    # oldest: unstamped (pre-round-12 archive) with a tempting 0.5s min
+    _run_file(out, "run_20260101T000000_1.json", {"q42": 0.5, "q01": 2.0},
+              git_rev=None, catalog_fp=None)
+    # stale surface: stamped but DIFFERENT engine source, q42 fast
+    _run_file(out, "run_20260102T000000_1.json", {"q42": 0.9, "q01": 1.5},
+              git_rev="old1111", catalog_fp="fp-old")
+    # two coherent windows (current source)
+    _run_file(out, "run_20260103T000000_1.json", {"q42": 1.8, "q01": 1.2})
+    cur = _run_file(out, "run_20260104T000000_1.json", {"q42": 1.6, "q01": 1.4})
+
+    bench._write_minwin_summary(out, cur)
+    with open(os.path.join(out, "minwin_sf0.1.json")) as fh:
+        s = json.load(fh)
+
+    # headline: minima across the two coherent windows only
+    assert s["queries"] == {"q42": 1.6, "q01": 1.2}
+    assert s["value"] == 2.8
+    assert set(s["windows"]) == {
+        "run_20260103T000000_1.json", "run_20260104T000000_1.json",
+    }
+    # every cited backing window for the headline is coherent
+    assert set(s["query_window"].values()) <= set(s["windows"])
+    assert all(s["window_rev"].values())
+    # the cross-commit view keeps the old semantics, explicitly named
+    assert s["queries_cross_commit"] == {"q42": 0.5, "q01": 1.2}
+    assert len(s["windows_cross_commit"]) == 4
+
+
+def test_minwin_degrades_to_current_window_when_fp_unavailable(tmp_path):
+    """A fingerprint failure (catalog_fp None) must not kill the
+    artifact: the headline falls back to the newest window alone."""
+    out = str(tmp_path)
+    _run_file(out, "run_20260101T000000_1.json", {"q01": 0.7})
+    cur = _run_file(out, "run_20260102T000000_1.json", {"q01": 1.1},
+                    catalog_fp=None)
+    cur["catalog_fp"] = None
+    bench._write_minwin_summary(out, cur)
+    with open(os.path.join(out, "minwin_sf0.1.json")) as fh:
+        s = json.load(fh)
+    assert s["queries"] == {"q01": 1.1}
+    assert s["windows"] == ["run_20260102T000000_1.json"]
+
+
+def test_catalog_fingerprint_tracks_engine_source():
+    """The fingerprint is stable across calls and keyed to engine
+    source bytes (it is the minwin coherence key)."""
+    a = bench._catalog_fingerprint()
+    b = bench._catalog_fingerprint()
+    assert a is not None and a == b and len(a) == 12

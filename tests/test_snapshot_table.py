@@ -3040,6 +3040,132 @@ def test_merge_source_lossless_widening_casts(spark, tmp_path):
     assert dict(snapshot_read(spark, t).dtypes)["n"] == "bigint"
 
 
+def test_merge_type_check_ignores_nested_nullability(spark, tmp_path):
+    """Round-13 advice: strict DataType equality rejected sources
+    differing from the recorded schema only in nested nullability
+    (array containsNull / struct-field nullable) — a false rejection
+    whose error printed two identical simpleStrings. Same type SHAPE
+    must merge; only genuine shape drift raises."""
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from etfconstituentextractor_spark.sources.snapshot_table import snapshot_merge
+
+    t = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, [1, 2]), (2, [3])],
+        StructType([
+            StructField("id", LongType()),
+            StructField("tags", ArrayType(IntegerType(), containsNull=True)),
+        ]),
+    )
+    snapshot_commit(base, t, mode="overwrite")
+    # source's array elements are NON-null — same shape, tighter flags
+    src = spark.createDataFrame(
+        [(1, [9]), (3, [7, 8])],
+        StructType([
+            StructField("id", LongType()),
+            StructField("tags", ArrayType(IntegerType(), containsNull=False)),
+        ]),
+    )
+    snapshot_merge(src, t, key="id")
+    got = {r["id"]: r["tags"] for r in snapshot_read(spark, t).collect()}
+    assert got == {1: [9], 2: [3], 3: [7, 8]}
+    # genuine nested SHAPE drift still raises pre-write
+    bad = spark.createDataFrame(
+        [(1, ["x"])],
+        StructType([
+            StructField("id", LongType()),
+            StructField("tags", ArrayType(StringType())),
+        ]),
+    )
+    with pytest.raises(ValueError, match="recorded"):
+        snapshot_merge(bad, t, key="id")
+
+
+def test_merge_widening_date_targets_ntz_not_zoned_timestamp(spark, tmp_path):
+    """Round-13 advice: date->timestamp was dropped from _WIDENINGS —
+    a date casts to midnight IN THE SESSION ZONE, so the written
+    instant depended on spark.sql.session.timeZone. date->
+    timestamp_ntz (zone-free midnight) remains a pure embedding and
+    widens; date-> zoned timestamp now raises pre-write."""
+    import datetime
+
+    from etfconstituentextractor_spark.sources.snapshot_table import snapshot_merge
+
+    d = datetime.date(2026, 8, 16)
+    # recorded timestamp_ntz <- date source: widens
+    t = str(tmp_path / "ntz")
+    snapshot_commit(
+        spark.createDataFrame(
+            [(1, datetime.datetime(2026, 1, 1, 5, 0))], "id bigint, ts timestamp_ntz"
+        ),
+        t,
+        mode="overwrite",
+    )
+    snapshot_merge(
+        spark.createDataFrame([(2, d)], "id bigint, ts date"), t, key="id"
+    )
+    got = {r["id"]: r["ts"] for r in snapshot_read(spark, t).collect()}
+    assert got[2] == datetime.datetime(2026, 8, 16, 0, 0)
+    assert dict(snapshot_read(spark, t).dtypes)["ts"] == "timestamp_ntz"
+    # recorded ZONED timestamp <- date source: raises (round-13 change)
+    t2 = str(tmp_path / "zoned")
+    snapshot_commit(
+        spark.createDataFrame(
+            [(1, datetime.datetime(2026, 1, 1, 5, 0))], "id bigint, ts timestamp"
+        ),
+        t2,
+        mode="overwrite",
+    )
+    with pytest.raises(ValueError, match="recorded"):
+        snapshot_merge(
+            spark.createDataFrame([(2, d)], "id bigint, ts date"), t2, key="id"
+        )
+
+
+def test_sweep_gates_on_mtime_age_not_pid_alone(tmp_path):
+    """Round-13 advice: on a shared filesystem another host's
+    in-flight .build-<pid> looks locally dead, and pid recycling keeps
+    true carcasses 'alive' forever. The sweep now keys on mtime age:
+    fresh dirs are kept even with a dead pid, aged dirs go even with a
+    live pid, and .stale-* asides age out under the same rule."""
+    import os
+    import time
+
+    import etfconstituentextractor_spark.plans.llm_refresh as lr
+
+    base = str(tmp_path / "cache")
+    os.makedirs(base)
+    old = time.time() - lr._SWEEP_AGE_SEC - 60
+
+    fresh_dead = os.path.join(base, "gen-aaa.build-999999999")  # dead pid, fresh
+    aged_dead = os.path.join(base, "gen-bbb.build-999999998")  # dead pid, old
+    aged_live = os.path.join(base, f"gen-ccc.build-{os.getpid()}")  # live pid, old
+    fresh_aside = os.path.join(base, "gen-ddd.stale-123")  # aside, fresh
+    aged_aside = os.path.join(base, "gen-eee.stale-456")  # aside, old
+    final_gen = os.path.join(base, "gen-fff")  # a published generation
+    for p in (fresh_dead, aged_dead, aged_live, fresh_aside, aged_aside, final_gen):
+        os.makedirs(p)
+    for p in (aged_dead, aged_live, aged_aside):
+        os.utime(p, (old, old))
+
+    lr._sweep_dead_builds(base)
+    left = sorted(os.listdir(base))
+    assert os.path.basename(fresh_dead) in left  # other-host build: kept
+    assert os.path.basename(fresh_aside) in left  # dangling-frame rule
+    assert os.path.basename(final_gen) in left  # never touched
+    assert os.path.basename(aged_dead) not in left
+    assert os.path.basename(aged_live) not in left  # pid recycling
+    assert os.path.basename(aged_aside) not in left
+
+
 def test_merge_table_cache_heals_stale_partial_generation(spark, tmp_path, monkeypatch):
     """Round-12 advice: a published-but-partial generation dir used to
     make the claim rename fail forever — every run rebuilt AND leaked
@@ -3068,9 +3194,18 @@ def test_merge_table_cache_heals_stale_partial_generation(spark, tmp_path, monke
     os.makedirs(os.path.join(gdir, "table"))
     with open(os.path.join(gdir, "junk.txt"), "w") as fh:
         fh.write("partial build carcass")
-    # and a dead-pid scratch build that should be swept
+    # and a dead-pid scratch build that should be swept — aged past
+    # the round-13 mtime gate (a FRESH dir is presumed in flight,
+    # possibly on another host of a shared filesystem, even when the
+    # local pid probe says dead)
+    import time as _time
+
+    import etfconstituentextractor_spark.plans.llm_refresh as _lr
+
     dead = os.path.join(base, f"gen-{gen}.build-999999999")
     os.makedirs(dead)
+    old = _time.time() - _lr._SWEEP_AGE_SEC - 60
+    os.utime(dead, (old, old))
 
     table = lr._merge_table(spark, sf_dir)
     # healed: the FINAL path is now served (not a .build scratch)
@@ -3228,6 +3363,71 @@ def test_claim_is_idempotent_and_moves_raise(spark, tmp_path):
     snapshot_commit(_df(spark, [(2, "b")]), t, mode="append")
     with pytest.raises(ValueError, match="overlaps"):
         st.snapshot_claim_range(spark, t, "w3", "id", 5, 7)
+
+
+def test_second_writer_claim_survives_owner_carry(spark, tmp_path):
+    """Round-13 regression: _set_txn's 'pure carry' of the parent's
+    owners map used to OVERWRITE the claim commit's own freshly-added
+    entry — after two claims only w1 was recorded, so w2's interval
+    had no overlap protection and every w2 re-claim churned a fresh
+    version. Both claims must be registered, both must defend their
+    interval, and re-claims must be pure reads."""
+    import etfconstituentextractor_spark.sources.snapshot_table as st
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, [(1, "a")]), t, mode="overwrite")
+    st.snapshot_claim_range(spark, t, "w1", "id", 0, 100)
+    v2 = st.snapshot_claim_range(spark, t, "w2", "id", 100, 200)
+    fs, _, jvm = st._fs_path(spark, t)
+    m = st._read_manifest(fs, jvm, t, v2)
+    assert sorted(m["owners"]) == ["w1", "w2"]
+    # w2's re-claim is a no-op read, not a new version
+    assert st.snapshot_claim_range(spark, t, "w2", "id", 100, 200) == v2
+    assert [x["version"] for x in st.snapshot_versions(spark, t)][-1] == v2
+    # BOTH intervals defend: overlap with w2's range raises too
+    with pytest.raises(ValueError, match="overlaps"):
+        st.snapshot_claim_range(spark, t, "w3", "id", 150, 250)
+    # and both ride ordinary commits (the carry path, parent-owners)
+    snapshot_commit(_df(spark, [(2, "b")]), t, mode="append")
+    head = [x["version"] for x in st.snapshot_versions(spark, t)][-1]
+    assert sorted(st._read_manifest(fs, jvm, t, head)["owners"]) == ["w1", "w2"]
+
+
+def test_release_range_enables_ownership_move(spark, tmp_path):
+    """Round-13 advice: claim_range's move error says 'release/re-key
+    explicitly' — snapshot_release_range is that API. Release drops
+    the entry as a metadata-only 'release' commit, is idempotent
+    (re-release = pure read), frees the interval for other writers,
+    lets the released writer claim a NEW interval, and dropping the
+    LAST owner removes the owners map entirely (so unkeyed replicate
+    is legal again)."""
+    import etfconstituentextractor_spark.sources.snapshot_table as st
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, [(1, "a")]), t, mode="overwrite")
+    st.snapshot_claim_range(spark, t, "w1", "id", 0, 100)
+    st.snapshot_claim_range(spark, t, "w2", "id", 100, 200)
+    v = st.snapshot_release_range(spark, t, "w1")
+    fs, _, jvm = st._fs_path(spark, t)
+    m = st._read_manifest(fs, jvm, t, v)
+    assert m["op"] == "release" and sorted(m["owners"]) == ["w2"]
+    # idempotent: releasing again is a pure read, no version churn
+    assert st.snapshot_release_range(spark, t, "w1") == v
+    # the freed interval is claimable by someone else…
+    st.snapshot_claim_range(spark, t, "w3", "id", 0, 50)
+    # …and the released writer can move to a new interval
+    v2 = st.snapshot_claim_range(spark, t, "w1", "id", 300, 400)
+    assert sorted(st._read_manifest(fs, jvm, t, v2)["owners"]) == [
+        "w1", "w2", "w3",
+    ]
+    # releasing everyone drops the key — the table is unowned again
+    for wid in ("w1", "w2", "w3"):
+        last = st.snapshot_release_range(spark, t, wid)
+    assert "owners" not in st._read_manifest(fs, jvm, t, last)
+    # releasing on a table that never had claims: pure read
+    t2 = str(tmp_path / "tbl2")
+    snapshot_commit(_df(spark, [(1, "a")]), t2, mode="overwrite")
+    assert st.snapshot_release_range(spark, t2, "ghost") == 0
 
 
 def test_snapshot_insert_into_sql_lands_as_versioned_commit(spark, tmp_path):
