@@ -107,6 +107,84 @@ _REF_CALIBRATION32_SEC = 0.395
 _REF_CALIBRATION_PY_SEC = 0.456
 
 
+#: Quiet-host reference for the cold-read IO probe (round 13): best
+#: observed throughput across the round-12/13 archived windows
+#: (1787.9 MB/s on run_20260816T123435). The virtualized disk was
+#: measured throttling 28x (37.5 vs 1345 MB/s back-to-back), so this
+#: reference is "the disk when the hypervisor isn't squeezing it".
+_REF_CALIBRATION_IO_MBPS = 1800.0
+
+#: Per-class normalization (round-13 verdict ask #2): each query
+#: class's wall time is damped by its DOMINANT-resource probe —
+#: t / (1 + beta * (ratio - 1)) — rather than dividing the whole
+#: total by one CPU ratio (which over-corrects: under load1=11 the
+#: c32 probe read 2.08x while the actual workload slowed only 1.38x).
+#: Classes by code path: 'py' = mapInPandas/UDTF-dominated, 'stream'
+#: = micro-batch loops (python-worker bound per round-10/11 data),
+#: 'io' = queries reading cached on-disk artifacts (snapshot tables,
+#: LSH standing index, bucketed tables), 'jvm' = everything else.
+#: Betas fitted on the six attributable archived sf0.1 windows
+#: (tools/validate_normalization.py reproduces the fit): spread
+#: (max-min)/mean fell 33.6% -> 11.5%. The seventh window
+#: (run_20260816T104941, 94.1s) is excluded from the fit because it
+#: predates the io probe — its disk throttle is unattributable by
+#: construction, which is WHY the probe now exists. Six windows /
+#: four params is thin; the betas are committed constants so every
+#: future window is out-of-sample validation.
+_CLASS_QUERIES = {
+    "stream": {
+        "q55_stream_tumbling_sliding",
+        "q58_stream_dedup_watermark",
+        "q59_stream_custom_sessionize",
+    },
+    "py": {
+        "q50_doc_extract_holdings",
+        "q52_doc_pipeline_e2e",
+        "q91_udtf_udaf",
+        "q95_multimodal_binary",
+    },
+    "io": {
+        "q86_snapshot_diff",
+        "q62_dedup_minhash_lsh",
+        "q22_join_shuffle_factfact",
+    },
+}
+_CLASS_BETA = {"jvm": 0.15, "py": 1.0, "stream": 0.9, "io": 0.6}
+
+
+def _class_of(name: str) -> str:
+    for cls, names in _CLASS_QUERIES.items():
+        if name in names:
+            return cls
+    return "jvm"
+
+
+def _normalized_vector(timings: dict, c32_ratio, py_ratio, io_ratio) -> dict | None:
+    """The per-class damped normalization. Returns None when the JVM
+    ratio is unavailable (non-32-way session — the references do not
+    apply). A missing io probe falls back to the JVM ratio: disk
+    throttling then stays invisible, exactly as it did pre-probe, but
+    the field stays comparable instead of vanishing."""
+    if c32_ratio is None or py_ratio is None:
+        return None
+    ratios = {
+        "jvm": c32_ratio,
+        "py": py_ratio,
+        "stream": py_ratio,
+        "io": io_ratio if io_ratio is not None else c32_ratio,
+    }
+    cls_tot: dict[str, float] = {k: 0.0 for k in ratios}
+    for q, t in timings.items():
+        cls_tot[_class_of(q)] += t
+    out = {
+        k: round(v / (1 + _CLASS_BETA[k] * (ratios[k] - 1)), 3)
+        for k, v in cls_tot.items()
+    }
+    out["total"] = round(sum(out.values()), 3)
+    out["class_ratios"] = {k: round(v, 3) for k, v in ratios.items()}
+    return out
+
+
 def _py_probe_seconds(spark) -> float:
     """One timed pass of the fixed Python-worker probe."""
     import pandas as pd
@@ -427,6 +505,22 @@ def main() -> None:
         ),
         "calibration_io_mbps": calibration_io,
         "calibration_io_min_mbps": min(io_runs) if io_runs else None,
+        # round-13 per-class normalization (verdict ask #2): each
+        # class damped by its dominant-resource probe; see _CLASS_BETA
+        "value_normalized_vector": _normalized_vector(
+            timings,
+            ratio32,
+            (
+                round(calibration_py / _REF_CALIBRATION_PY_SEC, 3)
+                if spark.sparkContext.defaultParallelism == 32
+                else None
+            ),
+            (
+                round(_REF_CALIBRATION_IO_MBPS / calibration_io, 3)
+                if calibration_io
+                else None
+            ),
+        ),
         # code attribution (round 12): minwin mixes windows across
         # commits — the recorded hash makes every per-query best
         # attributable to the exact code that produced it

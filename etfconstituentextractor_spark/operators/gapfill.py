@@ -144,3 +144,36 @@ def gapfill(
         prev_v.alias("v_locf"),
         interp.cast("double").alias("v_interp"),
     )
+
+
+def per_key_view(filled: DataFrame, *, key_col: str, bucket_col: str) -> DataFrame:
+    """Derive the ``bounds='per_key'`` result from an already-computed
+    ``bounds='global'`` fill — ONE fill pass serves both shapes when a
+    caller (q42) carries both legs (round-13 verdict ask; the equality
+    this rests on is pinned in tests/test_gapfill.py: inside a key's
+    observed [min, max] the global-axis fills match the per-key-axis
+    fills exactly, because the extra global-axis rows outside the
+    key's life carry only NULL observations, which the IGNORE NULLS
+    windows skip, and interpolation needs both endpoints anyway).
+
+    Per-key observed bounds come from the filled frame itself (its
+    non-gap rows), one tiny hash agg broadcast back onto the fill —
+    O(keys) metadata against an O(keys x range) frame, vs. re-running
+    axis + join + two window sorts for a second fill pass.
+
+    The caller should localCheckpoint ``filled`` when also consuming
+    it directly — this function reads it twice (bounds agg + join),
+    and an uncheckpointed fill would otherwise recompute per branch
+    (the ReuseExchange-never-fires rule from SNIPPETS)."""
+    b = F.col(bucket_col)
+    kb = (
+        filled.filter(~F.col("gap"))
+        .groupBy(key_col)
+        .agg(F.min(b).alias("__lo"), F.max(b).alias("__hi"))
+    )
+    return (
+        filled.join(F.broadcast(kb), key_col)
+        .filter(b.between(F.col("__lo"), F.col("__hi")))
+        .drop("__lo", "__hi")
+        .select(*filled.columns)
+    )

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from etfconstituentextractor_spark.functions.parity import dec
 from etfconstituentextractor_spark.operators.funnel import funnel, sql_funnel
-from etfconstituentextractor_spark.operators.gapfill import gapfill
+from etfconstituentextractor_spark.operators.gapfill import gapfill, per_key_view
 from etfconstituentextractor_spark.operators.timeseries import RESOLUTIONS, time_rollup
 
 #: q42 'funnel' leg: the ordered path the events corpus supports
@@ -325,9 +325,9 @@ def q42_window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is sparse BY CONSTRUCTION (user_id % 997), so the dense axis has
     # real interior gaps and per-key leading/trailing edges; the agg
     # is the distributed part, the fills run over the tiny rollup.
-    # coalesce(1).localCheckpoint(): the tiny rollup now feeds TWO
-    # gapfill legs (each consuming it for axis + join), and an
-    # uncheckpointed frame would re-run the events scan per consumer
+    # coalesce(1).localCheckpoint(): gapfill consumes the rollup twice
+    # internally (axis bounds + the left join), and an uncheckpointed
+    # frame would re-run the events scan per consumer
     sparse = (
         ev.filter(F.col("user_id") % 997 == 0)
         .groupBy(
@@ -341,11 +341,8 @@ def q42_window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
-    def _gf_leg(leg: str, bounds: str):
-        return gapfill(
-            sparse, key_col="event_type", bucket_col="day_num",
-            value_col="v_sum", bounds=bounds,
-        ).select(
+    def _gf_leg(leg: str, filled: DataFrame):
+        return filled.select(
             F.lit(leg).alias("leg"),
             F.col("day_num").cast("int").alias("day_num"),
             F.lit(None).cast("double").alias("day_rev"),
@@ -367,11 +364,23 @@ def q42_window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v_interp",
         )
 
-    # 'gapfill_pk' (round 12): the per-key-bounds mode under the same
-    # hash — each key densified over its OWN observed range, the
-    # 100TB-posture axis for long-lived tables with short-lived keys
-    gf = _gf_leg("gapfill", "global")
-    gfpk = _gf_leg("gapfill_pk", "per_key")
+    # 'gapfill_pk' (round 12; round 13 shares the fill): the per-key-
+    # bounds mode under the same hash — each key densified over its
+    # OWN observed range, the 100TB-posture axis for long-lived tables
+    # with short-lived keys. Since the GLOBAL fill is also computed,
+    # the pk leg derives from it (operators/gapfill.py:per_key_view —
+    # one tiny bounds agg + broadcast filter) instead of re-running
+    # axis + join + two window sorts; the filled frame checkpoints
+    # once (tiny: keys x global range) and feeds both legs.
+    filled = gapfill(
+        sparse, key_col="event_type", bucket_col="day_num",
+        value_col="v_sum", bounds="global",
+    ).coalesce(1).localCheckpoint()
+    gf = _gf_leg("gapfill", filled)
+    gfpk = _gf_leg(
+        "gapfill_pk",
+        per_key_view(filled, key_col="event_type", bucket_col="day_num"),
+    )
     return (
         trailing.unionByName(rollup)
         .unionByName(fn)

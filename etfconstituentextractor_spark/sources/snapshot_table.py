@@ -3358,3 +3358,114 @@ def snapshot_tail(
             f"tail {src} -> {dst} made no successful poll"
         )
     return applied
+
+
+def snapshot_service(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    key: str,
+    writer_id: str | None = None,
+    compare_cols: list[str] | None = None,
+    key_range: tuple | None = None,
+    poll_sec: float = 5.0,
+    backoff: float = 2.0,
+    max_poll_sec: float = 60.0,
+    stop_after_idle: int | None = 3,
+    max_polls: int | None = None,
+    sleep=None,
+    maintain_every: int = 1,
+    small_bytes: int = 32 << 20,
+    min_small_files: int = 8,
+    target_rows_per_file: int | None = None,
+    zorder_by: tuple[str, ...] | None = None,
+    keep_last: int | None = None,
+    older_than: float | None = None,
+) -> dict:
+    """The COMBINED deployment loop (round 13, verdict ask): one
+    scheduled pass that keeps ``dst`` converged to ``src``'s head
+    (the ``snapshot_tail`` half) AND healthy (the ``snapshot_maintain``
+    half — compact past the small-file threshold, then vacuum under
+    the retention policy) on one shared cadence, so a deployment runs
+    ONE service instead of wiring two schedulers whose interleaving it
+    must then reason about. Both halves are round-12 primitives; the
+    loop adds scheduling, not protocol — their commit race is already
+    pinned (a lost race from either half surfaces ConcurrentCommitError
+    and the next cycle re-derives from durable state).
+
+    Cadence: every cycle replicates; every ``maintain_every``-th cycle
+    also maintains (freshness usually wants a tighter loop than
+    compaction — N>1 makes maintenance a cheap harmonic of the poll).
+    QUIET polls stay quiet end-to-end: replicate no-ops by watermark,
+    maintain below-threshold costs one manifest read — neither commits
+    a version, so the service never creates the history pressure its
+    vacuum half exists to relieve. Backoff mirrors snapshot_tail:
+    replication progress or a compaction snaps the delay back to
+    ``poll_sec``; consecutive do-nothing cycles back off exponentially
+    and (optionally) stop after ``stop_after_idle``.
+
+    Returns ``{"applied": last_src_version, "polls": n,
+    "maintained": [per-maintenance-pass dicts]}``."""
+    import time as _time
+
+    if maintain_every < 1:
+        raise ValueError(f"maintain_every must be >= 1, got {maintain_every}")
+    do_sleep = sleep if sleep is not None else _time.sleep
+    applied: int | None = None
+    idle = 0
+    polls = 0
+    delay = float(poll_sec)
+    last_err: Exception | None = None
+    maintained: list[dict] = []
+    while True:
+        polls += 1
+        progressed = False
+        try:
+            new = snapshot_replicate(
+                spark,
+                src,
+                dst,
+                key,
+                writer_id=writer_id,
+                compare_cols=compare_cols,
+                key_range=key_range,
+            )
+            progressed = applied is None or new > applied
+            applied = new
+            last_err = None
+        except ConcurrentCommitError as e:
+            progressed = True  # contended, not idle — re-poll fresh
+            last_err = e
+        if polls % maintain_every == 0:
+            try:
+                mres = snapshot_maintain(
+                    spark,
+                    dst,
+                    small_bytes=small_bytes,
+                    min_small_files=min_small_files,
+                    target_rows_per_file=target_rows_per_file,
+                    zorder_by=zorder_by,
+                    keep_last=keep_last,
+                    older_than=older_than,
+                )
+                maintained.append(mres)
+                if mres["compacted"] is not None:
+                    progressed = True  # table changed — stay hot
+            except ConcurrentCommitError as e:
+                progressed = True
+                last_err = e
+        if progressed:
+            idle, delay = 0, float(poll_sec)
+        else:
+            idle += 1
+            delay = min(delay * float(backoff), float(max_poll_sec))
+        if stop_after_idle is not None and idle >= stop_after_idle:
+            break
+        if max_polls is not None and polls >= max_polls:
+            break
+        do_sleep(delay)
+    if applied is None:
+        raise last_err if last_err is not None else RuntimeError(
+            f"service {src} -> {dst} made no successful poll"
+        )
+    return {"applied": applied, "polls": polls, "maintained": maintained}

@@ -110,6 +110,21 @@ def test_gapfill_per_key_bounds_stays_inside_each_keys_life(spark):
     # per-key mode has no leading/trailing edge rows at all: every
     # locf is non-NULL (the range starts at an observation)
     assert all(r["v_locf"] is not None for r in rows.values())
+    # round 13: per_key_view derives the SAME result from the global
+    # fill (one fill pass serves both legs — the q42 wiring)
+    from etfconstituentextractor_spark.operators.gapfill import per_key_view
+
+    filled = gapfill(
+        _fixture(spark), key_col="k", bucket_col="b", value_col="v"
+    ).localCheckpoint()
+    derived = {
+        (r["k"], r["b"]): r
+        for r in per_key_view(filled, key_col="k", bucket_col="b").collect()
+    }
+    assert set(derived) == set(rows)
+    for kk in rows:
+        for c in ("v_obs", "gap", "v_locf", "v_interp"):
+            assert derived[kk][c] == rows[kk][c], (kk, c)
     with pytest.raises(ValueError, match="per_key"):
         gapfill(_fixture(spark), key_col="k", bucket_col="b", value_col="v",
                 bounds="weekly")
