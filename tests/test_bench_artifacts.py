@@ -121,6 +121,17 @@ def test_class_assignment_covers_headline():
         assert names <= set(bench.HEADLINE)
 
 
+def test_ordered_headline_rotation_preserves_the_set():
+    """stream_early moves the streaming class right after the
+    flagship; both orderings run the same query set exactly once."""
+    default = bench._ordered_headline("default")
+    early = bench._ordered_headline("stream_early")
+    assert default == bench.HEADLINE
+    assert sorted(early) == sorted(default)
+    assert early[0] == "q99_curation_pipeline_e2e"
+    assert set(early[1:4]) == bench._CLASS_QUERIES["stream"]
+
+
 def test_catalog_fingerprint_tracks_engine_source():
     """The fingerprint is stable across calls and keyed to engine
     source bytes (it is the minwin coherence key)."""
