@@ -3161,8 +3161,8 @@ def snapshot_claim_range(
         if mine is not None:
             raise ValueError(
                 f"writer {writer_id!r} already owns {mine} on {path} — "
-                f"claiming {claim} would move ownership; release/re-key "
-                "explicitly instead"
+                f"claiming {claim} would move ownership; call "
+                "snapshot_release_range first, then claim the new interval"
             )
         for other_wid, oc in owners.items():
             if oc["key"] != key:
@@ -3405,7 +3405,11 @@ def snapshot_service(
     and (optionally) stop after ``stop_after_idle``.
 
     Returns ``{"applied": last_src_version, "polls": n,
-    "maintained": [per-maintenance-pass dicts]}``."""
+    "maintained": [per-maintenance-pass dicts], "cycle_secs":
+    [per-cycle (apply_sec, maintain_sec|None)]}`` — the duration trail
+    is the service's backpressure signal: a deployment reading
+    apply_sec grow toward poll_sec sees convergence lag coming before
+    it becomes an incident."""
     import time as _time
 
     if maintain_every < 1:
@@ -3417,9 +3421,11 @@ def snapshot_service(
     delay = float(poll_sec)
     last_err: Exception | None = None
     maintained: list[dict] = []
+    cycle_secs: list[tuple[float, float | None]] = []
     while True:
         polls += 1
         progressed = False
+        t0 = _time.perf_counter()
         try:
             new = snapshot_replicate(
                 spark,
@@ -3436,7 +3442,10 @@ def snapshot_service(
         except ConcurrentCommitError as e:
             progressed = True  # contended, not idle — re-poll fresh
             last_err = e
+        apply_sec = round(_time.perf_counter() - t0, 3)
+        maintain_sec: float | None = None
         if polls % maintain_every == 0:
+            t0 = _time.perf_counter()
             try:
                 mres = snapshot_maintain(
                     spark,
@@ -3454,6 +3463,8 @@ def snapshot_service(
             except ConcurrentCommitError as e:
                 progressed = True
                 last_err = e
+            maintain_sec = round(_time.perf_counter() - t0, 3)
+        cycle_secs.append((apply_sec, maintain_sec))
         if progressed:
             idle, delay = 0, float(poll_sec)
         else:
@@ -3468,4 +3479,9 @@ def snapshot_service(
         raise last_err if last_err is not None else RuntimeError(
             f"service {src} -> {dst} made no successful poll"
         )
-    return {"applied": applied, "polls": polls, "maintained": maintained}
+    return {
+        "applied": applied,
+        "polls": polls,
+        "maintained": maintained,
+        "cycle_secs": cycle_secs,
+    }

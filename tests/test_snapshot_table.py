@@ -1395,6 +1395,36 @@ def test_lifecycle_matches_python_model(spark, tmp_path):
         got_f = {(r.id, r.v) for r in st.snapshot_read(spark, fanin).collect()}
         assert got_f == set(model.items()), "fan-in tail churned state"
 
+        # round 13: REGISTERED ownership over the same split — claim,
+        # converge via the COMBINED service loop, then move one
+        # writer's interval through release + re-claim and re-converge
+        # (the ownership-move path), still exactly on the model.
+        # The key_range replicates above auto-registered derived
+        # writer ids (which the fixed owner-carry now correctly
+        # PERSISTS — pre-fix they were silently clobbered), so the
+        # re-key starts with releases, exactly the API's use case.
+        fs_f, _, jvm_f = st._fs_path(spark, fanin)
+        head_f = st.snapshot_versions(spark, fanin)[-1]["version"]
+        auto = dict(st._read_manifest(fs_f, jvm_f, fanin, head_f).get("owners") or {})
+        assert auto, "key_range replicates should have registered owners"
+        for wid in auto:
+            st.snapshot_release_range(spark, fanin, wid)
+        st.snapshot_claim_range(spark, fanin, "lo_w", "id", None, mid)
+        st.snapshot_claim_range(spark, fanin, "hi_w", "id", mid, None)
+        svc = st.snapshot_service(
+            spark, t, fanin, key="id", writer_id="lo_w",
+            key_range=(None, mid), stop_after_idle=2,
+            sleep=lambda s: None, min_small_files=10_000,
+        )
+        assert svc["applied"] == st.snapshot_versions(spark, t)[-1]["version"]
+        st.snapshot_release_range(spark, fanin, "hi_w")
+        st.snapshot_claim_range(spark, fanin, "hi_w2", "id", mid, None)
+        st.snapshot_replicate(
+            spark, t, fanin, key="id", writer_id="hi_w2", key_range=(mid, None)
+        )
+        got_f = {(r.id, r.v) for r in st.snapshot_read(spark, fanin).collect()}
+        assert got_f == set(model.items()), "ownership move churned state"
+
         vs = [mv["version"] for mv in st.snapshot_versions(spark, t)]
         if len(vs) >= 2:
             a, b = vs[-2], vs[-1]
@@ -3328,6 +3358,13 @@ def test_service_maintain_every_n_is_a_harmonic_of_the_poll(spark, tmp_path):
     )
     # polls 2 and 4 maintained; 1, 3 (and the final idle ones) did not
     assert len(res["maintained"]) == res["polls"] // 2
+    # the duration trail (backpressure signal): one entry per cycle,
+    # maintain_sec only on maintaining cycles
+    assert len(res["cycle_secs"]) == res["polls"]
+    assert [m is not None for _, m in res["cycle_secs"]] == [
+        (i + 1) % 2 == 0 for i in range(res["polls"])
+    ]
+    assert all(a >= 0 for a, _ in res["cycle_secs"])
     with pytest.raises(ValueError, match="maintain_every"):
         st.snapshot_service(spark, src, dst, key="id", maintain_every=0)
 
