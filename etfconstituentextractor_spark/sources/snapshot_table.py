@@ -1911,6 +1911,7 @@ def snapshot_vacuum(
     path: str,
     keep_last: int | None = None,
     older_than: float | None = None,
+    dry_run: bool = False,
 ) -> dict:
     """The retention sweep the commit protocol defers to: optionally
     EXPIRE all but the last ``keep_last`` versions and/or every
@@ -1934,6 +1935,13 @@ def snapshot_vacuum(
     snapshots the manifest list BEFORE listing data dirs — a dir
     created after the snapshot is newer than every manifest read and
     is skipped (left for the next sweep) rather than raced.
+
+    ``dry_run=True`` (round 13 — the Delta VACUUM DRY RUN shape)
+    reports exactly what a real sweep would do — expired versions,
+    dead dirs/shards, reclaimed bytes — and deletes NOTHING: an
+    operator sizes a retention policy against a production table
+    before pulling the trigger. Pinned: dry-run counts equal the
+    immediately-following real vacuum's, and the table is untouched.
     """
     if keep_last is not None and keep_last < 1:
         raise ValueError("keep_last must be >= 1")
@@ -1971,13 +1979,14 @@ def snapshot_vacuum(
             if at is not None and float(at) < older_than:
                 by_ts.append(v)
         expired = sorted(set(expired) | set(by_ts))
-    for v in expired:
-        fs.delete(
-            jvm.org.apache.hadoop.fs.Path(
-                posixpath.join(path, "_manifests", f"v{v:08d}.json")
-            ),
-            False,
-        )
+    if not dry_run:
+        for v in expired:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    posixpath.join(path, "_manifests", f"v{v:08d}.json")
+                ),
+                False,
+            )
     survivors = [v for v in versions if v not in expired]
     # liveness at VERSION-DIR granularity: a partitioned relpath is
     # data/vN-uuid/k=v/file, so dirname() would produce the k=v level
@@ -2016,7 +2025,8 @@ def snapshot_vacuum(
         name = st.getPath().getName()
         sm_m = _SHARD_RE.match(name)
         if sm_m and name not in live_shards and int(sm_m.group(1)) <= newest_manifest:
-            fs.delete(st.getPath(), False)
+            if not dry_run:
+                fs.delete(st.getPath(), False)
             removed_shards += 1
     ddir = jvm.org.apache.hadoop.fs.Path(posixpath.join(path, "data"))
     removed = 0
@@ -2043,7 +2053,8 @@ def snapshot_vacuum(
                     reclaimed += fit.next().getLen()
             except Exception:
                 pass  # accounting is best-effort; the delete is not
-            fs.delete(st.getPath(), True)
+            if not dry_run:
+                fs.delete(st.getPath(), True)
             removed += 1
     return {
         "expired_versions": len(expired),
@@ -2051,6 +2062,7 @@ def snapshot_vacuum(
         "removed_shards": removed_shards,
         "reclaimed_bytes": reclaimed,
         "surviving_versions": survivors,
+        "dry_run": dry_run,
     }
 
 

@@ -128,3 +128,65 @@ def test_gapfill_per_key_bounds_stays_inside_each_keys_life(spark):
     with pytest.raises(ValueError, match="per_key"):
         gapfill(_fixture(spark), key_col="k", bucket_col="b", value_col="v",
                 bounds="weekly")
+
+
+def test_gapfill_matches_python_model_on_seeded_random_series(spark):
+    """Model-based check (the lifecycle-test shape): seeded random
+    sparse series run through gapfill(global) and a pure-Python
+    reference; every (key, bucket) cell must agree on v_obs/gap/
+    v_locf/v_interp — the enumeration-by-hand tests above pin edges,
+    this pins the general case across shapes no fixture enumerates."""
+    import random
+
+    for seed in (7, 1009, 424242):
+        rng = random.Random(seed)
+        keys = [f"k{i}" for i in range(rng.randint(1, 4))]
+        rows = []
+        seen = set()
+        for _ in range(rng.randint(3, 18)):
+            k = rng.choice(keys)
+            b = rng.randint(0, 14)
+            if (k, b) in seen:
+                continue
+            seen.add((k, b))
+            rows.append((k, b, round(rng.uniform(-50, 50), 3)))
+        if not rows:
+            continue
+        # python model over the global [min, max] bucket axis
+        lo = min(b for _, b, _ in rows)
+        hi = max(b for _, b, _ in rows)
+        obs = {(k, b): v for k, b, v in rows}
+        expect = {}
+        for k in {k for k, _, _ in rows}:
+            kbs = sorted((b, v) for kk, b, v in rows if kk == k)
+            for b in range(lo, hi + 1):
+                v = obs.get((k, b))
+                prev = max(((bb, vv) for bb, vv in kbs if bb <= b), default=None)
+                nxt = min(((bb, vv) for bb, vv in kbs if bb >= b), default=None)
+                locf = prev[1] if prev else None
+                if v is not None:
+                    interp = v
+                elif prev and nxt:
+                    interp = round(
+                        prev[1] + (nxt[1] - prev[1]) * (b - prev[0]) / (nxt[0] - prev[0]),
+                        9,
+                    )
+                else:
+                    interp = None
+                expect[(k, b)] = (v, v is None, locf, interp)
+        out = gapfill(
+            spark.createDataFrame(rows, "k string, b int, v double"),
+            key_col="k", bucket_col="b", value_col="v",
+        )
+        got = {
+            (r["k"], r["b"]): (r["v_obs"], r["gap"], r["v_locf"], r["v_interp"])
+            for r in out.collect()
+        }
+        assert set(got) == set(expect), f"axis mismatch (seed {seed})"
+        for cell in expect:
+            g, e = got[cell], expect[cell]
+            assert g[0] == e[0] and g[1] == e[1] and g[2] == e[2], (seed, cell, g, e)
+            if e[3] is None:
+                assert g[3] is None, (seed, cell, g, e)
+            else:
+                assert abs(g[3] - e[3]) < 1e-9, (seed, cell, g, e)

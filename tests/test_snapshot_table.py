@@ -3853,3 +3853,35 @@ def test_vacuum_reports_reclaimed_bytes(spark, tmp_path):
     assert r["reclaimed_bytes"] == doomed > 0
     # nothing left to reclaim on a second pass
     assert st.snapshot_vacuum(spark, t, keep_last=1)["reclaimed_bytes"] == 0
+
+
+def test_vacuum_dry_run_predicts_and_touches_nothing(spark, tmp_path):
+    """Round 13 — the VACUUM DRY RUN shape: dry_run=True reports
+    exactly what the real sweep would do (expired/dirs/shards/bytes)
+    while the table stays byte-identical; the immediately-following
+    real vacuum then matches the prediction."""
+    import etfconstituentextractor_spark.sources.snapshot_table as st
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, [(i, f"v{i}") for i in range(30)]), t, mode="overwrite")
+    snapshot_commit(_df(spark, [(1, "b")]), t, mode="append")
+    snapshot_commit(_df(spark, [(2, "c")]), t, mode="overwrite")  # orphans v0+v1 data
+    before_versions = [v["version"] for v in snapshot_versions(spark, t)]
+    before_rows = _rows(spark, t)
+
+    dry = st.snapshot_vacuum(spark, t, keep_last=1, dry_run=True)
+    assert dry["dry_run"] is True
+    assert dry["expired_versions"] == 2 and dry["removed_dirs"] == 2
+    assert dry["reclaimed_bytes"] > 0
+    # nothing changed: full history still travelable, data intact
+    assert [v["version"] for v in snapshot_versions(spark, t)] == before_versions
+    assert _rows(spark, t) == before_rows
+    assert {r.id for r in st.snapshot_read(spark, t, 0).collect()} == set(range(30))
+
+    real = st.snapshot_vacuum(spark, t, keep_last=1)
+    assert real["dry_run"] is False
+    for k in ("expired_versions", "removed_dirs", "removed_shards", "reclaimed_bytes"):
+        assert real[k] == dry[k], k
+    # and the real sweep actually removed the history
+    with pytest.raises(FileNotFoundError):
+        st.snapshot_read(spark, t, 0).collect()
