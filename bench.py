@@ -550,13 +550,15 @@ def main() -> None:
         **settle,
     }
     line = json.dumps(payload)
-    print(line)
     # Archive EVERY run's full per-query JSON (round-10 verdict: a
     # "re-timed fine in window X" claim is unverifiable unless window
     # X's per-query numbers are committed). One file per run under
     # bench_runs/, named by wall-clock start so windows sort; the
     # stdout line stays the driver contract, the archive is the
-    # settled-window evidence trail.
+    # settled-window evidence trail. The archive write happens BEFORE
+    # the stdout print (round 13): a consumer piping through `head`
+    # SIGPIPEs the process on the print, which used to lose the whole
+    # window's evidence.
     try:
         import datetime
 
@@ -573,6 +575,7 @@ def main() -> None:
         _write_minwin_summary(outdir, payload)
     except OSError as e:  # archiving must never fail the bench
         print(f"# bench archive skipped: {e}", file=sys.stderr)
+    print(line)
     spark.stop()
 
 
