@@ -612,25 +612,37 @@ def _write_minwin_summary(outdir: str, payload: dict) -> None:
     import glob
 
     sf = payload.get("sf")
-    runs = []
+    fp = payload.get("catalog_fp")
+    runs = []  # newest 8 windows at this SF, any code (cross-commit view)
+    coherent = []  # newest 16 COHERENT windows — scans as deep as needed:
+    # aging-out exists to drop numbers from displaced code, but a
+    # fp-matching window IS current code however old it is (round-13
+    # second pass: the 8-newest-overall cap was rolling the round's
+    # best same-code window out from under its own minima; within one
+    # fingerprint every window is a valid sample of identical code, so
+    # the cap is a file-read bound, not a staleness rule — 16 covers a
+    # round's worth of windows)
     for p in sorted(glob.glob(os.path.join(outdir, "run_*.json")))[::-1]:
+        if len(runs) >= 8 and len(coherent) >= 16:
+            break
         try:
             with open(p) as fh:
                 r = json.loads(fh.readline())
         except (OSError, ValueError):
             continue
-        if r.get("sf") == sf and r.get("queries"):
+        if r.get("sf") != sf or not r.get("queries"):
+            continue
+        if len(runs) < 8:
             runs.append((os.path.basename(p), r))
-        if len(runs) >= 8:
-            break
+        if (
+            len(coherent) < 16
+            and r.get("git_rev")
+            and fp
+            and r.get("catalog_fp") == fp
+        ):
+            coherent.append((os.path.basename(p), r))
     if not runs:
         return
-    fp = payload.get("catalog_fp")
-    coherent = [
-        (f, r)
-        for f, r in runs
-        if r.get("git_rev") and fp and r.get("catalog_fp") == fp
-    ]
     if not coherent:
         # the current run itself is always coherent with itself; only
         # a fingerprint failure (fp None) lands here — degrade loudly
