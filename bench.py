@@ -151,6 +151,11 @@ _CLASS_QUERIES = {
 }
 _CLASS_BETA = {"jvm": 0.15, "py": 1.0, "stream": 0.9, "io": 0.6}
 
+#: Queries whose best run is under this get a THIRD run (see the
+#: timing loop); module-level because it is part of the measurement
+#: semantics folded into _bench_fingerprint().
+_EXTRA_RUN_UNDER_SEC = 12.0
+
 
 def _class_of(name: str) -> str:
     for cls, names in _CLASS_QUERIES.items():
@@ -291,6 +296,32 @@ def _catalog_fingerprint() -> str | None:
         return h.hexdigest()[:12]
     except OSError:
         return None
+
+
+def _bench_fingerprint() -> str:
+    """md5 over the HARNESS measurement semantics (round-14 advice):
+    catalog_fp hashes only engine source, so windows run under a
+    different HEADLINE set, a different runs-per-query rule, or a
+    rotated execution order still counted as coherent — per-query
+    minima could mix harness versions, the exact incoherence the
+    fingerprint was added to prevent. This key folds in everything
+    that changes WHAT a per-query number means without touching
+    engine source: the headline set (and its default order), the
+    min-of-N rule, and the third-run threshold. Execution order is
+    deliberately NOT folded in here — it is recorded as its own
+    payload field and matched separately, so a reader can still see
+    how many windows each ordering contributed."""
+    import hashlib
+
+    semantics = {
+        "headline": HEADLINE,
+        "runs_per_query": 3,
+        "extra_run_under_sec": _EXTRA_RUN_UNDER_SEC,
+        "sink": "noop",
+    }
+    return hashlib.md5(
+        json.dumps(semantics, sort_keys=True).encode()
+    ).hexdigest()[:12]
 
 
 def _meminfo_kb(key: str) -> int | None:
@@ -447,7 +478,6 @@ def main() -> None:
     # three runs — the stderr line logs each so round-over-round
     # spread stays auditable; the cap exists so a future pathological
     # regression doesn't triple its own cost.
-    _EXTRA_RUN_UNDER_SEC = 12.0
     timings: dict[str, float] = {}
     for name in names:
         runs: list[float] = []
@@ -522,9 +552,20 @@ def main() -> None:
         ),
         "calibration_io_mbps": calibration_io,
         "calibration_io_min_mbps": min(io_runs) if io_runs else None,
-        # round-13 per-class normalization (verdict ask #2): each
-        # class damped by its dominant-resource probe; see _CLASS_BETA
-        "value_normalized_vector": _normalized_vector(
+        # round-13 per-class normalization, DEMOTED round 14 (verdict
+        # ask #1): the betas fitted on six windows failed out-of-sample
+        # (validator at r13 close: raw 28.4% -> normalized 39.7%, i.e.
+        # WORSE), and a 2-fold CV over all 23 full-vector windows
+        # picked contradictory dominant classes per fold (jvm-only vs
+        # py-only) — the start-of-window probe vector cannot describe
+        # bursty mid-window throttles, so ANY damping fit here is
+        # underdetermined. The field stays emitted under an explicitly
+        # experimental name (the class ratios remain useful per-window
+        # ATTRIBUTION diagnostics); it must not be quoted as a
+        # comparable headline — the raw rev-coherent minwin is the
+        # only cross-window number (tools/validate_normalization.py
+        # re-checks the verdict every round).
+        "value_normalized_vector_experimental": _normalized_vector(
             timings,
             ratio32,
             (
@@ -543,10 +584,14 @@ def main() -> None:
         # attributable to the exact code that produced it
         "order": order,
         "git_rev": _git_rev(),
-        # coherence key for minwin (round 13): minima only aggregate
-        # windows whose engine source is byte-identical to the current
-        # run's, so a per-query best can never cite displaced code
+        # coherence keys for minwin (round 13 + 14): minima only
+        # aggregate windows whose engine source is byte-identical
+        # (catalog_fp), whose harness measurement semantics match
+        # (bench_fp), and whose execution order matches (order) — a
+        # per-query best can never cite displaced code OR a different
+        # measurement protocol
         "catalog_fp": _catalog_fingerprint(),
+        "bench_fp": _bench_fingerprint(),
         **settle,
     }
     line = json.dumps(payload)
@@ -608,11 +653,23 @@ def _write_minwin_summary(outdir: str, payload: dict) -> None:
     never point at code that no longer runs (r12's q42 min predated
     the gapfill_pk leg). The old cross-commit aggregate survives under
     explicitly-named ``*_cross_commit`` fields for continuity — its
-    mixing is now in the name, not a trap."""
+    mixing is now in the name, not a trap.
+
+    Round 14 (advice): coherence additionally requires the window's
+    ``order`` to equal the current run's AND its ``bench_fp`` (the
+    harness-measurement-semantics hash) to match — catalog_fp alone
+    let stream_early-rotated windows and changed-HEADLINE harnesses
+    feed the same minima, the exact incoherence the fingerprint was
+    added to prevent. Windows predating the bench_fp stamp are
+    excluded from the headline (they survive in the cross-commit
+    view); the coherent set therefore resets whenever the harness
+    semantics change, which is the point."""
     import glob
 
     sf = payload.get("sf")
     fp = payload.get("catalog_fp")
+    bfp = payload.get("bench_fp")
+    order = payload.get("order")
     runs = []  # newest 8 windows at this SF, any code (cross-commit view)
     coherent = []  # newest 16 COHERENT windows — scans as deep as needed:
     # aging-out exists to drop numbers from displaced code, but a
@@ -639,6 +696,9 @@ def _write_minwin_summary(outdir: str, payload: dict) -> None:
             and r.get("git_rev")
             and fp
             and r.get("catalog_fp") == fp
+            and r.get("order") == order
+            and bfp
+            and r.get("bench_fp") == bfp
         ):
             coherent.append((os.path.basename(p), r))
     if not runs:
@@ -653,6 +713,8 @@ def _write_minwin_summary(outdir: str, payload: dict) -> None:
         "metric": "headline_queries_min_across_windows_sec",
         "sf": sf,
         "catalog_fp": fp,
+        "bench_fp": bfp,
+        "order": order,
         "windows": [f for f, _ in coherent],
         "window_rev": {f: r.get("git_rev") for f, r in coherent},
         "value": round(sum(mins.values()), 3),

@@ -18,12 +18,23 @@ bench = importlib.util.module_from_spec(_spec)
 _spec.loader.exec_module(bench)
 
 
-def _run_file(outdir, name, queries, sf=0.1, git_rev="abc1234", catalog_fp="fp-cur"):
+def _run_file(
+    outdir,
+    name,
+    queries,
+    sf=0.1,
+    git_rev="abc1234",
+    catalog_fp="fp-cur",
+    bench_fp="bfp-cur",
+    order="default",
+):
     payload = {
         "sf": sf,
         "queries": queries,
         "git_rev": git_rev,
         "catalog_fp": catalog_fp,
+        "bench_fp": bench_fp,
+        "order": order,
     }
     with open(os.path.join(outdir, name), "w") as fh:
         fh.write(json.dumps(payload) + "\n")
@@ -78,6 +89,55 @@ def test_minwin_degrades_to_current_window_when_fp_unavailable(tmp_path):
     assert s["windows"] == ["run_20260102T000000_1.json"]
 
 
+def test_minwin_headline_requires_matching_order_and_bench_fp(tmp_path):
+    """Round-14 advice: catalog_fp hashes only engine source, so
+    windows run with SPARK_GRAFT_BENCH_ORDER=stream_early or under a
+    changed HEADLINE/harness still counted as coherent — headline
+    minima could mix orderings and harness versions. Coherence now
+    also requires order equality and a matching bench_fp; windows
+    predating the bench_fp stamp are excluded from the headline (they
+    survive in the cross-commit view)."""
+    out = str(tmp_path)
+    # same engine source, but rotated execution order — q59's min here
+    # must NOT feed the default-order headline
+    _run_file(out, "run_20260101T000000_1.json", {"q59": 0.5, "q01": 2.0},
+              order="stream_early")
+    # same engine source, but an OLDER harness (no bench_fp stamp)
+    _run_file(out, "run_20260102T000000_1.json", {"q59": 0.7, "q01": 1.5},
+              bench_fp=None)
+    # same engine source, a DIFFERENT harness semantics hash
+    _run_file(out, "run_20260103T000000_1.json", {"q59": 0.8, "q01": 1.4},
+              bench_fp="bfp-old")
+    # two fully coherent windows
+    _run_file(out, "run_20260104T000000_1.json", {"q59": 1.8, "q01": 1.2})
+    cur = _run_file(out, "run_20260105T000000_1.json", {"q59": 1.6, "q01": 1.4})
+
+    bench._write_minwin_summary(out, cur)
+    with open(os.path.join(out, "minwin_sf0.1.json")) as fh:
+        s = json.load(fh)
+    assert s["queries"] == {"q59": 1.6, "q01": 1.2}
+    assert set(s["windows"]) == {
+        "run_20260104T000000_1.json", "run_20260105T000000_1.json",
+    }
+    assert s["order"] == "default" and s["bench_fp"] == "bfp-cur"
+    # the mixed view still exists, explicitly named
+    assert s["queries_cross_commit"]["q59"] == 0.5
+
+
+def test_bench_fingerprint_tracks_harness_semantics():
+    """bench_fp is stable across calls and moves when the measurement
+    semantics (HEADLINE set) change."""
+    a = bench._bench_fingerprint()
+    assert a == bench._bench_fingerprint() and len(a) == 12
+    saved = list(bench.HEADLINE)
+    try:
+        bench.HEADLINE.append("q_fake_new_query")
+        assert bench._bench_fingerprint() != a
+    finally:
+        bench.HEADLINE[:] = saved
+    assert bench._bench_fingerprint() == a
+
+
 def test_normalized_vector_damps_by_class_probe():
     """Round-13 verdict ask #2: each class's wall time is damped by
     its dominant-resource probe, t / (1 + beta*(ratio-1)) — a 2x CPU
@@ -130,6 +190,33 @@ def test_ordered_headline_rotation_preserves_the_set():
     assert sorted(early) == sorted(default)
     assert early[0] == "q99_curation_pipeline_e2e"
     assert set(early[1:4]) == bench._CLASS_QUERIES["stream"]
+
+
+def test_survey_round_close_block_matches_artifacts():
+    """Round-14 verdict ask #2: closing numbers are GENERATED, not
+    typed. SURVEY.md's ROUND-CLOSE block must equal what
+    tools/round_close.py would emit right now from the committed
+    artifacts — so archiving a new bench window (which can displace a
+    cited min) without re-running --update-survey fails the suite
+    instead of shipping stale prose (the r12/r13 drift class)."""
+    spec = importlib.util.spec_from_file_location(
+        "round_close",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "round_close.py"),
+    )
+    rc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rc)
+    with open(rc.SURVEY) as fh:
+        survey = fh.read()
+    assert rc.BEGIN in survey and rc.END in survey, (
+        "SURVEY.md is missing the ROUND-CLOSE block — run "
+        "`python tools/round_close.py --update-survey`"
+    )
+    quoted = survey.split(rc.BEGIN, 1)[1].split(rc.END, 1)[0]
+    rebuilt = rc.build_block()
+    assert rc.BEGIN + quoted + rc.END == rebuilt, (
+        "SURVEY.md's closing block is stale against the artifacts — "
+        "re-run `python tools/round_close.py --update-survey`"
+    )
 
 
 def test_catalog_fingerprint_tracks_engine_source():
