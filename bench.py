@@ -20,6 +20,22 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+#: The container's /tmp is externally wiped; a mid-window wipe deleted
+#: the q50 WARC fixture (/tmp/etfce_warc_filings_*, built via
+#: sources.tables.scratch_dir -> tempfile.gettempdir) and cost window
+#: run_20260816T213907 ~130s of re-derivation and stream retries
+#: (q86 32s, q55/q58 >20s). Python-side scratch and the JVM's local
+#: dirs therefore default to a repo-local scratch the wiper never
+#: touches; an explicit TMPDIR / SPARK_LOCAL_DIRS in the environment
+#: still wins. Set BEFORE tempfile's first gettempdir() call and
+#: before the JVM starts, i.e. before any engine import.
+_SCRATCH_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".spark-scratch")
+for _var, _sub in (("SPARK_LOCAL_DIRS", "local"), ("TMPDIR", "tmp")):
+    if _var not in os.environ:
+        _d = os.path.join(_SCRATCH_ROOT, _sub)
+        os.makedirs(_d, exist_ok=True)
+        os.environ[_var] = _d
+
 from etfconstituentextractor_spark.plans.registry import QUERIES, load_catalog
 from etfconstituentextractor_spark.schemas import TABLES
 from etfconstituentextractor_spark.session import get_session
