@@ -687,16 +687,20 @@ def _write_minwin_summary(outdir: str, payload: dict) -> None:
     bfp = payload.get("bench_fp")
     order = payload.get("order")
     runs = []  # newest 8 windows at this SF, any code (cross-commit view)
-    coherent = []  # newest 16 COHERENT windows — scans as deep as needed:
+    coherent = []  # newest 48 COHERENT windows — scans as deep as needed:
     # aging-out exists to drop numbers from displaced code, but a
     # fp-matching window IS current code however old it is (round-13
     # second pass: the 8-newest-overall cap was rolling the round's
     # best same-code window out from under its own minima; within one
     # fingerprint every window is a valid sample of identical code, so
-    # the cap is a file-read bound, not a staleness rule — 16 covers a
-    # round's worth of windows)
+    # the cap is a file-read bound, not a staleness rule. Round 14
+    # raised it 16 -> 48 by the same principle: a window-accumulation
+    # round archives ~40 same-fp windows and the 16 cap was rolling
+    # the round's own early samples out from under its minima — the
+    # artifact lists every backing window, so the sample count stays
+    # auditable)
     for p in sorted(glob.glob(os.path.join(outdir, "run_*.json")))[::-1]:
-        if len(runs) >= 8 and len(coherent) >= 16:
+        if len(runs) >= 8 and len(coherent) >= 48:
             break
         try:
             with open(p) as fh:
@@ -708,7 +712,7 @@ def _write_minwin_summary(outdir: str, payload: dict) -> None:
         if len(runs) < 8:
             runs.append((os.path.basename(p), r))
         if (
-            len(coherent) < 16
+            len(coherent) < 48
             and r.get("git_rev")
             and fp
             and r.get("catalog_fp") == fp
