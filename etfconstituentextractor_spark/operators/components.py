@@ -11,8 +11,9 @@ frame is localCheckpoint()ed per round to truncate lineage — without
 that, iteration k replays all k-1 prior shuffles and the plan grows
 without bound. Convergence needs at most diameter(graph) rounds;
 near-dup clusters are shallow (stars/cliques), so 3-5 rounds is
-typical. The per-round driver-side `.count()` reads one aggregated
-scalar — no data collects.
+typical. The per-round changed-label count is an Observation metric
+read from the checkpoint materialization itself — one scalar per
+round reaches the driver, zero extra jobs, no data collects.
 """
 
 from __future__ import annotations
@@ -41,7 +42,7 @@ def connected_components(
     ``shuffle_partitions`` temporarily pins the session's shuffle
     partitioning for the propagation loop. The per-round cost is
     dominated by fixed per-partition overhead (each round materializes
-    a localCheckpoint and runs a count), so a near-dup pair graph —
+    a localCheckpoint), so a near-dup pair graph —
     tiny relative to its corpus — wants FEW partitions: 32→8 measured
     2x faster on a 256-edge graph. Size it to pair volume, not corpus
     volume; None leaves the session setting untouched.
@@ -59,6 +60,8 @@ def connected_components(
 
 
 def _propagate(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
+    from pyspark.sql import Observation
+
     # sym is re-joined on `b` EVERY round: partition it by the join key
     # once, so each round's join reads the persisted layout exchange-
     # free. labels is born partitioned on `node` (groupBy key below)
@@ -72,13 +75,21 @@ def _propagate(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame
         .repartition(F.col("b"))
         .persist()
     )
-    # seed with round 1's result directly: component = min(self, all
+    # Seed with round 1's result directly: component = min(self, all
     # neighbors) — one aggregation instead of an identity-labels frame
-    # plus a full join round.
-    labels = (
-        sym.groupBy(F.col("a").alias("node"))
-        .agg(F.least(F.first("a"), F.min("b")).alias("component"))
-        .localCheckpoint()
+    # plus a full join round. The seed stays LAZY (round-14
+    # optimization, guide §1.2 "the distributed algorithm" / §5
+    # driver): checkpointing it was one whole extra driver job per CC
+    # call, and near-dup graphs (stars/cliques) usually converge AT
+    # the seed — measured at sf0.1: 256 pairs, changed=0 in round 1 —
+    # so the first propagation round is pure verification. Fusing
+    # seed + round 1 into the round's own checkpoint job (the seed
+    # subtree's exchange is reused across its two references) and
+    # reading the changed-count via Observation from the SAME
+    # materialization (no per-round count job) takes the loop from
+    # 1 + 2·rounds driver jobs to exactly `rounds`.
+    labels = sym.groupBy(F.col("a").alias("node")).agg(
+        F.least(F.first("a"), F.min("b")).alias("component")
     )
 
     changed = 0
@@ -88,6 +99,7 @@ def _propagate(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("component").alias("nbr_component"))
         )
+        obs = Observation()
         updated = (
             labels.join(neighbor_min, "node", "left")
             .select(
@@ -97,8 +109,18 @@ def _propagate(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame
                     "component", F.coalesce("nbr_component", F.col("component"))
                 ).alias("component"),
             )
-        ).localCheckpoint()
-        changed = updated.filter(F.col("component") != F.col("old_component")).count()
+            # count(when(...)) not sum(...): count is 0 on an empty
+            # frame where sum is NULL — the no-edges graph must read
+            # as converged, not crash the int comparison below
+            .observe(
+                obs,
+                F.count(
+                    F.when(F.col("component") != F.col("old_component"), 1)
+                ).alias("changed"),
+            )
+            .localCheckpoint()
+        )
+        changed = int(obs.get["changed"])
         labels = updated.drop("old_component")
         if changed == 0:
             break

@@ -52,17 +52,26 @@ def ngram_contamination(
     ``clean`` (0) / ``suspect`` (1..contaminated_at-1) /
     ``contaminated`` (>= contaminated_at).
     """
-    toks = f"split({text_col}, ' ')"
-    grams: Column = shingles(toks, n)
+    # __toks: the shingle zip_with chain references its tokens_expr ~8
+    # times (slices + size guards) — materialize the split once per
+    # row as a multi-reference alias (round-14 optimization, guide
+    # §1.2 per-task work; same CollapseProject reasoning as the grams
+    # materialization below).
+    grams: Column = shingles("__toks", n)
 
     eval_grams = (
-        eval_docs.select(F.explode(grams).alias("g")).distinct().withColumn("hit", F.lit(1))
+        eval_docs.withColumn("__toks", F.expr(f"split({text_col}, ' ')"))
+        .select(F.explode(grams).alias("g"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
     )
     # Materialize the distinct-shingle array in its own projection so
     # size() and explode_outer() both reference the computed column —
     # inlining would run the whole zip_with shingle chain twice per row
     # (CollapseProject keeps multi-referenced non-cheap expressions).
-    prepared = train.select(id_col, F.array_distinct(grams).alias("grams"))
+    prepared = train.withColumn("__toks", F.expr(f"split({text_col}, ' ')")).select(
+        id_col, F.array_distinct(grams).alias("grams")
+    )
     exploded = prepared.select(
         id_col,
         F.size("grams").alias("n_ngrams"),

@@ -76,13 +76,16 @@ def curate(
     stages only ever see documents every earlier, cheaper gate
     passed — the stage ordering a real corpus pipeline uses.
     """
-    toks = "split(text, ' ')"
-    featured = docs.select(
+    # __toks: one split evaluation per row shared by the token count
+    # and the stopword filter (round-14 optimization, guide §1.2 —
+    # multi-reference aliases survive CollapseProject); dropped by the
+    # select so the token array never rides the content_hash shuffle.
+    featured = docs.withColumn("__toks", F.expr("split(text, ' ')")).select(
         "doc_id",
         "text",
         *([strat_col] if mix_rates is not None else []),
-        F.expr(f"size({toks})").alias("n_tokens"),
-        stopword_hits(toks, STOPWORDS).alias("stop_hits"),
+        F.expr("size(__toks)").alias("n_tokens"),
+        stopword_hits("__toks", STOPWORDS).alias("stop_hits"),
         F.md5("text").alias("content_hash"),
     ).withColumn(
         "quality_pass",

@@ -253,10 +253,18 @@ def _shingle_mins(d: DataFrame, width: int | None = None) -> DataFrame:
     ``width`` caps the fanout for micro-batch callers (see
     sources.tables.fanout).
     """
+    # __toks: evaluate the split ONCE per row (round-14 optimization,
+    # guide §1.2 per-task work) — the shingle zip_with chain references
+    # its tokens_expr ~8 times (3 slices, 2 sizes, the guard), so
+    # inlining "split(text, ' ')" re-split every document that many
+    # times; a multi-reference alias survives CollapseProject and
+    # computes once. The filter runs on the same alias BEFORE the
+    # shingle projection; identical predicate, identical rows.
     shingled = (
         fanout(d.select("doc_id", "text"), n=width)
-        .select("doc_id", F.expr(spark_shingles("split(text, ' ')")).alias("shingles"))
-        .filter(F.expr("size(split(text, ' '))") >= 3)
+        .select("doc_id", F.expr("split(text, ' ')").alias("__toks"))
+        .filter(F.expr("size(__toks)") >= 3)
+        .select("doc_id", F.expr(spark_shingles("__toks")).alias("shingles"))
     )
     return _with_mins(shingled, keep_shingles=True)
 
@@ -284,10 +292,13 @@ def _shingle_and_bands(d: DataFrame) -> tuple[DataFrame, DataFrame]:
     # localCheckpoint (not persist): blocks are released by the
     # ContextCleaner once the frame is garbage-collected, so a 50-query
     # harness run doesn't accumulate pinned cache entries.
+    # __toks evaluated once per row — see _shingle_mins for the
+    # CollapseProject reasoning (round-14 optimization)
     shingled = (
         fanout(d.select("doc_id", "text"))
-        .select("doc_id", F.expr(spark_shingles("split(text, ' ')")).alias("shingles"))
-        .filter(F.expr("size(split(text, ' '))") >= 3)
+        .select("doc_id", F.expr("split(text, ' ')").alias("__toks"))
+        .filter(F.expr("size(__toks)") >= 3)
+        .select("doc_id", F.expr(spark_shingles("__toks")).alias("shingles"))
         .localCheckpoint()
     )
     bands = _bands_from_mins(_with_mins(shingled)).localCheckpoint()
@@ -795,13 +806,27 @@ _Q65_PR_ITERS = 4
     """,
 )
 def q65_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # pairs feeds BOTH the components loop and the pagerank edge list:
-    # checkpoint it (coalesce first — it is tiny) so the LSH pair
-    # pipeline materializes exactly once
-    pairs = lsh_candidate_pairs(spark, sf_dir).coalesce(1).localCheckpoint()
+    # ONE symmetric-edge checkpoint feeds BOTH the components loop and
+    # the pagerank edge list (round-14 optimization, guide §5 driver /
+    # §2.4): the previous shape checkpointed `pairs` eagerly and then
+    # checkpointed `sym` derived from it — two driver jobs where one
+    # suffices, since neither consumer ever reads the directed pairs.
+    # The LSH pair pipeline materializes exactly once, inside this
+    # single (coalesced — the graph is tiny) checkpoint job. CC on the
+    # pre-symmetrized frame is identical: its internal
+    # union+reverse+distinct of an already-symmetric edge set is the
+    # same edge set.
+    pairs = lsh_candidate_pairs(spark, sf_dir)
+    sym = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .distinct()
+        .coalesce(1)
+        .localCheckpoint()
+    )
     # near-dup pair graphs are tiny relative to the corpus: pin few
     # shuffle partitions for the propagation loop (components.py)
-    labels = connected_components(pairs, src="doc_a", dst="doc_b", shuffle_partitions=8)
+    labels = connected_components(sym, src="a", dst="b", shuffle_partitions=8)
     w = W.partitionBy("component")
     cc_core = labels.select(
         F.col("node").alias("doc_id"),
@@ -817,17 +842,10 @@ def q65_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_representative",
         F.col("group_size").cast("double").alias("score"),
     )
-    # one tiny job to pin the symmetric edge list; the pagerank rounds
-    # then run LAZY (truncate_lineage=False — the loop's plan is linear
-    # in iters) as part of the single final action, with AQE collapsing
-    # the small shuffles, instead of 4+ eager checkpoint jobs
-    sym = (
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
-        .distinct()
-        .coalesce(1)
-        .localCheckpoint()
-    )
+    # the pagerank rounds run LAZY over the same sym checkpoint
+    # (truncate_lineage=False — the loop's plan is linear in iters) as
+    # part of the single final action, with AQE collapsing the small
+    # shuffles, instead of 4+ eager checkpoint jobs
     pr = pagerank_fixed_point(
         sym, src="a", dst="b", iters=_Q65_PR_ITERS, truncate_lineage=False
     )
@@ -927,7 +945,14 @@ def ngram_jaccard_pairs(
             "doc_id",
             "source",
             "len_bucket",
-            F.expr("array_distinct(" + spark_shingles("split(text, ' ')") + ")").alias("sh"),
+            # __toks once per row (round-14; see _shingle_mins)
+            F.expr("split(text, ' ')").alias("__toks"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "len_bucket",
+            F.expr("array_distinct(" + spark_shingles("__toks") + ")").alias("sh"),
         )
         .localCheckpoint()
     )

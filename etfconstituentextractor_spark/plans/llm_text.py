@@ -211,15 +211,27 @@ def q80_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cross_entropy").alias("lm_cross_entropy"),
         F.col("ppl").alias("lm_ppl"),
     )
-    tok_expr = "split(text, ' ')"
-    toks = tokens()
-    n_tokens = F.size(toks)
+    # Materialize the raw whitespace split ONCE as a multi-reference
+    # alias (round-14 optimization, guide §1.2 order-2 per-task work):
+    # the feature projection below references the token array ~15
+    # times (counts, 5 language hit filters, minhash shingles, rolling
+    # fingerprint, simhash, margin shingles), and passing the literal
+    # "split(text, ' ')" fragment to each helper re-evaluated the
+    # split per reference per row (visible in the r14 baseline plan as
+    # 15+ `split(text#...)` calls in one Project). A multi-reference
+    # alias survives CollapseProject, so __toks computes once per row;
+    # every downstream expression is byte-identical arithmetic over
+    # the same array — results unchanged. (`tk` can't serve: it is the
+    # NONEMPTY-token array, a different tokenization than the raw
+    # split the q80 feature oracle specifies.)
+    tok_expr = "__toks"
+    n_tokens = F.expr("size(__toks)")
     n_chars_m = F.length("text")
     stop_hits = stopword_hits(tok_expr, STOPWORDS)
     punct_hits = n_chars_m - F.length(F.regexp_replace("text", r"[.,;!?]", ""))
     hits = {lg: stopword_hits(tok_expr, LANG_STOPWORDS[lg]) for lg in _LANGS}
 
-    feats = d.select(
+    feats = d.withColumn("__toks", F.expr("split(text, ' ')")).select(
         "doc_id",
         "lang",
         "source",

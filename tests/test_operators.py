@@ -192,6 +192,30 @@ def test_connected_components_micro(spark):
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
 
 
+def test_connected_components_empty_and_presymmetrized(spark):
+    """Round-14 loop internals: the changed-label count is an
+    Observation metric on the checkpoint materialization (count, not
+    sum — sum is NULL over an empty frame), so (a) a no-edges graph
+    must return an empty labels frame instead of crashing the
+    convergence comparison, and (b) feeding an ALREADY-symmetric edge
+    set (q65 now shares one sym checkpoint between CC and pagerank)
+    must label identically to the directed spelling."""
+    from etfconstituentextractor_spark.operators.components import connected_components
+
+    empty = spark.createDataFrame([], "src bigint, dst bigint")
+    assert connected_components(empty).collect() == []
+
+    directed = spark.createDataFrame(
+        [(4, 3), (3, 2), (2, 1), (9, 7)], "src bigint, dst bigint"
+    )
+    sym = directed.union(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    want = {r.node: r.component for r in connected_components(directed).collect()}
+    got = {r.node: r.component for r in connected_components(sym).collect()}
+    assert got == want == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
+
+
 def test_connected_components_on_neardup_pairs(spark, sf_dir):
     """End-to-end: q63's near-dup PAIRS cluster into duplicate GROUPS;
     every pair's two docs must land in the same component."""
