@@ -103,10 +103,34 @@ def train_pq_codebooks(
 
 
 def _codebook_lit(cb: np.ndarray) -> Column:
-    """ksub×dsub codebook as a nested array literal column."""
-    return F.array(
-        *[F.array(*[F.lit(float(v)) for v in row]) for row in cb]
+    """ksub×dsub codebook as a nested array literal column.
+
+    Built as ONE parsed SQL expression string rather than nested
+    ``F.array(F.lit(...))`` calls (round 15, guide §1.2 per-task →
+    §7.3 driver planning): the old spelling issued one py4j round-trip
+    per element (ksub·dsub ≈ 128 of them per codebook, several
+    codebooks per query build), which profiling attributed ~1s of
+    q70's build to. Values render via ``repr`` (shortest round-trip
+    decimal) and re-parse through Java's Double.parseDouble — both
+    correctly rounded, so the literal is bit-identical to F.lit's.
+    """
+    return F.expr(_codebook_sql(cb))
+
+
+def _codebook_sql(cb: np.ndarray) -> str:
+    return (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(_dlit(v) for v in row) + ")" for row in cb
+        )
+        + ")"
     )
+
+
+def _dlit(v: float) -> str:
+    """SQL double literal with exact round-trip (repr is the shortest
+    decimal that parses back to the same bits)."""
+    return f"{float(v)!r}D"
 
 
 def _sub_dist(sub_col: str, cb_col: str, round_dp: int | None = None) -> str:
@@ -141,37 +165,44 @@ def pq_encode(
     index per subspace. Pure codegen map stage — codebooks are
     literals, no shuffle, no Python."""
     m, _, dsub = codebooks.shape
-    out = df
-    for j in range(m):
-        cb_name = f"__cb_{j}"
-        out = out.withColumn(
-            f"__sub_{j}", F.expr(f"slice({vec_col}, {j * dsub + 1}, {dsub})")
-        )
-        dist = _sub_dist(f"__sub_{j}", cb_name, round_dp)
-        # the distance array is materialized as its OWN column before
-        # the argmin: array_position(d, array_min(d)) references it
-        # twice, and CollapseProject would otherwise inline the whole
-        # fold expression into both references — doubling the codegen
-        # and the per-row work. (array_position of the min is the
-        # lowest-index argmin, the same tie rule as numpy.)
-        out = (
-            out.withColumn(cb_name, _codebook_lit(codebooks[j]))
-            .withColumn(f"__d_{j}", F.expr(dist))
-            .withColumn(
-                f"__c_{j}",
+    base = df.columns
+    # Three chained selects, not 4m withColumns: every withColumn
+    # re-analyzes the whole accumulated plan including all previously
+    # added codebook literal trees, so q70's build paid ~quadratic
+    # driver planning cost (round 15, guide §7.3 "planning time itself
+    # can become the bottleneck"). The SELECT chain produces the exact
+    # same Project stack — column expressions, materialization
+    # boundaries, and optimizer collapse behavior are unchanged; the
+    # distance array stays its OWN column before the argmin because
+    # array_position(d, array_min(d)) references it twice and
+    # CollapseProject would otherwise inline the fold into both
+    # references. (array_position of the min is the lowest-index
+    # argmin, the same tie rule as numpy.)
+    out = df.select(
+        "*",
+        *[
+            F.expr(f"slice({vec_col}, {j * dsub + 1}, {dsub})").alias(f"__sub_{j}")
+            for j in range(m)
+        ],
+        *[_codebook_lit(codebooks[j]).alias(f"__cb_{j}") for j in range(m)],
+    )
+    out = out.select(
+        "*",
+        *[
+            F.expr(_sub_dist(f"__sub_{j}", f"__cb_{j}", round_dp)).alias(f"__d_{j}")
+            for j in range(m)
+        ],
+    )
+    return out.select(
+        *base,
+        F.array(
+            *[
                 F.expr(
                     f"CAST(array_position(__d_{j}, array_min(__d_{j})) - 1 AS INT)"
-                ),
-            )
-        )
-    return (
-        out.withColumn("pq_codes", F.array(*[F.col(f"__c_{j}") for j in range(m)]))
-        .drop(
-            *[f"__cb_{j}" for j in range(m)],
-            *[f"__sub_{j}" for j in range(m)],
-            *[f"__d_{j}" for j in range(m)],
-            *[f"__c_{j}" for j in range(m)],
-        )
+                )
+                for j in range(m)
+            ]
+        ).alias("pq_codes"),
     )
 
 
@@ -195,9 +226,7 @@ def pq_adc_topk(
     luts = np.array(
         [((codebooks[j] - q[j * dsub : (j + 1) * dsub]) ** 2).sum(axis=1) for j in range(m)]
     )
-    lut_col = F.array(
-        *[F.array(*[F.lit(float(v)) for v in luts[j]]) for j in range(m)]
-    )
+    lut_col = F.expr(_codebook_sql(luts))
     score = F.expr(
         "aggregate(zip_with(__lut, pq_codes, (t, c) -> element_at(t, c + 1)), "
         "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -241,20 +270,28 @@ def pq_adc_join_topk(
     returns: (qid, candidate_id, score, rn) with rn <= k.
     """
     m, _, dsub = codebooks.shape
-    q = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("__qv"))
-    for j in range(m):
-        q = (
-            q.withColumn(f"__qcb_{j}", _codebook_lit(codebooks[j]))
-            .withColumn(f"__qsub_{j}", F.expr(f"slice(__qv, {j * dsub + 1}, {dsub})"))
-            .withColumn(
-                f"__lut_{j}",
-                F.expr(_sub_dist(f"__qsub_{j}", f"__qcb_{j}", lut_dp)),
-            )
+    # select chain instead of per-j withColumns — same Project stack,
+    # one analysis pass per stage instead of one per column (see the
+    # pq_encode comment)
+    q = (
+        queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("__qv"))
+        .select(
+            "qid",
+            *[
+                F.expr(f"slice(__qv, {j * dsub + 1}, {dsub})").alias(f"__qsub_{j}")
+                for j in range(m)
+            ],
+            *[_codebook_lit(codebooks[j]).alias(f"__qcb_{j}") for j in range(m)],
         )
-    q = q.drop(
-        "__qv",
-        *[f"__qcb_{j}" for j in range(m)],
-        *[f"__qsub_{j}" for j in range(m)],
+        .select(
+            "qid",
+            *[
+                F.expr(_sub_dist(f"__qsub_{j}", f"__qcb_{j}", lut_dp)).alias(
+                    f"__lut_{j}"
+                )
+                for j in range(m)
+            ],
+        )
     )
     adc = sum(
         F.expr(f"element_at(__lut_{j}, element_at(pq_codes, {j + 1}) + 1)")

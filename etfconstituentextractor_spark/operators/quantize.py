@@ -73,26 +73,40 @@ def int8_cosine_topk(
     rank window. Integer products accumulate in BIGINT (dim·127² per
     term — overflow-free to ~5·10¹⁴ dims).
     """
+    # Norms are per-VECTOR, so compute them once per side BEFORE the
+    # pair join instead of re-folding both 64-element arrays on every
+    # (candidate, query) pair as the old spelling did (round 15, guide
+    # §1.2 "don't compute things you throw away" — the per-pair work
+    # drops from 3 interpreted folds to 1). sqrt of an exact BIGINT
+    # sum is the identical double either way, and the divisor keeps
+    # the candidate-norm × query-norm multiply order, so cos_q is
+    # bit-identical.
+    nrm = "sqrt(aggregate(transform({c}, x -> CAST(x AS BIGINT) * x), 0L, (acc, x) -> acc + x))"
     qq = F.broadcast(
         queries.select(
-            F.col(query_id_col).alias("__qid"), F.col(q_col).alias("__qv")
+            F.col(query_id_col).alias("__qid"),
+            F.col(q_col).alias("__qv"),
+            F.expr(nrm.format(c=q_col)).alias("__qn"),
         )
     )
-    dot = F.expr(
-        f"aggregate(zip_with({q_col}, __qv, (x, y) -> CAST(x AS BIGINT) * y), 0L, (acc, x) -> acc + x)"
+    cand = candidates.select(
+        F.col(id_col).alias("candidate_id"),
+        F.col(q_col).alias("__cv"),
+        F.expr(nrm.format(c=q_col)).alias("__cn"),
     )
-    nrm = "sqrt(aggregate(transform({c}, x -> CAST(x AS BIGINT) * x), 0L, (acc, x) -> acc + x))"
-    cos = F.round(
-        dot / (F.expr(nrm.format(c=q_col)) * F.expr(nrm.format(c="__qv"))), 9
-    )
+    # integer dot via the Arrow kernel (round 15): int64 addition is
+    # exact, so the vectorized sum is bit-identical to the JVM fold
+    from etfconstituentextractor_spark.operators.veckernel import append_pair_dot_i64
+
+    paired = append_pair_dot_i64(cand.crossJoin(qq), "__cv", "__qv", "__dot")
+    cos = F.round(F.col("__dot") / (F.col("__cn") * F.col("__qn")), 9)
     w = W.partitionBy(query_id_col).orderBy(
         F.col("cos_q").desc(), F.col("candidate_id")
     )
     return (
-        candidates.crossJoin(qq)
-        .select(
+        paired.select(
             F.col("__qid").alias(query_id_col),
-            F.col(id_col).alias("candidate_id"),
+            "candidate_id",
             cos.alias("cos_q"),
         )
         .withColumn("rn", F.row_number().over(w))

@@ -60,18 +60,30 @@ def semantic_seeds(vectors: DataFrame, n_seeds: int, id_col: str = "vec_id") -> 
 def assign_clusters(vectors: DataFrame, seeds: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """Nearest-seed assignment, keeping the winning score.
 
-    Broadcast cross join (K rows per vector, same partition) then a
-    map-side-complete groupBy(id): the exchange carries one row per
-    vector. max_by keys on (cos_c, -cell) = highest cosine, lowest
-    cell on ties — the same decision ROUND(...,9) lets DuckDB replay.
+    Broadcast cross join (K rows per vector, same partition), the
+    per-pair dot via the Arrow strict-left-fold kernel
+    (operators/veckernel.py — bit-identical to the old
+    ``aggregate(zip_with(...))`` HOF fold, which was the interpreted
+    hot loop of this stage), then a map-side-complete groupBy(id): the
+    exchange still carries one row per vector. max_by keys on
+    (cos_c, -cell) = highest cosine, lowest cell on ties — the same
+    decision ROUND(...,9) lets DuckDB replay.
     returns: (id_col, v, nrm, cell, cent_cos[9dp]).
     """
-    cos = F.round(
-        F.expr(_DOT.format(a="v", b="cv")) / (F.col("nrm") * F.col("cn")), 9
+    from etfconstituentextractor_spark.operators.veckernel import append_pair_dot
+
+    paired = append_pair_dot(
+        vectors.crossJoin(F.broadcast(seeds)).select(
+            id_col, "v", "nrm", "cell", "cn", "cv"
+        ),
+        "v",
+        "cv",
+        "__dot",
+        drop=("cv",),  # v rides through: the winner's vector feeds the dedup stage
     )
+    cos = F.round(F.col("__dot") / (F.col("nrm") * F.col("cn")), 9)
     return (
-        vectors.crossJoin(F.broadcast(seeds))
-        .select(id_col, "v", "nrm", "cell", cos.alias("cos_c"))
+        paired.select(id_col, "v", "nrm", "cell", cos.alias("cos_c"))
         .groupBy(id_col)
         .agg(
             F.first("v").alias("v"),
@@ -106,20 +118,31 @@ def semantic_dedup(
         .filter(F.col("c") <= cap)
         .select("cell")
     )
+    from etfconstituentextractor_spark.operators.veckernel import append_pair_dot
+
     n = assigned.join(F.broadcast(kept), "cell")
     a, b = n.alias("a"), n.alias("b")
-    cos = F.round(
-        F.expr(_DOT.format(a="a.v", b="b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
-    )
-    close = (
+    paired = append_pair_dot(
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .withColumn("cos_sim", cos)
+        ).select(
+            F.col(f"b.{id_col}").alias("__b_id"),
+            F.col("a.v").alias("__va"),
+            F.col("b.v").alias("__vb"),
+            F.col("a.nrm").alias("__na"),
+            F.col("b.nrm").alias("__nb"),
+        ),
+        "__va",
+        "__vb",
+        "__dot",
+    )
+    cos = F.round(F.col("__dot") / (F.col("__na") * F.col("__nb")), 6)
+    close = (
+        paired.withColumn("cos_sim", cos)
         .filter(F.col("cos_sim") >= tau)
-        .groupBy(F.col(f"b.{id_col}").alias(id_col))
+        .groupBy(F.col("__b_id").alias(id_col))
         .agg(F.count(F.lit(1)).alias("n_close"))
     )
     return (

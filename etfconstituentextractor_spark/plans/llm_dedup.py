@@ -1122,17 +1122,37 @@ def embedding_cosine_pairs(e: DataFrame, cap: int = _Q64_MAX_BLOCK) -> DataFrame
     # fanout spreads it (measured: the entire join+cosine ran as one
     # task without this — the broadcast join preserves the probe
     # side's partitioning, so no join key salting can help).
+    from etfconstituentextractor_spark.operators.veckernel import append_pair_dot
+
     a = fanout(n, "vec_id").alias("a")
     b = n.alias("b")
-    dot = F.expr(
-        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    # per-pair dot via the Arrow strict-left-fold kernel (bit-identical
+    # replacement of the interpreted aggregate(zip_with(...)) HOF —
+    # round 15, guide §4.2); Spark still picks the pairs (broadcast
+    # block join) and filters/ranks after the boundary
+    paired = append_pair_dot(
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        ).select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.v").alias("__va"),
+            F.col("b.v").alias("__vb"),
+            F.col("a.nrm").alias("__na"),
+            F.col("b.nrm").alias("__nb"),
+        ),
+        "__va",
+        "__vb",
+        "__dot",
     )
-    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .withColumn("cos_sim", cos)
+        paired.withColumn(
+            "cos_sim", F.round(F.col("__dot") / (F.col("__na") * F.col("__nb")), 6)
+        )
         .filter(F.col("cos_sim") >= 0.35)
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), "cos_sim")
+        .select("vec_a", "vec_b", "cos_sim")
     )
 
 
